@@ -4,12 +4,15 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Table
 import graft.agg.reducers
-import graft.SparkEntry.{load, table}
+import graft.functions._
+import graft.SparkEntry.{load, loadEvents, table}
 
 /** The driver-checked query inventory. Every query name maps 1:1 to a
   * SURVEY.md §2 operator; the companion oracle SQL (DuckDB dialect) is in
   * [[oracles]]. Floating-point aggregates are rounded to 4 decimals on
-  * BOTH sides so partial-aggregation order can't flip the hash.
+  * BOTH sides so partial-aggregation order can't flip the hash; event
+  * timestamps (nanosecond parquet) are truncated to milliseconds on both
+  * sides because Spark reads ns as µs.
   */
 object Queries {
 
@@ -20,7 +23,7 @@ object Queries {
 
   private def q(name: String, oracle: String = null)(fn: Q): Unit = {
     all(name) = fn
-    if (oracle != null) oracles(name) = oracle
+    if (oracle != null) oracles(name) = oracle.stripMargin
   }
 
   private def r4(c: Column): Column = round(c, 4)
@@ -36,7 +39,7 @@ object Queries {
       |  round(avg(l_quantity), 4) AS avg_qty,
       |  round(avg(l_discount), 4) AS avg_disc,
       |  count(*) AS count_order
-      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""") { (s, dir) =>
     table(s, dir, "lineitem", "l_orderkey", "l_linenumber")
       .groupby(col("l_returnflag"), col("l_linestatus"))
       .reduce(
@@ -46,5 +49,396 @@ object Queries {
         "avg_qty" -> r4(reducers.ravg(col("l_quantity"))),
         "avg_disc" -> r4(reducers.ravg(col("l_discount"))),
         "count_order" -> reducers.rcount())
+  }
+
+  // =====================================================================
+  // §2.1 row-wise relational
+  // =====================================================================
+
+  // select(*args) — projection with expressions (table.py:382)
+  q("q_select",
+    """SELECT p_partkey, upper(p_brand) AS brand_u,
+      |  p_size * 2 AS dsize FROM part""") { (s, dir) =>
+    table(s, dir, "part", "p_partkey")
+      .select("brand_u" -> upper(col("p_brand")), "dsize" -> col("p_size") * 2)
+      .df
+  }
+
+  // filter(expr) (table.py:490)
+  q("q_filter",
+    """SELECT c_custkey, c_name, round(c_acctbal, 4) AS bal FROM customer
+      |WHERE c_acctbal > 1000 AND c_mktsegment = 'BUILDING'""") { (s, dir) =>
+    table(s, dir, "customer", "c_custkey")
+      .filter(col("c_acctbal") > 1000 && col("c_mktsegment") === "BUILDING")
+      .select("c_name" -> col("c_name"), "bal" -> r4(col("c_acctbal")))
+      .df
+  }
+
+  // with_columns (table.py:1613)
+  q("q_with_columns",
+    """SELECT o_orderkey, o_totalprice, CAST(floor(o_totalprice / 10000) AS BIGINT)
+      |  AS price_bucket, year(o_orderdate) AS o_year FROM orders""") { (s, dir) =>
+    table(s, dir, "orders", "o_orderkey")
+      .withColumns(
+        "price_bucket" -> floor(col("o_totalprice") / 10000).cast("long"),
+        "o_year" -> year(col("o_orderdate")))
+      .select("o_totalprice" -> col("o_totalprice"),
+        "price_bucket" -> col("price_bucket"), "o_year" -> col("o_year"))
+      .df
+  }
+
+  // rename_columns + without (table.py:1763, :1921)
+  q("q_rename_without",
+    """SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS segment
+      |FROM customer""") { (s, dir) =>
+    table(s, dir, "customer", "c_custkey")
+      .without("c_acctbal", "c_nationkey")
+      .renameColumns("c_custkey" -> "custkey", "c_name" -> "name",
+        "c_mktsegment" -> "segment")
+      .df
+  }
+
+  // split(expr) — both halves, tagged (table.py:531)
+  q("q_split",
+    """SELECT o_orderkey, o_orderstatus, (o_totalprice > 100000) AS is_big
+      |FROM orders""") { (s, dir) =>
+    val t = table(s, dir, "orders", "o_orderkey")
+      .select("o_orderstatus" -> col("o_orderstatus"),
+        "o_totalprice" -> col("o_totalprice"))
+    val (big, small) = t.split(col("o_totalprice") > 100000)
+    big.withColumns("is_big" -> lit(true))
+      .concat(small.withColumns("is_big" -> lit(false)))
+      .without("o_totalprice").df
+  }
+
+  // concat — keyed union with disjointness check (table.py:1334)
+  q("q_concat",
+    """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 4) AS price
+      |FROM orders""") { (s, dir) =>
+    val t = table(s, dir, "orders", "o_orderkey")
+      .select("o_orderstatus" -> col("o_orderstatus"),
+        "price" -> r4(col("o_totalprice")))
+    val (f, rest) = t.split(col("o_orderstatus") === "F")
+    f.concat(rest).df
+  }
+
+  // intersect (table.py:776) — customers that have orders
+  q("q_intersect",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders)""") { (s, dir) =>
+    val cust = table(s, dir, "customer", "c_custkey")
+    val withOrders = Table.fromDF(
+      load(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+      Seq("c_custkey"))
+    cust.intersect(withOrders).select("c_name" -> col("c_name")).df
+  }
+
+  // difference (table.py:739) — customers without orders
+  q("q_difference",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""") { (s, dir) =>
+    val cust = table(s, dir, "customer", "c_custkey")
+    val withOrders = Table.fromDF(
+      load(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+      Seq("c_custkey"))
+    cust.difference(withOrders).select("c_name" -> col("c_name")).df
+  }
+
+  // restrict / having (table.py:837, :2027) — lineitems of urgent orders
+  q("q_restrict",
+    """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 4) AS price
+      |FROM lineitem WHERE l_orderkey IN
+      |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""") { (s, dir) =>
+    val li = table(s, dir, "lineitem", "l_orderkey")
+    val urgent = Table.fromDF(
+      load(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"))
+    li.having(urgent)
+      .select("l_linenumber" -> col("l_linenumber"),
+        "price" -> r4(col("l_extendedprice")))
+      .df
+  }
+
+  // update_cells (table.py:1439) — zero balances of BUILDING customers
+  q("q_update_cells",
+    """SELECT c_custkey,
+      |  round(CASE WHEN c_mktsegment = 'BUILDING' THEN 0.0 ELSE c_acctbal END, 4)
+      |    AS c_acctbal
+      |FROM customer""") { (s, dir) =>
+    val cust = table(s, dir, "customer", "c_custkey")
+      .select("c_acctbal" -> col("c_acctbal"),
+        "c_mktsegment" -> col("c_mktsegment"))
+    val patch = cust.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_acctbal" -> lit(0.0))
+    cust.updateCells(patch)
+      .select("c_acctbal" -> r4(col("c_acctbal"))).df
+  }
+
+  // update_rows (table.py:1524) — upsert doubled-price F orders
+  q("q_update_rows",
+    """SELECT o_orderkey,
+      |  round(CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+      |             ELSE o_totalprice END, 4) AS price
+      |FROM orders""") { (s, dir) =>
+    val o = table(s, dir, "orders", "o_orderkey")
+      .select("price" -> r4(col("o_totalprice")),
+        "status" -> col("o_orderstatus"))
+    val patched = o.filter(col("status") === "F")
+      .withColumns("price" -> r4(col("price") * 2))
+    o.updateRows(patched).without("status").df
+  }
+
+  // with_id_from / pointer_from (table.py:1690, :2371) — stable row hash
+  q("q_pointer_from",
+    """SELECT o_orderkey,
+      |  md5(to_json(struct_pack(o_orderkey := o_orderkey))) AS ptr_hex
+      |FROM orders""") { (s, dir) =>
+    table(s, dir, "orders", "o_orderkey")
+      .select("ptr_hex" -> lower(hex(pointer_from(col("o_orderkey")))))
+      .df
+  }
+
+  // ix — dictionary lookup by key (table.py:1164)
+  q("q_ix",
+    """SELECT k.o_custkey AS c_custkey, k.n_orders, c.c_name
+      |FROM (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) k
+      |JOIN customer c ON c.c_custkey = k.o_custkey""") { (s, dir) =>
+    val cust = table(s, dir, "customer", "c_custkey")
+    val keys = Table.fromDF(
+      load(s, dir, "orders").groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n_orders")),
+      Seq("c_custkey"))
+    cust.ix(keys).select("n_orders" -> col("n_orders"), "c_name" -> col("c_name")).df
+  }
+
+  // flatten — explode array column (table.py:2089)
+  q("q_flatten",
+    """SELECT p_partkey,
+      |  unnest(range(len(string_split(p_name, ' ')))) AS _origin_pos,
+      |  unnest(string_split(p_name, ' ')) AS word
+      |FROM part""") { (s, dir) =>
+    table(s, dir, "part", "p_partkey")
+      .select("word" -> split(col("p_name"), " "))
+      .flatten("word")
+      .df.select("p_partkey", "_origin_pos", "word")
+  }
+
+  // cast_to_types (table.py:2011)
+  q("q_cast",
+    """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty_int,
+      |  CAST(l_shipdate AS DATE) AS ship_day FROM lineitem""") { (s, dir) =>
+    table(s, dir, "lineitem", "l_orderkey", "l_linenumber")
+      .select("qty_int" -> col("l_quantity").cast("long"),
+        "ship_day" -> col("l_shipdate").cast("date"))
+      .df
+  }
+
+  // =====================================================================
+  // §2.2 reducers
+  // =====================================================================
+
+  q("q_reduce_minmax",
+    """SELECT l_returnflag, min(l_shipdate) AS first_ship,
+      |  max(l_shipdate) AS last_ship, round(min(l_extendedprice), 4) AS min_price,
+      |  round(max(l_extendedprice), 4) AS max_price
+      |FROM lineitem GROUP BY l_returnflag""") { (s, dir) =>
+    table(s, dir, "lineitem", "l_orderkey", "l_linenumber")
+      .groupby(col("l_returnflag"))
+      .reduce(
+        "first_ship" -> reducers.rmin(col("l_shipdate")),
+        "last_ship" -> reducers.rmax(col("l_shipdate")),
+        "min_price" -> r4(reducers.rmin(col("l_extendedprice"))),
+        "max_price" -> r4(reducers.rmax(col("l_extendedprice"))))
+  }
+
+  q("q_reduce_global",
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      |  count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+      |FROM lineitem""") { (s, dir) =>
+    table(s, dir, "lineitem", "l_orderkey", "l_linenumber")
+      .reduce(
+        "revenue" -> r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))),
+        "n" -> reducers.rcount(),
+        "key_sum" -> reducers.rsum(col("l_orderkey")))
+  }
+
+  // argmin/argmax → row key of extremal row (reducers.py:360/:393)
+  q("q_reduce_argminmax",
+    """WITH w AS (SELECT l_returnflag, l_orderkey,
+      |  row_number() OVER (PARTITION BY l_returnflag
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn_a,
+      |  row_number() OVER (PARTITION BY l_returnflag
+      |    ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn_d
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |  min(CASE WHEN rn_a = 1 THEN l_orderkey END) AS first_order,
+      |  min(CASE WHEN rn_d = 1 THEN l_orderkey END) AS last_order
+      |FROM w GROUP BY l_returnflag""") { (s, dir) =>
+    table(s, dir, "lineitem", "l_orderkey", "l_linenumber")
+      .groupby(col("l_returnflag"))
+      .reduce(
+        "first_order" -> reducers.argmin(col("l_orderkey"),
+          struct(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))),
+        "last_order" -> reducers.argmax(col("l_orderkey"),
+          struct(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))))
+  }
+
+  // unique — errors if >1 distinct value per group (reducers.py:426)
+  q("q_reduce_unique",
+    """SELECT n_regionkey, min(r_name) AS region_name
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY n_regionkey""") { (s, dir) =>
+    table(s, dir, "nation", "n_nationkey")
+      .join(Table.fromDF(load(s, dir, "region"), Seq("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupby(col("n_regionkey"))
+      .reduce("region_name" -> reducers.runique(col("r_name")))
+  }
+
+  // any — deterministic arbitrary element (reducers.py:457)
+  q("q_reduce_any",
+    """SELECT c_mktsegment, min(c_name) AS a_customer
+      |FROM customer GROUP BY c_mktsegment""") { (s, dir) =>
+    table(s, dir, "customer", "c_custkey")
+      .groupby(col("c_mktsegment"))
+      .reduce("a_customer" -> reducers.rany(col("c_name")))
+  }
+
+  // sorted_tuple (reducers.py:485)
+  q("q_reduce_sorted_tuple",
+    """SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS lines
+      |FROM lineitem GROUP BY l_orderkey""") { (s, dir) =>
+    table(s, dir, "lineitem", "l_orderkey", "l_linenumber")
+      .groupby(col("l_orderkey"))
+      .reduce("lines" -> reducers.sorted_tuple(col("l_linenumber")))
+  }
+
+  // tuple with sort_by order (reducers.py:516)
+  q("q_reduce_tuple_by",
+    """SELECT l_orderkey,
+      |  list(round(l_quantity, 4) ORDER BY l_linenumber, round(l_quantity, 4)) AS qtys
+      |FROM lineitem GROUP BY l_orderkey""") { (s, dir) =>
+    table(s, dir, "lineitem", "l_orderkey", "l_linenumber")
+      .groupby(col("l_orderkey"))
+      .reduce("qtys" -> reducers.tuple_by(r4(col("l_quantity")), col("l_linenumber")))
+  }
+
+  // earliest / latest by event time (reducers.py:653/:687); ns→ms truncation
+  q("q_reduce_earliest_latest",
+    """WITH e AS (SELECT user_id, value,
+      |  date_trunc('milliseconds', ts) AS tms, event_id FROM events),
+      |x AS (SELECT user_id, value,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY tms, event_id) AS ra,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY tms DESC, event_id DESC) AS rd
+      |  FROM e)
+      |SELECT user_id, min(CASE WHEN ra = 1 THEN value END) AS first_value,
+      |  min(CASE WHEN rd = 1 THEN value END) AS last_value
+      |FROM x GROUP BY user_id""") { (s, dir) =>
+    val ms = date_trunc("millisecond", col("ts"))
+    Table.fromDF(loadEvents(s, dir), Seq("event_id"))
+      .groupby(col("user_id"))
+      .reduce(
+        "first_value" -> reducers.earliest(col("value"), struct(ms, col("event_id"))),
+        "last_value" -> reducers.latest(col("value"), struct(ms, col("event_id"))))
+  }
+
+  // ndarray / element-wise array sum (reducers.py:618 + ArraySum)
+  q("q_reduce_array_sum",
+    """SELECT label, list(s ORDER BY ord) AS vec_sum FROM (
+      |  SELECT label, ord, round(sum(v), 4) AS s FROM (
+      |    SELECT label, unnest(embedding) AS v,
+      |      unnest(range(len(embedding))) AS ord FROM embeddings)
+      |  GROUP BY label, ord)
+      |GROUP BY label""") { (s, dir) =>
+    table(s, dir, "embeddings", "vec_id")
+      .groupby(col("label"))
+      .reduce("vec_sum" -> transform(
+        reducers.array_sum_fixed(col("embedding"), 64), x => round(x, 4)))
+  }
+
+  // =====================================================================
+  // §2.3 expression namespaces
+  // =====================================================================
+
+  q("q_str_ops",
+    """SELECT c_custkey, lower(c_name) AS lo, upper(c_name) AS up,
+      |  reverse(c_name) AS rev, length(c_name) AS len,
+      |  replace(c_name, '0', 'X') AS repl, trim(c_name) AS stripped,
+      |  (left(c_name, 9) = 'Customer#') AS pref,
+      |  substr(c_name, 10, 3) AS sliced,
+      |  TRY_CAST(substr(c_name, 10, 9) AS BIGINT) AS parsed
+      |FROM customer""") { (s, dir) =>
+    table(s, dir, "customer", "c_custkey").select(
+      "lo" -> col("c_name").strLower,
+      "up" -> col("c_name").strUpper,
+      "rev" -> col("c_name").strReversed,
+      "len" -> col("c_name").strLen.cast("long"),
+      "repl" -> col("c_name").strReplace(lit("0"), lit("X")),
+      "stripped" -> col("c_name").strStrip,
+      "pref" -> col("c_name").strStartsWith(lit("Customer#")),
+      "sliced" -> col("c_name").strSlice(9, 12),
+      "parsed" -> substring(col("c_name"), 10, 9).parseInt).df
+  }
+
+  q("q_dt_ops",
+    """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+      |  day(o_orderdate) AS d, dayofweek(o_orderdate) + 1 AS dow,
+      |  strftime(o_orderdate, '%Y-%m') AS ym,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+      |FROM orders""") { (s, dir) =>
+    table(s, dir, "orders", "o_orderkey").select(
+      "y" -> col("o_orderdate").dtYear,
+      "m" -> col("o_orderdate").dtMonth,
+      "d" -> col("o_orderdate").dtDay,
+      "dow" -> dayofweek(col("o_orderdate")).cast("long"),
+      "ym" -> col("o_orderdate").dtStrftime("yyyy-MM"),
+      "mon" -> col("o_orderdate").dtFloor("month"),
+      "epoch_s" -> col("o_orderdate").dtTimestampSec).df
+  }
+
+  q("q_num_ops",
+    """SELECT l_orderkey, l_linenumber, round(abs(l_discount - 0.05), 4) AS adev,
+      |  round(l_extendedprice, 1) AS p1,
+      |  round(l_quantity / nullif(l_discount, 0.0), 4) AS ratio_or_null,
+      |  round(coalesce(l_quantity / nullif(l_discount, 0.0), -1.0), 4) AS filled
+      |FROM lineitem""") { (s, dir) =>
+    val ratio = col("l_quantity") / nullif(col("l_discount"), lit(0.0))
+    table(s, dir, "lineitem", "l_orderkey", "l_linenumber").select(
+      "adev" -> r4((col("l_discount") - 0.05).numAbs),
+      "p1" -> col("l_extendedprice").numRound(1),
+      "ratio_or_null" -> r4(ratio),
+      "filled" -> r4(ratio.numFillNa(lit(-1.0)))).df
+  }
+
+  // if_else / coalesce / require / fill_error (common.py:328/:277/:302/:438)
+  q("q_ifelse_coalesce",
+    """SELECT c_custkey,
+      |  CASE WHEN c_acctbal < 0 THEN 'overdrawn' ELSE 'ok' END AS status,
+      |  round(coalesce(CASE WHEN c_acctbal > 0 THEN c_acctbal END, 0.0), 4) AS pos_bal,
+      |  round(CASE WHEN c_nationkey IS NOT NULL THEN c_acctbal END, 4) AS required_bal
+      |FROM customer""") { (s, dir) =>
+    table(s, dir, "customer", "c_custkey").select(
+      "status" -> if_else(col("c_acctbal") < 0, lit("overdrawn"), lit("ok")),
+      "pos_bal" -> r4(fill_error(when(col("c_acctbal") > 0, col("c_acctbal")), lit(0.0))),
+      "required_bal" -> r4(require(col("c_acctbal"), col("c_nationkey")))).df
+  }
+
+  // JSON get (JsonGetItem, expression.rs:386)
+  q("q_json_get",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events""") { (s, dir) =>
+    Table.fromDF(loadEvents(s, dir), Seq("event_id")).select(
+      "k" -> json_get(col("props"), "k").cast("long")).df
+  }
+
+  // make_tuple + get (common.py:361, expression.py:994)
+  q("q_make_tuple",
+    """SELECT n_nationkey, struct_pack(key := n_nationkey, name := n_name) AS tup,
+      |  string_split(n_name, 'I')[1] AS first_piece
+      |FROM nation""") { (s, dir) =>
+    table(s, dir, "nation", "n_nationkey").select(
+      "tup" -> make_tuple(col("n_nationkey").as("key"), col("n_name").as("name")),
+      "first_piece" -> get_or(split(col("n_name"), "I"), 0, lit(""))).df
   }
 }

@@ -14,6 +14,16 @@ object SparkEntry {
 
   private[graft] def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects; read nanos as long (legacy conf) and convert to a µs
+    * timestamp — nanosecond sub-precision is dropped, matching what any
+    * Spark pipeline at scale would do. */
+  private[graft] def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
   private[graft] def table(spark: SparkSession, dir: String, name: String, key: String*): Table =
     Table.fromDF(load(spark, dir, name), key.toSeq)
 
