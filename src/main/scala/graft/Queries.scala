@@ -14,40 +14,63 @@ import graft.SparkEntry.{load, loadEvents, table}
   * timestamps (nanosecond parquet) are truncated to milliseconds on both
   * sides because Spark reads ns as µs.
   */
-object Queries {
-
+/** A named batch of driver-checked queries. Each implementing object
+  * registers `name -> query` plus the DuckDB oracle SQL at init time;
+  * [[SparkEntry]] concatenates the modules. */
+trait QueryModule {
   type Q = (SparkSession, String) => DataFrame
 
   val all = scala.collection.mutable.LinkedHashMap[String, Q]()
   val oracles = scala.collection.mutable.LinkedHashMap[String, String]()
 
-  private def q(name: String, oracle: String = null)(fn: Q): Unit = {
+  protected def q(name: String, oracle: String = null)(fn: Q): Unit = {
     all(name) = fn
     if (oracle != null) oracles(name) = oracle.stripMargin
   }
 
-  private def r4(c: Column): Column = round(c, 4)
+  protected def r4(c: Column): Column = round(c, 4)
+
+  /** Order-independent double sum: per-row cast to decimal (exact, both
+    * engines round the same double), exact decimal addition, cast back.
+    * Plain `round(sum(double),4)` is a trap: the data has 2-decimal
+    * values, so sums land exactly on .xxx5 rounding boundaries where
+    * Spark's partial-agg order and DuckDB's sequential order disagree in
+    * the last ulp and round opposite ways. Oracle-side equivalent:
+    * `CAST(sum(CAST(x AS DECIMAL(24,6))) AS DOUBLE)`. */
+  protected def dsum(c: Column): Column =
+    sum(c.cast("decimal(24,6)")).cast("double")
+
+  /** Order-independent avg — exact decimal sum, then one double divide of
+    * bit-identical operands on both sides. The +1e-9 nudge matters: avgs
+    * of 2-decimal data over small groups land EXACTLY on .00005 rounding
+    * boundaries, where Spark's round (exact BigDecimal HALF_UP) and
+    * DuckDB's round (scaled-double) disagree. Oracle-side equivalent adds
+    * the same epsilon. */
+  protected def davg(c: Column): Column = dsum(c) / count(c) + lit(1e-9)
+}
+
+object Queries extends QueryModule {
 
   // =====================================================================
   // §2.1 groupby/reduce — flagship (TPC-H Q1 shape, SURVEY §7.2)
   // =====================================================================
   q("q1_agg",
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 4) AS sum_qty,
-      |  round(sum(l_extendedprice), 4) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE), 4) AS sum_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE), 4) AS sum_base_price,
+      |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE), 4) AS sum_disc_price,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) / count(l_quantity) + 1e-9, 4) AS avg_qty,
+      |  round(CAST(sum(CAST(l_discount AS DECIMAL(24,6))) AS DOUBLE) / count(l_discount) + 1e-9, 4) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""") { (s, dir) =>
     table(s, dir, "lineitem", "l_orderkey", "l_linenumber")
       .groupby(col("l_returnflag"), col("l_linestatus"))
       .reduce(
-        "sum_qty" -> r4(reducers.rsum(col("l_quantity"))),
-        "sum_base_price" -> r4(reducers.rsum(col("l_extendedprice"))),
-        "sum_disc_price" -> r4(reducers.rsum(col("l_extendedprice") * (lit(1) - col("l_discount")))),
-        "avg_qty" -> r4(reducers.ravg(col("l_quantity"))),
-        "avg_disc" -> r4(reducers.ravg(col("l_discount"))),
+        "sum_qty" -> r4(dsum(col("l_quantity"))),
+        "sum_base_price" -> r4(dsum(col("l_extendedprice"))),
+        "sum_disc_price" -> r4(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))),
+        "avg_qty" -> r4(davg(col("l_quantity"))),
+        "avg_disc" -> r4(davg(col("l_discount"))),
         "count_order" -> reducers.rcount())
   }
 
@@ -252,12 +275,12 @@ object Queries {
   }
 
   q("q_reduce_global",
-    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+    """SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE), 4) AS revenue,
       |  count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS key_sum
       |FROM lineitem""") { (s, dir) =>
     table(s, dir, "lineitem", "l_orderkey", "l_linenumber")
       .reduce(
-        "revenue" -> r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))),
+        "revenue" -> r4(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))),
         "n" -> reducers.rcount(),
         "key_sum" -> reducers.rsum(col("l_orderkey")))
   }

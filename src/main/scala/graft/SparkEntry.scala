@@ -22,7 +22,10 @@ object SparkEntry {
   private[graft] def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/events.parquet")
-    df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    // integer division — `/` would go through double and lose low bits of
+    // the ~1.7e18 ns value (ulp ≈ 256 ns), flipping truncated µs vs the
+    // oracle's exact conversion
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   private[graft] def table(spark: SparkSession, dir: String, name: String, key: String*): Table =
     Table.fromDF(load(spark, dir, name), key.toSeq)
@@ -32,10 +35,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.all("q1_agg")(spark, "/root/testdata/sf0.001")
 
+  private def modules: Seq[QueryModule] = Seq(Queries, TemporalQueries)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all.toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.flatMap(_.all).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Queries.oracles.toMap
+  def oracleSql: Map[String, String] =
+    modules.flatMap(_.oracles).toMap
 }

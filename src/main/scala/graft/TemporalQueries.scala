@@ -1,0 +1,254 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Table
+import graft.operators.Temporal
+import graft.SparkEntry.loadEvents
+
+/** Oracle-checked queries for the temporal operator library
+  * (reference: stdlib/temporal/ — _window.py, _interval_join.py,
+  * _asof_join.py, _window_join.py; ordered ops stdlib/ordered/diff.py and
+  * table.py:2157 sort).
+  *
+  * All event timestamps are µs-exact on both sides (see
+  * SparkEntry.loadEvents), so window boundaries computed in µs arithmetic
+  * agree bit-for-bit with the DuckDB oracle's epoch_us.
+  */
+object TemporalQueries extends QueryModule {
+
+  private val DAY_US = 86400000000L
+
+  // tumbling window (reference: _window.py:737) — 1-day windows
+  q("q_tumbling",
+    """SELECT event_type,
+      |  make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS window_start,
+      |  count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE), 4) AS sum_value
+      |FROM events GROUP BY 1, 2""") { (s, dir) =>
+    loadEvents(s, dir)
+      .withColumn("window_start", Temporal.tumble(col("ts"), 86400))
+      .groupBy(col("event_type"), col("window_start"))
+      .agg(count(lit(1)).as("n"), r4(dsum(col("value"))).as("sum_value"))
+  }
+
+  // sliding window (reference: _window.py:660) — 2-day windows, 1-day hop:
+  // every row lands in exactly 2 windows
+  q("q_sliding",
+    """SELECT event_type,
+      |  make_timestamp(((epoch_us(ts) // 86400000000) - i.i) * 86400000000)
+      |    AS window_start,
+      |  count(*) AS n
+      |FROM events CROSS JOIN (SELECT unnest(range(2)) AS i) i
+      |GROUP BY 1, 2""") { (s, dir) =>
+    Temporal.assignSliding(loadEvents(s, dir), col("ts"), 172800, 86400)
+      .groupBy(col("event_type"), col("window_start"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  // session window, 4-hour max gap (reference: _window.py:595)
+  q("q_session",
+    """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+      |m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |    OR us - lag(us) OVER w > 14400000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |x AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM m)
+      |SELECT user_id, make_timestamp(min(us)) AS session_start,
+      |  count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE), 4) AS sum_value
+      |FROM x GROUP BY user_id, sess""") { (s, dir) =>
+    Temporal.sessionize(loadEvents(s, dir), col("ts"), 4 * 3600,
+        Seq(col("user_id")), tieBreak = Seq(col("event_id")))
+      .groupBy(col("user_id"), col("session_start"))
+      .agg(count(lit(1)).as("n_events"), r4(dsum(col("value"))).as("sum_value"))
+  }
+
+  // interval join (reference: _interval_join.py:577) — views within ±5 min
+  // of each click, same user, left semantics (clicks w/o views count 0)
+  q("q_interval_join",
+    """SELECT c.event_id, count(v.event_id) AS n_views
+      |FROM events c LEFT JOIN events v
+      |  ON v.event_type = 'view' AND v.user_id = c.user_id
+      |  AND epoch_us(v.ts) BETWEEN epoch_us(c.ts) - 300000000
+      |                         AND epoch_us(c.ts) + 300000000
+      |WHERE c.event_type = 'click'
+      |GROUP BY 1""") { (s, dir) =>
+    val ev = loadEvents(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id"), col("ts").as("v_ts"))
+    Temporal.intervalJoin(clicks, views, col("ts"), col("v_ts"), -300, 300,
+        keys = Seq("user_id"), how = "left", leftIdCols = Seq("event_id"))
+      .groupBy(col("event_id"))
+      .agg(count(col("v_id")).as("n_views"))
+  }
+
+  // as-of join BACKWARD (reference: _asof_join.py:479) — latest purchase
+  // at/before each click, same user; DuckDB ASOF JOIN is the oracle
+  q("q_asof_backward",
+    """SELECT c.event_id, p.p_id, round(p.p_value, 4) AS p_value
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT event_id AS p_id, user_id, ts AS p_ts,
+      |    value AS p_value FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND c.ts >= p.p_ts""") { (s, dir) =>
+    val ev = loadEvents(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    Temporal.asofJoin(clicks, purchases, col("ts"), col("p_ts"),
+        Seq("user_id"), Temporal.Backward, "left", rightTieBreak = col("p_id"))
+      .select(col("event_id"), col("p_id"), r4(col("p_value")).as("p_value"))
+  }
+
+  // as-of join FORWARD — earliest signup at/after each error, same user
+  q("q_asof_forward",
+    """SELECT c.event_id, p.s_id
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') c
+      |ASOF LEFT JOIN (SELECT event_id AS s_id, user_id, ts AS s_ts
+      |    FROM events WHERE event_type = 'signup') p
+      |  ON c.user_id = p.user_id AND c.ts <= p.s_ts""") { (s, dir) =>
+    val ev = loadEvents(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id"), col("ts").as("s_ts"))
+    Temporal.asofJoin(errors, signups, col("ts"), col("s_ts"),
+        Seq("user_id"), Temporal.Forward, "left", rightTieBreak = col("s_id"))
+      .select(col("event_id"), col("s_id"))
+  }
+
+  // as-of join NEAREST — closest purchase in time per click (tie → earlier)
+  q("q_asof_nearest",
+    """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |b AS (SELECT c.event_id, p.p_id AS b_id, p.p_ts AS b_ts
+      |  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.p_ts),
+      |f AS (SELECT c.event_id, p.p_id AS f_id, p.p_ts AS f_ts
+      |  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.p_ts)
+      |SELECT c.event_id,
+      |  CASE WHEN b.b_id IS NULL THEN f.f_id
+      |       WHEN f.f_id IS NULL THEN b.b_id
+      |       WHEN epoch_us(c.ts) - epoch_us(b.b_ts)
+      |         <= epoch_us(f.f_ts) - epoch_us(c.ts) THEN b.b_id
+      |       ELSE f.f_id END AS near_id
+      |FROM c JOIN b USING (event_id) JOIN f USING (event_id)""") { (s, dir) =>
+    val ev = loadEvents(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("near_id"), col("user_id"), col("ts").as("p_ts"))
+    Temporal.asofJoin(clicks, purchases, col("ts"), col("p_ts"),
+        Seq("user_id"), Temporal.Nearest, "left", rightTieBreak = col("near_id"))
+      .select(col("event_id"), col("near_id"))
+  }
+
+  // window join (reference: _window_join.py:156) — clicks × errors in the
+  // same 1-day tumbling window per user
+  q("q_window_join",
+    """SELECT c.user_id,
+      |  make_timestamp((epoch_us(c.ts) // 86400000000) * 86400000000) AS window_start,
+      |  count(*) AS n_pairs
+      |FROM events c JOIN events e
+      |  ON e.user_id = c.user_id AND e.event_type = 'error'
+      |  AND epoch_us(e.ts) // 86400000000 = epoch_us(c.ts) // 86400000000
+      |WHERE c.event_type = 'click'
+      |GROUP BY 1, 2""") { (s, dir) =>
+    val ev = loadEvents(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id"), col("ts").as("e_ts"))
+    Temporal.windowJoinTumbling(clicks, errors, col("ts"), col("e_ts"),
+        86400, Seq("user_id"))
+      .groupBy(col("user_id"), col("window_start"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  // intervals_over (reference: _window.py:795) — per signup, aggregate the
+  // user's events in the following 7 days (self at Δ=0 included)
+  q("q_intervals_over",
+    """SELECT s.event_id, count(*) AS n, round(CAST(sum(CAST(e.value AS DECIMAL(24,6))) AS DOUBLE) / count(e.value) + 1e-9, 4) AS avg_value
+      |FROM events s JOIN events e
+      |  ON e.user_id = s.user_id
+      |  AND epoch_us(e.ts) BETWEEN epoch_us(s.ts)
+      |                         AND epoch_us(s.ts) + 604800000000
+      |WHERE s.event_type = 'signup'
+      |GROUP BY 1""") { (s, dir) =>
+    val ev = loadEvents(s, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val data = loadEvents(s, dir)
+      .select(col("event_id").as("e_id"), col("user_id"),
+        col("ts").as("e_ts"), col("value").as("e_value"))
+    Temporal.intervalsOver(signups, data, col("ts"), col("e_ts"),
+        0, 604800, keys = Seq("user_id"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n"), r4(davg(col("e_value"))).as("avg_value"))
+  }
+
+  // ordered diff (reference: stdlib/ordered/diff.py:10)
+  q("q_diff",
+    """SELECT event_id, round(value - lag(value) OVER
+      |  (PARTITION BY user_id ORDER BY ts, event_id), 4) AS d
+      |FROM events""") { (s, dir) =>
+    Table.fromDF(loadEvents(s, dir), Seq("event_id"))
+      .diff(Seq(col("ts"), col("event_id")), Some(col("user_id")), "value")
+      .select("d" -> r4(col("diff_value")))
+      .df.select("event_id", "d")
+  }
+
+  // sort → prev/next linked list (reference: table.py:2157, prev_next.rs)
+  q("q_sort_linked",
+    """SELECT event_id,
+      |  lag(event_id) OVER w AS prev_id, lead(event_id) OVER w AS next_id
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""") { (s, dir) =>
+    Table.fromDF(loadEvents(s, dir), Seq("event_id"))
+      .sortLinked(Seq(col("ts"), col("event_id")), col("user_id"))
+      .select("prev_id" -> col("prev").getField("event_id"),
+        "next_id" -> col("next").getField("event_id"))
+      .df.select("event_id", "prev_id", "next_id")
+  }
+
+  // interpolate (reference: stdlib/statistical/_interpolate.py:33) —
+  // null out error-event values, linearly interpolate on the time axis
+  q("q_interpolate",
+    """WITH e AS (SELECT event_id, epoch(ts) AS t,
+      |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events),
+      |w AS (SELECT event_id, t, v,
+      |  last_value(v IGNORE NULLS) OVER (ORDER BY t, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |  last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+      |    OVER (ORDER BY t, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+      |  first_value(v IGNORE NULLS) OVER (ORDER BY t, event_id
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |  first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+      |    OVER (ORDER BY t, event_id
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      |FROM e)
+      |SELECT event_id, round(CASE WHEN v IS NOT NULL THEN v
+      |  WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
+      |  ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END, 4) AS value
+      |FROM w""") { (s, dir) =>
+    val ev = loadEvents(s, dir)
+      .withColumn("value", when(col("event_type") =!= "error", col("value")))
+    Table.fromDF(ev, Seq("event_id"))
+      .interpolate(col("ts"), Seq(col("event_id")), "value")
+      .select("value" -> r4(col("value")))
+      .df.select("event_id", "value")
+  }
+
+  // deduplicate — keep latest row per instance (reference: table.py:1064)
+  q("q_dedup_latest",
+    """SELECT user_id, event_id, round(value, 4) AS value FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      |WHERE rn = 1""") { (s, dir) =>
+    Table.fromDF(loadEvents(s, dir), Seq("event_id"))
+      .deduplicateLatest(struct(col("ts"), col("event_id")), Seq("user_id"))
+      .select("user_id" -> col("user_id"), "value" -> r4(col("value")))
+      .df.select("user_id", "event_id", "value")
+  }
+}

@@ -137,8 +137,8 @@ final class Table(val df: DataFrame, val key: Seq[String]) {
   /** Linked-list order: adds prev/next key structs per instance, mirroring
     * the reference's sort (operators/prev_next.rs). One shuffle on
     * `instance`, then lag/lead — no global sort. */
-  def sortLinked(orderBy: Column, instance: Column): Table = {
-    val w = Window.partitionBy(instance).orderBy(orderBy)
+  def sortLinked(orderBy: Seq[Column], instance: Column): Table = {
+    val w = Window.partitionBy(instance).orderBy(orderBy: _*)
     val keyStruct = struct(keyCols: _*)
     derive(df
       .withColumn("prev", lag(keyStruct, 1).over(w))
@@ -147,17 +147,19 @@ final class Table(val df: DataFrame, val key: Seq[String]) {
 
   /** Value minus previous value in timestamp order
     * (reference: stdlib/ordered/diff.py:10). */
-  def diff(timestamp: Column, instance: Option[Column], values: String*): Table = {
+  def diff(orderBy: Seq[Column], instance: Option[Column], values: String*): Table = {
     val w = instance.map(i => Window.partitionBy(i)).getOrElse(Window.partitionBy())
-      .orderBy(timestamp)
+      .orderBy(orderBy: _*)
     derive(values.foldLeft(df)((d, v) =>
       d.withColumn(s"diff_$v", col(v) - lag(col(v), 1).over(w))))
   }
 
   /** Linear interpolation of nulls using prev/next known points
-    * (reference: stdlib/statistical/_interpolate.py:33). */
-  def interpolate(timestamp: Column, values: String*): Table = {
-    val wAll = Window.orderBy(timestamp)
+    * (reference: stdlib/statistical/_interpolate.py:33). NOTE: global
+    * order = single window partition; use per-instance variants at scale.
+    */
+  def interpolate(timestamp: Column, tieBreak: Seq[Column], values: String*): Table = {
+    val wAll = Window.orderBy((timestamp +: tieBreak).map(_.asc): _*)
     val wB = wAll.rowsBetween(Window.unboundedPreceding, 0)
     val wF = wAll.rowsBetween(0, Window.unboundedFollowing)
     val ts = timestamp.cast("double")

@@ -1,0 +1,269 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Temporal operator library (reference: stdlib/temporal/_window.py,
+  * _interval_join.py, _asof_join.py, _window_join.py).
+  *
+  * Scale notes (the part that matters at 100 TB):
+  *  - interval/intervals_over joins are re-expressed as EQUI-joins on a
+  *    computed time bucket (bucket width = window width), so Catalyst
+  *    plans a shuffled/broadcast hash join instead of a
+  *    BroadcastNestedLoopJoin. Each left row lands in ≤2 buckets
+  *    (reference uses the same trick: _interval_join.py:337-360).
+  *  - asof join is the union+ordered-window pattern: one shuffle on the
+  *    instance keys, one sort within partitions, no join at all.
+  *  - window assignment (tumbling/sliding) is a row-local computation;
+  *    sliding explodes to duration/hop rows exactly like the reference's
+  *    assign_windows (_window.py:297-327).
+  */
+object Temporal {
+
+  sealed trait Direction
+  case object Backward extends Direction // latest right with rt <= lt
+  case object Forward extends Direction // earliest right with rt >= lt
+  case object Nearest extends Direction // closer of the two; tie -> backward
+
+  // -----------------------------------------------------------------
+  // Window assignment (reference: _window.py tumbling :737 sliding :660)
+  // -----------------------------------------------------------------
+
+  /** Tumbling window start for `t` (µs precision), origin-aligned. */
+  def tumble(t: Column, durationSec: Long, originEpochSec: Long = 0L): Column = {
+    val us = unix_micros(t)
+    val d = durationSec * 1000000L
+    val o = originEpochSec * 1000000L
+    timestamp_micros(((us - o) - pmod(us - o, lit(d))) + o)
+  }
+
+  /** Sliding-window starts covering `t` — array of window starts; a row
+    * is assigned to every window [s, s+duration) with s ≡ origin (mod
+    * hop). When hop > duration some rows get zero windows (reference
+    * filters those, _window.py:322-327) — sequence() is empty then. */
+  def slideStarts(t: Column, durationSec: Long, hopSec: Long,
+      originEpochSec: Long = 0L): Column = {
+    val us = unix_micros(t)
+    val d = durationSec * 1000000L
+    val h = hopSec * 1000000L
+    val o = originEpochSec * 1000000L
+    // last hop-aligned start <= t, then walk back while still covering t
+    val lastStart = (us - o) - pmod(us - o, lit(h)) + o
+    filter(
+      transform(sequence(lit(0L), lit((d - 1) / h)),
+        i => lastStart - i * h),
+      s => us >= s && us < s + d)
+  }
+
+  /** Explode rows into (windowStart, windowEnd) per covering sliding
+    * window. */
+  def assignSliding(df: DataFrame, t: Column, durationSec: Long, hopSec: Long,
+      startCol: String = "window_start", endCol: String = "window_end"): DataFrame =
+    df.withColumn(startCol, explode(slideStarts(t, durationSec, hopSec)))
+      .withColumn(endCol, col(startCol) + durationSec * 1000000L)
+      .withColumn(startCol, timestamp_micros(col(startCol)))
+      .withColumn(endCol, timestamp_micros(col(endCol)))
+
+  // -----------------------------------------------------------------
+  // Session windows (reference: _window.py:595 session)
+  // -----------------------------------------------------------------
+
+  /** Gap-based sessionization: adds `session_start` per instance. One
+    * shuffle (partitionBy keys) + in-partition sort; the cumulative-sum
+    * formulation is the classic distributed sessionize and is exactly
+    * SQL-window expressible (so the oracle can replay it). */
+  def sessionize(df: DataFrame, t: Column, maxGapSec: Double, keys: Seq[Column],
+      tieBreak: Seq[Column] = Nil, sessionCol: String = "session_start"): DataFrame = {
+    val us = unix_micros(t)
+    val order = (us +: tieBreak).map(c => c.asc)
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    val gapUs = (maxGapSec * 1e6).toLong
+    val isNew = when(lag(us, 1).over(w).isNull ||
+      us - lag(us, 1).over(w) > gapUs, 1L).otherwise(0L)
+    val withSess = df.withColumn("_sess_n", sum(isNew).over(
+      w.rowsBetween(Window.unboundedPreceding, 0)))
+    val wSess = Window.partitionBy((keys :+ col("_sess_n")): _*)
+    withSess
+      .withColumn(sessionCol, timestamp_micros(min(us).over(wSess)))
+      .drop("_sess_n")
+  }
+
+  /** Predicate-based sessionization — merge neighbor into the session
+    * while `chain(prevT, curT)` holds (reference: session w/ custom
+    * predicate; cannot use a fixed gap). */
+  def sessionizeBy(df: DataFrame, t: Column, keys: Seq[Column],
+      chain: (Column, Column) => Column,
+      tieBreak: Seq[Column] = Nil, sessionCol: String = "session_start"): DataFrame = {
+    val us = unix_micros(t)
+    val order = (us +: tieBreak).map(c => c.asc)
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    val prev = lag(t, 1).over(w)
+    val isNew = when(prev.isNull || !chain(prev, t), 1L).otherwise(0L)
+    val withSess = df.withColumn("_sess_n", sum(isNew).over(
+      w.rowsBetween(Window.unboundedPreceding, 0)))
+    val wSess = Window.partitionBy((keys :+ col("_sess_n")): _*)
+    withSess
+      .withColumn(sessionCol, timestamp_micros(min(us).over(wSess)))
+      .drop("_sess_n")
+  }
+
+  // -----------------------------------------------------------------
+  // Interval join (reference: _interval_join.py:577-1404)
+  // -----------------------------------------------------------------
+
+  /** Join left/right where `rt - lt ∈ [lbSec, ubSec]` (inclusive both
+    * ends — reference parity, _interval_join.py:640-680), plus equi keys.
+    *
+    * Implementation: bucket width = window width; every right row gets
+    * one bucket, every left row probes the ≤2 buckets its window spans —
+    * the range join becomes an equi join on (keys, bucket) that Catalyst
+    * shuffles/broadcasts like any other. Degenerate lb==ub joins on the
+    * exact shifted time (reference handles it separately,
+    * _interval_join.py:211).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      lt: Column, rt: Column, lbSec: Double, ubSec: Double,
+      keys: Seq[String] = Nil, how: String = "inner",
+      leftIdCols: Seq[String] = Nil): DataFrame = {
+    require(ubSec >= lbSec, "interval: ub must be >= lb")
+    require(Set("inner", "left").contains(how), s"intervalJoin how=$how")
+    require(how == "inner" || leftIdCols.nonEmpty,
+      "intervalJoin(left): pass leftIdCols identifying left rows")
+    val lbUs = (lbSec * 1e6).toLong
+    val ubUs = (ubSec * 1e6).toLong
+    val w = math.max(ubUs - lbUs, 1L)
+    val lUs = unix_micros(lt)
+    val rUs = unix_micros(rt)
+    val l = left
+      .withColumn("_lo", lUs + lbUs).withColumn("_hi", lUs + ubUs)
+      .withColumn("_b", explode(array_distinct(array(
+        floor(col("_lo") / w).cast("long"), floor(col("_hi") / w).cast("long")))))
+    // rename right key columns so the join keeps a single copy
+    val r0 = right.withColumn("_rb", floor(rUs / w).cast("long"))
+      .withColumn("_rt_us", rUs)
+    val r = keys.foldLeft(r0)((d, k) => d.withColumnRenamed(k, s"_rk_$k"))
+    val cond = keys.map(k => col(k) === col(s"_rk_$k"))
+      .foldLeft(col("_b") === col("_rb") &&
+        col("_rt_us") >= col("_lo") && col("_rt_us") <= col("_hi"))(_ && _)
+    val helper = Seq("_lo", "_hi", "_b", "_rb", "_rt_us") ++ keys.map(k => s"_rk_$k")
+    val inner = l.join(r, cond, "inner").drop(helper: _*)
+    how match {
+      case "inner" => inner
+      case "left" =>
+        // left rows with no partner, once each (anti on the ORIGINAL
+        // left, not the bucket-exploded one), right columns null
+        val rightOnly = right.columns.filterNot(left.columns.contains).toSeq
+        val unmatched = rightOnly.foldLeft(
+          left.join(inner.select(leftIdCols.map(col): _*).distinct(),
+            leftIdCols, "left_anti")) { (d, c) =>
+          d.withColumn(c, lit(null).cast(right.schema(c).dataType))
+        }
+        inner.unionByName(unmatched, allowMissingColumns = true)
+    }
+  }
+
+  // -----------------------------------------------------------------
+  // As-of join (reference: _asof_join.py:479-1000)
+  // -----------------------------------------------------------------
+
+  /** For each left row, the latest (Backward) / earliest (Forward) /
+    * nearest right row by time within the same instance keys.
+    *
+    * Union + ordered window: zero joins — one exchange on `keys`, one
+    * in-partition sort, `last(ignoreNulls)` carries the right payload
+    * forward. Equal timestamps match inclusively (backward sees a right
+    * row at exactly lt). `rightCols` are emitted with nulls when no match
+    * (left semantics); `how=inner` drops non-matches.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      lt: Column, rt: Column, keys: Seq[String],
+      direction: Direction = Backward, how: String = "left",
+      rightTieBreak: Column = lit(0)): DataFrame = {
+    require(Set("inner", "left").contains(how), s"asofJoin how=$how")
+    val lCols = left.columns.filterNot(keys.contains).toSeq
+    val rCols = right.columns.filterNot(keys.contains).toSeq
+    val lStruct = struct(lCols.map(c => left(c).as(c)): _*)
+    val rStruct = struct(rCols.map(c => right(c).as(c)): _*)
+    // a typed NULL of the struct type — NOT struct(null, …), which is a
+    // non-null struct and would defeat last(…, ignoreNulls)
+    def nullStruct(src: DataFrame, cols: Seq[String]): Column =
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        cols.map(c => org.apache.spark.sql.types.StructField(
+          c, src.schema(c).dataType))))
+    // side ordering at equal time: R sorts before L so the inclusive
+    // match sees a right row at exactly lt.
+    val (rSide, lSide) = (0, 1)
+    val u = left.select(keys.map(col) :+ unix_micros(lt).as("_t") :+
+        lit(lSide).as("_side") :+ lStruct.as("_l") :+
+        nullStruct(right, rCols).as("_r") :+
+        lit(0L).as("_tb"): _*)
+      .unionByName(right.select(keys.map(col) :+ unix_micros(rt).as("_t") :+
+        lit(rSide).as("_side") :+
+        nullStruct(left, lCols).as("_l") :+
+        rStruct.as("_r") :+ rightTieBreak.cast("long").as("_tb"): _*))
+    val back = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").asc, col("_side").asc, col("_tb").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // forward pass: reverse order so "previous" means next in time;
+    // at equal t the right row still sorts before left (inclusive).
+    val fwd = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").desc, col("_side").asc, col("_tb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withMatch = direction match {
+      case Backward =>
+        u.withColumn("_m", last(col("_r"), ignoreNulls = true).over(back))
+          .withColumn("_mt", last(when(col("_r").isNotNull, col("_t")),
+            ignoreNulls = true).over(back))
+      case Forward =>
+        u.withColumn("_m", last(col("_r"), ignoreNulls = true).over(fwd))
+          .withColumn("_mt", last(when(col("_r").isNotNull, col("_t")),
+            ignoreNulls = true).over(fwd))
+      case Nearest =>
+        val b = last(col("_r"), ignoreNulls = true).over(back)
+        val bt = last(when(col("_r").isNotNull, col("_t")), ignoreNulls = true).over(back)
+        val f = last(col("_r"), ignoreNulls = true).over(fwd)
+        val ft = last(when(col("_r").isNotNull, col("_t")), ignoreNulls = true).over(fwd)
+        // tie -> backward (earlier) wins
+        u.withColumn("_m",
+            when(b.isNull, f).when(f.isNull, b)
+              .when(col("_t") - bt <= ft - col("_t"), b).otherwise(f))
+          .withColumn("_mt",
+            when(b.isNull, ft).when(f.isNull, bt)
+              .when(col("_t") - bt <= ft - col("_t"), bt).otherwise(ft))
+    }
+    val leftRows = withMatch.filter(col("_side") === lSide)
+    val filtered = if (how == "inner") leftRows.filter(col("_m").isNotNull) else leftRows
+    val proj = keys.map(col) ++
+      lCols.map(c => col("_l").getField(c).as(c)) ++
+      rCols.map(c => col("_m").getField(c).as(c))
+    filtered.select(proj: _*)
+  }
+
+  // -----------------------------------------------------------------
+  // Window join (reference: _window_join.py:156-996)
+  // -----------------------------------------------------------------
+
+  /** Join rows whose tumbling windows coincide: assign the window start
+    * on both sides, then plain equi join on (keys, window_start). */
+  def windowJoinTumbling(left: DataFrame, right: DataFrame,
+      lt: Column, rt: Column, durationSec: Long, keys: Seq[String],
+      how: String = "inner"): DataFrame = {
+    val l = left.withColumn("_w", tumble(lt, durationSec))
+    val r = right.withColumn("_w", tumble(rt, durationSec))
+    l.join(r, keys :+ "_w", how).withColumnRenamed("_w", "window_start")
+  }
+
+  // -----------------------------------------------------------------
+  // intervals_over (reference: _window.py:795 _IntervalsOverWindow)
+  // -----------------------------------------------------------------
+
+  /** For each probe time, gather data rows with t ∈ [probe+lb, probe+ub]
+    * (inclusive). Returns probe columns + data columns, one row per
+    * (probe, matching datum) — caller aggregates. Bucketed equi join
+    * underneath (see intervalJoin). */
+  def intervalsOver(probes: DataFrame, data: DataFrame,
+      probeT: Column, dataT: Column, lbSec: Double, ubSec: Double,
+      keys: Seq[String] = Nil): DataFrame =
+    intervalJoin(probes, data, probeT, dataT, lbSec, ubSec, keys, "inner")
+}
