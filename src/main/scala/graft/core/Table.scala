@@ -58,12 +58,18 @@ final class Table(val df: DataFrame, val key: Seq[String]) {
   def concat(others: Table*): Table = {
     val all = others.foldLeft(df)((a, t) => a.unionByName(t.df))
     val w = Window.partitionBy(key.map(col): _*)
+    // the check must live in a FILTER — a raising projection column that
+    // is later dropped gets pruned by Catalyst and never evaluates
     derive(
       all.withColumn("_dup", count(lit(1)).over(w))
-        .withColumn("_chk",
-          when(col("_dup") > 1, raise_error(lit("concat: duplicate key"))).otherwise(lit(1)))
-        .drop("_dup", "_chk"))
+        .filter(when(col("_dup") > 1,
+          raise_error(lit("concat: duplicate key"))).otherwise(lit(true)))
+        .drop("_dup"))
   }
+  /** concat without the disjointness check — no extra shuffle; use when
+    * keys are disjoint by construction (e.g. output of split). */
+  def concatUnchecked(others: Table*): Table =
+    derive(others.foldLeft(df)((a, t) => a.unionByName(t.df)))
   /** Union + re-key (reference: table.py:308 concat_reindex). */
   def concatReindex(newKey: Seq[String], others: Table*): Table =
     new Table(others.foldLeft(df)((a, t) => a.unionByName(t.df)), newKey)

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.agg.reducers
+
+/** Reducer semantics (reference: internals/reducers.py + reduce.rs),
+  * including the §7.4 risk cases: unique errors on >1 distinct value. */
+class ReducersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    ("a", 3L, 1.0), ("a", 1L, 2.0), ("a", 2L, 3.0), ("b", 7L, 4.0))
+    .toDF("g", "v", "x")
+
+  test("argmin/argmax return id of extremal row") {
+    val out = df.groupBy("g").agg(
+      reducers.argmin(col("x"), col("v")).as("amin"),
+      reducers.argmax(col("x"), col("v")).as("amax"))
+    assert(rowsOf(out) == Set(Seq("a", 2.0, 1.0), Seq("b", 4.0, 4.0)))
+  }
+
+  test("unique returns the single value; errors on >1 (reducers.py:426)") {
+    val ok = Seq(("a", 1L), ("a", 1L)).toDF("g", "v")
+      .groupBy("g").agg(reducers.runique(col("v")).as("u"))
+    assert(rowsOf(ok) == Set(Seq("a", 1L)))
+    val bad = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+      .groupBy("g").agg(reducers.runique(col("v")).as("u"))
+    intercept[Exception] { bad.collect() }
+  }
+
+  test("sorted_tuple and tuple_by gather in order") {
+    val out = df.groupBy("g").agg(
+      reducers.sorted_tuple(col("v")).as("st"),
+      reducers.tuple_by(col("x"), col("v")).as("tb"))
+    assert(rowsOf(out) == Set(
+      Seq("a", Seq(1L, 2L, 3L), Seq(2.0, 3.0, 1.0)),
+      Seq("b", Seq(7L), Seq(4.0))))
+  }
+
+  test("earliest/latest pick by event time (reducers.py:653/:687)") {
+    val e = Seq(("u", ts("2024-01-01 00:00:00"), "first"),
+      ("u", ts("2024-01-01 12:00:00"), "last")).toDF("u", "t", "v")
+    val out = e.groupBy("u").agg(
+      reducers.earliest(col("v"), col("t")).as("e"),
+      reducers.latest(col("v"), col("t")).as("l"))
+    assert(rowsOf(out) == Set(Seq("u", "first", "last")))
+  }
+
+  test("arraySumFloat Aggregator sums element-wise") {
+    val out = Seq(("a", Seq(1.0f, 2.0f)), ("a", Seq(3.0f, 4.0f)))
+      .toDF("g", "vec")
+      .groupBy("g")
+      .agg(udaf(reducers.arraySumFloat).apply(col("vec")).as("s"))
+    assert(rowsOf(out) == Set(Seq("a", Seq(4.0, 6.0))))
+  }
+
+  test("array_sum_fixed declarative variant") {
+    val out = Seq(("a", Seq(1.0, 2.0)), ("a", Seq(3.0, 4.0)))
+      .toDF("g", "vec")
+      .groupBy("g").agg(reducers.array_sum_fixed(col("vec"), 2).as("s"))
+    assert(rowsOf(out) == Set(Seq("a", Seq(4.0, 6.0))))
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Table
+
+/** Table core ops (reference semantics: internals/table.py — doctest
+  * examples are the spec). */
+class TableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def people = Table.fromDF(
+    Seq((1L, "alice", 25L), (2L, "bob", 32L), (3L, "carol", 28L))
+      .toDF("id", "name", "age"), Seq("id"))
+
+  test("select keeps key and projects expressions") {
+    val out = people.select("up" -> upper(col("name")), "age2" -> col("age") * 2)
+    assert(out.df.columns.toSeq == Seq("id", "up", "age2"))
+    assert(rowsOf(out.df) == Set(Seq(1L, "ALICE", 50L), Seq(2L, "BOB", 64L), Seq(3L, "CAROL", 56L)))
+  }
+
+  test("filter and split partition rows") {
+    val (old, young) = people.split(col("age") >= 28)
+    assert(rowsOf(old.df.select("id")) == Set(Seq(2L), Seq(3L)))
+    assert(rowsOf(young.df.select("id")) == Set(Seq(1L)))
+  }
+
+  test("concat unions disjoint keys") {
+    val (a, b) = people.split(col("age") >= 28)
+    assert(a.concat(b).df.count() == 3)
+  }
+
+  test("concat raises on duplicate keys (reference: dataflow.rs:895)") {
+    val ex = intercept[Exception] { people.concat(people).df.count() }
+    assert(ex.getMessage.contains("duplicate key") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("duplicate key"))
+  }
+
+  test("intersect/difference/restrict are key-set ops") {
+    val other = Table.fromDF(Seq((1L, "x"), (3L, "y")).toDF("id", "v"), Seq("id"))
+    assert(rowsOf(people.intersect(other).df.select("id")) == Set(Seq(1L), Seq(3L)))
+    assert(rowsOf(people.difference(other).df.select("id")) == Set(Seq(2L)))
+    assert(rowsOf(people.restrict(other).df.select("id")) == Set(Seq(1L), Seq(3L)))
+  }
+
+  test("updateCells overwrites only matching cells") {
+    val patch = Table.fromDF(Seq((2L, 99L)).toDF("id", "age"), Seq("id"))
+    val out = people.updateCells(patch)
+    assert(rowsOf(out.df.select("id", "age")) ==
+      Set(Seq(1L, 25L), Seq(2L, 99L), Seq(3L, 28L)))
+    // name column untouched
+    assert(rowsOf(out.df.select("id", "name")).contains(Seq(2L, "bob")))
+  }
+
+  test("updateRows upserts whole rows") {
+    val patch = Table.fromDF(
+      Seq((2L, "bob2", 99L), (4L, "dave", 40L)).toDF("id", "name", "age"), Seq("id"))
+    val out = people.updateRows(patch)
+    assert(rowsOf(out.df) == Set(
+      Seq(1L, "alice", 25L), Seq(2L, "bob2", 99L),
+      Seq(3L, "carol", 28L), Seq(4L, "dave", 40L)))
+  }
+
+  test("ix looks rows up by key; optional keeps misses") {
+    val keys = Table.fromDF(Seq((1L, "k1"), (5L, "k5")).toDF("id", "tag"), Seq("id"))
+    assert(rowsOf(people.ix(keys).df.select("id", "name", "tag")) ==
+      Set(Seq(1L, "alice", "k1")))
+    val opt = people.ix(keys, optional = true)
+    assert(rowsOf(opt.df.select("id", "name")) ==
+      Set(Seq(1L, "alice"), Seq(5L, null)))
+  }
+
+  test("flatten explodes with origin position") {
+    val t = Table.fromDF(
+      Seq((1L, Seq("a", "b")), (2L, Seq("c"))).toDF("id", "xs"), Seq("id"))
+    assert(rowsOf(t.flatten("xs").df) ==
+      Set(Seq(1L, 0, "a"), Seq(1L, 1, "b"), Seq(2L, 0, "c")))
+  }
+
+  test("sortLinked yields prev/next pointers per instance (table.py:2157)") {
+    val t = Table.fromDF(
+      Seq((1L, "g1", 10L), (2L, "g1", 5L), (3L, "g2", 1L)).toDF("id", "g", "v"),
+      Seq("id"))
+    val out = t.sortLinked(Seq(col("v")), col("g"))
+      .select("p" -> col("prev").getField("id"), "n" -> col("next").getField("id"))
+    assert(rowsOf(out.df) == Set(
+      Seq(2L, null, 1L), Seq(1L, 2L, null), Seq(3L, null, null)))
+  }
+
+  test("diff subtracts previous value in order (stdlib/ordered/diff.py)") {
+    val t = Table.fromDF(
+      Seq((1L, 1L, 10.0), (2L, 2L, 13.0), (3L, 3L, 11.0)).toDF("id", "t", "v"),
+      Seq("id"))
+    val out = t.diff(Seq(col("t")), None, "v")
+    assert(rowsOf(out.df.select("id", "diff_v")) ==
+      Set(Seq(1L, null), Seq(2L, 3.0), Seq(3L, -2.0)))
+  }
+
+  test("interpolate fills nulls linearly (_interpolate.py:33)") {
+    val t = Table.fromDF(
+      Seq((1L, 0.0, Some(0.0)), (2L, 2.0, None), (3L, 4.0, Some(8.0)),
+        (4L, 5.0, None))
+        .toDF("id", "t", "v"), Seq("id"))
+    val out = t.interpolate(col("t"), Seq(col("id")), "v")
+    assert(rowsOf(out.df.select("id", "v")) ==
+      Set(Seq(1L, 0.0), Seq(2L, 4.0), Seq(3L, 8.0), Seq(4L, 8.0)))
+  }
+
+  test("deduplicateLatest keeps newest row per instance (table.py:1064)") {
+    val t = Table.fromDF(
+      Seq((1L, "u1", 10L), (2L, "u1", 20L), (3L, "u2", 5L)).toDF("id", "u", "t"),
+      Seq("id"))
+    val out = t.deduplicateLatest(struct(col("t"), col("id")), Seq("u"))
+    assert(rowsOf(out.df.select("id")) == Set(Seq(2L), Seq(3L)))
+  }
+}
