@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph algorithms as a library over the iterate driver (reference:
+  * stdlib/graphs/pagerank/impl.py:18, bellman_ford/impl.py:42,
+  * louvain_communities/impl.py — all composed from core table ops +
+  * pw.iterate; same stance here: DataFrames + joins, no engine surgery).
+  *
+  * Scale notes: every iteration is a constant number of hash joins on the
+  * node id — shuffle-partitioned by key, AQE-coalesced. Labels/ranks are
+  * localCheckpoint'ed per round (see [[Iterate]]). Connected components
+  * uses min-label propagation WITH pointer jumping (label-of-label), so
+  * rounds ≈ log(diameter), not diameter — a path graph of length 10^6
+  * converges in ~20 rounds instead of 10^6.
+  */
+object Graphs {
+
+  /** Undirected connected components. `edges` needs `src`/`dst` columns;
+    * returns (node, comp) with comp = min node id of the component. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val init = sym.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+    Iterate.fixpoint(init, maxIter,
+      (prev, next) => next.join(prev.withColumnRenamed("comp", "pc"), "node")
+        .filter(col("comp") =!= col("pc")).count()) { labels =>
+      // min over neighbors' components
+      val nbrMin = sym
+        .join(labels.select(col("node").as("dst"), col("comp").as("nc")), "dst")
+        .groupBy(col("src").as("node")).agg(min(col("nc")).as("nbr"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), least(col("comp"), col("nbr")).as("comp"))
+      // pointer jump: comp <- comp(comp); halves path lengths each round
+      stepped
+        .join(stepped.select(col("node").as("comp"), col("comp").as("cc")),
+          Seq("comp"), "left")
+        .select(col("node"), coalesce(col("cc"), col("comp")).as("comp"))
+    }
+  }
+
+  /** PageRank, fixed iterations, non-redistributing dangling nodes
+    * (rank mass leaks — documented variant; reference pagerank/impl.py
+    * also iterates a fixed/adaptive number of rounds). */
+  def pagerank(edges: DataFrame, iterations: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.select("src", "dst")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val n = nodes.count()
+    val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = nodes.join(outDeg, Seq("node"), "left").cache()
+    val init = withDeg.withColumn("rank", lit(1.0 / n))
+    Iterate.iterateFixed(init, iterations) { ranks =>
+      val contribs = e
+        .join(ranks.select(col("node").as("src"),
+          (col("rank") / col("deg")).as("c")), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("contrib"))
+      withDeg.join(contribs, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+    }.select("node", "rank")
+  }
+
+  /** Single-source shortest paths by iterative relaxation
+    * (reference: stdlib/graphs/bellman_ford/impl.py:42). `edges` needs
+    * src/dst/weight; returns (node, dist) for reachable nodes only. */
+  def bellmanFord(edges: DataFrame, source: Column, maxIter: Int = 50): DataFrame = {
+    val e = edges.select("src", "dst", "weight")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val init = nodes.join(
+        nodes.filter(col("node") === source).select(col("node"), lit(0.0).as("dist")),
+        Seq("node"), "left")
+      .filter(col("dist").isNotNull)
+    Iterate.fixpoint(init, maxIter, (prev, next) =>
+      next.join(prev.withColumnRenamed("dist", "pd"), Seq("node"), "left")
+        .filter(col("pd").isNull || col("dist") < col("pd")).count()) { dists =>
+      val relaxed = e
+        .join(dists.select(col("node").as("src"), col("dist").as("sd")), "src")
+        .select(col("dst").as("node"), (col("sd") + col("weight")).as("dist"))
+      dists.select(col("node"), col("dist")).union(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+    }
+  }
+}

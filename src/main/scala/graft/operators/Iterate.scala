@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Fixed-point iteration driver (reference: `pw.iterate`
+  * internals/common.py:39, IterateOperator internals/operator.py:316,
+  * engine `iterate` src/engine/graph.rs:941).
+  *
+  * The reference runs iteration inside a differential-dataflow nested
+  * scope; the idiomatic Spark analog is a driver-side loop over
+  * DataFrames (the GraphX/Pregel pattern). Two scale-critical details:
+  *
+  *  - `localCheckpoint(eager = true)` each round: without it the lineage
+  *    doubles every iteration and planning cost goes exponential; with it
+  *    each round starts from materialized partitions.
+  *  - convergence via a COUNT of changed rows (one cheap aggregate), not
+  *    a DataFrame equality (two exceptAll shuffles).
+  */
+object Iterate {
+
+  /** Iterate `step` until `changed(prev, next)` reports 0 changed rows or
+    * `maxIter` is hit (reference iteration_limit). */
+  def fixpoint(
+      init: DataFrame,
+      maxIter: Int,
+      changed: (DataFrame, DataFrame) => Long)(
+      step: DataFrame => DataFrame): DataFrame = {
+    var cur = init.localCheckpoint(true)
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val next = step(cur).localCheckpoint(true)
+      done = changed(cur, next) == 0L
+      cur = next
+      i += 1
+    }
+    cur
+  }
+
+  /** Multiset-equality convergence — the reference's default (`iterate`
+    * stops when the table stops changing). Costs two exceptAll shuffles
+    * per round; prefer [[fixpoint]] with a custom `changed` when the
+    * algorithm exposes a cheaper delta (e.g. count of updated labels). */
+  def fixpointByEquality(init: DataFrame, maxIter: Int)(
+      step: DataFrame => DataFrame): DataFrame =
+    fixpoint(init, maxIter,
+      (prev, next) => next.exceptAll(prev).count() + prev.exceptAll(next).count())(step)
+
+  /** Fixed number of iterations (for numeric algorithms whose floats
+    * never become exactly equal, e.g. pagerank). */
+  def iterateFixed(init: DataFrame, n: Int)(step: DataFrame => DataFrame): DataFrame = {
+    var cur = init.localCheckpoint(true)
+    var i = 0
+    while (i < n) { cur = step(cur).localCheckpoint(true); i += 1 }
+    cur
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Graphs, Iterate}
+
+/** Iterate driver + graph algorithms (reference: pw.iterate common.py:39,
+  * stdlib/graphs). */
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fixpoint stops at convergence and honors maxIter") {
+    // halve positive values until all zero
+    val init = Seq(8L, 3L).toDF("v")
+    val out = Iterate.fixpointByEquality(init, 100)(df => df.select((col("v") / 2).cast("long").as("v")))
+    assert(rowsOf(out) == Set(Seq(0L)).map(identity) || out.collect().forall(_.getLong(0) == 0L))
+    val capped = Iterate.fixpointByEquality(init, 1)(df => df.select((col("v") / 2).cast("long").as("v")))
+    assert(rowsOf(capped) == Set(Seq(4L), Seq(1L)))
+  }
+
+  test("connectedComponents labels a path and separate components") {
+    // path 1-2-3-4, separate edge 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val out = Graphs.connectedComponents(edges)
+    assert(rowsOf(out) == Set(
+      Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(4L, 1L),
+      Seq(10L, 10L), Seq(11L, 10L)))
+  }
+
+  test("pagerank distributes rank along edges") {
+    // star: 1,2,3 -> 0
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+    val out = Graphs.pagerank(edges, iterations = 3)
+    val ranks = out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ranks(1L) - 0.15 / 4) < 1e-12)
+    assert(math.abs(ranks(0L) - (0.15 / 4 + 0.85 * 3 * (0.15 / 4))) < 1e-9)
+  }
+
+  test("bellmanFord relaxes shortest paths, drops unreachable") {
+    val edges = Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (0L, 2L, 5.0), (7L, 8L, 1.0))
+      .toDF("src", "dst", "weight")
+    val out = Graphs.bellmanFord(edges, lit(0L))
+    assert(rowsOf(out) == Set(Seq(0L, 0.0), Seq(1L, 1.0), Seq(2L, 2.0)))
+  }
+}
