@@ -1,0 +1,234 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextOps}
+import graft.SparkEntry.load
+
+/** Oracle-checked queries for the training-data pipeline operators:
+  * deduplication, similarity search, text analysis (over the `documents`
+  * and `embeddings` tables).
+  *
+  * Every hash in these pipelines is md5-derived so the DuckDB oracle can
+  * regenerate bit-identical signatures/buckets/hyperplanes; vector math
+  * is in-order double-precision on both sides.
+  */
+object PipelineQueries extends QueryModule {
+
+  private val r4e: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    c => round(c + lit(1e-9), 4)
+
+  // ---------------------------------------------------------------
+  // Deduplication
+  // ---------------------------------------------------------------
+
+  // exact dedup on a normalized key (first 8 words)
+  q("q_dedup_exact",
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM documents
+      |GROUP BY md5(array_to_string(string_split(text, ' ')[1:8], ' '))""") { (s, dir) =>
+    Dedup.exact(load(s, dir, "documents"), col("doc_id"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+  }
+
+  // MinHash + LSH banding + exact-Jaccard verification
+  q("q_dedup_minhash",
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] AS s
+      |       FROM w, UNNEST(range(1, len(ws)-1)) AS t(j)),
+      |mh AS (SELECT doc_id,
+      |  min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
+      |  min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3,
+      |  min(md5('4|' || s)) AS h4, min(md5('5|' || s)) AS h5
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bk FROM mh UNION ALL
+      |  SELECT doc_id, 1, md5(h2 || h3) FROM mh UNION ALL
+      |  SELECT doc_id, 2, md5(h4 || h5) FROM mh),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bands x JOIN bands y
+      |  ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |i AS (SELECT c.a, c.b, count(*) AS i FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.a
+      |  JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+      |  GROUP BY 1, 2)
+      |SELECT a, b, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+      |FROM i JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+      |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8""") { (s, dir) =>
+    Dedup.minhashLshPairs(load(s, dir, "documents"), col("doc_id"), col("text"),
+        n = 3, k = 6, bands = 3, threshold = 0.8)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // SimHash fingerprint (16-bit, word-multiset)
+  q("q_dedup_simhash",
+    """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+      |h AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 4) AS INTEGER) AS v FROM w),
+      |b AS (SELECT doc_id, j,
+      |  CASE WHEN sum(2 * ((v >> j) & 1) - 1) > 0 THEN 1 ELSE 0 END AS bit
+      |  FROM h, UNNEST(range(16)) AS t(j) GROUP BY doc_id, j)
+      |SELECT doc_id, CAST(sum(bit * (1 << j)) AS BIGINT) AS simhash
+      |FROM b GROUP BY doc_id""") { (s, dir) =>
+    Dedup.simhash16(load(s, dir, "documents"), col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), col("simhash"))
+  }
+
+  // blocked exact n-gram Jaccard (block = lang)
+  q("q_dedup_ngram_jaccard",
+    """WITH w AS (SELECT doc_id, lang, string_split(text,' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, lang, ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] AS s
+      |       FROM w, UNNEST(range(1, len(ws)-1)) AS t(j)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |i AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      |  FROM sh x JOIN sh y
+      |  ON x.lang = y.lang AND x.s = y.s AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+      |FROM i JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+      |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6""") { (s, dir) =>
+    Dedup.ngramJaccardPairs(load(s, dir, "documents"), col("doc_id"), col("text"),
+        col("lang"), n = 3, threshold = 0.6)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // embedding cosine near-duplicates, blocked by label
+  q("q_dedup_embedding",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings)
+      |SELECT x.vec_id AS a, y.vec_id AS b,
+      |  round(list_dot_product(x.v, y.v)
+      |    / sqrt(list_dot_product(x.v, x.v) * list_dot_product(y.v, y.v)), 4)
+      |    AS cosine
+      |FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+      |WHERE list_dot_product(x.v, y.v)
+      |    / sqrt(list_dot_product(x.v, x.v) * list_dot_product(y.v, y.v)) >= 0.4""") { (s, dir) =>
+    Dedup.embeddingPairs(load(s, dir, "embeddings"), col("vec_id"),
+        col("embedding"), col("label"), threshold = 0.4)
+      .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  // ---------------------------------------------------------------
+  // Similarity search
+  // ---------------------------------------------------------------
+
+  // brute-force exact top-3 by cosine for sampled queries
+  q("q_knn_bruteforce",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |d AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+      |sc AS (SELECT qid, nid,
+      |  list_dot_product(qv, dv)
+      |    / sqrt(list_dot_product(qv, qv) * list_dot_product(dv, dv)) AS c
+      |  FROM q JOIN d ON qid != nid),
+      |r AS (SELECT qid AS query_id, nid AS neighbor_id, c,
+      |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank FROM sc)
+      |SELECT query_id, rank, neighbor_id, round(c, 4) AS cosine
+      |FROM r WHERE rank <= 3""") { (s, dir) =>
+    val e = load(s, dir, "embeddings")
+    Similarity.bruteForceTopK(
+        e.filter(col("vec_id") % 50 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
+  // LSH-bucketed ANN: top-1 within the random-hyperplane bucket
+  q("q_knn_lsh",
+    """WITH w AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |pr AS (SELECT id, p,
+      |  list_sum(list_transform(range(64), d -> v[d+1] *
+      |    (CASE WHEN CAST('0x' || substr(md5(p || '_' || d), 1, 2) AS INTEGER) % 2 = 0
+      |          THEN 1.0 ELSE -1.0 END))) AS proj
+      |  FROM w, UNNEST(range(6)) AS t(p)),
+      |bk AS (SELECT id, CAST(sum(CASE WHEN proj >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+      |  AS bucket FROM pr GROUP BY id),
+      |bv AS (SELECT w.id, w.v, bk.bucket FROM w JOIN bk ON w.id = bk.id),
+      |sc AS (SELECT q.id AS query_id, d.id AS neighbor_id,
+      |  list_dot_product(q.v, d.v)
+      |    / sqrt(list_dot_product(q.v, q.v) * list_dot_product(d.v, d.v)) AS c
+      |  FROM bv q JOIN bv d ON q.bucket = d.bucket AND q.id != d.id),
+      |r AS (SELECT query_id, neighbor_id, c,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+      |  FROM sc)
+      |SELECT query_id, rank, neighbor_id, round(c, 4) AS cosine
+      |FROM r WHERE rank <= 1""") { (s, dir) =>
+    Similarity.lshTopK(load(s, dir, "embeddings"), col("vec_id"),
+        col("embedding"), dim = 64, planes = 6, k = 1)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
+  // ---------------------------------------------------------------
+  // Text analysis
+  // ---------------------------------------------------------------
+
+  q("q_text_stats",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tok,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+')) AS n_word_tok,
+      |  round(len(list_distinct(string_split(text, ' '))) * 1.0
+      |    / len(string_split(text, ' ')) + 1e-9, 4) AS distinct_ratio,
+      |  round((length(text) - len(string_split(text, ' ')) + 1) * 1.0
+      |    / len(string_split(text, ' ')) + 1e-9, 4) AS mean_len,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+      |    AS bag_fp,
+      |  list_min(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |    j -> md5(string_split(text, ' ')[j] || ' ' ||
+      |              string_split(text, ' ')[j+1] || ' ' ||
+      |              string_split(text, ' ')[j+2]))) AS min_fp
+      |FROM documents""") { (s, dir) =>
+    load(s, dir, "documents").select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tok"),
+      TextOps.wordTokenCount(col("text")).as("n_word_tok"),
+      r4e(TextOps.distinctRatio(col("text"))).as("distinct_ratio"),
+      r4e(TextOps.meanTokenLen(col("text"))).as("mean_len"),
+      TextOps.bagFingerprint(col("text")).as("bag_fp"),
+      TextOps.minShingleFingerprint(col("text"), 3).as("min_fp"))
+  }
+
+  q("q_text_quality",
+    """SELECT doc_id, round((
+      |  least(length(text) / 500.0, 1.0) +
+      |  least((len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('the', 'a'))) * 1.0
+      |    / len(string_split(text, ' '))) * 5.0, 1.0) +
+      |  len(list_distinct(string_split(text, ' '))) * 1.0
+      |    / len(string_split(text, ' '))
+      |) / 3.0 + 1e-9, 4) AS quality
+      |FROM documents""") { (s, dir) =>
+    load(s, dir, "documents").select(
+      col("doc_id"),
+      r4e(TextOps.qualityScore(col("text"), Seq("the", "a"))).as("quality"))
+  }
+
+  // language-ID: marker-lexicon argmax (tie → alphabetically first lang)
+  q("q_text_langid",
+    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sc AS (SELECT doc_id,
+      |  len(list_filter(ws, w -> w IN ('window','group','sort'))) * 1.0 / len(ws) AS s_de,
+      |  len(list_filter(ws, w -> w IN ('the','a','fast','slow'))) * 1.0 / len(ws) AS s_en,
+      |  len(list_filter(ws, w -> w IN ('data','row','query'))) * 1.0 / len(ws) AS s_es,
+      |  len(list_filter(ws, w -> w IN ('table','batch','merge'))) * 1.0 / len(ws) AS s_fr,
+      |  len(list_filter(ws, w -> w IN ('spark','hash','scan'))) * 1.0 / len(ws) AS s_zh
+      |  FROM s)
+      |SELECT doc_id,
+      |  CASE WHEN s_zh > greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+      |       WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+      |       WHEN s_es > greatest(s_de, s_en) THEN 'es'
+      |       WHEN s_en > s_de THEN 'en'
+      |       ELSE 'de' END AS lang_pred,
+      |  round(s_en + 1e-9, 4) AS score_en
+      |FROM sc""") { (s, dir) =>
+    val markers = Map(
+      "de" -> Seq("window", "group", "sort"),
+      "en" -> Seq("the", "a", "fast", "slow"),
+      "es" -> Seq("data", "row", "query"),
+      "fr" -> Seq("table", "batch", "merge"),
+      "zh" -> Seq("spark", "hash", "scan"))
+    load(s, dir, "documents").select(
+      col("doc_id"),
+      graft.operators.TextOps.langId(col("text"), markers).as("lang_pred"),
+      r4e(TextOps.lexiconRatio(col("text"), markers("en"))).as("score_en"))
+  }
+}

@@ -35,7 +35,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.all("q1_agg")(spark, "/root/testdata/sf0.001")
 
-  private def modules: Seq[QueryModule] = Seq(Queries, TemporalQueries, GraphQueries)
+  private def modules: Seq[QueryModule] =
+    Seq(Queries, TemporalQueries, GraphQueries, PipelineQueries)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for large-scale training-data pipelines.
+  *
+  * The reference ships the building blocks (LSH `stdlib/ml/classifiers/
+  * _lsh.py`, `_knn_lsh.py`, fuzzy join `stdlib/ml/smart_table_ops/
+  * _fuzzy_join.py`); here they are composed into the standard corpus-dedup
+  * pipelines, Spark-first:
+  *
+  *  - every hash is a built-in codegen'd expression (md5/xxhash64) — no
+  *    UDFs, so whole-stage codegen holds end-to-end;
+  *  - candidate generation is always an EQUI-join (on a hash/bucket/
+  *    shingle), never a cross join: Catalyst plans shuffled hash joins
+  *    that scale horizontally with partitions;
+  *  - verification (exact Jaccard / cosine) runs only on the candidate
+  *    set, which LSH keeps near-linear in corpus size.
+  *
+  * All functions are deterministic, so results are reproducible across
+  * runs and clusters — a hard requirement for dedup at 100 TB (re-running
+  * must not re-shuffle which twin of a pair survives).
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles: (id, s). Short docs (< n words) get
+    * no shingles. */
+  def shingles(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame = {
+    val words = split(text, " ")
+    val idxs = when(size(words) >= n, sequence(lit(1), size(words) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val sh = transform(idxs, j =>
+      concat_ws(" ", (0 until n).map(o => element_at(words, j + o)): _*))
+    df.select(id.as("id"), explode(sh).as("s")).distinct()
+  }
+
+  /** Exact dedup: keep the lowest id per normalized key; emits
+    * (keep_id, n_dups). One hash-shuffle, map-side combined. */
+  def exact(df: DataFrame, id: Column, key: Column): DataFrame =
+    df.groupBy(md5(key).as("k"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
+      .drop("k")
+
+  /** MinHash signature columns h0..h{k-1} per id: hᵢ = min over shingles
+    * of md5(i‖"|"‖shingle). String md5 keeps the hash identical across
+    * engines and platforms. */
+  def minhash(sh: DataFrame, k: Int): DataFrame =
+    sh.groupBy("id").agg(
+      min(md5(concat(lit("0|"), col("s")))).as("h0"),
+      (1 until k).map(i =>
+        min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i")): _*)
+
+  /** MinHash + LSH near-duplicate pairs: shingle → k minhashes → `bands`
+    * bands of k/bands rows → candidates share a band key → exact Jaccard
+    * ≥ threshold verified on candidates only.
+    * Returns (a, b, jaccard) with a < b. */
+  def minhashLshPairs(df: DataFrame, id: Column, text: Column,
+      n: Int = 3, k: Int = 6, bands: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val sh = shingles(df, id, text, n).cache()
+    val mh = minhash(sh, k)
+    val bandRows = (0 until bands).map { b =>
+      mh.select(col("id"), lit(b).as("band"),
+        md5(concat((0 until r).map(i => col(s"h${b * r + i}")): _*)).as("bk"))
+    }.reduce(_ unionByName _)
+    val cand = bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Blocked exact n-gram Jaccard: all pairs within a block (equi-join on
+    * block + shingle — no cross join), jaccard ≥ threshold.
+    * Returns (a, b, jaccard). */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
+      block: Column, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(df.withColumn("_blk", block), id, text, n)
+      .join(df.select(id.as("id"), block.as("_blk")), "id")
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x._blk") === col("y._blk") && col("x.s") === col("y.s") &&
+          col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("i"))
+    finishJaccard(inter, sh.groupBy("id").agg(count(lit(1)).as("n")), threshold)
+  }
+
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val inter = cand
+      .join(sh.as("sa"), col("a") === col("sa.id"))
+      .join(sh.as("sb"), col("b") === col("sb.id") && col("sa.s") === col("sb.s"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    finishJaccard(inter, sh.groupBy("id").agg(count(lit(1)).as("n")), threshold)
+  }
+
+  private def finishJaccard(inter: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame =
+    inter
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jaccard",
+        col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+
+  /** SimHash fingerprint (16-bit, word-multiset weighted): bit j is the
+    * sign of Σ_words ±1 where ± comes from bit j of md5(word). Near-dups
+    * collide on the fingerprint (or within small Hamming distance).
+    * Returns (id, simhash). Pure aggregates — one shuffle. */
+  def simhash16(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val w = df.select(id.as("id"), explode(split(text, " ")).as("word"))
+      .withColumn("v", conv(substring(md5(col("word")), 1, 4), 16, 10).cast("int"))
+    val bitSums = (0 until 16).map(j =>
+      sum(shiftright(col("v"), j).bitwiseAND(1) * 2 - 1).as(s"s$j"))
+    w.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 16).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Embedding near-duplicate pairs within a block: cosine ≥ threshold.
+    * Candidate generation = equi-join on the block column (use an LSH
+    * bucket — [[Similarity.rhpBucket]] — as the block at scale).
+    * Vectors are folded in-order in double precision. */
+  def embeddingPairs(df: DataFrame, id: Column, vec: Column, block: Column,
+      threshold: Double): DataFrame = {
+    val v = df.select(id.as("id"), vec.cast("array<double>").as("v"),
+      block.as("_blk"))
+    v.as("x").join(v.as("y"),
+        col("x._blk") === col("y._blk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        Similarity.cosine(col("x.v"), col("y.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (reference:
+  * stdlib/indexing/nearest_neighbors.py:170 brute-force KNN, :262 LSH
+  * KNN; engine src/external_integration/brute_force_knn_integration.rs).
+  *
+  * Two paths, mirroring the reference's index choices:
+  *  - brute-force top-k: exact, O(|queries|·|data|) — correct baseline
+  *    and fine when one side is small enough to broadcast;
+  *  - random-hyperplane LSH buckets: sign-bit sketch of the vector,
+  *    candidates share a bucket → the pairwise work collapses to
+  *    per-bucket, an equi-join Catalyst shuffles by bucket. The
+  *    hyperplane weights are derived from md5 so every engine (and the
+  *    DuckDB oracle) regenerates the identical planes.
+  *
+  * All vector math is built-in higher-order functions (zip_with /
+  * aggregate) over array<double> — codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** In-order double-precision dot product. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** cosine(a, b) = dot / sqrt(|a|²·|b|²) — formula shape matters for
+    * bit-parity with the oracle; keep one sqrt. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** Exact brute-force top-k by cosine: every query row against every
+    * data row (broadcast data when it fits). Returns
+    * (query_id, rank, neighbor_id, cosine), rank 1..k,
+    * ties broken by neighbor id. */
+  def bruteForceTopK(queries: DataFrame, data: DataFrame,
+      qid: Column, qvec: Column, did: Column, dvec: Column,
+      k: Int): DataFrame = {
+    val q = queries.select(qid.as("query_id"), qvec.cast("array<double>").as("qv"))
+    val d = data.select(did.as("neighbor_id"), dvec.cast("array<double>").as("dv"))
+    val scored = q.join(d, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("dv")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Deterministic ±1 hyperplane weight for (plane p, dimension d):
+    * parity of md5(p‖"_"‖d). */
+  private def weight(p: Int, d: Column): Column =
+    when(conv(substring(md5(concat(lit(s"${p}_"), d.cast("string"))), 1, 2),
+      16, 10).cast("int") % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Random-hyperplane LSH bucket id: `planes` sign bits of the vector
+    * against deterministic ±1 hyperplanes. */
+  def rhpBucket(vec: Column, dim: Int, planes: Int): Column = {
+    val v = vec.cast("array<double>")
+    val bits = (0 until planes).map { p =>
+      val proj = (0 until dim).map(d =>
+        element_at(v, d + 1) * weight(p, lit(d))).reduce(_ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k: candidates restricted to the query's LSH bucket, exact
+    * cosine rank within the bucket. Recall < 1 by construction (scale
+    * path; raise `planes` ↔ smaller buckets, or probe neighbors for
+    * higher recall). */
+  def lshTopK(df: DataFrame, id: Column, vec: Column,
+      dim: Int, planes: Int, k: Int): DataFrame = {
+    val b = df.select(id.as("id"), vec.cast("array<double>").as("v"))
+      .withColumn("bucket", rhpBucket(col("v"), dim, planes))
+    val scored = b.as("q").join(b.as("d"),
+        col("q.bucket") === col("d.bucket") && col("q.id") =!= col("d.id"))
+      .select(col("q.id").as("query_id"), col("d.id").as("neighbor_id"),
+        cosine(col("q.v"), col("d.v")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+}

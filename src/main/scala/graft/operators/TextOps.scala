@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language-ID scoring,
+  * quality metrics, token counting, document fingerprinting.
+  *
+  * Everything is a pure Column expression (codegen'd, pushdown-friendly);
+  * nothing leaves the row, so these scale embarrassingly — the cost at
+  * 100 TB is exactly one scan.
+  */
+object TextOps {
+
+  /** Whitespace token list. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Wordish token count via regex (a BPE-ish lower bound — runs of
+    * letters; punctuation and digits split). */
+  def wordTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+"), lit(0))).cast("long")
+
+  /** Distinct-token ratio — low values indicate boilerplate/repetition. */
+  def distinctRatio(text: Column): Column =
+    size(array_distinct(tokens(text))) * lit(1.0) / size(tokens(text))
+
+  /** Mean token length. */
+  def meanTokenLen(text: Column): Column =
+    (length(text) - size(tokens(text)) + 1) * lit(1.0) / size(tokens(text))
+
+  /** Fraction of tokens found in `lexicon`. */
+  def lexiconRatio(text: Column, lexicon: Seq[String]): Column = {
+    val lex = array(lexicon.map(lit): _*)
+    size(filter(tokens(text), w => array_contains(lex, w))) * lit(1.0) /
+      size(tokens(text))
+  }
+
+  /** Composite quality score in [0,1]: mixes length, distinctness and
+    * stopword presence — the usual cheap pre-filter before expensive
+    * dedup/model scoring. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(length(text) / lit(500.0), lit(1.0))
+    val stopScore = least(lexiconRatio(text, stopwords) * 5.0, lit(1.0))
+    (lenScore + stopScore + distinctRatio(text)) / 3.0
+  }
+
+  /** Language-ID by marker-lexicon scoring: argmax over languages of the
+    * marker-hit ratio, ties broken by language code. A character-n-gram
+    * model is the production variant; the scoring/argmax plumbing is
+    * identical. */
+  def langId(text: Column, markers: Map[String, Seq[String]]): Column = {
+    // struct(score, negated-lang) max ≡ (max score, tie → smallest lang)
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, lex) =>
+      struct(lexiconRatio(text, lex).as("score"), lit(lang).as("lang"))
+    }
+    // greatest by score then FIRST lang alphabetically on ties: compare
+    // (score, reversed lang) — flip lang ordering by negating bytes is
+    // messy; instead fold manually keeping strict-greater wins
+    scored.reduceLeft { (best, cand) =>
+      when(cand.getField("score") > best.getField("score"), cand).otherwise(best)
+    }.getField("lang")
+  }
+
+  /** Content fingerprint: md5 of the sorted distinct token set — robust
+    * to word order, the cheapest "same bag of words" detector. */
+  def bagFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Winnowing-style min-hash fingerprint: the minimum md5 over word
+    * n-gram shingles (rolling-hash family; deterministic). */
+  def minShingleFingerprint(text: Column, n: Int = 3): Column = {
+    val words = tokens(text)
+    val idxs = when(size(words) >= n, sequence(lit(1), size(words) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    array_min(transform(idxs, j =>
+      md5(concat_ws(" ", (0 until n).map(o => element_at(words, j + o)): _*))))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextOps}
+
+/** Dedup / similarity / text-analysis operator semantics. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content about spark engines and shuffles x y"),
+    (4L, "the quick brown fox jumps over the lazy dog")) // exact dup of 1
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical keys, keeps min id") {
+    val out = Dedup.exact(docs, col("doc_id"), col("text"))
+    assert(rowsOf(out) == Set(Seq(1L, 2L), Seq(2L, 1L), Seq(3L, 1L)))
+  }
+
+  test("minhashLshPairs finds near-dups above threshold") {
+    val out = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+      n = 3, k = 6, bands = 3, threshold = 0.5)
+    val pairs = out.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always survives
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup (7-gram overlap)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash16 collides exact dups, separates different docs") {
+    val out = Dedup.simhash16(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(4L))
+    assert(out(1L) != out(3L))
+    assert(out.values.forall(v => v >= 0 && v < (1L << 16)))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard within block") {
+    val out = Dedup.ngramJaccardPairs(docs.withColumn("blk", lit(1)),
+      col("doc_id"), col("text"), col("blk"), n = 3, threshold = 0.99)
+    // only the exact dup pair survives at 0.99
+    assert(rowsOf(out.select("a", "b")) == Set(Seq(1L, 4L)))
+  }
+
+  test("cosine + bruteForceTopK rank neighbors correctly") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 1)
+    val top = out.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("rhpBucket is deterministic; lshTopK only pairs same-bucket vectors") {
+    val vecs = Seq((1L, Seq.fill(4)(1.0f)), (2L, Seq.fill(4)(1.0f)),
+      (3L, Seq.fill(4)(-1.0f))).toDF("vec_id", "embedding")
+    val b = vecs.select(Similarity.rhpBucket(col("embedding"), 4, 3).as("b"))
+      .collect().map(_.getLong(0))
+    assert(b(0) == b(1)) // identical vectors, identical bucket
+    val out = Similarity.lshTopK(vecs, col("vec_id"), col("embedding"),
+      dim = 4, planes = 3, k = 1)
+    val pairs = out.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 1L)))
+  }
+
+  test("text metrics: token counts, ratios, fingerprints") {
+    val out = docs.filter(col("doc_id") === 1).select(
+      TextOps.tokenCount(col("text")).as("n"),
+      TextOps.wordTokenCount(col("text")).as("nw"),
+      TextOps.distinctRatio(col("text")).as("dr"),
+      TextOps.bagFingerprint(col("text")).as("fp1"),
+      TextOps.minShingleFingerprint(col("text")).as("fp2")).collect()(0)
+    assert(out.getLong(0) == 9 && out.getLong(1) == 9)
+    assert(math.abs(out.getDouble(2) - 8.0 / 9.0) < 1e-12) // "the" repeats
+    assert(out.getString(3).length == 32 && out.getString(4).length == 32)
+    // order-insensitive bag fingerprint
+    val shuffled = Seq("dog lazy the over jumps fox brown quick the").toDF("text")
+      .select(TextOps.bagFingerprint(col("text"))).collect()(0).getString(0)
+    assert(shuffled == out.getString(3))
+  }
+
+  test("langId picks the best-scoring lexicon, ties to first language") {
+    val m = Map("aa" -> Seq("x"), "bb" -> Seq("y"))
+    val out = Seq("x x y", "y y x", "z z z").toDF("text")
+      .select(TextOps.langId(col("text"), m).as("l"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("aa", "bb", "aa")) // tie on third → first language
+  }
+}
