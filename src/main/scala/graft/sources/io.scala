@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamReader
+import org.apache.spark.sql.types.StructType
+import graft.core.Table
+
+/** Source/sink layer (reference: python/pathway/io — fs, csv,
+  * jsonlines, plaintext, parquet, kafka, delta, jdbc/postgres, debezium;
+  * engine src/connectors/data_storage.rs:289).
+  *
+  * Spark's DataSource V2 registry IS the connector framework — every
+  * reference connector maps onto a format string + options, in both
+  * static and streaming modes (reference ConnectorMode
+  * data_storage.rs:815 ≙ read vs readStream). These wrappers pin the
+  * graft conventions: schema-explicit reads, keyed Tables out, append/
+  * complete sinks with checkpoints.
+  *
+  * | reference connector | format here |
+  * |---|---|
+  * | fs csv/json/plaintext/binary | csv / json / text / binaryFile |
+  * | parquet, deltalake | parquet, delta (jar-dependent) |
+  * | kafka / redpanda / debezium | kafka (+ from_json on value) |
+  * | postgres / sqlite / mongodb | jdbc (driver-dependent) |
+  * | python ConnectorSubject | rate / socket for tests; DSv2 custom |
+  * | pw.io.subscribe | foreachBatch ([[graft.streaming.Streaming.subscribe]]) |
+  */
+object io {
+
+  def csv(spark: SparkSession, path: String, schema: StructType = null,
+      header: Boolean = true, key: Seq[String] = Nil): Table = {
+    val r = spark.read.option("header", header.toString)
+    val df = (if (schema != null) r.schema(schema) else r.option("inferSchema", "true")).csv(path)
+    Table.fromDF(df, key)
+  }
+
+  def jsonlines(spark: SparkSession, path: String, schema: StructType = null,
+      key: Seq[String] = Nil): Table = {
+    val r = spark.read
+    Table.fromDF((if (schema != null) r.schema(schema) else r).json(path), key)
+  }
+
+  def plaintext(spark: SparkSession, path: String): Table =
+    Table.fromDF(spark.read.text(path), Nil)
+
+  def binary(spark: SparkSession, path: String): Table =
+    Table.fromDF(spark.read.format("binaryFile").load(path), Seq("path"))
+
+  def parquet(spark: SparkSession, path: String, key: Seq[String] = Nil): Table =
+    Table.fromDF(spark.read.parquet(path), key)
+
+  /** Streaming variants (reference streaming mode connectors). */
+  def stream(spark: SparkSession, format: String, schema: StructType = null,
+      options: Map[String, String] = Map.empty): DataStreamReader = {
+    val r = spark.readStream.format(format).options(options)
+    if (schema != null) r.schema(schema) else r
+  }
+
+  def write(df: DataFrame, path: String, format: String = "parquet",
+      mode: String = "overwrite", partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.format(format).mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
+  }
+
+  def writeStream(df: DataFrame, path: String, checkpoint: String,
+      format: String = "parquet", outputMode: String = "append") =
+    df.writeStream.format(format).outputMode(outputMode)
+      .option("path", path).option("checkpointLocation", checkpoint)
+}

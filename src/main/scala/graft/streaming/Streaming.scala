@@ -1,0 +1,148 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operator layer (reference: stdlib/temporal/temporal_behavior
+  * .py, table.py:1064 deduplicate, _asof_now_join.py, io/_subscribe.py,
+  * temporal/time_utils.py).
+  *
+  * Mapping stance (SURVEY §2.5): the reference's behaviors are watermark
+  * semantics —
+  *   cutoff        → `withWatermark` (state eviction + late-data drop;
+  *                   engine `forget`, time_column.rs:556)
+  *   delay         → append-mode emission at window close (engine
+  *                   `buffer`, time_column.rs:255)
+  *   keep_results  → output mode: keep=update, discard=append (engine
+  *                   `freeze`, time_column.rs:631)
+  * Batch remains the primary substrate; each helper here is the
+  * streaming-mode counterpart of a batch operator with identical
+  * semantics on bounded input.
+  */
+object Streaming {
+
+  /** reference: temporal_behavior.py:29 common_behavior. Durations are
+    * Spark interval strings (e.g. "10 seconds"). */
+  final case class Behavior(delay: Option[String] = None,
+      cutoff: Option[String] = None, keepResults: Boolean = true)
+
+  /** reference: temporal_behavior.py:83 — emit each window exactly once
+    * after close (+shift): append mode + watermark = shift. */
+  def exactlyOnceBehavior(shift: String): Behavior =
+    Behavior(delay = Some(shift), cutoff = Some(shift), keepResults = false)
+
+  /** Apply the state-eviction half of a behavior (cutoff → watermark).
+    * The emission half is the output mode — see [[outputMode]]. */
+  def withBehavior(df: DataFrame, timeCol: String, b: Behavior): DataFrame =
+    b.cutoff.orElse(b.delay).map(df.withWatermark(timeCol, _)).getOrElse(df)
+
+  /** keep_results=true ≈ update mode (closed results retained
+    * downstream); false ≈ append mode (emitted once at close). */
+  def outputMode(b: Behavior): OutputMode =
+    if (b.keepResults) OutputMode.Update() else OutputMode.Append()
+
+  /** Acceptor-based streaming deduplicate (reference: table.py:1064 +
+    * engine deduplicate dataflow.rs:3101): per key, keep the latest
+    * value ACCEPTED by `acceptor(new, previous)`; emit on change.
+    * flatMapGroupsWithState in update mode — state is one value per key,
+    * evicted never (add a watermark upstream for TTL). */
+  def deduplicateStreaming[K, V](ds: Dataset[V], key: V => K,
+      acceptor: (V, V) => Boolean)(
+      implicit ke: Encoder[K], ve: Encoder[V]): Dataset[V] = {
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[V, V](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: K, rows: Iterator[V], state: GroupState[V]) =>
+          var cur = state.getOption
+          var emitted: Option[V] = None
+          rows.foreach { v =>
+            if (cur.forall(prev => acceptor(v, prev))) { cur = Some(v); emitted = cur }
+          }
+          emitted.foreach(state.update)
+          emitted.iterator
+      }
+  }
+
+  /** Batch acceptor-deduplicate with identical semantics: per instance,
+    * scan in `order`, keep the last accepted value. Secondary sort — one
+    * repartition by instance + in-partition sort, then a linear scan; no
+    * per-group materialization, so group size is unbounded. */
+  def deduplicateBatch(df: DataFrame, instanceCols: Seq[String],
+      orderCols: Seq[Column], acceptor: (Row, Row) => Boolean): DataFrame = {
+    val sorted = df.repartition(instanceCols.map(col): _*)
+      .sortWithinPartitions(instanceCols.map(col) ++ orderCols: _*)
+    val schema = df.schema
+    val idx = instanceCols.map(schema.fieldIndex)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    sorted.mapPartitions { it =>
+      new Iterator[Row] {
+        private val buf = it.buffered
+        private def groupKey(r: Row): Seq[Any] = idx.map(r.get)
+        private var pending: Option[Row] = None
+        private def advance(): Unit = {
+          if (!buf.hasNext) { pending = None; return }
+          val k = groupKey(buf.head)
+          var accepted = buf.next()
+          while (buf.hasNext && groupKey(buf.head) == k) {
+            val nxt = buf.next()
+            if (acceptor(nxt, accepted)) accepted = nxt
+          }
+          pending = Some(accepted)
+        }
+        def hasNext: Boolean = { if (pending.isEmpty) advance(); pending.nonEmpty }
+        def next(): Row = { if (pending.isEmpty) advance(); val r = pending.get; pending = None; r }
+      }
+    }(enc)
+  }
+
+  /** As-of-now join (reference: _asof_now_join.py:176): each left
+    * (stream) row joins the CURRENT right (static/slowly-changing) state
+    * at arrival; later right updates do not retract. Spark's
+    * stream-static join has exactly these semantics — the static side is
+    * re-read per micro-batch. Batch ≡ plain join. */
+  def asofNowJoin(stream: DataFrame, static: DataFrame, keys: Seq[String],
+      how: String = "inner"): DataFrame = {
+    require(Set("inner", "left").contains(how), s"asofNowJoin how=$how")
+    stream.join(static, keys, how)
+  }
+
+  /** Callback sink (reference: pw.io.subscribe io/_subscribe.py): the
+    * callback sees each micro-batch as a DataFrame + batch id. */
+  def subscribe(df: DataFrame, onChange: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    df.writeStream.outputMode("update").foreachBatch(onChange)
+
+  /** Inactivity detection (reference: time_utils.py:52): emit
+    * (key, last_seen_ms) once a key has been silent past `gap` in event
+    * time. flatMapGroupsWithState with event-time timeout — requires a
+    * watermark on `tsCol` upstream. */
+  def inactivityDetection(df: DataFrame, keyCol: String, tsCol: String,
+      gap: String): Dataset[(String, Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val ms = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    // NOTE: tsCol must already be a timestamp carrying the upstream
+    // watermark — a cast here would create a fresh column and silently
+    // drop the watermark tag (Spark then rejects EventTimeTimeout)
+    df.select(col(keyCol).cast("string").as("k"), col(tsCol).as("t"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (k: String, rows: Iterator[(String, java.sql.Timestamp)], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator((k, last))
+          } else {
+            val latest = (rows.map(_._2.getTime) ++ state.getOption.iterator).max
+            state.update(latest)
+            state.setTimeoutTimestamp(latest + ms)
+            Iterator.empty
+          }
+      }
+  }
+}

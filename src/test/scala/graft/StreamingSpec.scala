@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+
+/** Streaming semantics over MemoryStream timed batches — the analog of
+  * the reference's __time__/__diff__ markdown tests
+  * (reference: pw.debug table_from_markdown + compute_and_print_update_stream). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deduplicateStreaming emits only acceptor-approved changes") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Int)]
+    // acceptor: only growing values replace state (reference deduplicate
+    // docstring semantics, table.py:1103)
+    val out = Streaming.deduplicateStreaming[String, (String, Int)](
+      in.toDS(), _._1, (n, p) => n._2 > p._2)
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("update").start()
+    try {
+      in.addData(("u", 1), ("u", 5), ("v", 2))
+      q.processAllAvailable()
+      in.addData(("u", 3)) // 3 < 5 → rejected, no emission
+      q.processAllAvailable()
+      in.addData(("u", 9)) // accepted
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM dedup_out").collect()
+        .map(r => (r.getString(0), r.getInt(1))).toList
+      assert(rows.count(_._1 == "u") == 2) // (u,5) then (u,9); (u,3) suppressed
+      assert(rows.contains(("u", 5)) && rows.contains(("u", 9)) && rows.contains(("v", 2)))
+      assert(!rows.contains(("u", 3)))
+    } finally q.stop()
+  }
+
+  test("deduplicateBatch matches streaming semantics on bounded input") {
+    val df = Seq(("u", 1, 1), ("u", 2, 5), ("u", 3, 3), ("u", 4, 9), ("v", 1, 2))
+      .toDF("k", "seq", "v")
+    val out = Streaming.deduplicateBatch(df, Seq("k"), Seq(col("seq")),
+      (n: Row, p: Row) => n.getInt(2) > p.getInt(2))
+    assert(rowsOf(out.select("k", "v")) == Set(Seq("u", 9), Seq("v", 2)))
+  }
+
+  test("windowed aggregation with behavior (cutoff→watermark, append)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val b = Streaming.Behavior(cutoff = Some("10 seconds"), keepResults = false)
+    val agg = Streaming.withBehavior(in.toDF().toDF("t", "k"), "t", b)
+      .groupBy(window(col("t"), "1 minute"), col("k")).count()
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode(Streaming.outputMode(b).toString.toLowerCase).start()
+    try {
+      in.addData((ts("2024-01-01 00:00:10"), "a"), (ts("2024-01-01 00:00:20"), "a"))
+      q.processAllAvailable()
+      // watermark still at 0:00:20-10s → window not closed, nothing emitted
+      assert(spark.sql("SELECT * FROM win_out").count() == 0)
+      in.addData((ts("2024-01-01 00:02:00"), "a")) // advances watermark past 0:01
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 00:05:00"), "a")) // flush
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT k, count FROM win_out").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toList
+      assert(rows.contains(("a", 2L))) // the closed 00:00 window, exactly once
+    } finally q.stop()
+  }
+
+  test("asofNowJoin: stream rows see current static state (batch ≡ join)") {
+    val stream = Seq((1L, "k1"), (2L, "k2")).toDF("id", "k")
+    val static = Seq(("k1", 100L)).toDF("k", "v")
+    val out = Streaming.asofNowJoin(stream, static, Seq("k"), "left")
+    assert(rowsOf(out.select("id", "v")) == Set(Seq(1L, 100L), Seq(2L, null)))
+  }
+
+  test("subscribe delivers micro-batches to the callback") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Int]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val q = Streaming.subscribe(in.toDF(), (df, _) =>
+      seen.synchronized { seen ++= df.collect().map(_.getInt(0)) }).start()
+    try {
+      in.addData(1, 2, 3)
+      q.processAllAvailable()
+      assert(seen.sorted == Seq(1, 2, 3))
+    } finally q.stop()
+  }
+
+  test("inactivityDetection alerts after event-time silence") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val src = in.toDF().toDF("k", "t").withWatermark("t", "0 seconds")
+    val out = Streaming.inactivityDetection(src, "k", "t", "30 seconds")
+    val q = out.toDF("k", "last_seen").writeStream.format("memory")
+      .queryName("inact_out").outputMode("update").start()
+    try {
+      in.addData(("u", ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      in.addData(("w", ts("2024-01-01 00:05:00"))) // watermark jumps 5 min → u silent
+      q.processAllAvailable()
+      in.addData(("w", ts("2024-01-01 00:06:00"))) // extra batch to fire timeouts
+      q.processAllAvailable()
+      val keys = spark.sql("SELECT k FROM inact_out").collect().map(_.getString(0)).toSet
+      assert(keys.contains("u"))
+    } finally q.stop()
+  }
+}
