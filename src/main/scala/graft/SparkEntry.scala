@@ -36,7 +36,8 @@ object SparkEntry {
     Queries.all("q1_agg")(spark, "/root/testdata/sf0.001")
 
   private def modules: Seq[QueryModule] =
-    Seq(Queries, TemporalQueries, GraphQueries, PipelineQueries, FacadeQueries)
+    Seq(Queries, TemporalQueries, GraphQueries, PipelineQueries, FacadeQueries,
+      RetrievalQueries)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -194,6 +194,21 @@ final class Table(val df: DataFrame, val key: Seq[String]) {
     new Table(df.join(other.df, cond, how), key)
   def joinOn(other: Table, usingCols: Seq[String], how: String = "inner"): Table =
     new Table(df.join(other.df, usingCols, how), key)
+  /** Join against a small slowly-changing table, broadcast to every
+    * executor (reference: table.py:631 gradual_broadcast / engine
+    * operators/gradual_broadcast.rs — approximate-broadcast of a small
+    * side; Spark's exact analog is a broadcast hash join). */
+  def joinBroadcast(other: Table, cond: Column, how: String = "inner"): Table =
+    new Table(df.join(broadcast(other.df), cond, how), key)
+
+  /** Drop rows carrying error values (reference: table.py:2491
+    * remove_errors; engine graph.rs:1005). In the Spark mapping soft
+    * errors are `try_*` NULLs — this drops rows where any given column
+    * (default: all) is null. */
+  def removeErrors(cols: String*): Table = {
+    val cs = if (cols.nonEmpty) cols.toSeq else df.columns.toSeq
+    derive(df.filter(cs.map(c => df.col(c).isNotNull).reduce(_ && _)))
+  }
 
   // -- dedup (reference: table.py:1064 deduplicate, acceptor-based) ------
   /** Keep the last accepted value per instance, scanning in `orderBy`

@@ -102,6 +102,13 @@ object functions {
         .cast("long")
     def strFind(sub: Column): Column =
       (call_function("instr", c, sub) - 1).cast("long")
+    /** Last occurrence (0-based, -1 if absent) — reverse both strings,
+      * find first, map back. */
+    def strRFind(sub: Column): Column = {
+      val pos = call_function("instr", reverse(c), reverse(sub))
+      when(pos > 0, (length(c) - pos - length(sub) + 1).cast("long"))
+        .otherwise(lit(-1L))
+    }
     def strRemovePrefix(p: Column): Column =
       when(c.startsWith(p), substring(c, length(p) + 1, length(c))).otherwise(c)
     def strRemoveSuffix(p: Column): Column =
@@ -129,6 +136,7 @@ object functions {
     def dtSecond: Column = second(c)
     def dtWeekday: Column = weekday(c) // Monday=0, matches reference
     def dtStrftime(fmt: String): Column = date_format(c, fmt)
+    def dtStrptime(fmt: String): Column = to_timestamp(c, fmt)
     def dtTimestampSec: Column = unix_timestamp(c)
     def dtTimestampMillis: Column = unix_millis(c.cast("timestamp"))
     def dtFromTimestamp: Column = timestamp_seconds(c)

@@ -62,10 +62,12 @@ object Dedup {
     val r = k / bands
     val sh = shingles(df, id, text, n).cache()
     val mh = minhash(sh, k)
+    // cache: the self-join below would otherwise recompute the minhash
+    // aggregation once per join side
     val bandRows = (0 until bands).map { b =>
       mh.select(col("id"), lit(b).as("band"),
         md5(concat((0 until r).map(i => col(s"h${b * r + i}")): _*)).as("bk"))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _).cache()
     val cand = bandRows.as("x")
       .join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
@@ -79,8 +81,11 @@ object Dedup {
     * Returns (a, b, jaccard). */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
       block: Column, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // cache: referenced 4× below (both join sides + both size lookups) —
+    // uncached, Catalyst re-derives the explode+distinct each time
     val sh = shingles(df.withColumn("_blk", block), id, text, n)
       .join(df.select(id.as("id"), block.as("_blk")), "id")
+      .cache()
     val inter = sh.as("x").join(sh.as("y"),
         col("x._blk") === col("y._blk") && col("x.s") === col("y.s") &&
           col("x.id") < col("y.id"))
@@ -108,6 +113,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
 
+  /** Fuzzy join (reference: stdlib/ml/smart_table_ops/_fuzzy_join.py):
+    * match left rows to right rows by text similarity — MinHash/LSH
+    * candidates across the two tables, exact-Jaccard verified, best match
+    * per left row. Returns (a=left id, b=right id, jaccard). */
+  def fuzzyJoin(left: DataFrame, lid: Column, ltext: Column,
+      right: DataFrame, rid: Column, rtext: Column,
+      n: Int = 3, k: Int = 6, bands: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val shL = shingles(left, lid, ltext, n).cache()
+    val shR = shingles(right, rid, rtext, n).cache()
+    def bandRows(sh: DataFrame) = {
+      val mh = minhash(sh, k)
+      (0 until bands).map { b =>
+        mh.select(col("id"), lit(b).as("band"),
+          md5(concat((0 until r).map(i => col(s"h${b * r + i}")): _*)).as("bk"))
+      }.reduce(_ unionByName _)
+    }
+    val cand = bandRows(shL).as("x").join(bandRows(shR).as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    val inter = cand
+      .join(shL.as("sa"), col("a") === col("sa.id"))
+      .join(shR.as("sb"), col("b") === col("sb.id") && col("sa.s") === col("sb.s"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    val pairs = inter
+      .join(shL.groupBy("id").agg(count(lit(1)).as("na"))
+        .select(col("id").as("a"), col("na")), "a")
+      .join(shR.groupBy("id").agg(count(lit(1)).as("nb"))
+        .select(col("id").as("b"), col("nb")), "b")
+      .withColumn("jaccard",
+        col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a").orderBy(col("jaccard").desc, col("b").asc)
+    pairs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** SimHash fingerprint (16-bit, word-multiset weighted): bit j is the
     * sign of Σ_words ±1 where ± comes from bit j of md5(word). Near-dups
     * collide on the fingerprint (or within small Hamming distance).
@@ -131,11 +176,14 @@ object Dedup {
   def embeddingPairs(df: DataFrame, id: Column, vec: Column, block: Column,
       threshold: Double): DataFrame = {
     val v = df.select(id.as("id"), vec.cast("array<double>").as("v"),
-      block.as("_blk"))
+        block.as("_blk"))
+      .withColumn("_n2", Similarity.norm2(col("v")))
+      .cache()
     v.as("x").join(v.as("y"),
         col("x._blk") === col("y._blk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        Similarity.cosine(col("x.v"), col("y.v")).as("cosine"))
+        Similarity.cosinePrenorm(col("x.v"), col("y.v"),
+          col("x._n2"), col("y._n2")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

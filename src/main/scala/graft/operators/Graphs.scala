@@ -26,14 +26,18 @@ object Graphs {
       .withColumn("comp", col("node"))
     Iterate.fixpoint(init, maxIter,
       (prev, next) => next.join(prev.withColumnRenamed("comp", "pc"), "node")
-        .filter(col("comp") =!= col("pc")).count()) { labels =>
+        .filter(col("comp") =!= col("pc")).count(),
+      checkEvery = 2) { labels =>
       // min over neighbors' components
       val nbrMin = sym
         .join(labels.select(col("node").as("dst"), col("comp").as("nc")), "dst")
         .groupBy(col("src").as("node")).agg(min(col("nc")).as("nbr"))
+      // checkpoint before self-joining: otherwise each join side
+      // re-derives the whole step sub-plan
       val stepped = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), least(col("comp"), col("nbr")).as("comp"))
-      // pointer jump: comp <- comp(comp); halves path lengths each round
+        .localCheckpoint(true)
+      // pointer jump: comp <- comp(comp); halves path lengths per round
       stepped
         .join(stepped.select(col("node").as("comp"), col("comp").as("cc")),
           Seq("comp"), "left")

@@ -19,18 +19,24 @@ import org.apache.spark.sql.DataFrame
 object Iterate {
 
   /** Iterate `step` until `changed(prev, next)` reports 0 changed rows or
-    * `maxIter` is hit (reference iteration_limit). */
+    * `maxIter` is hit (reference iteration_limit). `checkEvery` spaces the
+    * convergence probe: each probe is an extra Spark job, and for
+    * fast-converging algorithms (pointer jumping) probing every other
+    * round halves the job count at the cost of ≤ checkEvery-1 extra
+    * (idempotent) rounds. */
   def fixpoint(
       init: DataFrame,
       maxIter: Int,
-      changed: (DataFrame, DataFrame) => Long)(
+      changed: (DataFrame, DataFrame) => Long,
+      checkEvery: Int = 1)(
       step: DataFrame => DataFrame): DataFrame = {
     var cur = init.localCheckpoint(true)
     var i = 0
     var done = false
     while (i < maxIter && !done) {
       val next = step(cur).localCheckpoint(true)
-      done = changed(cur, next) == 0L
+      if ((i + 1) % checkEvery == 0 || i + 1 == maxIter)
+        done = changed(cur, next) == 0L
       cur = next
       i += 1
     }

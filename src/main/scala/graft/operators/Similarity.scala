@@ -30,6 +30,16 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 
+  /** cosine from a pre-computed squared-norm pair — at scale the |v|²
+    * must be computed once per ROW, not once per PAIR (cuts 2/3 of the
+    * vector folds in pairwise scoring); bit-identical to [[cosine]]
+    * because dot(v,v) is the same fold either way. */
+  def cosinePrenorm(a: Column, b: Column, na2: Column, nb2: Column): Column =
+    dot(a, b) / sqrt(na2 * nb2)
+
+  /** Squared L2 norm. */
+  def norm2(v: Column): Column = dot(v, v)
+
   /** Exact brute-force top-k by cosine: every query row against every
     * data row (broadcast data when it fits). Returns
     * (query_id, rank, neighbor_id, cosine), rank 1..k,
@@ -38,10 +48,12 @@ object Similarity {
       qid: Column, qvec: Column, did: Column, dvec: Column,
       k: Int): DataFrame = {
     val q = queries.select(qid.as("query_id"), qvec.cast("array<double>").as("qv"))
+      .withColumn("qn", norm2(col("qv")))
     val d = data.select(did.as("neighbor_id"), dvec.cast("array<double>").as("dv"))
+      .withColumn("dn", norm2(col("dv")))
     val scored = q.join(d, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("dv")).as("cosine"))
+        cosinePrenorm(col("qv"), col("dv"), col("qn"), col("dn")).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -76,10 +88,12 @@ object Similarity {
       dim: Int, planes: Int, k: Int): DataFrame = {
     val b = df.select(id.as("id"), vec.cast("array<double>").as("v"))
       .withColumn("bucket", rhpBucket(col("v"), dim, planes))
+      .withColumn("n2", norm2(col("v")))
+      .cache()
     val scored = b.as("q").join(b.as("d"),
         col("q.bucket") === col("d.bucket") && col("q.id") =!= col("d.id"))
       .select(col("q.id").as("query_id"), col("d.id").as("neighbor_id"),
-        cosine(col("q.v"), col("d.v")).as("cosine"))
+        cosinePrenorm(col("q.v"), col("d.v"), col("q.n2"), col("d.n2")).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

@@ -240,6 +240,58 @@ object Temporal {
     filtered.select(proj: _*)
   }
 
+  /** Right/outer as-of variants (reference: _asof_join.py asof_join_right
+    * /_outer): matching is identical (each LEFT row finds its right
+    * partner); the variant controls which side's unmatched rows survive.
+    * `rightIdCols` identify right rows for the anti-join. */
+  def asofJoinFull(left: DataFrame, right: DataFrame,
+      lt: Column, rt: Column, keys: Seq[String],
+      direction: Direction = Backward, how: String = "left",
+      rightIdCols: Seq[String] = Nil,
+      rightTieBreak: Column = lit(0)): DataFrame = how match {
+    case "inner" | "left" =>
+      asofJoin(left, right, lt, rt, keys, direction, how, rightTieBreak)
+    case "right" | "outer" =>
+      require(rightIdCols.nonEmpty, s"asofJoinFull($how): pass rightIdCols")
+      val base = asofJoin(left, right, lt, rt, keys, direction,
+        if (how == "right") "inner" else "left", rightTieBreak)
+      val matched = base.select(rightIdCols.map(col): _*).na.drop().distinct()
+      val leftOnly = left.columns.filterNot(right.columns.contains).toSeq
+      val unmatchedRight = leftOnly.foldLeft(
+        right.join(matched, rightIdCols, "left_anti")) { (d, c) =>
+        d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+      base.unionByName(unmatchedRight, allowMissingColumns = true)
+    case other => throw new IllegalArgumentException(s"asofJoinFull how=$other")
+  }
+
+  /** Right/outer interval-join variants: right = mirrored left
+    * (Δt ∈ [lb,ub] ⇔ reversed Δt ∈ [-ub,-lb]); outer = left ∪ unmatched
+    * right rows. */
+  def intervalJoinFull(left: DataFrame, right: DataFrame,
+      lt: Column, rt: Column, lbSec: Double, ubSec: Double,
+      keys: Seq[String] = Nil, how: String = "inner",
+      leftIdCols: Seq[String] = Nil, rightIdCols: Seq[String] = Nil): DataFrame =
+    how match {
+      case "inner" | "left" =>
+        intervalJoin(left, right, lt, rt, lbSec, ubSec, keys, how, leftIdCols)
+      case "right" =>
+        intervalJoin(right, left, rt, lt, -ubSec, -lbSec, keys, "left", rightIdCols)
+      case "outer" =>
+        require(leftIdCols.nonEmpty && rightIdCols.nonEmpty,
+          "intervalJoinFull(outer): pass leftIdCols and rightIdCols")
+        val l = intervalJoin(left, right, lt, rt, lbSec, ubSec, keys, "left", leftIdCols)
+        val inner = intervalJoin(left, right, lt, rt, lbSec, ubSec, keys, "inner")
+        val matched = inner.select(rightIdCols.map(col): _*).distinct()
+        val leftOnly = left.columns.filterNot(right.columns.contains).toSeq
+        val unmatchedRight = leftOnly.foldLeft(
+          right.join(matched, rightIdCols, "left_anti")) { (d, c) =>
+          d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+        }
+        l.unionByName(unmatchedRight, allowMissingColumns = true)
+      case other => throw new IllegalArgumentException(s"intervalJoinFull how=$other")
+    }
+
   // -----------------------------------------------------------------
   // Window join (reference: _window_join.py:156-996)
   // -----------------------------------------------------------------
