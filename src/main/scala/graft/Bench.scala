@@ -25,15 +25,44 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, sfDir).count() catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable => System.err.println(s"[bench] $name FAILED: $e")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      System.err.println(f"[bench] $name%-28s $dt%8.2f s")
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val wcRate = streamingWordcount(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""streaming_wordcount_rows_per_s":$wcRate,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Streaming micro-bench mirroring the reference's wordcount harness
+    * shape (reference: integration_tests/wordcount/base.py): MemoryStream
+    * of lines → split → groupBy word count, update mode; reports input
+    * rows/s end-to-end. */
+  private def streamingWordcount(spark: SparkSession, rows: Int = 200000): Double = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val counts = in.toDF().select(explode(split(col("value"), " ")).as("word"))
+      .groupBy("word").count()
+    val q = counts.writeStream.format("memory").queryName("graft_wc")
+      .outputMode("complete").start()
+    val words = Array("the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog")
+    val batch = (0 until rows).map(i =>
+      s"${words(i % 8)} ${words((i / 8) % 8)} ${words((i / 64) % 8)}")
+    val t0 = System.nanoTime()
+    try {
+      in.addData(batch)
+      q.processAllAvailable()
+      rows / ((System.nanoTime() - t0) / 1e9)
+    } finally q.stop()
   }
 }

@@ -455,6 +455,29 @@ object Queries extends QueryModule {
       "k" -> json_get(col("props"), "k").cast("long")).df
   }
 
+  // remove_errors (table.py:2491) — try_-parse the numeric tail of
+  // c_name, drop rows whose parse errored (soft-error → NULL convention)
+  q("q_remove_errors",
+    """SELECT c_custkey, TRY_CAST(substr(c_name, 10, 9) AS BIGINT) AS parsed
+      |FROM customer WHERE TRY_CAST(substr(c_name, 10, 9) AS BIGINT) IS NOT NULL""") { (s, dir) =>
+    table(s, dir, "customer", "c_custkey")
+      .select("parsed" -> substring(col("c_name"), 10, 9).parseInt)
+      .removeErrors("parsed")
+      .df
+  }
+
+  // gradual_broadcast analog (table.py:631) — small dimension broadcast
+  q("q_join_broadcast",
+    """SELECT o_orderkey, c.c_mktsegment FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey""") { (s, dir) =>
+    table(s, dir, "orders", "o_orderkey")
+      .joinBroadcast(
+        table(s, dir, "customer", "c_custkey"),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment" -> col("c_mktsegment"))
+      .df
+  }
+
   // make_tuple + get (common.py:361, expression.py:994)
   q("q_make_tuple",
     """SELECT n_nationkey, struct_pack(key := n_nationkey, name := n_name) AS tup,

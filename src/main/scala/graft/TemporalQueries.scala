@@ -240,6 +240,22 @@ object TemporalQueries extends QueryModule {
       .df.select("event_id", "value")
   }
 
+  // acceptor-based deduplicate, batch twin (reference: table.py:1064):
+  // acceptor "replace when value grows" makes the surviving value the
+  // per-user maximum — trivially stated by the oracle while the
+  // implementation runs the general secondary-sort acceptor scan
+  q("q_dedup_acceptor",
+    """SELECT user_id, round(max(value), 4) AS value
+      |FROM events GROUP BY user_id""") { (s, dir) =>
+    import org.apache.spark.sql.Row
+    graft.streaming.Streaming.deduplicateBatch(
+        loadEvents(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+          col("value")),
+        Seq("user_id"), Seq(col("ts"), col("event_id")),
+        (n: Row, p: Row) => n.getDouble(3) > p.getDouble(3))
+      .select(col("user_id"), round(col("value"), 4).as("value"))
+  }
+
   // deduplicate — keep latest row per instance (reference: table.py:1064)
   q("q_dedup_latest",
     """SELECT user_id, event_id, round(value, 4) AS value FROM (

@@ -210,6 +210,15 @@ final class Table(val df: DataFrame, val key: Seq[String]) {
     derive(df.filter(cs.map(c => df.col(c).isNotNull).reduce(_ && _)))
   }
 
+  /** Split into (clean, errored) on soft-error columns — the reference's
+    * global error-log pattern (internals/errors.py: failed rows route to
+    * a side table instead of poisoning the pipeline). */
+  def splitErrors(cols: String*): (Table, Table) = {
+    val cs = if (cols.nonEmpty) cols.toSeq else df.columns.toSeq
+    val ok = cs.map(c => df.col(c).isNotNull).reduce(_ && _)
+    (derive(df.filter(ok)), derive(df.filter(!ok)))
+  }
+
   // -- dedup (reference: table.py:1064 deduplicate, acceptor-based) ------
   /** Keep the last accepted value per instance, scanning in `orderBy`
     * order with a user acceptor deciding whether a new value replaces the

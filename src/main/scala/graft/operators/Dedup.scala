@@ -61,13 +61,13 @@ object Dedup {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     val sh = shingles(df, id, text, n).cache()
-    val mh = minhash(sh, k)
-    // cache: the self-join below would otherwise recompute the minhash
-    // aggregation once per join side
+    // cache the signature table: each band projection AND each self-join
+    // side would otherwise re-run the k-way min aggregation
+    val mh = minhash(sh, k).cache()
     val bandRows = (0 until bands).map { b =>
       mh.select(col("id"), lit(b).as("band"),
         md5(concat((0 until r).map(i => col(s"h${b * r + i}")): _*)).as("bk"))
-    }.reduce(_ unionByName _).cache()
+    }.reduce(_ unionByName _)
     val cand = bandRows.as("x")
       .join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
@@ -126,7 +126,7 @@ object Dedup {
     val shL = shingles(left, lid, ltext, n).cache()
     val shR = shingles(right, rid, rtext, n).cache()
     def bandRows(sh: DataFrame) = {
-      val mh = minhash(sh, k)
+      val mh = minhash(sh, k).cache()
       (0 until bands).map { b =>
         mh.select(col("id"), lit(b).as("band"),
           md5(concat((0 until r).map(i => col(s"h${b * r + i}")): _*)).as("bk"))

@@ -1,0 +1,42 @@
+package graft
+
+/** Physical-plan regression guards — the properties that matter at 100 TB
+  * must not silently degrade: column-pruned scans, pushed filters, single
+  * shuffle for partial-aggregated group-bys, broadcast joins for small
+  * dimensions. Checked against the sf0.001 data (plan shape, not data). */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1_agg: one shuffle, map-side partial aggregation, pruned scan") {
+    val p = plan("q1_agg")
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected 1 exchange:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size == 2) // partial + final
+    assert(!p.contains("l_comment"), "scan must prune unused columns")
+  }
+
+  test("q_filter: predicate pushed to parquet") {
+    val p = plan("q_filter")
+    assert(p.contains("PushedFilters: [") &&
+      (p.contains("GreaterThan(c_acctbal") || p.contains("IsNotNull(c_acctbal")),
+      s"expected pushdown:\n$p")
+  }
+
+  test("q_ix: small dimension joined via broadcast hash join") {
+    assert(plan("q_ix").contains("BroadcastHashJoin"))
+  }
+
+  test("q_interval_join: bucketed range join plans as a hash join, not NLJ") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join must not fall back to a nested-loop/cartesian plan:\n$p")
+  }
+
+  test("q_select: scan reads only projected columns") {
+    val p = plan("q_select")
+    assert(p.contains("ReadSchema") && !p.contains("p_comment") && !p.contains("p_retailprice"))
+  }
+}
