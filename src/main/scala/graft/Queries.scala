@@ -447,6 +447,34 @@ object Queries extends QueryModule {
       "required_bal" -> r4(require(col("c_acctbal"), col("c_nationkey")))).df
   }
 
+  // .dt strptime + interval arithmetic (date_time.py:555 strptime,
+  // :840 add_duration; DurationExpression arithmetic)
+  q("q_dt_arith",
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due,
+      |  CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS TIMESTAMP)
+      |    AS roundtrip,
+      |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+      |    AS days_since
+      |FROM orders""") { (s, dir) =>
+    table(s, dir, "orders", "o_orderkey").select(
+      "due" -> (col("o_orderdate") + expr("INTERVAL 30 DAYS")).cast("timestamp"),
+      "roundtrip" -> col("o_orderdate").dtStrftime("yyyy-MM-dd").dtStrptime("yyyy-MM-dd"),
+      "days_since" -> datediff(col("o_orderdate").cast("date"),
+        lit("1995-01-01").cast("date")).cast("long")).df
+  }
+
+  // salted join — skew-resistant equi-join (scale utility; semantically
+  // a plain join, which is exactly what the oracle states)
+  q("q_join_salted",
+    """SELECT o_orderkey, c.c_mktsegment FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey""") { (s, dir) =>
+    val o = table(s, dir, "orders", "o_orderkey")
+      .renameColumns("o_custkey" -> "c_custkey")
+    o.joinSalted(table(s, dir, "customer", "c_custkey"), Seq("c_custkey"), 8)
+      .select("c_mktsegment" -> col("c_mktsegment")).df
+  }
+
   // JSON get (JsonGetItem, expression.rs:386)
   q("q_json_get",
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -201,6 +201,22 @@ final class Table(val df: DataFrame, val key: Seq[String]) {
   def joinBroadcast(other: Table, cond: Column, how: String = "inner"): Table =
     new Table(df.join(broadcast(other.df), cond, how), key)
 
+  /** Skew-resistant equi-join: salt this (large, skewed) side into
+    * `buckets` sub-keys via a deterministic hash of the whole row,
+    * replicate `other` (the smaller side) once per bucket, join on
+    * (key, salt). Use when one join key carries a disproportionate share
+    * of rows and AQE's skew handling isn't available/enough; salting
+    * spreads the hot key over `buckets` tasks. */
+  def joinSalted(other: Table, usingCols: Seq[String], buckets: Int,
+      how: String = "inner"): Table = {
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(df.columns.map(df.col): _*), lit(buckets)).cast("int"))
+    val replicated = other.df.withColumn("_salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    new Table(
+      salted.join(replicated, usingCols :+ "_salt", how).drop("_salt"), key)
+  }
+
   /** Drop rows carrying error values (reference: table.py:2491
     * remove_errors; engine graph.rs:1005). In the Spark mapping soft
     * errors are `try_*` NULLs — this drops rows where any given column
