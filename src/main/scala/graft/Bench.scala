@@ -16,13 +16,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: touch every table (OS page cache + parquet footers) and run
-    // one aggregate so codegen/JIT costs don't land on the first query
+    // warmup: touch every table (OS page cache + parquet footers), then
+    // run EVERY query once at the smallest SF — same codegen/JIT paths,
+    // negligible data. Timed runs then measure steady-state compute (the
+    // long-lived-cluster regime), not JVM warmup: cold-vs-warm for the
+    // heavy dedup queries is 20s vs 3s.
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => }
     }
-    try SparkEntry.queries("q1_agg")(spark, sfDir).count() catch { case _: Throwable => }
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => }
+      }
+      spark.catalog.clearCache()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {

@@ -66,6 +66,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: watermarked time-range condition " +
+    "(reference interval_join streaming mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val views = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val l = clicks.toDF().toDF("cid", "k", "ct").withWatermark("ct", "1 minute")
+    val r = views.toDF().toDF("vid", "vk", "vt").withWatermark("vt", "1 minute")
+    // rt - lt ∈ [-30s, +30s] plus equi key — Spark's native stream-stream
+    // range-join pattern (the batch Temporal.intervalJoin semantics)
+    val joined = l.join(r,
+      col("k") === col("vk") &&
+        col("vt") >= col("ct") - expr("INTERVAL 30 SECONDS") &&
+        col("vt") <= col("ct") + expr("INTERVAL 30 SECONDS"))
+    val q = joined.select("cid", "vid").writeStream.format("memory")
+      .queryName("ssj_out").outputMode("append").start()
+    try {
+      clicks.addData((1L, "u", ts("2024-01-01 00:01:00")))
+      views.addData((10L, "u", ts("2024-01-01 00:01:20"))) // in range
+      views.addData((11L, "u", ts("2024-01-01 00:02:00"))) // out of range
+      q.processAllAvailable()
+      clicks.addData((2L, "u", ts("2024-01-01 00:10:00"))) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT cid, vid FROM ssj_out").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(rows.contains((1L, 10L)) && !rows.contains((1L, 11L)))
+    } finally q.stop()
+  }
+
   test("asofNowJoin: stream rows see current static state (batch ≡ join)") {
     val stream = Seq((1L, "k1"), (2L, "k2")).toDF("id", "k")
     val static = Seq(("k1", 100L)).toDF("k", "v")
