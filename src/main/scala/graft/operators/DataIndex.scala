@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Index/retriever façade (reference: stdlib/indexing/data_index.py:278
+  * DataIndex + as_retriever; stdlib/ml/index.py:9 KNNIndex).
+  *
+  * A retriever answers a *table of queries* with a table of
+  * (query, rank, match, score) — retrieval is a join-shaped batch job,
+  * not a per-row service call, so it scales like any other join. The
+  * concrete strategies are the engines from [[Similarity]] / [[Bm25]];
+  * [[HybridRetriever]] fuses any two by reciprocal rank (reference:
+  * indexing/hybrid_index.py:14).
+  */
+trait Retriever {
+  /** queries(qid, query) → (qid, rank, id, score), rank 1..k. */
+  def retrieve(queries: DataFrame, qid: Column, query: Column, k: Int): DataFrame
+}
+
+object DataIndex {
+
+  /** Exact cosine KNN over an embedding column. */
+  def bruteForce(data: DataFrame, id: Column, vec: Column): Retriever =
+    new Retriever {
+      def retrieve(queries: DataFrame, qid: Column, query: Column, k: Int): DataFrame =
+        Similarity.bruteForceTopK(queries, data, qid, query, id, vec, k)
+          .select(col("query_id").as("qid"), col("rank"),
+            col("neighbor_id").as("id"), col("cosine").as("score"))
+    }
+
+  /** ANN via random-hyperplane LSH buckets (scale path; recall < 1). */
+  def lsh(data: DataFrame, id: Column, vec: Column, dim: Int,
+      planes: Int): Retriever =
+    new Retriever {
+      def retrieve(queries: DataFrame, qid: Column, query: Column, k: Int): DataFrame = {
+        val d = data.select(id.as("id"), vec.cast("array<double>").as("v"))
+          .withColumn("bucket", Similarity.rhpBucket(col("v"), dim, planes))
+          .withColumn("n2", Similarity.norm2(col("v")))
+        val q = queries.select(qid.as("qid"), query.cast("array<double>").as("qv"))
+          .withColumn("bucket", Similarity.rhpBucket(col("qv"), dim, planes))
+          .withColumn("qn2", Similarity.norm2(col("qv")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+        q.join(d, "bucket")
+          .select(col("qid"), col("id"),
+            Similarity.cosinePrenorm(col("qv"), col("v"),
+              col("qn2"), col("n2")).as("score"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select("qid", "rank", "id", "score")
+      }
+    }
+
+  /** Full-text BM25 retriever. */
+  def bm25(corpus: DataFrame, id: Column, text: Column): Retriever =
+    new Retriever {
+      def retrieve(queries: DataFrame, qid: Column, query: Column, k: Int): DataFrame =
+        Bm25.topK(corpus, id, text, queries, qid, query, k)
+          .select(col("qid"), col("rank"), col("id"), col("score"))
+    }
+
+  /** Reciprocal-rank fusion of two retrievers (reference HybridIndex). */
+  def hybrid(a: Retriever, b: Retriever, k0: Int = 60): Retriever =
+    new Retriever {
+      def retrieve(queries: DataFrame, qid: Column, query: Column, k: Int): DataFrame = {
+        val ra = a.retrieve(queries, qid, query, k)
+        val rb = b.retrieve(queries, qid, query, k)
+        val fused = Bm25.rrfFuse(k0, ra, rb)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("rrf_score").desc, col("id").asc)
+        fused.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("qid"), col("rank"), col("id"), col("rrf_score").as("score"))
+      }
+    }
+}

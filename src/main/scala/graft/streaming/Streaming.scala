@@ -113,6 +113,14 @@ object Streaming {
   def subscribe(df: DataFrame, onChange: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     df.writeStream.outputMode("update").foreachBatch(onChange)
 
+  /** Time-tick source (reference: temporal/time_utils.py:31 utc_now):
+    * one row per tick carrying the current UTC timestamp. */
+  def utcNow(spark: SparkSession, refreshRateSec: Double = 1.0): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", math.max(1.0 / refreshRateSec, 0.001).toString)
+      .load()
+      .select(col("timestamp").as("now"))
+
   /** Inactivity detection (reference: time_utils.py:52): emit
     * (key, last_seen_ms) once a key has been silent past `gap` in event
     * time. flatMapGroupsWithState with event-time timeout — requires a

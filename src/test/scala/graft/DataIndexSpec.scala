@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.DataIndex
+
+/** Retriever façade (reference: stdlib/indexing/data_index.py). */
+class DataIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)))
+    .toDF("id", "v")
+
+  test("bruteForce retriever returns ranked neighbors") {
+    val r = DataIndex.bruteForce(vecs, col("id"), col("v"))
+    val out = r.retrieve(vecs.filter(col("id") === 1), col("id"), col("v"), 2)
+    val got = out.orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(got == Seq(2L, 3L))
+  }
+
+  test("bm25 retriever finds term matches") {
+    val docs = Seq((1L, "spark shuffles data"), (2L, "ducks like water"))
+      .toDF("id", "text")
+    val qs = Seq((10L, "spark data")).toDF("qid", "q")
+    val r = DataIndex.bm25(docs, col("id"), col("text"))
+    val out = r.retrieve(qs, col("qid"), col("q"), 5).collect()
+    assert(out.map(_.getLong(2)).toSet == Set(1L))
+  }
+
+  test("hybrid retriever fuses rankings by RRF") {
+    val docs = Seq((1L, "spark shuffles data"), (2L, "spark spark spark"))
+      .toDF("id", "text")
+    val r = DataIndex.hybrid(
+      DataIndex.bm25(docs, col("id"), col("text")),
+      DataIndex.bm25(docs, col("id"), col("text")))
+    val qs = Seq((10L, "spark")).toDF("qid", "q")
+    val out = r.retrieve(qs, col("qid"), col("q"), 2)
+    assert(out.count() == 2) // both docs ranked, fused scores
+    assert(out.filter(col("rank") === 1).collect()(0).getLong(2) == 2L)
+  }
+
+  test("lsh retriever restricts to bucket candidates") {
+    val r = DataIndex.lsh(vecs, col("id"), col("v"), dim = 2, planes = 2)
+    val out = r.retrieve(vecs, col("id"), col("v"), 3)
+    // every returned pair shares a bucket; identical vector 1↔2 must appear
+    val pairs = out.select("qid", "id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}
