@@ -47,6 +47,21 @@ trait QueryModule {
     * DuckDB's round (scaled-double) disagree. Oracle-side equivalent adds
     * the same epsilon. */
   protected def davg(c: Column): Column = dsum(c) / count(c) + lit(1e-9)
+
+  /** Canonical cross-engine string form of an integer array: elements cast
+    * to string, comma-joined. The driver's pandas comparator cannot
+    * sort/hash array cells, so list-valued results are emitted as strings.
+    * Oracle-side equivalent: `array_to_string(xs, ',')`. */
+  protected def intJoin(arr: Column): Column =
+    concat_ws(",", transform(arr, x => x.cast("string")))
+
+  /** Canonical cross-engine string form of a numeric array: each element
+    * cast to DECIMAL(18,4) — both engines print fixed-point with trailing
+    * zeros ("25.5000"), never exponent notation — then comma-joined.
+    * Oracle-side equivalent:
+    * `array_to_string(list_transform(xs, x -> CAST(CAST(x AS DECIMAL(18,4)) AS VARCHAR)), ',')`. */
+  protected def decJoin(arr: Column): Column =
+    concat_ws(",", transform(arr, x => x.cast("decimal(18,4)").cast("string")))
 }
 
 object Queries extends QueryModule {
@@ -327,23 +342,27 @@ object Queries extends QueryModule {
       .reduce("a_customer" -> reducers.rany(col("c_name")))
   }
 
-  // sorted_tuple (reducers.py:485)
+  // sorted_tuple (reducers.py:485) — list emitted as canonical string so
+  // the driver's pandas comparator can hash it.
   q("q_reduce_sorted_tuple",
-    """SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS lines
+    """SELECT l_orderkey,
+      |  array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS lines
       |FROM lineitem GROUP BY l_orderkey""") { (s, dir) =>
     table(s, dir, "lineitem", "l_orderkey", "l_linenumber")
       .groupby(col("l_orderkey"))
-      .reduce("lines" -> reducers.sorted_tuple(col("l_linenumber")))
+      .reduce("lines" -> intJoin(reducers.sorted_tuple(col("l_linenumber"))))
   }
 
-  // tuple with sort_by order (reducers.py:516)
+  // tuple with sort_by order (reducers.py:516) — canonical string output.
   q("q_reduce_tuple_by",
     """SELECT l_orderkey,
-      |  list(round(l_quantity, 4) ORDER BY l_linenumber, round(l_quantity, 4)) AS qtys
+      |  array_to_string(list_transform(
+      |    list(round(l_quantity, 4) ORDER BY l_linenumber, round(l_quantity, 4)),
+      |    x -> CAST(CAST(x AS DECIMAL(18,4)) AS VARCHAR)), ',') AS qtys
       |FROM lineitem GROUP BY l_orderkey""") { (s, dir) =>
     table(s, dir, "lineitem", "l_orderkey", "l_linenumber")
       .groupby(col("l_orderkey"))
-      .reduce("qtys" -> reducers.tuple_by(r4(col("l_quantity")), col("l_linenumber")))
+      .reduce("qtys" -> decJoin(reducers.tuple_by(r4(col("l_quantity")), col("l_linenumber"))))
   }
 
   // earliest / latest by event time (reducers.py:653/:687); ns→ms truncation
@@ -365,18 +384,26 @@ object Queries extends QueryModule {
         "last_value" -> reducers.latest(col("value"), struct(ms, col("event_id"))))
   }
 
-  // ndarray / element-wise array sum (reducers.py:618 + ArraySum)
+  // ndarray / element-wise array sum (reducers.py:618 + ArraySum) —
+  // elements converted to exact fixed-point micro-units (floor(v*1e6):
+  // float→double is exact, the double multiply and floor are bit-identical
+  // IEEE on both engines), then integer sums — fully order-independent and
+  // rounding-free; canonical string output for the pandas comparator.
   q("q_reduce_array_sum",
-    """SELECT label, list(s ORDER BY ord) AS vec_sum FROM (
-      |  SELECT label, ord, round(sum(v), 4) AS s FROM (
+    """SELECT label, array_to_string(list(s ORDER BY ord), ',') AS vec_sum FROM (
+      |  SELECT label, ord,
+      |    CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS s
+      |  FROM (
       |    SELECT label, unnest(embedding) AS v,
       |      unnest(range(len(embedding))) AS ord FROM embeddings)
       |  GROUP BY label, ord)
       |GROUP BY label""") { (s, dir) =>
     table(s, dir, "embeddings", "vec_id")
       .groupby(col("label"))
-      .reduce("vec_sum" -> transform(
-        reducers.array_sum_fixed(col("embedding"), 64), x => round(x, 4)))
+      .reduce("vec_sum" -> intJoin(
+        reducers.array_sum_fixed(
+          transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1e6)).cast("long")), 64)))
   }
 
   // =====================================================================
@@ -506,13 +533,16 @@ object Queries extends QueryModule {
       .df
   }
 
-  // make_tuple + get (common.py:361, expression.py:994)
+  // make_tuple + get (common.py:361, expression.py:994) — struct emitted
+  // as compact JSON (identical `{"k":v}` form in both engines) so the
+  // driver's pandas comparator can hash it.
   q("q_make_tuple",
-    """SELECT n_nationkey, struct_pack(key := n_nationkey, name := n_name) AS tup,
+    """SELECT n_nationkey,
+      |  to_json(struct_pack(key := n_nationkey, name := n_name)) AS tup,
       |  string_split(n_name, 'I')[1] AS first_piece
       |FROM nation""") { (s, dir) =>
     table(s, dir, "nation", "n_nationkey").select(
-      "tup" -> make_tuple(col("n_nationkey").as("key"), col("n_name").as("name")),
+      "tup" -> to_json(make_tuple(col("n_nationkey").as("key"), col("n_name").as("name"))),
       "first_piece" -> get_or(split(col("n_name"), "I"), 0, lit(""))).df
   }
 }
