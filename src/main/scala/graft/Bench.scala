@@ -2,14 +2,41 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR, prints one JSON line. Caches are cleared between
-  * queries so each measurement is isolated (several operators cache
-  * intermediates; letting them accumulate distorts later queries via
-  * storage-memory pressure). */
+  * SPARK_GRAFT_SF_DIR and prints ONE compact JSON line.
+  *
+  * Two hard-won constraints shape this file:
+  *  - The driver captures only the LAST 2000 chars of stdout and parses
+  *    the JSON from that window; an sbt "[success] ..." postlude also
+  *    lands after our line. A per-query map over all ~74 queries is
+  *    ~2800 chars and gets decapitated (rounds 1-2 both lost their bench
+  *    data this way). So the stdout line carries medians for a headline
+  *    subset only; the full per-query medians + raw per-pass values go to
+  *    BENCH_full.json next to the repo.
+  *  - The host has intermittent CPU steal (single-run timings vary up to
+  *    10x), so each query is timed in 3 round-robin passes (a steal
+  *    window hits different queries in different passes) and the median
+  *    is reported.
+  *
+  * Caches are cleared between queries so one operator's cached
+  * intermediates can't distort another's measurement.
+  */
 object Bench {
+
+  /** Headline queries for the stdout JSON line — one per operator family,
+    * chosen to keep the line comfortably inside the driver's 2000-char
+    * stdout tail window. */
+  private val headline = Seq(
+    "q1_agg", "q3_shipping_priority", "q5_local_supplier", "q10_returned_items",
+    "q_asof_backward", "q_interval_join", "q_window_join", "q_session",
+    "q_sort_linked", "q_dedup_exact",
+    "q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram_jaccard",
+    "q_fuzzy_join", "q_knn_lsh", "q_knn_bruteforce", "q_bm25",
+    "q_pagerank", "q_connected_components", "q_text_stats", "q_sql")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,22 +59,44 @@ object Bench {
       }
       spark.catalog.clearCache()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
+    val runs = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
+    for (pass <- 1 to reps; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable => System.err.println(s"[bench] $name FAILED: $e")
       }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      System.err.println(f"[bench] $name%-28s $dt%8.2f s")
-      name -> dt
+      System.err.println(f"[bench] pass $pass $name%-28s $dt%8.2f s")
+      runs(name) = runs(name) :+ dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0 else s((s.size - 1) / 2)
+    }
+    def r3(d: Double): String = f"$d%.3f"
+    val med = names.map(n => n -> median(runs(n)))
+    val total = med.map(_._2).sum
     val wcRate = streamingWordcount(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""streaming_wordcount_rows_per_s":$wcRate,"sf":"$sfDir"}""")
+    // Full data (all queries, medians + raw passes) → repo-local file.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_full.json")
+    val fullJson =
+      s"""{"sf":"$sfDir","cpus":$cpus,"reps":$reps,"total_median_sec":${r3(total)},""" +
+      s""""streaming_wordcount_rows_per_s":${r3(wcRate)},""" +
+      "\"medians\":" + med.map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}") +
+      ",\"passes\":" + names.map(n =>
+        s"\"$n\":" + runs(n).map(r3).mkString("[", ",", "]")).mkString("{", ",", "}") + "}"
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson)
+    catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
+    // Driver line: headline medians only, 3-decimal — must stay well
+    // under the 2000-char stdout tail window (see scaladoc).
+    val qs = med.filter { case (k, _) => headline.contains(k) }
+      .map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total_median_all_queries","value":${r3(total)},"unit":"sec",""" +
+      s""""queries":$qs,"reps":$reps,"agg":"median",""" +
+      s""""streaming_wordcount_rows_per_s":${r3(wcRate)},"sf":"$sfDir"}""")
     spark.stop()
   }
 
