@@ -130,6 +130,30 @@ object Temporal {
     require(Set("inner", "left").contains(how), s"intervalJoin how=$how")
     require(how == "inner" || leftIdCols.nonEmpty,
       "intervalJoin(left): pass leftIdCols identifying left rows")
+    val inner = intervalInner(left, right, lt, rt, lbSec, ubSec, keys)
+    how match {
+      case "inner" => inner
+      case "left" =>
+        // The inner result feeds BOTH the output and the matched-id
+        // anti-join probe; persist so the bucketed join — the dominant
+        // cost — executes once, not twice.
+        val shared = inner.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // left rows with no partner, once each (anti on the ORIGINAL
+        // left, not the bucket-exploded one), right columns null
+        val rightOnly = right.columns.filterNot(left.columns.contains).toSeq
+        val unmatched = withNullCols(
+          left.join(shared.select(leftIdCols.map(col): _*).distinct(),
+            leftIdCols, "left_anti"), right, rightOnly)
+        shared.unionByName(unmatched, allowMissingColumns = true)
+    }
+  }
+
+  /** The bucketed equi-join core shared by every interval-join variant:
+    * bucket width = window width, each right row in one bucket, each left
+    * row probing the ≤2 buckets its window spans. */
+  private def intervalInner(left: DataFrame, right: DataFrame,
+      lt: Column, rt: Column, lbSec: Double, ubSec: Double,
+      keys: Seq[String]): DataFrame = {
     val lbUs = (lbSec * 1e6).toLong
     val ubUs = (ubSec * 1e6).toLong
     val w = math.max(ubUs - lbUs, 1L)
@@ -147,21 +171,14 @@ object Temporal {
       .foldLeft(col("_b") === col("_rb") &&
         col("_rt_us") >= col("_lo") && col("_rt_us") <= col("_hi"))(_ && _)
     val helper = Seq("_lo", "_hi", "_b", "_rb", "_rt_us") ++ keys.map(k => s"_rk_$k")
-    val inner = l.join(r, cond, "inner").drop(helper: _*)
-    how match {
-      case "inner" => inner
-      case "left" =>
-        // left rows with no partner, once each (anti on the ORIGINAL
-        // left, not the bucket-exploded one), right columns null
-        val rightOnly = right.columns.filterNot(left.columns.contains).toSeq
-        val unmatched = rightOnly.foldLeft(
-          left.join(inner.select(leftIdCols.map(col): _*).distinct(),
-            leftIdCols, "left_anti")) { (d, c) =>
-          d.withColumn(c, lit(null).cast(right.schema(c).dataType))
-        }
-        inner.unionByName(unmatched, allowMissingColumns = true)
-    }
+    l.join(r, cond, "inner").drop(helper: _*)
   }
+
+  /** Append `cols` (typed from `src`'s schema) as NULLs. */
+  private def withNullCols(df: DataFrame, src: DataFrame,
+      cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, lit(null).cast(src.schema(c).dataType)))
 
   // -----------------------------------------------------------------
   // As-of join (reference: _asof_join.py:479-1000)
@@ -253,14 +270,15 @@ object Temporal {
       asofJoin(left, right, lt, rt, keys, direction, how, rightTieBreak)
     case "right" | "outer" =>
       require(rightIdCols.nonEmpty, s"asofJoinFull($how): pass rightIdCols")
+      // base feeds BOTH the output and the matched-id probe; persist so
+      // the union+window matching pass executes once, not twice.
       val base = asofJoin(left, right, lt, rt, keys, direction,
         if (how == "right") "inner" else "left", rightTieBreak)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val matched = base.select(rightIdCols.map(col): _*).na.drop().distinct()
       val leftOnly = left.columns.filterNot(right.columns.contains).toSeq
-      val unmatchedRight = leftOnly.foldLeft(
-        right.join(matched, rightIdCols, "left_anti")) { (d, c) =>
-        d.withColumn(c, lit(null).cast(left.schema(c).dataType))
-      }
+      val unmatchedRight = withNullCols(
+        right.join(matched, rightIdCols, "left_anti"), left, leftOnly)
       base.unionByName(unmatchedRight, allowMissingColumns = true)
     case other => throw new IllegalArgumentException(s"asofJoinFull how=$other")
   }
@@ -280,15 +298,21 @@ object Temporal {
       case "outer" =>
         require(leftIdCols.nonEmpty && rightIdCols.nonEmpty,
           "intervalJoinFull(outer): pass leftIdCols and rightIdCols")
-        val l = intervalJoin(left, right, lt, rt, lbSec, ubSec, keys, "left", leftIdCols)
-        val inner = intervalJoin(left, right, lt, rt, lbSec, ubSec, keys, "inner")
-        val matched = inner.select(rightIdCols.map(col): _*).distinct()
+        // One persisted inner feeds all three legs (matched output,
+        // unmatched-left probe, unmatched-right probe) — previously the
+        // bucketed join subtree executed three times here.
+        val shared = intervalInner(left, right, lt, rt, lbSec, ubSec, keys)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rightOnly = right.columns.filterNot(left.columns.contains).toSeq
         val leftOnly = left.columns.filterNot(right.columns.contains).toSeq
-        val unmatchedRight = leftOnly.foldLeft(
-          right.join(matched, rightIdCols, "left_anti")) { (d, c) =>
-          d.withColumn(c, lit(null).cast(left.schema(c).dataType))
-        }
-        l.unionByName(unmatchedRight, allowMissingColumns = true)
+        val unmatchedLeft = withNullCols(
+          left.join(shared.select(leftIdCols.map(col): _*).distinct(),
+            leftIdCols, "left_anti"), right, rightOnly)
+        val unmatchedRight = withNullCols(
+          right.join(shared.select(rightIdCols.map(col): _*).distinct(),
+            rightIdCols, "left_anti"), left, leftOnly)
+        shared.unionByName(unmatchedLeft, allowMissingColumns = true)
+          .unionByName(unmatchedRight, allowMissingColumns = true)
       case other => throw new IllegalArgumentException(s"intervalJoinFull how=$other")
     }
 

@@ -35,6 +35,16 @@ class PlanSpec extends SparkSpec {
       s"interval join must not fall back to a nested-loop/cartesian plan:\n$p")
   }
 
+  test("outer temporal variants reuse one persisted inner, not a recompute") {
+    // The matched output and the unmatched-side anti-join probes must all
+    // read the SAME persisted inner result; before this guard the bucketed
+    // join subtree executed 2-3 times (once per leg).
+    assert(plan("q_interval_outer").contains("InMemoryTableScan"),
+      "interval outer: shared inner must be cache-reused")
+    assert(plan("q_asof_right").contains("InMemoryTableScan"),
+      "asof right: shared matching pass must be cache-reused")
+  }
+
   test("q_select: scan reads only projected columns") {
     val p = plan("q_select")
     assert(p.contains("ReadSchema") && !p.contains("p_comment") && !p.contains("p_retailprice"))
