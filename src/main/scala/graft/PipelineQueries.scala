@@ -30,11 +30,14 @@ object PipelineQueries extends QueryModule {
       concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
   }
 
-  // MinHash + LSH banding + exact-Jaccard verification
+  // MinHash + LSH banding + exact-Jaccard verification; stop-shingles
+  // (document frequency > 20) dropped before signatures
   q("q_dedup_minhash",
     """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] AS s
+      |sh0 AS (SELECT DISTINCT doc_id, ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] AS s
       |       FROM w, UNNEST(range(1, len(ws)-1)) AS t(j)),
+      |sh AS (SELECT doc_id, s FROM sh0
+      |       QUALIFY count(*) OVER (PARTITION BY s) <= 20),
       |mh AS (SELECT doc_id,
       |  min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
       |  min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3,
@@ -56,7 +59,7 @@ object PipelineQueries extends QueryModule {
       |FROM i JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
       |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8""") { (s, dir) =>
     Dedup.minhashLshPairs(load(s, dir, "documents"), col("doc_id"), col("text"),
-        n = 3, k = 6, bands = 3, threshold = 0.8)
+        n = 3, k = 6, bands = 3, threshold = 0.8, maxDf = 20)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
@@ -73,11 +76,14 @@ object PipelineQueries extends QueryModule {
       .select(col("id").as("doc_id"), col("simhash"))
   }
 
-  // blocked exact n-gram Jaccard (block = lang)
+  // blocked exact n-gram Jaccard (block = lang); stop-shingles (document
+  // frequency > 20 within the block) dropped first
   q("q_dedup_ngram_jaccard",
     """WITH w AS (SELECT doc_id, lang, string_split(text,' ') AS ws FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, lang, ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] AS s
+      |sh0 AS (SELECT DISTINCT doc_id, lang, ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] AS s
       |       FROM w, UNNEST(range(1, len(ws)-1)) AS t(j)),
+      |sh AS (SELECT doc_id, lang, s FROM sh0
+      |       QUALIFY count(*) OVER (PARTITION BY lang, s) <= 20),
       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |i AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
       |  FROM sh x JOIN sh y
@@ -87,7 +93,7 @@ object PipelineQueries extends QueryModule {
       |FROM i JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
       |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6""") { (s, dir) =>
     Dedup.ngramJaccardPairs(load(s, dir, "documents"), col("doc_id"), col("text"),
-        col("lang"), n = 3, threshold = 0.6)
+        col("lang"), n = 3, threshold = 0.6, maxDf = 20)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 

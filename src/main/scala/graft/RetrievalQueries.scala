@@ -97,10 +97,14 @@ object RetrievalQueries extends QueryModule {
       |r AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
       |wl AS (SELECT doc_id, string_split(text,' ') AS ws FROM l),
       |wr AS (SELECT doc_id, string_split(text,' ') AS ws FROM r),
-      |shl AS (SELECT DISTINCT doc_id, ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] AS s
+      |shl0 AS (SELECT DISTINCT doc_id, ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] AS s
       |  FROM wl, UNNEST(range(1, len(ws)-1)) AS t(j)),
-      |shr AS (SELECT DISTINCT doc_id, ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] AS s
+      |shr0 AS (SELECT DISTINCT doc_id, ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] AS s
       |  FROM wr, UNNEST(range(1, len(ws)-1)) AS t(j)),
+      |shl AS (SELECT doc_id, s FROM shl0
+      |  QUALIFY count(*) OVER (PARTITION BY s) <= 20),
+      |shr AS (SELECT doc_id, s FROM shr0
+      |  QUALIFY count(*) OVER (PARTITION BY s) <= 20),
       |mhl AS (SELECT doc_id, min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
       |  min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3,
       |  min(md5('4|' || s)) AS h4, min(md5('5|' || s)) AS h5 FROM shl GROUP BY 1),
@@ -130,7 +134,7 @@ object RetrievalQueries extends QueryModule {
     Dedup.fuzzyJoin(
         docs.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"),
         docs.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"),
-        n = 3, k = 6, bands = 3, threshold = 0.5)
+        n = 3, k = 6, bands = 3, threshold = 0.5, maxDf = 20)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 

@@ -24,16 +24,37 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles: (id, s). Short docs (< n words) get
-    * no shingles. */
-  def shingles(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame = {
-    val words = split(text, " ")
-    val idxs = when(size(words) >= n, sequence(lit(1), size(words) - (n - 1)))
+  /** Distinct word n-gram shingles: (id, s) plus any `carry` columns
+    * (pre-aliased by the caller). Short docs (< n words) get no shingles.
+    *
+    * The words array is materialized into its own projection before the
+    * shingle lambda: inlining `split` into `transform` would re-evaluate
+    * it for every `element_at` (O(len²) splits per document — measured
+    * 6× slower end-to-end at sf0.1). */
+  def shingles(df: DataFrame, id: Column, text: Column, n: Int = 3,
+      carry: Seq[Column] = Nil): DataFrame = {
+    val w = df.select((id.as("id") +: split(text, " ").as("_w") +: carry): _*)
+    val ws = col("_w")
+    val idxs = when(size(ws) >= n, sequence(lit(1), size(ws) - (n - 1)))
       .otherwise(array().cast("array<int>"))
     val sh = transform(idxs, j =>
-      concat_ws(" ", (0 until n).map(o => element_at(words, j + o)): _*))
-    df.select(id.as("id"), explode(sh).as("s")).distinct()
+      concat_ws(" ", (0 until n).map(o => element_at(ws, j + o)): _*))
+    w.select((col("id") +: explode(sh).as("s") +:
+      w.columns.drop(2).map(col).toSeq): _*).distinct()
   }
+
+  /** Stop-shingle filter: drop shingles whose document frequency within
+    * `grp` exceeds `maxDf`. A shingle present in k documents emits O(k²)
+    * candidate/verification join rows, so hot boilerplate shingles ("the
+    * quick brown"-class) make shingle joins quadratic in corpus size; a
+    * small DF cap bounds per-shingle work at maxDf² while near-duplicate
+    * signal (rare, distinctive shingles) is untouched. One shuffle on
+    * `grp` — the same key the downstream join shuffles on. */
+  def capShingleDf(sh: DataFrame, grp: Seq[String], maxDf: Int): DataFrame =
+    if (maxDf == Int.MaxValue) sh
+    else sh.withColumn("_df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(grp.map(col): _*)))
+      .filter(col("_df") <= maxDf).drop("_df")
 
   /** Exact dedup: keep the lowest id per normalized key; emits
     * (keep_id, n_dups). One hash-shuffle, map-side combined. */
@@ -57,10 +78,10 @@ object Dedup {
     * Returns (a, b, jaccard) with a < b. */
   def minhashLshPairs(df: DataFrame, id: Column, text: Column,
       n: Int = 3, k: Int = 6, bands: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxDf: Int = 100): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val sh = shingles(df, id, text, n).cache()
+    val sh = capShingleDf(shingles(df, id, text, n), Seq("s"), maxDf).cache()
     // cache the signature table: each band projection AND each self-join
     // side would otherwise re-run the k-way min aggregation
     val mh = minhash(sh, k).cache()
@@ -80,11 +101,13 @@ object Dedup {
     * block + shingle — no cross join), jaccard ≥ threshold.
     * Returns (a, b, jaccard). */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
-      block: Column, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      block: Column, n: Int = 3, threshold: Double = 0.5,
+      maxDf: Int = 100): DataFrame = {
     // cache: referenced 4× below (both join sides + both size lookups) —
     // uncached, Catalyst re-derives the explode+distinct each time
-    val sh = shingles(df.withColumn("_blk", block), id, text, n)
-      .join(df.select(id.as("id"), block.as("_blk")), "id")
+    val sh = capShingleDf(
+        shingles(df, id, text, n, carry = Seq(block.as("_blk"))),
+        Seq("_blk", "s"), maxDf)
       .cache()
     val inter = sh.as("x").join(sh.as("y"),
         col("x._blk") === col("y._blk") && col("x.s") === col("y.s") &&
@@ -120,11 +143,11 @@ object Dedup {
   def fuzzyJoin(left: DataFrame, lid: Column, ltext: Column,
       right: DataFrame, rid: Column, rtext: Column,
       n: Int = 3, k: Int = 6, bands: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val shL = shingles(left, lid, ltext, n).cache()
-    val shR = shingles(right, rid, rtext, n).cache()
+    val shL = capShingleDf(shingles(left, lid, ltext, n), Seq("s"), maxDf).cache()
+    val shR = capShingleDf(shingles(right, rid, rtext, n), Seq("s"), maxDf).cache()
     def bandRows(sh: DataFrame) = {
       val mh = minhash(sh, k).cache()
       (0 until bands).map { b =>
