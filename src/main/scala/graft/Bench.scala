@@ -61,22 +61,32 @@ object Bench {
     }
     val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
     val runs = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
+    val failed = scala.collection.mutable.Set[String]()
     for (pass <- 1 to reps; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable => System.err.println(s"[bench] $name FAILED: $e")
-      }
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e"); failed += name; false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      System.err.println(f"[bench] pass $pass $name%-28s $dt%8.2f s")
-      runs(name) = runs(name) :+ dt
+      graft.core.Caches.drain() // reset the tracker scope alongside the cache
+      System.err.println(f"[bench] pass $pass $name%-28s $dt%8.2f s" +
+        (if (ok) "" else "  FAILED"))
+      // a failed pass records nothing: time-to-exception would otherwise
+      // make a broken query look fast in the median
+      if (ok) runs(name) = runs(name) :+ dt
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       if (s.isEmpty) 0.0 else s((s.size - 1) / 2)
     }
-    def r3(d: Double): String = f"$d%.3f"
+    // locale-pinned: the f-interpolator uses the JVM default locale, and a
+    // comma decimal separator (de_DE & co) would emit invalid JSON
+    def r3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val med = names.map(n => n -> median(runs(n)))
     val total = med.map(_._2).sum
     val wcRate = streamingWordcount(spark)
@@ -84,6 +94,7 @@ object Bench {
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_full.json")
     val fullJson =
       s"""{"sf":"$sfDir","cpus":$cpus,"reps":$reps,"total_median_sec":${r3(total)},""" +
+      "\"failed\":" + failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]") + "," +
       s""""streaming_wordcount_rows_per_s":${r3(wcRate)},""" +
       "\"medians\":" + med.map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}") +
       ",\"passes\":" + names.map(n =>

@@ -82,8 +82,8 @@ object RetrievalQueries extends QueryModule {
         queries, col("qid"), col("qtext"))
       .withColumn("score", r4e(col("score")))
     val w1 = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
-    val r1 = scored.withColumn("rank", row_number().over(w1))
-      .filter(col("rank") <= 5).select("qid", "id", "rank").cache()
+    val r1 = graft.core.Caches.cache(scored.withColumn("rank", row_number().over(w1))
+      .filter(col("rank") <= 5).select("qid", "id", "rank"))
     val w2 = Window.partitionBy("qid").orderBy(col("id").asc)
     val r2 = r1.withColumn("rank", row_number().over(w2))
       .select("qid", "id", "rank")

@@ -212,20 +212,21 @@ object TemporalQueries extends QueryModule {
   }
 
   // interpolate (reference: stdlib/statistical/_interpolate.py:33) —
-  // null out error-event values, linearly interpolate on the time axis
+  // null out error-event values, linearly interpolate per user timeline
+  // (instance = user_id: one window partition per key, scale-safe)
   q("q_interpolate",
-    """WITH e AS (SELECT event_id, epoch(ts) AS t,
+    """WITH e AS (SELECT event_id, user_id, epoch(ts) AS t,
       |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events),
       |w AS (SELECT event_id, t, v,
-      |  last_value(v IGNORE NULLS) OVER (ORDER BY t, event_id
+      |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
       |  last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
-      |    OVER (ORDER BY t, event_id
+      |    OVER (PARTITION BY user_id ORDER BY t, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
-      |  first_value(v IGNORE NULLS) OVER (ORDER BY t, event_id
+      |  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, event_id
       |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
       |  first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
-      |    OVER (ORDER BY t, event_id
+      |    OVER (PARTITION BY user_id ORDER BY t, event_id
       |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
       |FROM e)
       |SELECT event_id, round(CASE WHEN v IS NOT NULL THEN v
@@ -235,7 +236,7 @@ object TemporalQueries extends QueryModule {
     val ev = loadEvents(s, dir)
       .withColumn("value", when(col("event_type") =!= "error", col("value")))
     Table.fromDF(ev, Seq("event_id"))
-      .interpolate(col("ts"), Seq(col("event_id")), "value")
+      .interpolate(col("ts"), Seq(col("event_id")), Some(col("user_id")), "value")
       .select("value" -> r4(col("value")))
       .df.select("event_id", "value")
   }

@@ -78,9 +78,9 @@ object TpchQueries extends QueryModule {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("c_custkey"), col("c_name"), r4(col("c_acctbal")).as("c_acctbal"))
       .agg(r4(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("revenue").desc, col("c_custkey").asc)
-    t.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= 20).drop("_rn")
+    // global top-N via orderBy+limit → TakeOrderedAndProject (per-partition
+    // top-20 + driver merge), not a single-partition row_number window
+    t.orderBy(col("revenue").desc, col("c_custkey").asc).limit(20)
       .select("c_custkey", "c_name", "revenue", "c_acctbal")
   }
 }

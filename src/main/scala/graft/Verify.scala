@@ -29,7 +29,11 @@ object Verify {
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          }
+          } finally
+            // release operator-internal persists (interval/asof inners,
+            // dedup shingle tables): ~75 queries share this one session,
+            // and un-dropped caches would accumulate for the whole run
+            graft.core.Caches.drain()
       })
     }
     tasks.foreach(_.get())

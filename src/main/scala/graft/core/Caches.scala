@@ -1,0 +1,38 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Per-thread registry of DataFrames persisted inside operators.
+  *
+  * Operators (interval/asof outer joins, dedup pipelines, graph
+  * fixpoints) persist intermediates that are consumed several times
+  * within one query plan. The frames are invisible to the caller, so a
+  * long-lived session running many queries (graft.Verify runs ~75 in one
+  * JVM) would accumulate their storage for the whole run. Routing the
+  * persist calls through here lets the harness release exactly the
+  * frames its completed query created — `drain()` after each query —
+  * without touching caches that concurrently-running queries (Verify
+  * uses a thread pool) still depend on: plan construction and execution
+  * happen on the submitting thread, so a ThreadLocal scope is exact.
+  */
+object Caches {
+  private val tl = new ThreadLocal[scala.collection.mutable.ArrayBuffer[DataFrame]] {
+    override def initialValue() = scala.collection.mutable.ArrayBuffer[DataFrame]()
+  }
+
+  /** `df.cache()` tracked in the current thread's scope. */
+  def cache(df: DataFrame): DataFrame = { val p = df.cache(); tl.get() += p; p }
+
+  /** `df.persist(level)` tracked in the current thread's scope. */
+  def persist(df: DataFrame, level: StorageLevel): DataFrame = {
+    val p = df.persist(level); tl.get() += p; p
+  }
+
+  /** Unpersist every frame tracked on this thread and reset the scope. */
+  def drain(): Unit = {
+    val b = tl.get()
+    b.foreach(d => try d.unpersist(blocking = false) catch { case _: Throwable => })
+    b.clear()
+  }
+}

@@ -161,11 +161,15 @@ final class Table(val df: DataFrame, val key: Seq[String]) {
   }
 
   /** Linear interpolation of nulls using prev/next known points
-    * (reference: stdlib/statistical/_interpolate.py:33). NOTE: global
-    * order = single window partition; use per-instance variants at scale.
-    */
-  def interpolate(timestamp: Column, tieBreak: Seq[Column], values: String*): Table = {
-    val wAll = Window.orderBy((timestamp +: tieBreak).map(_.asc): _*)
+    * (reference: stdlib/statistical/_interpolate.py:33). `instance`
+    * partitions the timeline (one window partition per key) — the form
+    * to use at scale; `None` interpolates over the global order, which
+    * moves all rows through a single partition and is only acceptable
+    * for small frames. */
+  def interpolate(timestamp: Column, tieBreak: Seq[Column],
+      instance: Option[Column], values: String*): Table = {
+    val wAll = instance.map(i => Window.partitionBy(i)).getOrElse(Window.partitionBy())
+      .orderBy((timestamp +: tieBreak).map(_.asc): _*)
     val wB = wAll.rowsBetween(Window.unboundedPreceding, 0)
     val wF = wAll.rowsBetween(0, Window.unboundedFollowing)
     val ts = timestamp.cast("double")

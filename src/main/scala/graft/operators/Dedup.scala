@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Caches
 
 /** Deduplication suite for large-scale training-data pipelines.
   *
@@ -81,10 +82,10 @@ object Dedup {
       threshold: Double = 0.8, maxDf: Int = 100): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val sh = capShingleDf(shingles(df, id, text, n), Seq("s"), maxDf).cache()
+    val sh = Caches.cache(capShingleDf(shingles(df, id, text, n), Seq("s"), maxDf))
     // cache the signature table: each band projection AND each self-join
     // side would otherwise re-run the k-way min aggregation
-    val mh = minhash(sh, k).cache()
+    val mh = Caches.cache(minhash(sh, k))
     val bandRows = (0 until bands).map { b =>
       mh.select(col("id"), lit(b).as("band"),
         md5(concat((0 until r).map(i => col(s"h${b * r + i}")): _*)).as("bk"))
@@ -105,10 +106,9 @@ object Dedup {
       maxDf: Int = 100): DataFrame = {
     // cache: referenced 4× below (both join sides + both size lookups) —
     // uncached, Catalyst re-derives the explode+distinct each time
-    val sh = capShingleDf(
+    val sh = Caches.cache(capShingleDf(
         shingles(df, id, text, n, carry = Seq(block.as("_blk"))),
-        Seq("_blk", "s"), maxDf)
-      .cache()
+        Seq("_blk", "s"), maxDf))
     val inter = sh.as("x").join(sh.as("y"),
         col("x._blk") === col("y._blk") && col("x.s") === col("y.s") &&
           col("x.id") < col("y.id"))
@@ -146,10 +146,10 @@ object Dedup {
       threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val shL = capShingleDf(shingles(left, lid, ltext, n), Seq("s"), maxDf).cache()
-    val shR = capShingleDf(shingles(right, rid, rtext, n), Seq("s"), maxDf).cache()
+    val shL = Caches.cache(capShingleDf(shingles(left, lid, ltext, n), Seq("s"), maxDf))
+    val shR = Caches.cache(capShingleDf(shingles(right, rid, rtext, n), Seq("s"), maxDf))
     def bandRows(sh: DataFrame) = {
-      val mh = minhash(sh, k).cache()
+      val mh = Caches.cache(minhash(sh, k))
       (0 until bands).map { b =>
         mh.select(col("id"), lit(b).as("band"),
           md5(concat((0 until r).map(i => col(s"h${b * r + i}")): _*)).as("bk"))
@@ -198,10 +198,9 @@ object Dedup {
     * Vectors are folded in-order in double precision. */
   def embeddingPairs(df: DataFrame, id: Column, vec: Column, block: Column,
       threshold: Double): DataFrame = {
-    val v = df.select(id.as("id"), vec.cast("array<double>").as("v"),
+    val v = Caches.cache(df.select(id.as("id"), vec.cast("array<double>").as("v"),
         block.as("_blk"))
-      .withColumn("_n2", Similarity.norm2(col("v")))
-      .cache()
+      .withColumn("_n2", Similarity.norm2(col("v"))))
     v.as("x").join(v.as("y"),
         col("x._blk") === col("y._blk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),

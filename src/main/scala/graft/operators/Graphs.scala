@@ -51,11 +51,11 @@ object Graphs {
   def pagerank(edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85): DataFrame = {
     val e = edges.select("src", "dst")
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val nodes = graft.core.Caches.cache(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     val n = nodes.count()
     val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    val withDeg = nodes.join(outDeg, Seq("node"), "left").cache()
+    val withDeg = graft.core.Caches.cache(nodes.join(outDeg, Seq("node"), "left"))
     val init = withDeg.withColumn("rank", lit(1.0 / n))
     Iterate.iterateFixed(init, iterations) { ranks =>
       val contribs = e

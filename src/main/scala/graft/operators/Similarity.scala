@@ -86,10 +86,10 @@ object Similarity {
     * higher recall). */
   def lshTopK(df: DataFrame, id: Column, vec: Column,
       dim: Int, planes: Int, k: Int): DataFrame = {
-    val b = df.select(id.as("id"), vec.cast("array<double>").as("v"))
-      .withColumn("bucket", rhpBucket(col("v"), dim, planes))
-      .withColumn("n2", norm2(col("v")))
-      .cache()
+    val b = graft.core.Caches.cache(
+      df.select(id.as("id"), vec.cast("array<double>").as("v"))
+        .withColumn("bucket", rhpBucket(col("v"), dim, planes))
+        .withColumn("n2", norm2(col("v"))))
     val scored = b.as("q").join(b.as("d"),
         col("q.bucket") === col("d.bucket") && col("q.id") =!= col("d.id"))
       .select(col("q.id").as("query_id"), col("d.id").as("neighbor_id"),

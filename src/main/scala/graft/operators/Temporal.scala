@@ -137,7 +137,7 @@ object Temporal {
         // The inner result feeds BOTH the output and the matched-id
         // anti-join probe; persist so the bucketed join — the dominant
         // cost — executes once, not twice.
-        val shared = inner.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val shared = graft.core.Caches.persist(inner, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // left rows with no partner, once each (anti on the ORIGINAL
         // left, not the bucket-exploded one), right columns null
         val rightOnly = right.columns.filterNot(left.columns.contains).toSeq
@@ -272,9 +272,10 @@ object Temporal {
       require(rightIdCols.nonEmpty, s"asofJoinFull($how): pass rightIdCols")
       // base feeds BOTH the output and the matched-id probe; persist so
       // the union+window matching pass executes once, not twice.
-      val base = asofJoin(left, right, lt, rt, keys, direction,
-        if (how == "right") "inner" else "left", rightTieBreak)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val base = graft.core.Caches.persist(
+        asofJoin(left, right, lt, rt, keys, direction,
+          if (how == "right") "inner" else "left", rightTieBreak),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val matched = base.select(rightIdCols.map(col): _*).na.drop().distinct()
       val leftOnly = left.columns.filterNot(right.columns.contains).toSeq
       val unmatchedRight = withNullCols(
@@ -301,8 +302,9 @@ object Temporal {
         // One persisted inner feeds all three legs (matched output,
         // unmatched-left probe, unmatched-right probe) — previously the
         // bucketed join subtree executed three times here.
-        val shared = intervalInner(left, right, lt, rt, lbSec, ubSec, keys)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val shared = graft.core.Caches.persist(
+          intervalInner(left, right, lt, rt, lbSec, ubSec, keys),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val rightOnly = right.columns.filterNot(left.columns.contains).toSeq
         val leftOnly = left.columns.filterNot(right.columns.contains).toSeq
         val unmatchedLeft = withNullCols(

@@ -49,4 +49,17 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_select")
     assert(p.contains("ReadSchema") && !p.contains("p_comment") && !p.contains("p_retailprice"))
   }
+
+  test("q10: global top-N plans as TakeOrderedAndProject, not a global window") {
+    val p = plan("q10_returned_items")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-N operator:\n$p")
+    assert(!p.contains("Window"), s"no single-partition window for top-N:\n$p")
+  }
+
+  test("q_interpolate: windows are partitioned (no single-partition sort)") {
+    val p = plan("q_interpolate")
+    // an unpartitioned Window plans Exchange SinglePartition under it
+    assert(!p.contains("SinglePartition"),
+      s"interpolate must partition by instance, not globally:\n$p")
+  }
 }

@@ -100,9 +100,18 @@ class TableSpec extends SparkSpec {
       Seq((1L, 0.0, Some(0.0)), (2L, 2.0, None), (3L, 4.0, Some(8.0)),
         (4L, 5.0, None))
         .toDF("id", "t", "v"), Seq("id"))
-    val out = t.interpolate(col("t"), Seq(col("id")), "v")
+    val out = t.interpolate(col("t"), Seq(col("id")), None, "v")
     assert(rowsOf(out.df.select("id", "v")) ==
       Set(Seq(1L, 0.0), Seq(2L, 4.0), Seq(3L, 8.0), Seq(4L, 8.0)))
+    // per-instance: each key interpolates over its own timeline
+    val t2 = Table.fromDF(
+      Seq((1L, "a", 0.0, Some(0.0)), (2L, "a", 2.0, None), (3L, "a", 4.0, Some(8.0)),
+        (4L, "b", 1.0, Some(1.0)), (5L, "b", 3.0, None), (6L, "b", 5.0, Some(5.0)))
+        .toDF("id", "u", "t", "v"), Seq("id"))
+    val out2 = t2.interpolate(col("t"), Seq(col("id")), Some(col("u")), "v")
+    assert(rowsOf(out2.df.select("id", "v")) ==
+      Set(Seq(1L, 0.0), Seq(2L, 4.0), Seq(3L, 8.0),
+        Seq(4L, 1.0), Seq(5L, 3.0), Seq(6L, 5.0)))
   }
 
   test("deduplicateLatest keeps newest row per instance (table.py:1064)") {
