@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses a JSON line from the tail of `sbt run`
+// output. StdoutOutput passes the forked JVM's stdout through verbatim
+// (no "[info] " logger prefix) and showSuccess drops the trailing
+// "[success] Total time ..." line, so our JSON line is clean and last.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
