@@ -12,6 +12,9 @@ object RunOne {
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, sfDir).count()
       println(f"$n%-24s rows=$cnt%-8d ${(System.nanoTime()-t0)/1e9}%8.2f s")
+      // match Bench semantics: no cross-run cache reuse
+      spark.catalog.clearCache()
+      graft.core.Caches.drain()
     }
     spark.stop()
   }

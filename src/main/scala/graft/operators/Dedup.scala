@@ -53,9 +53,16 @@ object Dedup {
     * `grp` — the same key the downstream join shuffles on. */
   def capShingleDf(sh: DataFrame, grp: Seq[String], maxDf: Int): DataFrame =
     if (maxDf == Int.MaxValue) sh
-    else sh.withColumn("_df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(grp.map(col): _*)))
-      .filter(col("_df") <= maxDf).drop("_df")
+    else {
+      // Anti-join against the (small) hot-shingle list instead of a
+      // count-over-window: the window form shuffles AND sorts the whole
+      // shingle table, while the hot list after `> maxDf` is boilerplate
+      // only — AQE plans the anti-join as a broadcast, so the big branch
+      // is never re-shuffled.
+      val hot = sh.groupBy(grp.map(col): _*).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") > maxDf).drop("_df")
+      sh.join(hot, grp, "left_anti")
+    }
 
   /** Exact dedup: keep the lowest id per normalized key; emits
     * (keep_id, n_dups). One hash-shuffle, map-side combined. */
