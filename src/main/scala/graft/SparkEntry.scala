@@ -37,7 +37,7 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] =
     Seq(Queries, TemporalQueries, GraphQueries, PipelineQueries, FacadeQueries,
-      RetrievalQueries, TpchQueries)
+      RetrievalQueries, TpchQueries, IoQueries)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -57,8 +57,9 @@ object io {
   }
 
   def write(df: DataFrame, path: String, format: String = "parquet",
-      mode: String = "overwrite", partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.format(format).mode(mode)
+      mode: String = "overwrite", partitionBy: Seq[String] = Nil,
+      options: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.format(format).mode(mode).options(options)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }
 

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.io
+
+/** fs connector round-trips (reference: python/pathway/io/fs). */
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_io_$name")
+    d.toFile.deleteOnExit(); d.toString + "/data"
+  }
+
+  private val df = Seq((1L, "alpha", 1.5), (2L, "beta, with comma", 2.5),
+    (3L, "gamma \"quoted\"", -0.25)).toDF("id", "name", "score")
+  private val schema = StructType(Seq(StructField("id", LongType),
+    StructField("name", StringType), StructField("score", DoubleType)))
+
+  test("csv round-trip preserves rows incl. delimiters and quotes") {
+    val p = tmp("csv")
+    io.write(df, p, "csv", options = Map("header" -> "true"))
+    val back = io.csv(spark, p, schema = schema, key = Seq("id"))
+    assert(back.key == Seq("id"))
+    assert(rowsOf(back.df) == rowsOf(df))
+  }
+
+  test("csv infers schema when none is given") {
+    val p = tmp("csv_infer")
+    io.write(df, p, "csv", options = Map("header" -> "true"))
+    val back = io.csv(spark, p)
+    assert(back.df.schema.fields.map(_.name).toSeq == Seq("id", "name", "score"))
+    assert(rowsOf(back.df) == rowsOf(df))
+  }
+
+  test("jsonlines round-trip preserves rows and types") {
+    val p = tmp("json")
+    io.write(df, p, "json")
+    val back = io.jsonlines(spark, p, schema = schema, key = Seq("id"))
+    assert(rowsOf(back.df) == rowsOf(df))
+  }
+
+  test("plaintext reads lines as value column") {
+    val p = tmp("text")
+    io.write(df.select(col("name")), p, "text")
+    val back = io.plaintext(spark, p)
+    assert(back.df.columns.toSeq == Seq("value"))
+    assert(rowsOf(back.df) == rowsOf(df.select(col("name").as("value"))))
+  }
+
+  test("binary reads files with path/length/content metadata") {
+    val p = tmp("bin")
+    io.write(df.select(col("name")), p, "text")
+    val back = io.binary(spark, p + "/*.txt")
+    val cols = back.df.columns.toSet
+    assert(Set("path", "modificationTime", "length", "content").subsetOf(cols))
+    assert(back.df.count() >= 1)
+    val content = back.df.agg(sum(length(col("content")))).head.getLong(0)
+    assert(content > 0)
+  }
+
+  test("parquet round-trip with key") {
+    val p = tmp("parquet")
+    io.write(df, p, "parquet")
+    val back = io.parquet(spark, p, key = Seq("id"))
+    assert(back.key == Seq("id") && rowsOf(back.df) == rowsOf(df))
+  }
+}
