@@ -510,6 +510,31 @@ object Queries extends QueryModule {
       "k" -> json_get(col("props"), "k").cast("long")).df
   }
 
+  // typed JSON (JsonToOptional, expression.rs:115; tests/test_json.py) —
+  // typed extraction with NULL-on-absent / NULL-on-mismatch soft errors:
+  // long/double/string views of props.k, a missing path, a non-numeric
+  // value cast to long, and a from_json struct-schema field access
+  q("q_json_typed",
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+      |  round(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) / 7 + 1e-9, 4) AS k_double,
+      |  json_extract_string(props, '$.k') AS k_str,
+      |  TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing,
+      |  TRY_CAST(json_extract_string('{"s": "' || event_type || '"}', '$.s') AS BIGINT) AS s_mismatch,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
+      |FROM events""") { (s, dir) =>
+    import org.apache.spark.sql.types._
+    Table.fromDF(loadEvents(s, dir), Seq("event_id")).select(
+      "k_long" -> json_typed(col("props"), "k", LongType),
+      "k_double" -> r4(json_typed(col("props"), "k", DoubleType) / 7 + lit(1e-9)),
+      "k_str" -> json_typed(col("props"), "k", StringType),
+      "k_missing" -> json_typed(col("props"), "missing", LongType),
+      "s_mismatch" -> json_typed(
+        concat(lit("{\"s\": \""), col("event_type"), lit("\"}")), "s", LongType),
+      "k_struct" -> json_object(col("props"),
+        StructType(Seq(StructField("k", LongType)))).getField("k")).df
+  }
+
   // remove_errors (table.py:2491) — try_-parse the numeric tail of
   // c_name, drop rows whose parse errored (soft-error → NULL convention)
   q("q_remove_errors",

@@ -77,6 +77,23 @@ object functions {
   def json_get(c: Column, path: String): Column =
     get_json_object(c, "$." + path)
 
+  /** Typed JSON extraction (reference: JsonToOptional,
+    * src/engine/expression.rs:115; tests/test_json.py): the value at
+    * `path` cast to `dtype`, NULL when the path is absent or the value
+    * doesn't convert — the reference's Optional soft-error semantics
+    * (`as_int()` etc. return None on mismatch, never raise). try_cast is
+    * codegen'd, so the typed path stays inside whole-stage codegen. */
+  def json_typed(c: Column, path: String, dtype: org.apache.spark.sql.types.DataType): Column =
+    get_json_object(c, "$." + path).try_cast(dtype)
+
+  /** Whole-document typed parse (reference: Json value type,
+    * src/engine/value.rs:225): parse the JSON string against an explicit
+    * struct schema; fields that are absent or mistyped come back NULL
+    * (PERMISSIVE mode), mirroring JsonToOptional per field. Use
+    * `json_object(c, schema)("field")` for typed field access. */
+  def json_object(c: Column, schema: org.apache.spark.sql.types.StructType): Column =
+    from_json(c, schema)
+
   // ---------------------------------------------------------------------
   // .str namespace (reference: internals/expressions/string.py)
   // ---------------------------------------------------------------------

@@ -65,4 +65,27 @@ class FunctionsSpec extends SparkSpec {
         json_get(col("j"), "nested.x").as("nx"))
     assert(rowsOf(df) == Set(Seq("42", "v")))
   }
+
+  test("json_typed: typed extraction, NULL on absent path or mismatch") {
+    import org.apache.spark.sql.types._
+    val df = Seq("""{"i": 42, "f": 1.5, "s": "abc", "b": true}""").toDF("j")
+      .select(
+        json_typed(col("j"), "i", LongType).as("i"),
+        json_typed(col("j"), "f", DoubleType).as("f"),
+        json_typed(col("j"), "b", BooleanType).as("b"),
+        json_typed(col("j"), "missing", LongType).as("m"),
+        json_typed(col("j"), "s", LongType).as("mismatch"))
+    assert(rowsOf(df) == Set(Seq(42L, 1.5, true, null, null)))
+  }
+
+  test("json_object: struct-schema parse, NULL per mistyped field") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("i", LongType), StructField("s", StringType)))
+    val df = Seq("""{"i": 7, "s": "ok"}""", """{"i": "garbage", "s": "x"}""",
+        "not json at all").toDF("j")
+      .select(json_object(col("j"), schema).as("o"))
+      .select(col("o").getField("i").as("i"), col("o").getField("s").as("s"))
+    assert(rowsOf(df) == Set(Seq(7L, "ok"), Seq(null, "x"), Seq(null, null)))
+  }
 }
