@@ -87,9 +87,23 @@ final class Table(val df: DataFrame, val key: Seq[String]) {
     derive(df.join(other.keyOnly, key, "left_semi"))
   /** Filter by key presence in an indexer (reference: table.py:2027). */
   def having(indexer: Table): Table = restrict(indexer)
-  /** Align to other's universe — semi-join, caller asserts equality
-    * (reference: table.py:2037 with_universe_of). */
-  def withUniverseOf(other: Table): Table = restrict(other)
+  /** Align to other's universe (reference: table.py:2037
+    * with_universe_of; universes proven equal by
+    * internals/universe_solver.py:14). The reference's promise is CHECKED
+    * here: a full-outer join of the two key sets flags any key present on
+    * only one side and raises — distributed (co-partitioned join on the
+    * key, no collect), and free when the universes match. The raising
+    * check lives in a FILTER (a dropped projection would be pruned). */
+  def withUniverseOf(other: Table): Table = {
+    val l = keyOnly.withColumn("_l", lit(1))
+    val r = other.df.select(key.map(col): _*).distinct().withColumn("_r", lit(1))
+    val checked = l.join(r, key, "full_outer")
+      .filter(when(col("_l").isNull || col("_r").isNull,
+        raise_error(lit("with_universe_of: universes are not equal")))
+        .otherwise(lit(true)))
+      .select(key.map(col): _*)
+    derive(df.join(checked, key, "left_semi"))
+  }
   private def keyOnly: DataFrame = df.select(key.map(col): _*).distinct()
 
   /** Overwrite cell values for matching keys

@@ -35,6 +35,20 @@ class TableSpec extends SparkSpec {
       ex.getCause != null && ex.getCause.getMessage.contains("duplicate key"))
   }
 
+  test("withUniverseOf passes on equal universes, raises on mismatch (universe_solver.py:14)") {
+    val same = Table.fromDF(Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "v"), Seq("id"))
+    assert(people.withUniverseOf(same).df.count() == 3)
+    val smaller = Table.fromDF(Seq((1L, "x"), (3L, "y")).toDF("id", "v"), Seq("id"))
+    val ex = intercept[Exception] { people.withUniverseOf(smaller).df.count() }
+    assert(ex.getMessage.contains("universes are not equal") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("universes are not equal"))
+    val bigger = Table.fromDF(
+      Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "w")).toDF("id", "v"), Seq("id"))
+    val ex2 = intercept[Exception] { people.withUniverseOf(bigger).df.count() }
+    assert(ex2.getMessage.contains("universes are not equal") ||
+      ex2.getCause != null && ex2.getCause.getMessage.contains("universes are not equal"))
+  }
+
   test("intersect/difference/restrict are key-set ops") {
     val other = Table.fromDF(Seq((1L, "x"), (3L, "y")).toDF("id", "v"), Seq("id"))
     assert(rowsOf(people.intersect(other).df.select("id")) == Set(Seq(1L), Seq(3L)))
