@@ -166,6 +166,58 @@ object TemporalQueries extends QueryModule {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  // sliding window join (reference: _window_join.py:156) — clicks × errors
+  // coinciding in any 2-day window hopping daily (each row in 2 windows)
+  q("q_window_join_sliding",
+    """WITH c AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events WHERE event_type = 'click'),
+      |e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events WHERE event_type = 'error'),
+      |cw AS (SELECT user_id, d - i.i AS w FROM c CROSS JOIN (SELECT unnest(range(2)) AS i) i),
+      |ew AS (SELECT user_id, d - i.i AS w FROM e CROSS JOIN (SELECT unnest(range(2)) AS i) i)
+      |SELECT cw.user_id, make_timestamp(cw.w * 86400000000) AS window_start,
+      |  count(*) AS n_pairs
+      |FROM cw JOIN ew ON ew.user_id = cw.user_id AND ew.w = cw.w
+      |GROUP BY 1, 2""") { (s, dir) =>
+    val ev = loadEvents(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id"), col("ts").as("e_ts"))
+    Temporal.windowJoinSliding(clicks, errors, col("ts"), col("e_ts"),
+        172800, 86400, Seq("user_id"))
+      .groupBy(col("user_id"), col("window_start"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  // session window join (reference: _window_join.py:156) — sessions form
+  // over the UNION of both sides' times (4h gap), then clicks × errors
+  // within each shared session
+  q("q_window_join_session",
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
+      |er AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'error'),
+      |m AS (SELECT DISTINCT user_id, us FROM (SELECT * FROM c UNION ALL SELECT * FROM er)),
+      |s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |    OR us - lag(us) OVER w > 14400000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      |x AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+      |    ROWS UNBOUNDED PRECEDING) AS sess FROM s),
+      |g AS (SELECT user_id, us, make_timestamp(min(us) OVER (PARTITION BY user_id, sess))
+      |    AS session_start FROM x)
+      |SELECT cg.user_id, cg.session_start, count(*) AS n_pairs
+      |FROM (SELECT c.user_id, g.session_start FROM c JOIN g ON g.user_id = c.user_id AND g.us = c.us) cg
+      |JOIN (SELECT er.user_id, g.session_start FROM er JOIN g ON g.user_id = er.user_id AND g.us = er.us) eg
+      |  ON eg.user_id = cg.user_id AND eg.session_start = cg.session_start
+      |GROUP BY 1, 2""") { (s, dir) =>
+    val ev = loadEvents(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id"), col("ts").as("e_ts"))
+    Temporal.windowJoinSession(clicks, errors, col("ts"), col("e_ts"),
+        4 * 3600, Seq("user_id"))
+      .groupBy(col("user_id"), col("session_start"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   // intervals_over (reference: _window.py:795) — per signup, aggregate the
   // user's events in the following 7 days (self at Δ=0 included)
   q("q_intervals_over",

@@ -332,6 +332,51 @@ object Temporal {
     l.join(r, keys :+ "_w", how).withColumnRenamed("_w", "window_start")
   }
 
+  /** Sliding window join (reference: _window_join.py:156 — sliding
+    * windows, all four modes): each row joins once per covering window,
+    * so both sides explode into (row, window_start) assignments — a row
+    * lands in ceil(duration/hop) windows — and the range-coincidence
+    * join becomes a plain equi join on (keys, window_start) that
+    * shuffles/broadcasts like any other. Unmatched rows in left/right/
+    * outer modes surface once per window assignment, matching the
+    * reference's per-window join semantics. */
+  def windowJoinSliding(left: DataFrame, right: DataFrame,
+      lt: Column, rt: Column, durationSec: Long, hopSec: Long,
+      keys: Seq[String], how: String = "inner"): DataFrame = {
+    val l = left.withColumn("_w", explode(slideStarts(lt, durationSec, hopSec)))
+    val r = right.withColumn("_w", explode(slideStarts(rt, durationSec, hopSec)))
+    l.join(r, keys :+ "_w", how)
+      .withColumn("window_start", timestamp_micros(col("_w"))).drop("_w")
+  }
+
+  /** Session window join (reference: _window_join.py:156 — session
+    * windows): sessions are formed over the UNION of both sides' event
+    * times per key (the reference merges both inputs before gap
+    * detection, so a left row and a right row chain into one session
+    * even when each side alone would time out). Each side is then
+    * assigned its session start by (keys, time) lookup and the join is
+    * equi on (keys, session_start). Two window shuffles + two equi
+    * joins, all on the same key — co-partitioned end to end. */
+  def windowJoinSession(left: DataFrame, right: DataFrame,
+      lt: Column, rt: Column, maxGapSec: Double, keys: Seq[String],
+      how: String = "inner"): DataFrame = {
+    val kc = keys.map(col)
+    val merged = left.select((kc :+ lt.as("_t")): _*)
+      .unionByName(right.select((kc :+ rt.as("_t")): _*)).distinct()
+    // (keys, time) -> session_start lookup; distinct() above makes the
+    // mapping unique, so assignment multiplies no rows
+    val sess = sessionize(merged, col("_t"), maxGapSec, kc)
+      .select((keys.map(k => col(k).as(s"_sk_$k")) :+
+        col("_t").as("_st") :+ col("session_start")): _*)
+    def assign(side: DataFrame, t: Column): DataFrame =
+      side.join(sess,
+          keys.map(k => col(k) === col(s"_sk_$k")).reduce(_ && _) && t === col("_st"))
+        .drop((keys.map(k => s"_sk_$k") :+ "_st"): _*)
+    val l = assign(left, lt)
+    val r = assign(right, rt)
+    l.join(r, keys :+ "session_start", how)
+  }
+
   // -----------------------------------------------------------------
   // intervals_over (reference: _window.py:795 _IntervalsOverWindow)
   // -----------------------------------------------------------------

@@ -117,4 +117,41 @@ class TemporalSpec extends SparkSpec {
     val out = Temporal.windowJoinTumbling(left, right, col("lt"), col("rt"), 60, Seq("k"))
     assert(rowsOf(out.select("lid", "rid")) == Set(Seq(1L, 10L)))
   }
+
+  test("windowJoinSliding joins once per coinciding window (_window_join.py:156)") {
+    // duration 60s, hop 30s: each row is in 2 windows
+    val left = Seq((1L, "k", ts("2024-01-01 00:00:40"))).toDF("lid", "k", "lt")
+    val right = Seq((10L, "k", ts("2024-01-01 00:00:50")),
+      (11L, "k", ts("2024-01-01 00:01:10"))).toDF("rid", "k", "rt")
+    val out = Temporal.windowJoinSliding(left, right, col("lt"), col("rt"),
+      60, 30, Seq("k"))
+    // lid=1 windows: [00:00:00,00:01:00) [00:00:30,00:01:30)
+    // rid=10 windows: same two -> 2 pair rows; rid=11: [00:00:30),[00:01:00) -> shares 00:00:30 window
+    assert(rowsOf(out.select("lid", "rid", "window_start")).map(_.take(2))
+      .groupBy(identity).view.mapValues(_ => 1).toMap.keySet ==
+      Set(Seq(1L, 10L), Seq(1L, 11L)))
+    assert(out.count() == 3)
+    // left mode: a row with no coinciding right rows still surfaces per window
+    val lonely = Seq((2L, "z", ts("2024-01-01 09:00:00"))).toDF("lid", "k", "lt")
+    val outer = Temporal.windowJoinSliding(lonely, right, col("lt"), col("rt"),
+      60, 30, Seq("k"), "left")
+    assert(outer.count() == 2 && outer.filter(col("rid").isNull).count() == 2)
+  }
+
+  test("windowJoinSession forms sessions over the UNION of both sides (_window_join.py:156)") {
+    // gap 60s: left 00:00, right 00:30, left 01:00 — each side alone
+    // would split, the merged stream chains into ONE session
+    val left = Seq((1L, "k", ts("2024-01-01 00:00:00")),
+      (2L, "k", ts("2024-01-01 00:01:00"))).toDF("lid", "k", "lt")
+    val right = Seq((10L, "k", ts("2024-01-01 00:00:30"))).toDF("rid", "k", "rt")
+    val out = Temporal.windowJoinSession(left, right, col("lt"), col("rt"),
+      60, Seq("k"))
+    assert(rowsOf(out.select("lid", "rid")) == Set(Seq(1L, 10L), Seq(2L, 10L)))
+    assert(rowsOf(out.select("session_start")).head ==
+      Seq(ts("2024-01-01 00:00:00")))
+    // far-apart rows stay in separate sessions -> inner join drops them
+    val farRight = Seq((20L, "k", ts("2024-01-01 06:00:00"))).toDF("rid", "k", "rt")
+    assert(Temporal.windowJoinSession(left, farRight, col("lt"), col("rt"),
+      60, Seq("k")).count() == 0)
+  }
 }
