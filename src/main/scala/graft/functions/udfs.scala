@@ -65,6 +65,63 @@ object udfs {
     }
   }
 
+  /** Async transform that SETTLES every row: successes emit
+    * `(Some(result), None)`, rows still failing after `retries` emit
+    * `(None, Some(input))` instead of raising — the non-1:1 relaxation
+    * AsyncTransformer needs (a failed invocation must not kill the
+    * stream). Same bounded in-flight window as [[asyncMap]]. */
+  def asyncSettle[T, R](ds: Dataset[T], parallelism: Int = 8,
+      retries: Int = 3, timeout: Duration = 30.seconds)(f: T => Future[R])(
+      implicit e: Encoder[(Option[R], Option[T])]): Dataset[(Option[R], Option[T])] =
+    ds.mapPartitions { it =>
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      def attempt(t: T, left: Int): Future[R] =
+        f(t).recoverWith { case _ if left > 0 => attempt(t, left - 1) }
+      new Iterator[(Option[R], Option[T])] {
+        private val queue = scala.collection.mutable.Queue.empty[(T, Future[R])]
+        private val src = it.map(t => (t, attempt(t, retries)))
+        private def fill(): Unit =
+          while (queue.size < parallelism && src.hasNext) queue.enqueue(src.next())
+        def hasNext: Boolean = { fill(); queue.nonEmpty }
+        def next(): (Option[R], Option[T]) = {
+          fill()
+          val (t, fut) = queue.dequeue()
+          Try(Await.result(fut, timeout)) match {
+            case Success(r) => (Some(r), None)
+            case Failure(_) => (None, Some(t))
+          }
+        }
+      }
+    }
+
+  /** AsyncTransformer analog (reference:
+    * stdlib/utils/async_transformer.py:282 — async `invoke` per row, a
+    * completion table that fills in as invocations finish, failures
+    * routed aside instead of raising).
+    *
+    * Structured-Streaming mapping: foreachBatch drives [[asyncSettle]]
+    * over each micro-batch — invocations run on executor-side threads
+    * with a bounded in-flight window (parallelism × partitions = cluster
+    * concurrency, no driver bottleneck) — and hands the batch's settled
+    * successes and failures to `sink` keyed by batch id. Completions are
+    * batch-bounded (a micro-batch commits only after its rows settle),
+    * which is what makes checkpoint recovery exact: restart re-invokes
+    * the uncommitted batch, at-least-once like the reference's
+    * `instance` consistency mode. */
+  def asyncTransformer[T, R](input: Dataset[T], parallelism: Int = 8,
+      retries: Int = 3, timeout: Duration = 30.seconds,
+      checkpoint: Option[String] = None)(f: T => Future[R])(
+      sink: (Dataset[R], Dataset[T], Long) => Unit)(
+      implicit er: Encoder[R], et: Encoder[T],
+      ep: Encoder[(Option[R], Option[T])]): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = input.writeStream.foreachBatch { (batch: Dataset[T], id: Long) =>
+      val settled = asyncSettle(batch, parallelism, retries, timeout)(f).persist()
+      try sink(settled.flatMap(_._1), settled.flatMap(_._2), id)
+      finally { settled.unpersist(); () }
+    }
+    checkpoint.fold(writer)(cp => writer.option("checkpointLocation", cp)).start()
+  }
+
   /** Memoizing wrapper for expensive deterministic functions —
     * executor-local LRU (reference: udfs/caches.py; the reference's
     * persistent UdfCaching maps to writing the memo table to storage and

@@ -113,6 +113,26 @@ object Streaming {
   def subscribe(df: DataFrame, onChange: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     df.writeStream.outputMode("update").foreachBatch(onChange)
 
+  /** Persistence / recovery conventions (reference: src/persistence/ —
+    * config.rs PersistenceConfig, operator_snapshot.rs, input_snapshot
+    * .rs; recovery proven by integration_tests/wordcount/test_recovery
+    * .py).
+    *
+    * Spark mapping: operator state snapshots + input offsets ARE the
+    * Structured Streaming checkpoint — every stateful operator snapshots
+    * per micro-batch, sources record offsets, sinks commit batch ids.
+    * What the reference's PersistenceConfig adds is a pinned LAYOUT (one
+    * root, one slot per query) so restarts find their state; this helper
+    * pins the same convention: `root/<queryName>`. Restarting any query
+    * `attach`ed here resumes from the last committed batch — no loss, no
+    * reprocessed committed batches (exactly-once per sink batch id). */
+  final case class Persistence(root: String) {
+    def checkpoint(queryName: String): String = s"$root/$queryName"
+    /** Pin query name + checkpoint slot onto a writer. */
+    def attach[T](w: DataStreamWriter[T], queryName: String): DataStreamWriter[T] =
+      w.queryName(queryName).option("checkpointLocation", checkpoint(queryName))
+  }
+
   /** Time-tick source (reference: temporal/time_utils.py:31 utc_now):
     * one row per tick carrying the current UTC timestamp. */
   def utcNow(spark: SparkSession, refreshRateSec: Double = 1.0): DataFrame =

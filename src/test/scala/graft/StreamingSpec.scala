@@ -114,6 +114,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asyncTransformer: completions keyed by id, failures routed aside " +
+      "(async_transformer.py:282)") {
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String)]
+    val ok = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val bad = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = graft.udfs.asyncTransformer(in.toDS(), parallelism = 4,
+        retries = 1) { case (id, s) =>
+      Future {
+        if (s == "boom") throw new RuntimeException("invoke failed")
+        Thread.sleep(if (id % 2 == 0) 30 else 1) // out-of-order completion
+        (id, s.toUpperCase)
+      }
+    } { (succ, fail, _) =>
+      ok.synchronized { ok ++= succ.collect() }
+      bad.synchronized { bad ++= fail.collect() }
+    }
+    try {
+      in.addData((1L, "a"), (2L, "b"), (3L, "boom"), (4L, "c"))
+      q.processAllAvailable()
+      in.addData((5L, "d"))
+      q.processAllAvailable()
+      assert(ok.sortBy(_._1) ==
+        Seq((1L, "A"), (2L, "B"), (4L, "C"), (5L, "D")))
+      assert(bad.toSeq == Seq((3L, "boom"))) // non-1:1: failure didn't kill the stream
+    } finally q.stop()
+  }
+
+  test("Persistence: kill + restart from checkpoint loses nothing, " +
+      "replays no committed batch (src/persistence, test_recovery.py)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Dataset
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val p = Streaming.Persistence(root)
+    assert(p.checkpoint("recovery_q") == s"$root/recovery_q")
+    val in = MemoryStream[Int]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Int])]
+    def start() = p.attach(
+      in.toDS().writeStream.foreachBatch { (b: Dataset[Int], id: Long) =>
+        seen.synchronized { seen += ((id, b.collect().toSeq.sorted)) }; ()
+      }, "recovery_q").start()
+    val q1 = start()
+    in.addData(1, 2, 3)
+    q1.processAllAvailable(); q1.stop() // crash point
+    in.addData(4, 5) // arrives while the query is down
+    val q2 = start() // restart from the same checkpoint slot
+    try {
+      q2.processAllAvailable()
+      val all = seen.synchronized(seen.toList)
+      assert(all.flatMap(_._2).sorted == Seq(1, 2, 3, 4, 5)) // no loss
+      // batch 0 committed before the kill -> not re-delivered after restart
+      assert(all.map(_._1) == all.map(_._1).distinct)
+    } finally q2.stop()
+  }
+
   test("inactivityDetection alerts after event-time silence") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, java.sql.Timestamp)]
