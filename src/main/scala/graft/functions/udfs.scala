@@ -122,10 +122,41 @@ object udfs {
     checkpoint.fold(writer)(cp => writer.option("checkpointLocation", cp)).start()
   }
 
+  /** Persistent UDF memoization (reference: UdfCaching persistence mode,
+    * python_api.rs:3698; internals/udfs/caches.py DiskCache): results
+    * live in a parquet memo table keyed by the input column; repeated
+    * runs of a pipeline skip every already-computed input.
+    *
+    * JOIN-shaped, never a per-row store lookup:
+    *   memo   = read(store)                       (absent → empty)
+    *   misses = distinct inputs ANTI JOIN memo    (one shuffle)
+    *   fresh  = compute(misses)                   (the expensive part)
+    *   store += fresh;  return memo ∪ fresh restricted to inputs
+    * `compute` receives a DataFrame of distinct missing keys and must
+    * return (key, ...result columns) — it runs distributed, so the
+    * expensive function scales with executors while the memo suppresses
+    * recomputation across runs. `compute` must be deterministic (same
+    * contract as the reference's cached UDFs). Appends are
+    * last-writer-wins per file — concurrent writers of DISTINCT keys are
+    * safe (parquet append), concurrent writers of the same key would
+    * duplicate it; the read side dedups defensively. */
+  def memoize(spark: org.apache.spark.sql.SparkSession, store: String,
+      inputs: org.apache.spark.sql.DataFrame, key: String)(
+      compute: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val keys = inputs.select(key).distinct()
+    val memo = Try(spark.read.parquet(store)).toOption
+    val misses = memo.fold(keys)(m =>
+      keys.join(m.select(key).distinct(), Seq(key), "left_anti"))
+    if (!misses.isEmpty)
+      compute(misses).write.mode("append").parquet(store)
+    spark.read.parquet(store)
+      .dropDuplicates(key)
+      .join(keys, Seq(key)) // only the requested slice
+  }
+
   /** Memoizing wrapper for expensive deterministic functions —
-    * executor-local LRU (reference: udfs/caches.py; the reference's
-    * persistent UdfCaching maps to writing the memo table to storage and
-    * joining, which callers can do explicitly). */
+    * executor-local LRU (reference: udfs/caches.py; [[memoize]] is the
+    * persistent cross-run variant). */
   def cached[A, R](f: A => R, maxEntries: Int = 10000): A => R = {
     val cache = new java.util.LinkedHashMap[A, R](16, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[A, R]): Boolean =

@@ -80,10 +80,22 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Plane count that keeps EXPECTED bucket occupancy near
+    * `targetBucketSize`: buckets = 2^planes, so
+    * planes = ceil(log2(corpus / target)). Per-bucket candidate work is
+    * quadratic in occupancy, so `planes` must GROW with the corpus —
+    * log2(100×) ≈ +6.6 planes at a 100× scale-up; a constant plane
+    * count turns each bucket into the skew unit. Pass the result to
+    * [[lshTopK]] / [[rhpBucket]] instead of hardcoding. */
+  def planesFor(corpusSize: Long, targetBucketSize: Long = 256): Int =
+    math.max(1, math.ceil(math.log(corpusSize.toDouble /
+      math.max(1L, targetBucketSize)) / math.log(2)).toInt)
+
   /** ANN top-k: candidates restricted to the query's LSH bucket, exact
     * cosine rank within the bucket. Recall < 1 by construction (scale
     * path; raise `planes` ↔ smaller buckets, or probe neighbors for
-    * higher recall). */
+    * higher recall). Size `planes` with [[planesFor]] — it must scale
+    * with the corpus, not stay constant. */
   def lshTopK(df: DataFrame, id: Column, vec: Column,
       dim: Int, planes: Int, k: Int): DataFrame = {
     val b = graft.core.Caches.cache(

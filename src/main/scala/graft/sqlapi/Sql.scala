@@ -14,15 +14,25 @@ import graft.core.Table
   */
 object Sql {
 
-  def sql(spark: SparkSession, query: String, tables: (String, Table)*): DataFrame = {
-    tables.foreach { case (name, t) => t.df.createOrReplaceTempView(name) }
-    try spark.sql(query)
-    finally () // lazy plan holds the view refs; drop would break deferred execution
-  }
+  def sql(spark: SparkSession, query: String, tables: (String, Table)*): DataFrame =
+    sqlDF(spark, query, tables.map { case (n, t) => n -> t.df }: _*)
 
-  /** DataFrame-direct overload. */
+  /** DataFrame-direct overload. Views live only for the duration of the
+    * call: `spark.sql` ANALYZES eagerly (the returned plan holds the
+    * resolved view children, not catalog references), so the views are
+    * dropped — or a caller's shadowed temp view of the same name
+    * restored — before returning, and executing the result later still
+    * works. */
   def sqlDF(spark: SparkSession, query: String, tables: (String, DataFrame)*): DataFrame = {
+    val prior: Seq[(String, Option[DataFrame])] = tables.map { case (name, _) =>
+      name -> scala.util.Try(spark.catalog.getTable(name))
+        .toOption.filter(_.isTemporary).map(_ => spark.table(name))
+    }
     tables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
-    spark.sql(query)
+    try spark.sql(query)
+    finally prior.foreach {
+      case (name, Some(old)) => old.createOrReplaceTempView(name)
+      case (name, None) => spark.catalog.dropTempView(name); ()
+    }
   }
 }

@@ -33,10 +33,37 @@ object Streaming {
   def exactlyOnceBehavior(shift: String): Behavior =
     Behavior(delay = Some(shift), cutoff = Some(shift), keepResults = false)
 
-  /** Apply the state-eviction half of a behavior (cutoff → watermark).
-    * The emission half is the output mode — see [[outputMode]]. */
-  def withBehavior(df: DataFrame, timeCol: String, b: Behavior): DataFrame =
-    b.cutoff.orElse(b.delay).map(df.withWatermark(timeCol, _)).getOrElse(df)
+  /** Apply the time half of a behavior. Spark has ONE event-time knob —
+    * the watermark — which both postpones append-mode emission (the
+    * reference's `buffer`, time_column.rs:255) and drops late rows /
+    * evicts state (the reference's `forget`, time_column.rs:556). The
+    * two reference knobs therefore map onto the single watermark
+    * CONSERVATIVELY, never emitting earlier than `delay` and never
+    * dropping earlier than `cutoff`:
+    *  - cutoff only → watermark(cutoff): exact.
+    *  - delay + cutoff → watermark(max(delay, cutoff)): emission can be
+    *    later than the reference's buffer when cutoff > delay, late
+    *    drops later than the reference when delay > cutoff — both on the
+    *    safe side (no early emission, no extra dropping).
+    *  - delay only → watermark(delay) is an APPROXIMATION: the reference
+    *    buffers without ever dropping, while a watermark drops rows
+    *    later than `delay`. Pass an explicit large cutoff to bound the
+    *    divergence. The emission half is the output mode — see
+    *    [[outputMode]]. */
+  def withBehavior(df: DataFrame, timeCol: String, b: Behavior): DataFrame = {
+    def micros(s: String): Long = {
+      val i = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      require(i.months == 0, s"withBehavior: month intervals unsupported: $s")
+      i.days * 86400000000L + i.microseconds
+    }
+    (b.delay, b.cutoff) match {
+      case (None, None) => df
+      case (Some(d), Some(c)) =>
+        df.withWatermark(timeCol, if (micros(d) >= micros(c)) d else c)
+      case (d, c) => df.withWatermark(timeCol, d.orElse(c).get)
+    }
+  }
 
   /** keep_results=true ≈ update mode (closed results retained
     * downstream); false ≈ append mode (emitted once at close). */
@@ -135,11 +162,18 @@ object Streaming {
 
   /** Time-tick source (reference: temporal/time_utils.py:31 utc_now):
     * one row per tick carrying the current UTC timestamp. */
-  def utcNow(spark: SparkSession, refreshRateSec: Double = 1.0): DataFrame =
+  def utcNow(spark: SparkSession, refreshRateSec: Double = 1.0): DataFrame = {
+    // the rate source only takes an integer rowsPerSecond: sub-second
+    // refresh maps to N rows/s, super-second refresh to 1 row/s thinned
+    // to every Nth tick
+    val perSec = math.max(1L, math.round(1.0 / refreshRateSec))
+    val everyN = math.max(1L, math.round(refreshRateSec))
     spark.readStream.format("rate")
-      .option("rowsPerSecond", math.max(1.0 / refreshRateSec, 0.001).toString)
+      .option("rowsPerSecond", perSec.toString)
       .load()
+      .filter(col("value") % everyN === 0)
       .select(col("timestamp").as("now"))
+  }
 
   /** Inactivity detection (reference: time_utils.py:52): emit
     * (key, last_seen_ms) once a key has been silent past `gap` in event

@@ -47,4 +47,13 @@ class DataIndexSpec extends SparkSpec {
       .map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("planesFor scales plane count with the corpus (log2), never constant") {
+    import graft.operators.Similarity
+    assert(Similarity.planesFor(1000, 256) == 2)   // ~4 buckets
+    assert(Similarity.planesFor(100000, 256) == 9)
+    // 100x corpus adds ~log2(100) ≈ 6.6 planes
+    assert(Similarity.planesFor(10000000, 256) - Similarity.planesFor(100000, 256) == 7)
+    assert(Similarity.planesFor(10, 256) == 1) // floor
+  }
 }

@@ -172,6 +172,19 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("utcNow is a streaming tick source with a single `now` column") {
+    val ticks = Streaming.utcNow(spark, refreshRateSec = 0.01)
+    assert(ticks.isStreaming && ticks.columns.toSeq == Seq("now"))
+    val q = ticks.writeStream.format("memory").queryName("graft_utcnow")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      Thread.sleep(150); q.processAllAvailable()
+      val rows = spark.table("graft_utcnow").collect()
+      assert(rows.forall(!_.isNullAt(0)))
+    } finally q.stop()
+  }
+
   test("inactivityDetection alerts after event-time silence") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, java.sql.Timestamp)]

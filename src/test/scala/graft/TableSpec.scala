@@ -35,6 +35,21 @@ class TableSpec extends SparkSpec {
       ex.getCause != null && ex.getCause.getMessage.contains("duplicate key"))
   }
 
+  test("concatReindex unions under a new key (table.py:308)") {
+    val other = Table.fromDF(Seq((1L, "dup", 30)).toDF("id", "name", "age"), Seq("id"))
+    // duplicate ids allowed: the union is re-keyed
+    val out = people.concatReindex(Seq("name"), other)
+    assert(out.key == Seq("name") && out.df.count() == 4)
+  }
+
+  test("Table.empty has no rows but carries the schema") {
+    val e = graft.core.Table.empty(spark,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+    assert(e.df.count() == 0 && e.df.columns.toSeq == Seq("id") && e.key == Seq("id"))
+  }
+
   test("withUniverseOf passes on equal universes, raises on mismatch (universe_solver.py:14)") {
     val same = Table.fromDF(Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "v"), Seq("id"))
     assert(people.withUniverseOf(same).df.count() == 3)

@@ -35,4 +35,24 @@ class UdfsSpec extends SparkSpec {
     assert(f(1) == 2 && f(1) == 2 && f(2) == 3)
     assert(calls.get() == 2)
   }
+
+  test("memoize persists results across runs; only misses recompute (UdfCaching)") {
+    import org.apache.spark.sql.functions._
+    val store = java.nio.file.Files.createTempDirectory("graft_memo").toString + "/memo"
+    val computed = spark.sparkContext.longAccumulator("computed")
+    def expensive(missing: org.apache.spark.sql.DataFrame) =
+      missing.select(col("k"),
+        udf((k: Long) => { computed.add(1); k * 10 }).apply(col("k")).as("v"))
+    val run1 = udfs.memoize(spark, store,
+      Seq(1L, 2L, 3L, 2L).toDF("k"), "k")(expensive)
+    assert(rowsOf(run1) == Set(Seq(1L, 10L), Seq(2L, 20L), Seq(3L, 30L)))
+    assert(computed.value == 3) // distinct inputs only
+    // second run: 2 hits + 1 new key -> exactly one recompute
+    val run2 = udfs.memoize(spark, store,
+      Seq(2L, 3L, 4L).toDF("k"), "k")(expensive)
+    assert(rowsOf(run2) == Set(Seq(2L, 20L), Seq(3L, 30L), Seq(4L, 40L)))
+    assert(computed.value == 4)
+    // result is restricted to the requested keys (1L not returned)
+    assert(!run2.select("k").collect().map(_.getLong(0)).contains(1L))
+  }
 }
