@@ -164,6 +164,34 @@ object PipelineQueries extends QueryModule {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  // IVF-flat ANN: 16 sampled centroids, probe 4 lists, exact top-1 inside
+  q("q_knn_ivf",
+    """WITH w AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT id AS cid, v AS cv FROM w ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 16),
+      |sc AS (SELECT w.id, c.cid,
+      |  list_dot_product(w.v, c.cv)
+      |    / sqrt(list_dot_product(w.v, w.v) * list_dot_product(c.cv, c.cv)) AS cc
+      |  FROM w CROSS JOIN c),
+      |rk AS (SELECT id, cid,
+      |  row_number() OVER (PARTITION BY id ORDER BY cc DESC, cid) AS rn FROM sc),
+      |asg AS (SELECT id, cid FROM rk WHERE rn = 1),
+      |pr AS (SELECT id, cid FROM rk WHERE rn <= 4),
+      |cand AS (SELECT pr.id AS query_id, a.id AS neighbor_id,
+      |  list_dot_product(q.v, d.v)
+      |    / sqrt(list_dot_product(q.v, q.v) * list_dot_product(d.v, d.v)) AS c
+      |  FROM pr JOIN asg a ON a.cid = pr.cid AND a.id != pr.id
+      |  JOIN w q ON q.id = pr.id JOIN w d ON d.id = a.id),
+      |r AS (SELECT query_id, neighbor_id, c,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+      |  FROM cand)
+      |SELECT query_id, rank, neighbor_id, round(c, 4) AS cosine
+      |FROM r WHERE rank <= 1""") { (s, dir) =>
+    Similarity.ivfTopK(load(s, dir, "embeddings"), col("vec_id"),
+        col("embedding"), nlist = 16, nprobe = 4, k = 1)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   // ---------------------------------------------------------------
   // Text analysis
   // ---------------------------------------------------------------

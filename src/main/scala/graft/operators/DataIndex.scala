@@ -52,6 +52,18 @@ object DataIndex {
       }
     }
 
+  /** ANN via IVF inverted lists (scale path; nprobe dials recall/cost,
+    * nprobe = nlist is exact). */
+  def ivf(data: DataFrame, id: Column, vec: Column, nlist: Int,
+      nprobe: Int): Retriever =
+    new Retriever {
+      def retrieve(queries: DataFrame, qid: Column, query: Column, k: Int): DataFrame =
+        Similarity.ivfRetrieve(queries, data, qid, query, id, vec,
+            nlist, nprobe, k)
+          .select(col("query_id").as("qid"), col("rank"),
+            col("neighbor_id").as("id"), col("cosine").as("score"))
+    }
+
   /** Full-text BM25 retriever. */
   def bm25(corpus: DataFrame, id: Column, text: Column): Retriever =
     new Retriever {

@@ -80,6 +80,70 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF-flat ANN (the FAISS-style scale path; complements [[lshTopK]]):
+    * a coarse quantizer of `nlist` centroids partitions the corpus into
+    * inverted lists, queries probe their `nprobe` nearest lists and rank
+    * exactly inside them. Recall/cost dial: nprobe=nlist is exact.
+    *
+    *  - centroids = the `nlist` rows with smallest md5(id): a
+    *    deterministic uniform sample, reproducible on any engine (a
+    *    Lloyd round can be layered on, but sampling already spreads
+    *    lists for near-uniform corpora and keeps the oracle replayable);
+    *  - assignment = one broadcast of the tiny centroid table + one
+    *    map-side cosine argmax per row — no shuffle grows with nlist;
+    *  - search = probes equi-join the inverted lists on centroid id, so
+    *    candidate volume is |q|·nprobe·(n/nlist) instead of |q|·n.
+    * Returns (query_id, rank, neighbor_id, cosine), rank 1..k. */
+  def ivfTopK(df: DataFrame, id: Column, vec: Column,
+      nlist: Int, nprobe: Int, k: Int): DataFrame =
+    ivfRetrieve(df, df, id, vec, id, vec, nlist, nprobe, k, excludeSelf = true)
+
+  /** Two-sided IVF retrieval — see [[ivfTopK]] for the structure. The
+    * centroid sample comes from the DATA side; queries only probe. */
+  def ivfRetrieve(queries: DataFrame, data: DataFrame,
+      qid: Column, qvec: Column, did: Column, dvec: Column,
+      nlist: Int, nprobe: Int, k: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    val d = graft.core.Caches.cache(
+      data.select(did.as("id"), dvec.cast("array<double>").as("v"))
+        .withColumn("n2", norm2(col("v"))))
+    val cents = d.select(col("id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+      .orderBy(md5(col("cid").cast("string"))).limit(nlist)
+    // data side: each vector lands in exactly one list (argmax cosine,
+    // tie -> smallest cid via max(struct(cc, -cid)) — no sort needed);
+    // the centroid table is broadcast, so assignment is map-side
+    val dScored = d.crossJoin(broadcast(cents))
+      .select(col("id"), col("cid"),
+        cosinePrenorm(col("v"), col("cv"), col("n2"), col("cn2")).as("cc"))
+    val assigned = dScored.groupBy("id")
+      .agg(max(struct(col("cc"), (-col("cid")).as("nc"))).as("m"))
+      .select(col("id"), (-col("m").getField("nc")).as("cid"))
+      .join(d, "id")
+      .select(col("id").as("neighbor_id"), col("cid"),
+        col("v").as("dv"), col("n2").as("dn2"))
+    // query side: probe the nprobe nearest lists
+    val q = queries.select(qid.as("query_id"), qvec.cast("array<double>").as("qv"))
+      .withColumn("qn2", norm2(col("qv")))
+    val qScored = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("qn2"), col("cid"),
+        cosinePrenorm(col("qv"), col("cv"), col("qn2"), col("cn2")).as("cc"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cc").desc, col("cid").asc)
+    val probes = qScored.withColumn("_pr", row_number().over(wp))
+      .filter(col("_pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn2"), col("cid"))
+    val cand0 = probes.join(assigned, Seq("cid"))
+    val cand = (if (excludeSelf) cand0.filter(col("query_id") =!= col("neighbor_id"))
+      else cand0)
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePrenorm(col("qv"), col("dv"), col("qn2"), col("dn2")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Plane count that keeps EXPECTED bucket occupancy near
     * `targetBucketSize`: buckets = 2^planes, so
     * planes = ceil(log2(corpus / target)). Per-bucket candidate work is

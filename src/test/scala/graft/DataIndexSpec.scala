@@ -48,6 +48,20 @@ class DataIndexSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("ivf retriever: exact when nprobe = nlist, list-restricted otherwise") {
+    import graft.operators.Similarity
+    // nprobe = nlist -> every list probed -> exact ranking (the query row
+    // itself ranks first, same convention as the lsh retriever)
+    val r = DataIndex.ivf(vecs, col("id"), col("v"), nlist = 2, nprobe = 2)
+    val out = r.retrieve(vecs.filter(col("id") === 1), col("id"), col("v"), 3)
+    assert(out.orderBy("rank").collect().map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L))
+    // self-ANN variant excludes the query row itself
+    val self = Similarity.ivfTopK(vecs, col("id"), col("v"),
+      nlist = 2, nprobe = 2, k = 1)
+    assert(self.count() == 3 &&
+      self.filter(col("query_id") === col("neighbor_id")).count() == 0)
+  }
+
   test("planesFor scales plane count with the corpus (log2), never constant") {
     import graft.operators.Similarity
     assert(Similarity.planesFor(1000, 256) == 2)   // ~4 buckets
