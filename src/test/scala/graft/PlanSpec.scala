@@ -56,6 +56,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no single-partition window for top-N:\n$p")
   }
 
+  test("window joins (sliding/session) stay equi joins — no NLJ/cartesian") {
+    Seq("q_window_join_sliding", "q_window_join_session").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q must join on (keys, window), not a nested loop:\n$p")
+    }
+  }
+
+  test("q_knn_ivf: broadcast centroids + rank pushdown (WindowGroupLimit)") {
+    val p = plan("q_knn_ivf")
+    // the only nested-loop joins allowed are the deliberate tiny-centroid
+    // cross joins, which must build on a broadcast side
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("BroadcastExchange"), s"centroids must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k row_number filter must push down as WindowGroupLimit:\n$p")
+  }
+
   test("q_interpolate: windows are partitioned (no single-partition sort)") {
     val p = plan("q_interpolate")
     // an unpartitioned Window plans Exchange SinglePartition under it
