@@ -192,6 +192,30 @@ object PipelineQueries extends QueryModule {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  // LSH pre-clustering: 2 independent 12-plane bands, CC-merged
+  q("q_lsh_cluster",
+    """WITH RECURSIVE
+      |w AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |pr AS (SELECT id, p,
+      |  list_sum(list_transform(range(64), d -> v[d+1] *
+      |    (CASE WHEN CAST('0x' || substr(md5(p || '_' || d), 1, 2) AS INTEGER) % 2 = 0
+      |          THEN 1.0 ELSE -1.0 END))) AS proj
+      |  FROM w, UNNEST(range(24)) AS t(p)),
+      |bk AS (SELECT id, p // 12 AS band,
+      |  CAST(sum(CASE WHEN proj >= 0 THEN 1 << (p % 12) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM pr GROUP BY id, p // 12),
+      |e0 AS (SELECT id, min(id) OVER (PARTITION BY band, bucket) AS m FROM bk),
+      |edges AS (SELECT id AS src, m AS dst FROM e0 WHERE id != m
+      |  UNION SELECT m AS src, id AS dst FROM e0 WHERE id != m),
+      |reach(node, lbl) AS (
+      |  SELECT id, id FROM w
+      |  UNION
+      |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst)
+      |SELECT node, min(lbl) AS cluster FROM reach GROUP BY node""") { (s, dir) =>
+    Similarity.lshCluster(load(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"), dim = 64, planesPerBand = 12, bands = 2)
+  }
+
   // ---------------------------------------------------------------
   // Text analysis
   // ---------------------------------------------------------------

@@ -510,6 +510,30 @@ object Queries extends QueryModule {
       "k" -> json_get(col("props"), "k").cast("long")).df
   }
 
+  // argmax_rows (stdlib/utils/filtering.py:8) — per customer, the full
+  // row of their priciest order; ties toward the smallest orderkey
+  q("q_argmax_rows",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |QUALIFY row_number() OVER (PARTITION BY o_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey) = 1""") { (s, dir) =>
+    operators.ColUtils.argmaxRows(
+      load(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+      Seq(col("o_custkey")), col("o_totalprice"), col("o_orderkey"))
+  }
+
+  // groupby_reduce_majority (stdlib/utils/col.py:326) — each user's most
+  // frequent event type; ties toward the alphabetically smallest
+  q("q_majority",
+    """WITH c AS (SELECT user_id, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id AS grp, event_type AS majority FROM c
+      |QUALIFY row_number() OVER (PARTITION BY user_id
+      |  ORDER BY n DESC, event_type) = 1""") { (s, dir) =>
+    operators.ColUtils.majority(loadEvents(s, dir),
+        col("user_id"), col("event_type"))
+      .select(col("group").as("grp"), col("majority"))
+  }
+
   // typed JSON (JsonToOptional, expression.rs:115; tests/test_json.py) —
   // typed extraction with NULL-on-absent / NULL-on-mismatch soft errors:
   // long/double/string views of props.k, a missing path, a non-numeric

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column/row utility operators (reference: stdlib/utils/col.py,
+  * stdlib/utils/filtering.py).
+  *
+  * All are single-shuffle aggregations or pure projections — no windows
+  * where an aggregate suffices (min/max over a packed struct gets a
+  * map-side partial aggregate; a row_number window would force a full
+  * per-partition sort). */
+object ColUtils {
+
+  /** Keep each group's row with the maximal `what`
+    * (reference: filtering.py:8 argmax_rows). Ties break toward the
+    * smallest `tieBreak` value, making the result deterministic (the
+    * reference inherits its engine's argmax tie rule; an explicit column
+    * is the cross-engine version). */
+  def argmaxRows(df: DataFrame, on: Seq[Column], what: Column,
+      tieBreak: Column): DataFrame =
+    pickRows(df, on, -what, tieBreak)
+
+  /** Keep each group's row with the minimal `what`
+    * (reference: filtering.py:20 argmin_rows). */
+  def argminRows(df: DataFrame, on: Seq[Column], what: Column,
+      tieBreak: Column): DataFrame =
+    pickRows(df, on, what, tieBreak)
+
+  /** min(struct(score, tie, row)) — struct comparison is field-ordered,
+    * so this picks the smallest score then the smallest tieBreak, and
+    * carries the whole row through one aggregate (no join-back, no
+    * window sort). argmax negates the score instead of flipping to max()
+    * so the tie direction stays "smallest tieBreak" for both. */
+  private def pickRows(df: DataFrame, on: Seq[Column], score: Column,
+      tieBreak: Column): DataFrame = {
+    val cols = df.columns.toSeq
+    val packed = struct((score.as("_s") +: tieBreak.as("_t") +:
+      cols.map(col)): _*)
+    df.groupBy(on: _*).agg(min(packed).as("_m"))
+      .select(cols.map(c => col(s"_m.$c").as(c)): _*)
+  }
+
+  /** Majority value of `valueCol` per `group` (reference: col.py:326
+    * groupby_reduce_majority). Two aggregations, both map-side
+    * combinable; ties break toward the smallest value (min_by on
+    * struct(-count, value)). Returns (group, majority). */
+  def majority(df: DataFrame, group: Column, valueCol: Column): DataFrame =
+    df.groupBy(group.as("group"), valueCol.as("majority"))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(col("group"))
+      .agg(min_by(col("majority"),
+        struct((-col("_n")).as("_nn"), col("majority"))).as("majority"))
+
+  /** Unpack a struct column into top-level columns (reference: col.py:60
+    * unpack_col). Pure projection. */
+  def unpackCol(df: DataFrame, column: Column, names: String*): DataFrame =
+    df.select(names.map(n => column.getField(n).as(n)): _*)
+}

@@ -70,14 +70,45 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket id: `planes` sign bits of the vector
     * against deterministic ±1 hyperplanes. */
-  def rhpBucket(vec: Column, dim: Int, planes: Int): Column = {
+  def rhpBucket(vec: Column, dim: Int, planes: Int): Column =
+    rhpBucketSlice(vec, dim, 0, planes)
+
+  /** Bucket id from the plane slice [from, from+count) — bands draw
+    * disjoint plane ranges so each band is an independent hash. */
+  def rhpBucketSlice(vec: Column, dim: Int, from: Int, count: Int): Column = {
     val v = vec.cast("array<double>")
-    val bits = (0 until planes).map { p =>
+    val bits = (0 until count).map { j =>
       val proj = (0 until dim).map(d =>
-        element_at(v, d + 1) * weight(p, lit(d))).reduce(_ + _)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+        element_at(v, d + 1) * weight(from + j, lit(d))).reduce(_ + _)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /** LSH pre-clustering (reference:
+    * stdlib/ml/classifiers/_clustering_via_lsh.py:31 — LSH buckets feed
+    * a clusterer). Items sharing ANY of `bands` independent bucket keys
+    * merge into one cluster: per (band, bucket) star edges to the bucket
+    * minimum, connected components across bands. CC is the distributed
+    * merge step; a per-bucket centroid refinement (the reference runs
+    * KMeans inside buckets) slots in as a mapPartitions pass downstream.
+    * Returns (node, cluster), cluster = min member id; singletons keep
+    * their own id. */
+  def lshCluster(df: DataFrame, id: Column, vec: Column, dim: Int,
+      planesPerBand: Int, bands: Int): DataFrame = {
+    val v = graft.core.Caches.cache(
+      df.select(id.as("id"), vec.cast("array<double>").as("v")))
+    val banded = (0 until bands).map { b =>
+      v.select(col("id"), lit(b).as("band"),
+        rhpBucketSlice(col("v"), dim, b * planesPerBand, planesPerBand).as("bk"))
+    }.reduce(_ unionByName _)
+    val wmin = org.apache.spark.sql.expressions.Window.partitionBy("band", "bk")
+    val edges = banded.withColumn("m", min(col("id")).over(wmin))
+      .filter(col("id") =!= col("m"))
+      .select(col("id").as("src"), col("m").as("dst"))
+    val cc = Graphs.connectedComponents(edges)
+    v.select(col("id").as("node")).join(cc, Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("cluster"))
   }
 
   /** IVF-flat ANN (the FAISS-style scale path; complements [[lshTopK]]):
