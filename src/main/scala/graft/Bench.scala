@@ -99,7 +99,10 @@ object Bench {
     val mins = names.map(n => n -> minOf(runs(n)))
     val med = names.map(n => n -> median(runs(n)))
     val total = mins.map(_._2).sum
-    val wcRate = streamingWordcount(spark)
+    // best-of-3 for the same reason the queries report min-of-passes: a
+    // single micro-batch measurement under a steal window swung 8k-65k
+    // rows/s run-to-run
+    val wcRate = (1 to 3).map(_ => streamingWordcount(spark)).max
     // Full data (all queries, mins + medians + raw passes) → repo-local file.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_full.json")
     val fullJson =

@@ -74,6 +74,12 @@ class PlanSpec extends SparkSpec {
       s"top-k row_number filter must push down as WindowGroupLimit:\n$p")
   }
 
+  test("q_argmax_rows: one shuffle via struct-min aggregate, no window sort") {
+    val p = plan("q_argmax_rows")
+    assert(!p.contains("Window"), s"argmax_rows must aggregate, not window:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected 1 exchange:\n$p")
+  }
+
   test("q_interpolate: windows are partitioned (no single-partition sort)") {
     val p = plan("q_interpolate")
     // an unpartitioned Window plans Exchange SinglePartition under it
