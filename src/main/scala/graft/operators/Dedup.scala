@@ -28,20 +28,34 @@ object Dedup {
   /** Distinct word n-gram shingles: (id, s) plus any `carry` columns
     * (pre-aliased by the caller). Short docs (< n words) get no shingles.
     *
+    * Two scale decisions live here:
+    *  - distinctness is per-document, so it is enforced with
+    *    `array_distinct` on the per-doc shingle array BEFORE exploding —
+    *    a global `.distinct()` would shuffle the exploded table (~50×
+    *    the document bytes) for pairs that are already unique per row;
+    *  - shingling is the CPU-dominant step of every dedup pipeline, so
+    *    if the input arrives in fewer partitions than the session's
+    *    shuffle parallelism (e.g. one small parquet file) it is
+    *    repartitioned BEFORE the explode, while rows are still cheap to
+    *    move. On a real corpus (thousands of input splits) this is a
+    *    no-op.
+    *
     * The words array is materialized into its own projection before the
     * shingle lambda: inlining `split` into `transform` would re-evaluate
     * it for every `element_at` (O(len²) splits per document — measured
     * 6× slower end-to-end at sf0.1). */
   def shingles(df: DataFrame, id: Column, text: Column, n: Int = 3,
       carry: Seq[Column] = Nil): DataFrame = {
-    val w = df.select((id.as("id") +: split(text, " ").as("_w") +: carry): _*)
+    val par = df.sparkSession.sessionState.conf.numShufflePartitions
+    val base = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val w = base.select((id.as("id") +: split(text, " ").as("_w") +: carry): _*)
     val ws = col("_w")
     val idxs = when(size(ws) >= n, sequence(lit(1), size(ws) - (n - 1)))
       .otherwise(array().cast("array<int>"))
-    val sh = transform(idxs, j =>
-      concat_ws(" ", (0 until n).map(o => element_at(ws, j + o)): _*))
+    val sh = array_distinct(transform(idxs, j =>
+      concat_ws(" ", (0 until n).map(o => element_at(ws, j + o)): _*)))
     w.select((col("id") +: explode(sh).as("s") +:
-      w.columns.drop(2).map(col).toSeq): _*).distinct()
+      w.columns.drop(2).map(col).toSeq): _*)
   }
 
   /** Stop-shingle filter: drop shingles whose document frequency within
@@ -80,6 +94,18 @@ object Dedup {
       (1 until k).map(i =>
         min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i")): _*)
 
+  /** (band, band-key) rows for an LSH banding of a minhash signature
+    * table: ONE projection exploding an array of (band, bk) structs —
+    * a per-band union would scan the signature table `bands` times as
+    * `bands` separate stages (and, before the cache is materialized,
+    * those concurrent stages serialize on the cache's block locks). */
+  private def bandRows(mh: DataFrame, bands: Int, r: Int): DataFrame =
+    mh.select(col("id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat((0 until r).map(i => col(s"h${b * r + i}")): _*)).as("bk"))
+      }: _*)).as("_bb"))
+      .select(col("id"), col("_bb.band").as("band"), col("_bb.bk").as("bk"))
+
   /** MinHash + LSH near-duplicate pairs: shingle → k minhashes → `bands`
     * bands of k/bands rows → candidates share a band key → exact Jaccard
     * ≥ threshold verified on candidates only.
@@ -91,14 +117,17 @@ object Dedup {
     val r = k / bands
     val sh = Caches.cache(capShingleDf(shingles(df, id, text, n), Seq("s"), maxDf))
     // cache the signature table: each band projection AND each self-join
-    // side would otherwise re-run the k-way min aggregation
+    // side would otherwise re-run the k-way min aggregation. Materialize
+    // it eagerly (one cheap job — |docs| rows): the self-join and the
+    // verification join each reference these caches from several stages
+    // that AQE runs CONCURRENTLY, and tasks of a not-yet-materialized
+    // cached partition serialize on its block lock (measured 370 s of
+    // task time for 79 s of CPU at sf0.1 before this).
     val mh = Caches.cache(minhash(sh, k))
-    val bandRows = (0 until bands).map { b =>
-      mh.select(col("id"), lit(b).as("band"),
-        md5(concat((0 until r).map(i => col(s"h${b * r + i}")): _*)).as("bk"))
-    }.reduce(_ unionByName _)
-    val cand = bandRows.as("x")
-      .join(bandRows.as("y"),
+    mh.count()
+    val bb = bandRows(mh, bands, r)
+    val cand = bb.as("x")
+      .join(bb.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
@@ -155,14 +184,10 @@ object Dedup {
     val r = k / bands
     val shL = Caches.cache(capShingleDf(shingles(left, lid, ltext, n), Seq("s"), maxDf))
     val shR = Caches.cache(capShingleDf(shingles(right, rid, rtext, n), Seq("s"), maxDf))
-    def bandRows(sh: DataFrame) = {
-      val mh = Caches.cache(minhash(sh, k))
-      (0 until bands).map { b =>
-        mh.select(col("id"), lit(b).as("band"),
-          md5(concat((0 until r).map(i => col(s"h${b * r + i}")): _*)).as("bk"))
-      }.reduce(_ unionByName _)
-    }
-    val cand = bandRows(shL).as("x").join(bandRows(shR).as("y"),
+    // eager-materialize the signature caches (see minhashLshPairs for why)
+    val mhL = Caches.cache(minhash(shL, k)); mhL.count()
+    val mhR = Caches.cache(minhash(shR, k)); mhR.count()
+    val cand = bandRows(mhL, bands, r).as("x").join(bandRows(mhR, bands, r).as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
     val inter = cand
