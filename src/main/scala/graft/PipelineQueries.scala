@@ -109,7 +109,7 @@ object PipelineQueries extends QueryModule {
       |WHERE list_dot_product(x.v, y.v)
       |    / sqrt(list_dot_product(x.v, x.v) * list_dot_product(y.v, y.v)) >= 0.4""") { (s, dir) =>
     Dedup.embeddingPairs(load(s, dir, "embeddings"), col("vec_id"),
-        col("embedding"), col("label"), threshold = 0.4)
+        col("embedding"), col("label"), threshold = 0.4, dim = 64)
       .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
   }
 
@@ -133,7 +133,8 @@ object PipelineQueries extends QueryModule {
     val e = load(s, dir, "embeddings")
     Similarity.bruteForceTopK(
         e.filter(col("vec_id") % 50 === 0), e,
-        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3)
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 3, dim = 64)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cosine"), 4).as("cosine"))
   }
@@ -187,7 +188,7 @@ object PipelineQueries extends QueryModule {
       |SELECT query_id, rank, neighbor_id, round(c, 4) AS cosine
       |FROM r WHERE rank <= 1""") { (s, dir) =>
     Similarity.ivfTopK(load(s, dir, "embeddings"), col("vec_id"),
-        col("embedding"), nlist = 16, nprobe = 4, k = 1)
+        col("embedding"), nlist = 16, nprobe = 4, k = 1, dim = 64)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cosine"), 4).as("cosine"))
   }

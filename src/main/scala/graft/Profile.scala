@@ -27,7 +27,8 @@ object Profile {
           println(f"    [stage ${si.stageId}%4d ${ms.get / 1e3}%7.2f s tasks=${si.numTasks}%4d " +
             f"run=${m.executorRunTime / 1e3}%6.1f gc=${m.jvmGCTime / 1e3}%5.1f " +
             f"deser=${m.executorDeserializeTime / 1e3}%5.1f cpu=${m.executorCpuTime / 1e9}%6.1f " +
-            f"in=${m.inputMetrics.recordsRead}%8d sh=${m.shuffleReadMetrics.recordsRead}%8d]")
+            f"in=${m.inputMetrics.recordsRead}%8d sh=${m.shuffleReadMetrics.recordsRead}%8d] " +
+            si.details.linesIterator.take(3).mkString(" | ").take(160))
       }
     })
     for (pass <- 1 to 2; n <- names) {

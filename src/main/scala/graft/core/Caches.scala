@@ -29,6 +29,19 @@ object Caches {
     val p = df.persist(level); tl.get() += p; p
   }
 
+  /** [[cache]] + immediate materialization (one count job).
+    *
+    * For a cached frame referenced from several branches of one query,
+    * AQE launches the consuming shuffle-map stages CONCURRENTLY, and all
+    * of their tasks serialize on the block locks of the cached
+    * partitions the first stage is still computing — measured 370 s of
+    * task time for 79 s of CPU on a dedup query at sf0.1. One cheap
+    * up-front job makes every later reference a pure cache hit. Use for
+    * frames that are small relative to the work they gate (signature /
+    * probe tables); plain [[cache]] remains right for single-consumer
+    * or barely-reused frames. */
+  def eager(df: DataFrame): DataFrame = { val p = cache(df); p.count(); p }
+
   /** Unpersist every frame tracked on this thread and reset the scope. */
   def drain(): Unit = {
     val b = tl.get()

@@ -123,8 +123,7 @@ object Dedup {
     // that AQE runs CONCURRENTLY, and tasks of a not-yet-materialized
     // cached partition serialize on its block lock (measured 370 s of
     // task time for 79 s of CPU at sf0.1 before this).
-    val mh = Caches.cache(minhash(sh, k))
-    mh.count()
+    val mh = Caches.eager(minhash(sh, k))
     val bb = bandRows(mh, bands, r)
     val cand = bb.as("x")
       .join(bb.as("y"),
@@ -155,7 +154,10 @@ object Dedup {
 
   private def verifyJaccard(cand: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
-    val inter = cand
+    // pin the verification join's parallelism: the candidate list is a
+    // few KB after LSH, AQE coalesces it to one partition, and the
+    // |cand|·shinglesPerDoc expansion would run single-threaded
+    val inter = Similarity.fanoutRepartition(cand, col("a"))
       .join(sh.as("sa"), col("a") === col("sa.id"))
       .join(sh.as("sb"), col("b") === col("sb.id") && col("sa.s") === col("sb.s"))
       .groupBy("a", "b").agg(count(lit(1)).as("i"))
@@ -185,12 +187,12 @@ object Dedup {
     val shL = Caches.cache(capShingleDf(shingles(left, lid, ltext, n), Seq("s"), maxDf))
     val shR = Caches.cache(capShingleDf(shingles(right, rid, rtext, n), Seq("s"), maxDf))
     // eager-materialize the signature caches (see minhashLshPairs for why)
-    val mhL = Caches.cache(minhash(shL, k)); mhL.count()
-    val mhR = Caches.cache(minhash(shR, k)); mhR.count()
+    val mhL = Caches.eager(minhash(shL, k))
+    val mhR = Caches.eager(minhash(shR, k))
     val cand = bandRows(mhL, bands, r).as("x").join(bandRows(mhR, bands, r).as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-    val inter = cand
+    val inter = Similarity.fanoutRepartition(cand, col("a"))
       .join(shL.as("sa"), col("a") === col("sa.id"))
       .join(shR.as("sb"), col("b") === col("sb.id") && col("sa.s") === col("sb.s"))
       .groupBy("a", "b").agg(count(lit(1)).as("i"))
@@ -229,15 +231,18 @@ object Dedup {
     * bucket — [[Similarity.rhpBucket]] — as the block at scale).
     * Vectors are folded in-order in double precision. */
   def embeddingPairs(df: DataFrame, id: Column, vec: Column, block: Column,
-      threshold: Double): DataFrame = {
-    val v = Caches.cache(df.select(id.as("id"), vec.cast("array<double>").as("v"),
+      threshold: Double, dim: Int = 0): DataFrame = {
+    val v0 = Caches.eager(Similarity.spread(df)
+      .select(id.as("id"), vec.cast("array<double>").as("v"),
         block.as("_blk"))
-      .withColumn("_n2", Similarity.norm2(col("v"))))
+      .withColumn("_n2", Similarity.norm2(col("v"), dim)))
+    // pin the per-block pairwise expansion's parallelism
+    val v = Similarity.fanoutRepartition(v0, col("_blk"))
     v.as("x").join(v.as("y"),
         col("x._blk") === col("y._blk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         Similarity.cosinePrenorm(col("x.v"), col("y.v"),
-          col("x._n2"), col("y._n2")).as("cosine"))
+          col("x._n2"), col("y._n2"), dim).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -20,8 +20,12 @@ object Graphs {
   /** Undirected connected components. `edges` needs `src`/`dst` columns;
     * returns (node, comp) with comp = min node id of the component. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // eager-cache the symmetrized edge set: it is re-joined EVERY round,
+    // and an uncached `edges` would re-evaluate the caller's whole edge
+    // derivation (for LSH clustering, the 24-plane bucket projection)
+    // once per iteration
+    val sym = graft.core.Caches.eager(edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
     val init = sym.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
     Iterate.fixpoint(init, maxIter,
@@ -50,7 +54,7 @@ object Graphs {
     * also iterates a fixed/adaptive number of rounds). */
   def pagerank(edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85): DataFrame = {
-    val e = edges.select("src", "dst")
+    val e = graft.core.Caches.eager(edges.select("src", "dst"))
     val nodes = graft.core.Caches.cache(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct())
     val n = nodes.count()
@@ -73,7 +77,7 @@ object Graphs {
     * (reference: stdlib/graphs/bellman_ford/impl.py:42). `edges` needs
     * src/dst/weight; returns (node, dist) for reachable nodes only. */
   def bellmanFord(edges: DataFrame, source: Column, maxIter: Int = 50): DataFrame = {
-    val e = edges.select("src", "dst", "weight")
+    val e = graft.core.Caches.eager(edges.select("src", "dst", "weight"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val init = nodes.join(

@@ -21,24 +21,60 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** In-order double-precision dot product. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** In-order double-precision dot product.
+    *
+    * With a known `dim`, the fold is unrolled into a flat
+    * `element_at(a,1)*element_at(b,1) + …` expression: higher-order
+    * functions (`aggregate`/`zip_with`) are CodegenFallback in Spark —
+    * every pair scored drops out of whole-stage codegen into interpreted
+    * eval with per-row array allocation, ~50× slower in the pairwise hot
+    * loops here. Left-to-right addition order is identical in both forms
+    * (and matches DuckDB's list_dot_product), so results stay
+    * bit-identical and oracle hashes don't move. */
+  def dot(a: Column, b: Column, dim: Int = 0): Column =
+    if (dim > 0)
+      (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+    else aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** cosine(a, b) = dot / sqrt(|a|²·|b|²) — formula shape matters for
     * bit-parity with the oracle; keep one sqrt. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  def cosine(a: Column, b: Column, dim: Int = 0): Column =
+    dot(a, b, dim) / sqrt(dot(a, a, dim) * dot(b, b, dim))
 
   /** cosine from a pre-computed squared-norm pair — at scale the |v|²
     * must be computed once per ROW, not once per PAIR (cuts 2/3 of the
     * vector folds in pairwise scoring); bit-identical to [[cosine]]
     * because dot(v,v) is the same fold either way. */
-  def cosinePrenorm(a: Column, b: Column, na2: Column, nb2: Column): Column =
-    dot(a, b) / sqrt(na2 * nb2)
+  def cosinePrenorm(a: Column, b: Column, na2: Column, nb2: Column,
+      dim: Int = 0): Column =
+    dot(a, b, dim) / sqrt(na2 * nb2)
 
   /** Squared L2 norm. */
-  def norm2(v: Column): Column = dot(v, v)
+  def norm2(v: Column, dim: Int = 0): Column = dot(v, v, dim)
+
+  /** Explicit-N repartition by `keys` ahead of a fan-out join.
+    *
+    * The pre-fan-out side of an ANN/dedup verification join is tiny
+    * (candidate ids, probe rows), so AQE coalesces its shuffle to one
+    * partition — it sizes by the bytes it SEES, blind to the
+    * |cand|·listSize expansion a downstream equi-join produces, and the
+    * expensive exact-scoring loop then runs single-threaded (measured
+    * 13 s of a 16 s IVF query in one task at sf0.1). An explicit
+    * partition count is exempt from AQE coalescing and pins the
+    * expansion's parallelism. */
+  private[operators] def fanoutRepartition(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, keys: _*)
+
+  /** Repartition `df` up to the session's shuffle parallelism if it
+    * arrives in fewer partitions (e.g. one small parquet split). A
+    * pairwise-scoring operator inherits its INPUT's partitioning through
+    * broadcast joins, so an under-partitioned corpus table silently
+    * serializes the whole scoring loop into its task count, however many
+    * cores the cluster has. No-op on a real many-split corpus. */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
 
   /** Exact brute-force top-k by cosine: every query row against every
     * data row (broadcast data when it fits). Returns
@@ -46,14 +82,18 @@ object Similarity {
     * ties broken by neighbor id. */
   def bruteForceTopK(queries: DataFrame, data: DataFrame,
       qid: Column, qvec: Column, did: Column, dvec: Column,
-      k: Int): DataFrame = {
-    val q = queries.select(qid.as("query_id"), qvec.cast("array<double>").as("qv"))
-      .withColumn("qn", norm2(col("qv")))
+      k: Int, dim: Int = 0): DataFrame = {
+    // spread the query side before the |q|x|d| expansion: a small query
+    // table arrives in one input split and the whole scoring loop would
+    // otherwise run in that single task
+    val q = fanoutRepartition(
+      queries.select(qid.as("query_id"), qvec.cast("array<double>").as("qv"))
+        .withColumn("qn", norm2(col("qv"), dim)), col("query_id"))
     val d = data.select(did.as("neighbor_id"), dvec.cast("array<double>").as("dv"))
-      .withColumn("dn", norm2(col("dv")))
+      .withColumn("dn", norm2(col("dv"), dim))
     val scored = q.join(d, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosinePrenorm(col("qv"), col("dv"), col("qn"), col("dn")).as("cosine"))
+        cosinePrenorm(col("qv"), col("dv"), col("qn"), col("dn"), dim).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -96,8 +136,8 @@ object Similarity {
     * their own id. */
   def lshCluster(df: DataFrame, id: Column, vec: Column, dim: Int,
       planesPerBand: Int, bands: Int): DataFrame = {
-    val v = graft.core.Caches.cache(
-      df.select(id.as("id"), vec.cast("array<double>").as("v")))
+    val v = graft.core.Caches.eager(
+      spread(df).select(id.as("id"), vec.cast("array<double>").as("v")))
     val banded = (0 until bands).map { b =>
       v.select(col("id"), lit(b).as("band"),
         rhpBucketSlice(col("v"), dim, b * planesPerBand, planesPerBand).as("bk"))
@@ -106,7 +146,9 @@ object Similarity {
     val edges = banded.withColumn("m", min(col("id")).over(wmin))
       .filter(col("id") =!= col("m"))
       .select(col("id").as("src"), col("m").as("dst"))
-    val cc = Graphs.connectedComponents(edges)
+    // eager: the banded-bucket projection is the expensive subtree here;
+    // CC's symmetrize union would otherwise evaluate it twice
+    val cc = Graphs.connectedComponents(graft.core.Caches.eager(edges))
     v.select(col("id").as("node")).join(cc, Seq("node"), "left")
       .select(col("node"), coalesce(col("comp"), col("node")).as("cluster"))
   }
@@ -126,26 +168,30 @@ object Similarity {
     *    candidate volume is |q|·nprobe·(n/nlist) instead of |q|·n.
     * Returns (query_id, rank, neighbor_id, cosine), rank 1..k. */
   def ivfTopK(df: DataFrame, id: Column, vec: Column,
-      nlist: Int, nprobe: Int, k: Int): DataFrame =
-    ivfRetrieve(df, df, id, vec, id, vec, nlist, nprobe, k, excludeSelf = true)
+      nlist: Int, nprobe: Int, k: Int, dim: Int = 0): DataFrame =
+    ivfRetrieve(df, df, id, vec, id, vec, nlist, nprobe, k,
+      excludeSelf = true, dim = dim)
 
   /** Two-sided IVF retrieval — see [[ivfTopK]] for the structure. The
     * centroid sample comes from the DATA side; queries only probe. */
   def ivfRetrieve(queries: DataFrame, data: DataFrame,
       qid: Column, qvec: Column, did: Column, dvec: Column,
       nlist: Int, nprobe: Int, k: Int,
-      excludeSelf: Boolean = false): DataFrame = {
-    val d = graft.core.Caches.cache(
-      data.select(did.as("id"), dvec.cast("array<double>").as("v"))
-        .withColumn("n2", norm2(col("v"))))
-    val cents = d.select(col("id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
-      .orderBy(md5(col("cid").cast("string"))).limit(nlist)
+      excludeSelf: Boolean = false, dim: Int = 0): DataFrame = {
+    // eager: d is referenced by the centroid sample, both assignment
+    // sides and the candidate join — see Caches.eager for the lock story
+    val d = graft.core.Caches.eager(
+      spread(data).select(did.as("id"), dvec.cast("array<double>").as("v"))
+        .withColumn("n2", norm2(col("v"), dim)))
+    val cents = graft.core.Caches.eager(
+      d.select(col("id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+        .orderBy(md5(col("cid").cast("string"))).limit(nlist))
     // data side: each vector lands in exactly one list (argmax cosine,
     // tie -> smallest cid via max(struct(cc, -cid)) — no sort needed);
     // the centroid table is broadcast, so assignment is map-side
     val dScored = d.crossJoin(broadcast(cents))
       .select(col("id"), col("cid"),
-        cosinePrenorm(col("v"), col("cv"), col("n2"), col("cn2")).as("cc"))
+        cosinePrenorm(col("v"), col("cv"), col("n2"), col("cn2"), dim).as("cc"))
     val assigned = dScored.groupBy("id")
       .agg(max(struct(col("cc"), (-col("cid")).as("nc"))).as("m"))
       .select(col("id"), (-col("m").getField("nc")).as("cid"))
@@ -154,20 +200,26 @@ object Similarity {
         col("v").as("dv"), col("n2").as("dn2"))
     // query side: probe the nprobe nearest lists
     val q = queries.select(qid.as("query_id"), qvec.cast("array<double>").as("qv"))
-      .withColumn("qn2", norm2(col("qv")))
+      .withColumn("qn2", norm2(col("qv"), dim))
     val qScored = q.crossJoin(broadcast(cents))
       .select(col("query_id"), col("qv"), col("qn2"), col("cid"),
-        cosinePrenorm(col("qv"), col("cv"), col("qn2"), col("cn2")).as("cc"))
+        cosinePrenorm(col("qv"), col("cv"), col("qn2"), col("cn2"), dim).as("cc"))
     val wp = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cc").desc, col("cid").asc)
-    val probes = qScored.withColumn("_pr", row_number().over(wp))
-      .filter(col("_pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qn2"), col("cid"))
+    // NOTE the (query_id, cid) keys: repartitioning on query_id alone is
+    // statically identical to the rank-window's own exchange, Catalyst
+    // elides it as redundant, and AQE then coalesces the window exchange
+    // to one partition anyway
+    val probes = fanoutRepartition(
+      qScored.withColumn("_pr", row_number().over(wp))
+        .filter(col("_pr") <= nprobe)
+        .select(col("query_id"), col("qv"), col("qn2"), col("cid")),
+      col("query_id"), col("cid"))
     val cand0 = probes.join(assigned, Seq("cid"))
     val cand = (if (excludeSelf) cand0.filter(col("query_id") =!= col("neighbor_id"))
       else cand0)
       .select(col("query_id"), col("neighbor_id"),
-        cosinePrenorm(col("qv"), col("dv"), col("qn2"), col("dn2")).as("cosine"))
+        cosinePrenorm(col("qv"), col("dv"), col("qn2"), col("dn2"), dim).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -193,14 +245,17 @@ object Similarity {
     * with the corpus, not stay constant. */
   def lshTopK(df: DataFrame, id: Column, vec: Column,
       dim: Int, planes: Int, k: Int): DataFrame = {
-    val b = graft.core.Caches.cache(
-      df.select(id.as("id"), vec.cast("array<double>").as("v"))
+    val b0 = graft.core.Caches.eager(
+      spread(df).select(id.as("id"), vec.cast("array<double>").as("v"))
         .withColumn("bucket", rhpBucket(col("v"), dim, planes))
-        .withColumn("n2", norm2(col("v"))))
+        .withColumn("n2", norm2(col("v"), dim)))
+    // pin the per-bucket pairwise expansion's parallelism (see
+    // fanoutRepartition); both self-join sides share the one exchange
+    val b = fanoutRepartition(b0, col("bucket"))
     val scored = b.as("q").join(b.as("d"),
         col("q.bucket") === col("d.bucket") && col("q.id") =!= col("d.id"))
       .select(col("q.id").as("query_id"), col("d.id").as("neighbor_id"),
-        cosinePrenorm(col("q.v"), col("d.v"), col("q.n2"), col("d.n2")).as("cosine"))
+        cosinePrenorm(col("q.v"), col("d.v"), col("q.n2"), col("d.n2"), dim).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
