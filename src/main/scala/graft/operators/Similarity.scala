@@ -21,20 +21,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** In-order double-precision dot product.
+  /** In-order double-precision dot product — a single native codegen'd
+    * plan node ([[graft.plans.DotProductExpr]]).
     *
-    * With a known `dim`, the fold is unrolled into a flat
-    * `element_at(a,1)*element_at(b,1) + …` expression: higher-order
-    * functions (`aggregate`/`zip_with`) are CodegenFallback in Spark —
-    * every pair scored drops out of whole-stage codegen into interpreted
-    * eval with per-row array allocation, ~50× slower in the pairwise hot
-    * loops here. Left-to-right addition order is identical in both forms
-    * (and matches DuckDB's list_dot_product), so results stay
-    * bit-identical and oracle hashes don't move. */
+    * History of this hot path: Spark's higher-order folds
+    * (`aggregate`/`zip_with`) are CodegenFallback — interpreted eval per
+    * pair, ~50× slow. Unrolling into flat `element_at` chains (round 4)
+    * fixed runtime but made every dot a dim-node subtree, and
+    * analysis/optimization/AQE re-planning over thousands of nodes moved
+    * the bottleneck to the DRIVER at bench scale. The native expression
+    * is one node AND a tight codegen loop. Ascending-index
+    * left-associative addition keeps results bit-identical to both
+    * earlier forms and DuckDB's `list_dot_product`, so oracle hashes
+    * don't move. `dim` is retained for source compatibility; the loop
+    * sizes itself from the data. */
   def dot(a: Column, b: Column, dim: Int = 0): Column =
-    if (dim > 0)
-      (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
-    else aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.plans.VecExprs.dotProduct(a, b)
 
   /** cosine(a, b) = dot / sqrt(|a|²·|b|²) — formula shape matters for
     * bit-parity with the oracle; keep one sqrt. */
@@ -103,10 +105,16 @@ object Similarity {
   }
 
   /** Deterministic ±1 hyperplane weight for (plane p, dimension d):
-    * parity of md5(p‖"_"‖d). */
-  private def weight(p: Int, d: Column): Column =
-    when(conv(substring(md5(concat(lit(s"${p}_"), d.cast("string"))), 1, 2),
-      16, 10).cast("int") % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+    * parity of the first byte of md5(p‖"_"‖d). Computed driver-side —
+    * the weights are plan-time constants, and emitting them as md5
+    * expression trees (pre-round-5) meant Catalyst re-constant-folded
+    * planes×dim md5 calls on every optimizer run and AQE re-plan. The
+    * DuckDB oracle regenerates the identical value from its own md5. */
+  private def weightVal(p: Int, d: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${p}_$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (((digest(0) & 0xff) % 2) == 0) 1.0 else -1.0
+  }
 
   /** Random-hyperplane LSH bucket id: `planes` sign bits of the vector
     * against deterministic ±1 hyperplanes. */
@@ -114,13 +122,15 @@ object Similarity {
     rhpBucketSlice(vec, dim, 0, planes)
 
   /** Bucket id from the plane slice [from, from+count) — bands draw
-    * disjoint plane ranges so each band is an independent hash. */
+    * disjoint plane ranges so each band is an independent hash. Each
+    * plane's projection is one [[dot]] of the vector against an
+    * array-literal weight row (ascending-dimension addition order —
+    * bit-identical to the per-term sum the oracle computes). */
   def rhpBucketSlice(vec: Column, dim: Int, from: Int, count: Int): Column = {
     val v = vec.cast("array<double>")
     val bits = (0 until count).map { j =>
-      val proj = (0 until dim).map(d =>
-        element_at(v, d + 1) * weight(from + j, lit(d))).reduce(_ + _)
-      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+      val w = typedLit((0 until dim).map(d => weightVal(from + j, d)).toArray)
+      when(dot(v, w) >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
