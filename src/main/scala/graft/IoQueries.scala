@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.SparkEntry.load
-import graft.sources.io
+import graft.sources.{io, Cdc}
 
 /** Driver-checked fs-connector round-trips (reference:
   * python/pathway/io/fs/__init__.py:33 — csv, jsonlines, plaintext).
@@ -43,6 +43,43 @@ object IoQueries extends QueryModule {
     val out = s"${ioDir(dir)}/nation_json"
     io.write(load(s, dir, "nation").coalesce(1), out, "json")
     io.jsonlines(s, out, schema = nationSchema, key = Seq("n_nationkey")).df
+  }
+
+  private val cdcRowSchema = StructType(Seq(
+    StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType)))
+
+  // Debezium CDC decode + apply: a synthetic change log derived from
+  // orders (snapshot read per key, an update for keys %3==0, a delete
+  // for keys %7==0) is serialized to real Debezium envelope JSON,
+  // decoded back with the typed schema, and replayed into current state
+  // via the single-aggregate latest-per-key apply. The oracle computes
+  // the expected end state directly from orders — proving the whole
+  // to_json → from_json → apply loop lands on exactly the source rows.
+  q("q_cdc_apply",
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders WHERE o_orderkey % 7 <> 0""") { (s, dir) =>
+    val o = load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val row = struct(o.columns.map(col): _*)
+    def env(payload: org.apache.spark.sql.Column) =
+      to_json(struct(payload.as("payload"))).as("value")
+    val snapshot = o.select(env(struct(row.as("after"),
+      lit("r").as("op"), lit(1000L).as("ts_ms"))))
+    val updates = o.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .select(env(struct(struct(o.columns.map(col): _*).as("after"),
+        lit("u").as("op"), lit(2000L).as("ts_ms"))))
+    val deletes = o.filter(col("o_orderkey") % 7 === 0)
+      .select(env(struct(row.as("before"),
+        lit("d").as("op"), lit(3000L).as("ts_ms"))))
+    val events = snapshot.unionByName(updates).unionByName(deletes)
+    val decoded = Cdc.decodeDebezium(events, col("value"), cdcRowSchema)
+    Cdc.applyLatest(decoded, Seq("o_orderkey"), col("_ts_ms"))
   }
 
   q("q_io_text",
