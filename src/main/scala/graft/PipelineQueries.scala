@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Sampling, Similarity, TextOps}
 import graft.SparkEntry.load
 
 /** Oracle-checked queries for the training-data pipeline operators:
@@ -289,5 +289,60 @@ object PipelineQueries extends QueryModule {
       col("doc_id"),
       graft.operators.TextOps.langId(col("text"), markers).as("lang_pred"),
       r4e(TextOps.lexiconRatio(col("text"), markers("en"))).as("score_en"))
+  }
+
+  // ---------------------------------------------------------------
+  // Deterministic sampling (training-mix construction)
+  // ---------------------------------------------------------------
+
+  // ~25% hash sample: pure per-row predicate of md5(salt‖id) — same rows
+  // on any engine/partitioning. 0.25·2³² = 1073741824.
+  q("q_sample_hash",
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE CAST('0x' || substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |  AS BIGINT) < 1073741824""") { (s, dir) =>
+    Sampling.hashSample(load(s, dir, "documents"), col("doc_id"), 0.25, "s1")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  // deterministic train/val/test split by hash-range: fold sizes only
+  // (the membership itself is pinned by q_sample_hash's construction)
+  q("q_split_fold",
+    """WITH h AS (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |    AS BIGINT) AS h FROM documents)
+      |SELECT CASE WHEN h < 3435973836 THEN 'train'
+      |            WHEN h < 3865470566 THEN 'val'
+      |            ELSE 'test' END AS _fold, count(*) AS n
+      |FROM h GROUP BY 1""") { (s, dir) =>
+    Sampling.splitByHash(load(s, dir, "documents"), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("_fold")).agg(count(lit(1)).as("n"))
+  }
+
+  // per-language training mix from a config table (en half, de 30%,
+  // zh 10%; other languages dropped); hash salted per stratum
+  q("q_sample_stratified",
+    """WITH r AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.3), ('zh', 0.1))
+      |    t(lang, rate)),
+      |d AS (SELECT doc_id, d.lang, rate,
+      |  CAST('0x' || substr(md5(d.lang || '|' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |    AS BIGINT) AS h
+      |  FROM documents d JOIN r ON d.lang = r.lang)
+      |SELECT lang, count(*) AS n FROM d
+      |WHERE h < CAST(floor(rate * 4294967296.0) AS BIGINT) GROUP BY 1""") { (s, dir) =>
+    val rates = s.createDataFrame(Seq(("en", 0.5), ("de", 0.3), ("zh", 0.1)))
+      .toDF("lang", "rate")
+    Sampling.stratifiedSample(load(s, dir, "documents"), col("lang"),
+        col("doc_id"), rates)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+  }
+
+  // exactly-100 deterministic sample: smallest md5(id) order — plans as
+  // TakeOrderedAndProject (per-partition top-n, no global sort)
+  q("q_sample_exact",
+    """SELECT doc_id FROM documents
+      |ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100""") { (s, dir) =>
+    Sampling.sampleExact(load(s, dir, "documents"), col("doc_id"), 100)
+      .select(col("doc_id"))
   }
 }

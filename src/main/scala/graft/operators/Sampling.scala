@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `df.sample()` is seeded per-partition: the rows it keeps change with
+  * partitioning, split planning and engine version — useless for a
+  * reproducible corpus subset or an auditable train/val/test split. At
+  * 100 TB a sample must be a PURE PER-ROW PREDICATE of a stable id:
+  * re-running it (on any engine, any cluster shape, any day) keeps
+  * exactly the same rows, joins between independently-sampled tables
+  * stay consistent (same id → same decision), and the plan is a
+  * filter/projection — no shuffle, no state, fully codegen'd.
+  *
+  * The decision function is the first 8 hex chars of md5(salt‖id) read
+  * as a 32-bit integer — uniform on [0, 2³²), identically computable in
+  * Spark, DuckDB and any other engine (the same construction the dedup
+  * and LSH operators use for cross-engine determinism).
+  */
+object Sampling {
+
+  /** u32 hash of `id` under `salt` — uniform on [0, 2³²). */
+  def hashU32(id: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Keep ~`rate` of rows, decided per-row by hash — deterministic,
+    * shuffle-free, independent of partitioning. Different `salt`s give
+    * independent samples; the same salt+id decides consistently across
+    * tables (sample parent and child tables with the same salt on the
+    * join key and the sample stays referentially intact). */
+  def hashSample(df: DataFrame, id: Column, rate: Double,
+      salt: String = ""): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    df.filter(hashU32(id, salt) < lit((rate * (1L << 32)).toLong))
+  }
+
+  /** Assign each row a fold label by hash-range split of the unit
+    * interval — the deterministic train/val/test split. `weights` need
+    * not sum to 1; they are normalized. Returns the frame plus a
+    * `_fold` column. A row's fold never changes when data is added or
+    * repartitioned (no global count, no shuffle — unlike randomSplit). */
+  def splitByHash(df: DataFrame, id: Column, weights: Seq[(String, Double)],
+      salt: String = ""): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val total = weights.map(_._2).sum
+    val bounds = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+    val h = hashU32(id, salt)
+    // first matching cumulative bound wins: when(h < ub1, f1) else
+    // when(h < ub2, f2) ... else last fold
+    val fold = weights.zipWithIndex.map { case ((name, _), i) =>
+      (lit((bounds(i + 1) * (1L << 32)).toLong), name)
+    }.foldRight(lit(weights.last._1): Column) { case ((ub, name), rest) =>
+      when(h < ub, lit(name)).otherwise(rest)
+    }
+    df.withColumn("_fold", fold)
+  }
+
+  /** Per-stratum hash sampling: each stratum keeps ~its own `rate`. The
+    * rate table (stratum → rate) is a broadcast join — the idiomatic
+    * shape when the mix is data (a training-mix config), not code. The
+    * hash is salted with the stratum value so per-stratum decisions are
+    * mutually independent. Strata absent from `rates` are dropped. */
+  def stratifiedSample(df: DataFrame, stratum: Column, id: Column,
+      rates: DataFrame, salt: String = ""): DataFrame = {
+    // rates: (stratum, rate) — tiny config table
+    val r = rates.toDF("_stratum", "_rate")
+    val h = conv(substring(md5(concat(lit(salt), stratum.cast("string"),
+      lit("|"), id.cast("string"))), 1, 8), 16, 10).cast("long")
+    df.join(broadcast(r), stratum === col("_stratum"))
+      .filter(h < (col("_rate") * lit((1L << 32).toDouble)).cast("long"))
+      .drop("_stratum", "_rate")
+  }
+
+  /** Exactly-n deterministic sample: the n rows with smallest
+    * md5(salt‖id). Plans as TakeOrderedAndProject — per-partition top-n
+    * + driver merge, never a global sort. Costlier than [[hashSample]]
+    * (materializes an ordering) — use when the contract is a hard row
+    * count, not a rate. */
+  def sampleExact(df: DataFrame, id: Column, n: Int,
+      salt: String = ""): DataFrame =
+    df.orderBy(md5(concat(lit(salt), id.cast("string")))).limit(n)
+}

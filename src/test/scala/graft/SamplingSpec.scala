@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Deterministic sampling operators — the properties that matter at
+  * scale: partition-independence, exact re-runnability, fold
+  * completeness, and the TakeOrderedAndProject plan for exact-n. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (1L to 1000L).map(i => (i, s"doc$i", (i % 5).toString))
+    .toDF("id", "text", "lang")
+
+  test("hashSample is deterministic and partition-independent") {
+    val a = Sampling.hashSample(docs, col("id"), 0.3, "s")
+    val b = Sampling.hashSample(docs.repartition(7, col("text")), col("id"), 0.3, "s")
+    assert(rowsOf(a) == rowsOf(b))
+    assert(a.count() > 200 && a.count() < 400) // ~300 expected
+    assert(Sampling.hashSample(docs, col("id"), 0.0).count() == 0)
+    assert(Sampling.hashSample(docs, col("id"), 1.0).count() == 1000)
+    // different salts give (near-)independent samples
+    val c = Sampling.hashSample(docs, col("id"), 0.3, "other")
+    assert(rowsOf(a) != rowsOf(c))
+  }
+
+  test("splitByHash assigns every row exactly one fold, deterministically") {
+    val f = Sampling.splitByHash(docs, col("id"),
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0)) // unnormalized ok
+    assert(f.count() == 1000)
+    val byFold = f.groupBy("_fold").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byFold.keySet == Set("train", "val", "test"))
+    assert(byFold("train") > 700 && byFold("val") < 200 && byFold("test") < 200)
+    // membership is stable under re-partitioning
+    val f2 = Sampling.splitByHash(docs.repartition(13), col("id"),
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+    assert(rowsOf(f) == rowsOf(f2))
+  }
+
+  test("stratifiedSample applies per-stratum rates and drops absent strata") {
+    val rates = Seq(("0", 1.0), ("1", 0.5)).toDF("lang", "rate")
+    val out = Sampling.stratifiedSample(docs, col("lang"), col("id"), rates)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.keySet == Set("0", "1")) // langs 2,3,4 dropped
+    assert(byLang("0") == 200)             // rate 1.0 keeps the whole stratum
+    assert(byLang("1") > 50 && byLang("1") < 150)
+  }
+
+  test("sampleExact returns exactly n rows via TakeOrderedAndProject") {
+    val s = Sampling.sampleExact(docs, col("id"), 37)
+    assert(s.count() == 37)
+    assert(rowsOf(s) == rowsOf(Sampling.sampleExact(docs.repartition(5), col("id"), 37)))
+    val plan = s.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+  }
+}
