@@ -97,6 +97,53 @@ object PipelineQueries extends QueryModule {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  // canonicalization: minhash pair edges → connected components → keep
+  // the longest member per cluster (tie: smallest doc_id)
+  q("q_dedup_canonical",
+    """WITH RECURSIVE
+      |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] AS s
+      |       FROM w, UNNEST(range(1, len(ws)-1)) AS t(j)),
+      |sh AS (SELECT doc_id, s FROM sh0
+      |       QUALIFY count(*) OVER (PARTITION BY s) <= 20),
+      |mh AS (SELECT doc_id,
+      |  min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
+      |  min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3,
+      |  min(md5('4|' || s)) AS h4, min(md5('5|' || s)) AS h5
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bk FROM mh UNION ALL
+      |  SELECT doc_id, 1, md5(h2 || h3) FROM mh UNION ALL
+      |  SELECT doc_id, 2, md5(h4 || h5) FROM mh),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bands x JOIN bands y
+      |  ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |i AS (SELECT c.a, c.b, count(*) AS i FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.a
+      |  JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT a, b FROM i
+      |  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+      |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+      |edges AS (SELECT a AS src, b AS dst FROM pairs
+      |  UNION SELECT b AS src, a AS dst FROM pairs),
+      |reach(node, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+      |comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+      |m AS (SELECT d.doc_id, d.n_chars, c.cluster,
+      |  row_number() OVER (PARTITION BY c.cluster
+      |    ORDER BY d.n_chars DESC, d.doc_id) AS rn
+      |  FROM documents d JOIN comp c ON c.node = d.doc_id)
+      |SELECT doc_id AS keep_id, cluster, n_chars FROM m WHERE rn = 1""") { (s, dir) =>
+    Dedup.canonicalize(load(s, dir, "documents"), col("doc_id"), col("text"),
+        col("n_chars"), n = 3, k = 6, bands = 3, threshold = 0.8, maxDf = 20)
+      .select(col("doc_id").as("keep_id"), col("_cluster").as("cluster"),
+        col("n_chars"))
+  }
+
   // embedding cosine near-duplicates, blocked by label
   q("q_dedup_embedding",
     """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

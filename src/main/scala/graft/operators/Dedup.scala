@@ -210,6 +210,29 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Near-duplicate CANONICALIZATION — the "actually remove the dups"
+    * pipeline op: [[minhashLshPairs]] edges → connected components → one
+    * representative per cluster (max `keepBy`, ties to the smallest id).
+    * Returns the kept rows with their `_cluster` label (= min member
+    * id); singletons keep themselves.
+    *
+    * Scale shape: pairs are LSH-banded equi-joins (never all-pairs), CC
+    * is pointer-jumping (log(diameter) rounds over near-dup clusters,
+    * which are tiny by construction), and the representative pick is ONE
+    * struct-max aggregate — no window sort over the corpus. */
+  def canonicalize(df: DataFrame, id: Column, text: Column, keepBy: Column,
+      n: Int = 3, k: Int = 6, bands: Int = 3,
+      threshold: Double = 0.8, maxDf: Int = 100): DataFrame = {
+    val pairs = minhashLshPairs(df, id, text, n, k, bands, threshold, maxDf)
+    val cc = Graphs.connectedComponents(
+      pairs.select(col("a").as("src"), col("b").as("dst")))
+    val docs = df.withColumn("_id", id)
+    val clustered = docs.join(cc, docs("_id") === cc("node"), "left")
+      .withColumn("_cluster", coalesce(col("comp"), col("_id")))
+      .drop("node", "comp")
+    ColUtils.argmaxRows(clustered, Seq(col("_cluster")), keepBy, col("_id"))
+  }
+
   /** SimHash fingerprint (16-bit, word-multiset weighted): bit j is the
     * sign of Σ_words ±1 where ± comes from bit j of md5(word). Near-dups
     * collide on the fingerprint (or within small Hamming distance).

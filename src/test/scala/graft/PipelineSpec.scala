@@ -28,6 +28,18 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("canonicalize keeps one representative per near-dup cluster") {
+    // docs 1,2,4 form one cluster (4 is an exact dup of 1, 2 near-dup);
+    // keepBy = text length, tie → smallest id, so doc 1 represents it
+    val kept = Dedup.canonicalize(docs, col("doc_id"), col("text"),
+      length(col("text")), n = 3, k = 6, bands = 3, threshold = 0.5)
+    val ids = kept.select("doc_id", "_cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids == Set((1L, 1L), (3L, 3L)))
+    // all original columns survive on the kept rows
+    assert(kept.columns.contains("text"))
+  }
+
   test("simhash16 collides exact dups, separates different docs") {
     val out = Dedup.simhash16(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
