@@ -45,6 +45,22 @@ object IoQueries extends QueryModule {
     io.jsonlines(s, out, schema = nationSchema, key = Seq("n_nationkey")).df
   }
 
+  // hive-partitioned parquet layout round-trip: write partitioned by
+  // n_regionkey, read back through the partition-discovering reader. The
+  // partition column comes back via directory inference (int in Spark,
+  // engine-dependent in DuckDB) — pinned to BIGINT on both sides.
+  q("q_io_partitioned",
+    """SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+      |FROM read_parquet('/tmp/graft_io/sf0.01/nation_part/**/*.parquet',
+      |  hive_partitioning=1)""") { (s, dir) =>
+    val out = s"${ioDir(dir)}/nation_part"
+    io.write(load(s, dir, "nation"), out, "parquet",
+      partitionBy = Seq("n_regionkey"))
+    io.parquet(s, out, key = Seq("n_nationkey")).df
+      .select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey").cast("long").as("n_regionkey"))
+  }
+
   private val cdcRowSchema = StructType(Seq(
     StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
     StructField("o_orderstatus", StringType),

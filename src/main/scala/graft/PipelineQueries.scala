@@ -338,6 +338,45 @@ object PipelineQueries extends QueryModule {
       r4e(TextOps.lexiconRatio(col("text"), markers("en"))).as("score_en"))
   }
 
+  // corpus vocabulary head: top-50 tokens by term frequency (ties →
+  // token asc — a total order, so the LIMIT cut is engine-independent)
+  q("q_vocab_topk",
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents)
+      |SELECT token, count(*) AS tf,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |FROM t GROUP BY token ORDER BY tf DESC, token LIMIT 50""") { (s, dir) =>
+    TextOps.vocabulary(load(s, dir, "documents"), col("doc_id"), col("text"))
+      .orderBy(col("tf").desc, col("token").asc).limit(50)
+  }
+
+  // pre-training scrub: URLs stripped, emails/IPv4s masked, whitespace
+  // normalized. The noise is injected deterministically in BOTH engines
+  // (the synthetic corpus is clean text), so the scrub is exercised on
+  // rows that actually contain URLs/emails/IPs.
+  q("q_text_clean",
+    """WITH aug AS (SELECT doc_id, text ||
+      |  CASE WHEN doc_id % 5 = 0
+      |    THEN ' contact bob@example.com  or https://ex.am/p?q=1#f now'
+      |    ELSE '' END ||
+      |  CASE WHEN doc_id % 7 = 0 THEN '  logged from 10.0.255.14   end'
+      |    ELSE '' END AS t FROM documents)
+      |SELECT doc_id, trim(regexp_replace(
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(t, 'https?://\S+', ' ', 'g'),
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |  '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+      |'\s+', ' ', 'g')) AS cleaned FROM aug""") { (s, dir) =>
+    val aug = load(s, dir, "documents").withColumn("t", concat(col("text"),
+      when(col("doc_id") % 5 === 0,
+        lit(" contact bob@example.com  or https://ex.am/p?q=1#f now"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        lit("  logged from 10.0.255.14   end")).otherwise(lit(""))))
+    aug.select(col("doc_id"), TextOps.cleanText(col("t")).as("cleaned"))
+  }
+
   // ---------------------------------------------------------------
   // Deterministic sampling (training-mix construction)
   // ---------------------------------------------------------------

@@ -78,4 +78,48 @@ object TextOps {
     array_min(transform(idxs, j =>
       md5(concat_ws(" ", (0 until n).map(o => element_at(words, j + o)): _*))))
   }
+
+  /** Corpus vocabulary: per-token term frequency + document frequency in
+    * one pass (explode → single groupBy; both aggregates partial
+    * map-side except the distinct, which Spark expands to a two-phase
+    * aggregate on (token, id) — still one logical shuffle family, no
+    * window). The seed table for stopword discovery, BPE merges, df
+    * caps. Call on a DataFrame, not a Column: it aggregates the corpus. */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column): org.apache.spark.sql.DataFrame =
+    df.select(id.as("_id"), explode(tokens(text)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("_id")).as("df"))
+
+  // -- cleaning / PII masking ---------------------------------------------
+  // Patterns are restricted to syntax RE2 and java.util.regex agree on
+  // (character classes, \s/\S, bounded quantifiers — no lookaround, no
+  // backrefs) so the DuckDB oracle replays them verbatim (with the 'g'
+  // flag: DuckDB's regexp_replace is first-match-only by default, Spark's
+  // is global).
+
+  /** Drop URLs (http/https through the next whitespace). */
+  def stripUrls(text: Column): Column =
+    regexp_replace(text, "https?://\\S+", " ")
+
+  /** Mask email addresses with `<EMAIL>`. */
+  def maskEmails(text: Column): Column =
+    regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+
+  /** Mask dotted-quad IPv4 literals with `<IP>`. */
+  def maskIpv4(text: Column): Column =
+    regexp_replace(text,
+      "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>")
+
+  /** Collapse whitespace runs to single spaces and trim. */
+  def normalizeWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
+  /** Standard pre-training scrub: strip URLs, mask emails and IPv4s,
+    * normalize whitespace. Order matters — URL removal first (URLs can
+    * embed @ and dotted quads), whitespace collapse last. Pure
+    * projection: one scan at any corpus size. */
+  def cleanText(text: Column): Column =
+    normalizeWhitespace(maskIpv4(maskEmails(stripUrls(text))))
 }

@@ -94,6 +94,18 @@ class PipelineSpec extends SparkSpec {
     assert(shuffled == out.getString(3))
   }
 
+  test("cleanText strips URLs, masks emails/IPs, normalizes whitespace") {
+    val df = Seq(
+      (1L, "see https://x.io/a?b=c#d  and mail a.b+c@foo-bar.org now"),
+      (2L, "server  at 192.168.0.1 \t replied"),
+      (3L, "   already clean   ")).toDF("id", "t")
+    val out = df.select(col("id"), TextOps.cleanText(col("t")).as("c"))
+    assert(rowsOf(out) == Set(
+      Seq(1L, "see and mail <EMAIL> now"),
+      Seq(2L, "server at <IP> replied"),
+      Seq(3L, "already clean")))
+  }
+
   test("langId picks the best-scoring lexicon, ties to first language") {
     val m = Map("aa" -> Seq("x"), "bb" -> Seq("y"))
     val out = Seq("x x y", "y y x", "z z z").toDF("text")
