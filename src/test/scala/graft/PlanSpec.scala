@@ -86,4 +86,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       s"interpolate must partition by instance, not globally:\n$p")
   }
+
+  test("knn scoring: dots are single native nodes, not unrolled chains") {
+    // regression guard against both the CodegenFallback fold and the
+    // unrolled element_at chains (which bloated driver-side planning
+    // ~10x) — walk the optimized tree for the actual expression nodes
+    // (the plan STRING truncates on wide projections)
+    val opt = SparkEntry.queries("q_knn_lsh")(spark, dir)
+      .queryExecution.optimizedPlan
+    def exprs = opt.collect { case n => n.expressions }.flatten
+      .flatMap(e => e +: e.collect { case c => c })
+    assert(exprs.exists(_.isInstanceOf[graft.plans.DotProductExpr]),
+      "expected a native DotProductExpr in the scoring projection")
+    assert(!exprs.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ElementAt]),
+      "unrolled element_at dot chain crept back")
+  }
+
+  test("q_sample_hash: sample predicate is a scan-level filter, no shuffle") {
+    val p = plan("q_sample_hash")
+    assert(!p.contains("Exchange"), s"hash sampling must not shuffle:\n$p")
+  }
+
+  test("q_sample_exact: exact-n sample plans as TakeOrderedAndProject") {
+    assert(plan("q_sample_exact").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_cdc_apply: state replay is one aggregate, no window sort") {
+    val p = plan("q_cdc_apply")
+    assert(!p.contains("Window"), s"latest-per-key must be an aggregate:\n$p")
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r.findFirstIn(p).isDefined)
+  }
 }
