@@ -338,6 +338,33 @@ object PipelineQueries extends QueryModule {
       r4e(TextOps.lexiconRatio(col("text"), markers("en"))).as("score_en"))
   }
 
+  // ndarray matmul (reference __matmul__): reshape each 64-d embedding
+  // into a 4×16 matrix A and compute the Gram matrix A·Aᵀ through the
+  // native mat_mul expression (B = Aᵀ built with nested transforms).
+  // Output canonicalized as a flattened DECIMAL(18,4) string.
+  q("q_matmul",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings WHERE vec_id % 100 = 0),
+      |a AS (SELECT vec_id,
+      |  list_transform(range(4), i -> v[i*16+1 : i*16+16]) AS m FROM e),
+      |c AS (SELECT vec_id, list_transform(range(4), i ->
+      |    list_transform(range(4), j ->
+      |      list_sum(list_transform(range(16), l ->
+      |        m[i+1][l+1] * m[j+1][l+1])))) AS mm FROM a)
+      |SELECT vec_id, array_to_string(list_transform(flatten(mm),
+      |  x -> CAST(CAST(x AS DECIMAL(18,4)) AS VARCHAR)), ',') AS gram
+      |FROM c""") { (s, dir) =>
+    val e = load(s, dir, "embeddings").filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = transform(sequence(lit(0), lit(3)),
+      i => slice(col("v"), i * 16 + 1, lit(16)))
+    val at = transform(sequence(lit(0), lit(15)),
+      l => transform(sequence(lit(0), lit(3)),
+        j => element_at(element_at(a, j + 1), l + 1)))
+    e.select(col("vec_id"),
+      decJoin(flatten(graft.plans.VecExprs.matMul(a, at))).as("gram"))
+  }
+
   // corpus vocabulary head: top-50 tokens by term frequency (ties →
   // token asc — a total order, so the LIMIT cut is engine-independent)
   q("q_vocab_topk",

@@ -37,6 +37,75 @@ object VecExprs {
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** `mat_mul(a, b)` over array<array<double>> matrix columns
+    * (reference: ndarray `@` matmul on expression columns —
+    * internals/expression.py:244 `__matmul__` → operator.matmul,
+    * numpy-backed in the engine). */
+  def matMul(a: Column, b: Column): Column =
+    ColumnBridge.column(MatMulExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+case class MatMulExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private val matType = ArrayType(ArrayType(DoubleType))
+  override def inputTypes = Seq(matType, matType)
+  override def dataType: DataType = matType
+  override def prettyName: String = "mat_mul"
+
+  /** C = A(m×k) · B(k×n); C[i][j] = Σ_l ascending A[i][l]·B[l][j] (the
+    * same left-to-right order as [[DotProductExpr]] and DuckDB list_sum,
+    * for oracle bit-parity). Shape mismatch (a row of A not exactly k
+    * long, ragged B) → NULL, the soft-error convention. CodegenFallback is
+    * deliberate here, unlike the dot: the fallback's cost is one virtual
+    * dispatch per ROW, amortized over O(m·k·n) arithmetic inside eval —
+    * not the per-element dispatch that made fold-based dots slow. */
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val A = a.asInstanceOf[ArrayData]
+    val B = b.asInstanceOf[ArrayData]
+    val m = A.numElements()
+    val k = B.numElements()
+    if (m == 0 || k == 0) return null
+    val b0 = B.getArray(0)
+    if (b0 == null) return null
+    val n = b0.numElements()
+    // pre-extract B rows; verify rectangular
+    val bRows = new Array[ArrayData](k)
+    var l = 0
+    while (l < k) {
+      val r = B.getArray(l)
+      if (r == null || r.numElements() != n) return null
+      bRows(l) = r
+      l += 1
+    }
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val ai = A.getArray(i)
+      if (ai == null || ai.numElements() != k) return null
+      val row = new Array[Any](n)
+      var j = 0
+      while (j < n) {
+        var acc = 0.0
+        var l2 = 0
+        while (l2 < k) { acc += ai.getDouble(l2) * bRows(l2).getDouble(j); l2 += 1 }
+        row(j) = acc
+        j += 1
+      }
+      out(i) = new org.apache.spark.sql.catalyst.util.GenericArrayData(row)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MatMulExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 case class DotProductExpr(left: Expression, right: Expression)

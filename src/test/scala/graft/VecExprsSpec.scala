@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.VecExprs
+
+/** Native vector expressions: dot product and matmul semantics. */
+class VecExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dotProduct: in-order sum, null array propagates, float input casts") {
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (2L, Seq(1.0, 1.0), Seq(2.0, 2.0))).toDF("id", "a", "b")
+    val out = df.select(col("id"), VecExprs.dotProduct(col("a"), col("b")).as("d"))
+    assert(rowsOf(out) == Set(Seq(1L, 32.0), Seq(2L, 4.0)))
+    val withNull = df.select(VecExprs.dotProduct(
+      when(col("id") === 1, col("a")), col("b")).as("d"))
+    assert(rowsOf(withNull) == Set(Seq(32.0), Seq(null)))
+    // float arrays implicit-cast to double
+    val f = Seq((Seq(1.0f, 2.0f), Seq(3.0, 4.0))).toDF("a", "b")
+    assert(f.select(VecExprs.dotProduct(col("a"), col("b"))).head.getDouble(0) == 11.0)
+  }
+
+  test("matMul: known product, identity, shape mismatch → NULL") {
+    val a = Seq(Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))          // 2×2
+    val i2 = Seq(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    val b23 = Seq(Seq(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))) // 2×3
+    def mm(x: Seq[Seq[Seq[Double]]], y: Seq[Seq[Seq[Double]]]) =
+      x.zip(y).toDF("a", "b")
+        .select(VecExprs.matMul(col("a"), col("b")).as("c"))
+        .collect()(0)
+
+    val prod = mm(a, b23).getSeq[Seq[Double]](0)
+    assert(prod == Seq(Seq(9.0, 12.0, 15.0), Seq(19.0, 26.0, 33.0)))
+    assert(mm(a, i2).getSeq[Seq[Double]](0) == Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+    // inner-dimension mismatch: A rows have 2 cols, B has 1 row → NULL
+    val bad = mm(a, Seq(Seq(Seq(1.0, 2.0))))
+    assert(bad.isNullAt(0))
+  }
+}
