@@ -83,4 +83,23 @@ object TpchQueries extends QueryModule {
     t.orderBy(col("revenue").desc, col("c_custkey").asc).limit(20)
       .select("c_custkey", "c_name", "revenue", "c_acctbal")
   }
+
+  // salted fact-to-dim join at lineitem scale, through an aggregation:
+  // the salting rewrite must be row-identical to the plain join the
+  // oracle computes (complements q_join_salted, which checks the bare
+  // projection on the orders/customer pair)
+  q("q_join_salted_agg",
+    """SELECT o_orderpriority,
+      |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE), 4) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""") { (s, dir) =>
+    val li = table(s, dir, "lineitem", "l_orderkey", "l_linenumber")
+    val ord = table(s, dir, "orders", "o_orderkey")
+      .renameColumns("o_orderkey" -> "l_orderkey")
+    li.joinSalted(ord, Seq("l_orderkey"), buckets = 4).df
+      .groupBy(col("o_orderpriority"))
+      .agg(r4(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n"))
+  }
 }

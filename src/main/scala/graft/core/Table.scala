@@ -227,6 +227,9 @@ final class Table(val df: DataFrame, val key: Seq[String]) {
     * spreads the hot key over `buckets` tasks. */
   def joinSalted(other: Table, usingCols: Seq[String], buckets: Int,
       how: String = "inner"): Table = {
+    require(how == "inner" || how == "left" || how == "left_outer",
+      s"salted join supports inner/left only — the replicated right side " +
+        s"would emit unmatched right rows once per salt under '$how'")
     val salted = df.withColumn("_salt",
       pmod(xxhash64(df.columns.map(df.col): _*), lit(buckets)).cast("int"))
     val replicated = other.df.withColumn("_salt",
