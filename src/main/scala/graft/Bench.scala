@@ -31,6 +31,7 @@ object Bench {
     "q_asof_backward", "q_interval_join", "q_window_join", "q_session",
     "q_sort_linked", "q_dedup_exact",
     "q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram_jaccard",
+    "q_dedup_canonical", "q_lsh_cluster", "q_cdc_apply",
     "q_fuzzy_join", "q_knn_lsh", "q_knn_ivf", "q_knn_bruteforce", "q_bm25",
     "q_pagerank", "q_connected_components", "q_text_stats", "q_sql")
 

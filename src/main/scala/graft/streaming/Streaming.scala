@@ -135,6 +135,30 @@ object Streaming {
     stream.join(static, keys, how)
   }
 
+  /** Stream-stream interval join (reference: temporal interval_join in
+    * streaming mode — stdlib/temporal/_interval_join.py; the engine
+    * buffers both sides and emits on watermark progress). Spark's
+    * native stream-stream join has the same state discipline when BOTH
+    * sides are watermarked and the join condition carries a time-range
+    * bound — state for rows older than watermark+bound is dropped.
+    * `lower`/`upper` are inclusive interval-literal offsets of
+    * rightTime relative to leftTime (e.g. "-10 seconds"/"10 seconds").
+    * Inner mode emits as matches arrive; left mode additionally emits
+    * null-extended rows once the watermark passes a left row. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      lower: String, upper: String, watermarkDelay: String,
+      how: String = "inner"): DataFrame = {
+    require(Set("inner", "leftOuter").contains(how),
+      s"intervalJoinStream how=$how")
+    val l = left.withWatermark(leftTime, watermarkDelay)
+    val r = right.withWatermark(rightTime, watermarkDelay)
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rightTime) >= l(leftTime) + expr(s"INTERVAL $lower") &&
+      r(rightTime) <= l(leftTime) + expr(s"INTERVAL $upper")
+    l.join(r, cond, how)
+  }
+
   /** Callback sink (reference: pw.io.subscribe io/_subscribe.py): the
     * callback sees each micro-batch as a DataFrame + batch id. */
   def subscribe(df: DataFrame, onChange: (DataFrame, Long) => Unit): DataStreamWriter[Row] =

@@ -35,6 +35,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: matches within bound, outer emits after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(java.sql.Timestamp, String, Int)]
+    val rIn = MemoryStream[(java.sql.Timestamp, String, Int)]
+    val out = Streaming.intervalJoinStream(
+      lIn.toDF().toDF("lt", "k", "lv"), rIn.toDF().toDF("rt", "k", "rv"),
+      Seq("k"), "lt", "rt", "-10 seconds", "10 seconds",
+      watermarkDelay = "5 seconds", how = "leftOuter")
+    val q = out.select(col("lv"), col("rv")).writeStream.format("memory")
+      .queryName("ssij").outputMode("append").start()
+    try {
+      lIn.addData((ts("2024-01-01 00:00:10"), "a", 1))
+      rIn.addData((ts("2024-01-01 00:00:15"), "a", 100), // in [0,20] → match
+        (ts("2024-01-01 00:00:25"), "a", 200))           // outside bound
+      q.processAllAvailable()
+      // push both watermarks far past the left row so the unmatched-left
+      // emission fires (watermark = max event - 5s)
+      lIn.addData((ts("2024-01-01 00:10:00"), "z", 9))
+      rIn.addData((ts("2024-01-01 00:10:00"), "z", 9))
+      q.processAllAvailable()
+      lIn.addData((ts("2024-01-01 00:11:00"), "z", 10))
+      rIn.addData((ts("2024-01-01 00:11:00"), "z", 10))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT lv, rv FROM ssij").collect()
+        .map(r => (r.getInt(0), Option(r.get(1)))).toSet
+      assert(rows.contains((1, Some(100))), s"expected in-bound match, got $rows")
+      assert(!rows.exists(_ == (1, Some(200))), "out-of-bound row must not match")
+    } finally q.stop()
+  }
+
   test("deduplicateBatch matches streaming semantics on bounded input") {
     val df = Seq(("u", 1, 1), ("u", 2, 5), ("u", 3, 3), ("u", 4, 9), ("v", 1, 2))
       .toDF("k", "seq", "v")
