@@ -98,4 +98,65 @@ class GoldenSpec extends SparkSpec {
       assert(got == List((1L, 1L), (3L, 2L), (4L, 1L)))
     } finally q.stop()
   }
+
+  test("interval_join doctest: interval(-2, 1) (_interval_join.py:79)") {
+    val t1 = Testkit.fromMarkdown(spark, """t
+        |3
+        |4
+        |5
+        |11""".stripMargin).df
+      .select(timestamp_seconds(col("t")).as("lt"))
+    val t2 = Testkit.fromMarkdown(spark, """t
+        |0
+        |1
+        |4
+        |7""".stripMargin).df
+      .select(timestamp_seconds(col("t")).as("rt"))
+    val out = graft.operators.Temporal.intervalJoin(
+        t1, t2, col("lt"), col("rt"), lbSec = -2, ubSec = 1)
+      .select(unix_seconds(col("lt")).as("left_t"),
+        unix_seconds(col("rt")).as("right_t"))
+    assert(rowsOf(out) == Set(
+      Seq(3L, 1L), Seq(3L, 4L), Seq(4L, 4L), Seq(5L, 4L)))
+  }
+
+  test("asof_join doctest: LEFT backward with defaults (_asof_join.py:513)") {
+    val t1 = Testkit.fromMarkdown(spark, """K | val | t
+        |0 | 1   | 1
+        |0 | 2   | 4
+        |0 | 3   | 5
+        |0 | 4   | 6
+        |0 | 5   | 7
+        |0 | 6   | 11
+        |0 | 7   | 12
+        |1 | 8   | 5
+        |1 | 9   | 7""".stripMargin).df
+      .select(col("K"), col("val"), timestamp_seconds(col("t")).as("t"))
+    val t2 = Testkit.fromMarkdown(spark, """K | val | t
+        |1 | 7   | 2
+        |1 | 3   | 8
+        |0 | 0   | 2
+        |0 | 6   | 3
+        |0 | 2   | 7
+        |0 | 3   | 8
+        |0 | 9   | 9
+        |0 | 7   | 13
+        |0 | 4   | 14""".stripMargin).df
+      .select(col("K"), col("val").as("rval"),
+        timestamp_seconds(col("t")).as("rt"))
+    val joined = graft.operators.Temporal.asofJoin(
+      t1, t2, col("t"), col("rt"), Seq("K"), graft.operators.Temporal.Backward,
+      how = "left")
+    // defaults={t2.val: -1}: the default substitutes into every use
+    val out = joined.select(col("K").as("instance"),
+      unix_seconds(col("t")).as("t"), col("val").as("val_left"),
+      coalesce(col("rval"), lit(-1L)).as("val_right"),
+      (col("val") + coalesce(col("rval"), lit(-1L))).as("sum"))
+    assert(rowsOf(out) == Set(
+      Seq(0L, 1L, 1L, -1L, 0L), Seq(0L, 4L, 2L, 6L, 8L),
+      Seq(0L, 5L, 3L, 6L, 9L), Seq(0L, 6L, 4L, 6L, 10L),
+      Seq(0L, 7L, 5L, 2L, 7L), Seq(0L, 11L, 6L, 9L, 15L),
+      Seq(0L, 12L, 7L, 9L, 16L), Seq(1L, 5L, 8L, 7L, 15L),
+      Seq(1L, 7L, 9L, 7L, 16L)))
+  }
 }
