@@ -99,6 +99,31 @@ class GoldenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowby session-predicate doctest (_window.py:884)") {
+    val t = Testkit.fromMarkdown(spark, """instance | t  | v
+        |0        | 1  | 10
+        |0        | 2  | 1
+        |0        | 4  | 3
+        |0        | 8  | 2
+        |0        | 9  | 4
+        |0        | 10 | 8
+        |1        | 1  | 9
+        |1        | 2  | 16""".stripMargin).df
+      .select(col("instance"), timestamp_seconds(col("t")).as("ts"), col("v"),
+        col("t"))
+    // session(predicate=|a-b| <= 1), per instance
+    val sess = graft.operators.Temporal.sessionizeBy(t, col("ts"),
+      Seq(col("instance")),
+      (a, b) => abs(unix_seconds(b) - unix_seconds(a)) <= 1)
+    val out = sess.groupBy(col("instance"), col("session_start"))
+      .agg(min(col("t")).as("min_t"), max(col("v")).as("max_v"),
+        count(lit(1)).as("count"))
+      .select(col("instance"), col("min_t"), col("max_v"), col("count"))
+    assert(rowsOf(out) == Set(
+      Seq(0L, 1L, 10L, 2L), Seq(0L, 4L, 3L, 1L),
+      Seq(0L, 8L, 8L, 3L), Seq(1L, 1L, 16L, 2L)))
+  }
+
   test("interval_join doctest: interval(-2, 1) (_interval_join.py:79)") {
     val t1 = Testkit.fromMarkdown(spark, """t
         |3
