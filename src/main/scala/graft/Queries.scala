@@ -160,6 +160,24 @@ object Queries extends QueryModule {
     f.concat(rest).df
   }
 
+  // concat_reindex (table.py:308) — union of OVERLAPPING key sets under
+  // a fresh composite key (checked concat would raise on the overlap;
+  // reindex makes the union legal, as the reference's fresh-id concat)
+  q("q_concat_reindex",
+    """SELECT o_orderpriority, count(*) AS n FROM (
+      |  SELECT o_orderpriority FROM orders WHERE o_orderkey % 3 < 2
+      |  UNION ALL
+      |  SELECT o_orderpriority FROM orders WHERE o_orderkey % 3 > 0)
+      |GROUP BY o_orderpriority""") { (s, dir) =>
+    val o = load(s, dir, "orders")
+    val a = Table.fromDF(o.filter(col("o_orderkey") % 3 < 2)
+      .withColumn("_src", lit(0)), Seq("o_orderkey"))
+    val b = Table.fromDF(o.filter(col("o_orderkey") % 3 > 0)
+      .withColumn("_src", lit(1)), Seq("o_orderkey"))
+    a.concatReindex(Seq("_src", "o_orderkey"), b).df
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+  }
+
   // intersect (table.py:776) — customers that have orders
   q("q_intersect",
     """SELECT c_custkey, c_name FROM customer
