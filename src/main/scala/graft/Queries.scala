@@ -178,6 +178,19 @@ object Queries extends QueryModule {
       .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
   }
 
+  // with_universe_of (universe_solver.py:14) — the CHECKED universe
+  // equality on the pass path: same key set on both sides, so the
+  // full-outer check passes and the result is the table itself (the
+  // raise path is proven in TableSpec, not SQL-expressible)
+  q("q_with_universe_of",
+    """SELECT o_orderkey, o_orderstatus FROM orders""") { (s, dir) =>
+    val o = table(s, dir, "orders", "o_orderkey")
+    val priorities = table(s, dir, "orders", "o_orderkey")
+      .select("pri" -> col("o_orderpriority"))
+    o.withUniverseOf(priorities)
+      .select("o_orderstatus" -> col("o_orderstatus")).df
+  }
+
   // intersect (table.py:776) — customers that have orders
   q("q_intersect",
     """SELECT c_custkey, c_name FROM customer
