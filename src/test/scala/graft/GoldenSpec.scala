@@ -145,6 +145,35 @@ class GoldenSpec extends SparkSpec {
       Seq(3L, 1L), Seq(3L, 4L), Seq(4L, 4L), Seq(5L, 4L)))
   }
 
+  test("intervals_over doctest: sorted_tuple per probe (_window.py:821)") {
+    val data = Testkit.fromMarkdown(spark, """t  | v
+        |1  | 10
+        |2  | 1
+        |4  | 3
+        |8  | 2
+        |9  | 4
+        |10 | 8
+        |1  | 9
+        |2  | 16""".stripMargin).df
+      .select(timestamp_seconds(col("t")).as("dt"), col("v"))
+    val probes = Testkit.fromMarkdown(spark, """t
+        |2
+        |4
+        |6
+        |8
+        |10""".stripMargin).df
+      .select(timestamp_seconds(col("t")).as("pt"))
+    val out = graft.operators.Temporal.intervalsOver(
+        probes, data, col("pt"), col("dt"), lbSec = -2, ubSec = 1)
+      .groupBy(unix_seconds(col("pt")).as("loc"))
+      .agg(array_sort(collect_list(col("v"))).as("v"))
+      .select(col("loc"), concat_ws(",", transform(col("v"),
+        x => x.cast("string"))).as("v"))
+    assert(rowsOf(out) == Set(
+      Seq(2L, "1,9,10,16"), Seq(4L, "1,3,16"), Seq(6L, "3"),
+      Seq(8L, "2,4"), Seq(10L, "2,4,8")))
+  }
+
   test("asof_join doctest: LEFT backward with defaults (_asof_join.py:513)") {
     val t1 = Testkit.fromMarkdown(spark, """K | val | t
         |0 | 1   | 1
