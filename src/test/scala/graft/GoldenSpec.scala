@@ -99,6 +99,30 @@ class GoldenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowby tumbling doctest: duration 5 per instance (_window.py:756)") {
+    val t = Testkit.fromMarkdown(spark, """instance | t
+        |0        | 12
+        |0        | 13
+        |0        | 14
+        |0        | 15
+        |0        | 16
+        |0        | 17
+        |1        | 12
+        |1        | 13""".stripMargin).df
+      .select(col("instance"), col("t"),
+        timestamp_seconds(col("t")).as("ts"))
+    val w = graft.operators.Temporal.tumble(col("ts"), durationSec = 5)
+    val out = t.groupBy(col("instance"), unix_seconds(w).as("start"))
+      .agg(min(col("t")).as("min_t"), max(col("t")).as("max_t"),
+        count(lit(1)).as("count"))
+      .withColumn("end", col("start") + 5)
+      .select("instance", "start", "end", "min_t", "max_t", "count")
+    assert(rowsOf(out) == Set(
+      Seq(0L, 10L, 15L, 12L, 14L, 3L),
+      Seq(0L, 15L, 20L, 15L, 17L, 3L),
+      Seq(1L, 10L, 15L, 12L, 13L, 2L)))
+  }
+
   test("windowby session-predicate doctest (_window.py:884)") {
     val t = Testkit.fromMarkdown(spark, """instance | t  | v
         |0        | 1  | 10
