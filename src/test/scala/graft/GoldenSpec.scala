@@ -99,6 +99,34 @@ class GoldenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("diff doctest: global and per-instance (ordered/diff.py:42)") {
+    val t1 = Testkit.fromMarkdown(spark, """timestamp | values
+        |1 | 1
+        |2 | 2
+        |3 | 4
+        |4 | 7
+        |5 | 11
+        |6 | 16""".stripMargin, key = Seq("timestamp"))
+    val out1 = t1.diff(Seq(col("timestamp").asc), None, "values").df
+      .select("timestamp", "diff_values")
+    assert(rowsOf(out1) == Set(
+      Seq(1L, null), Seq(2L, 1L), Seq(3L, 2L), Seq(4L, 3L),
+      Seq(5L, 4L), Seq(6L, 5L)))
+
+    val t2 = Testkit.fromMarkdown(spark, """timestamp | instance | values
+        |1 | 0 | 1
+        |2 | 1 | 2
+        |3 | 1 | 4
+        |3 | 0 | 7
+        |6 | 1 | 11
+        |6 | 0 | 16""".stripMargin)
+    val out2 = t2.diff(Seq(col("timestamp").asc), Some(col("instance")), "values")
+      .df.select("timestamp", "instance", "diff_values")
+    assert(rowsOf(out2) == Set(
+      Seq(1L, 0L, null), Seq(2L, 1L, null), Seq(3L, 0L, 6L),
+      Seq(3L, 1L, 2L), Seq(6L, 0L, 9L), Seq(6L, 1L, 7L)))
+  }
+
   test("windowby tumbling doctest: duration 5 per instance (_window.py:756)") {
     val t = Testkit.fromMarkdown(spark, """instance | t
         |0        | 12
