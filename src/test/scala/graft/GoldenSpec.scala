@@ -99,6 +99,24 @@ class GoldenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interpolate doctest: linear fill of both columns (_interpolate.py:33)") {
+    val t = Testkit.fromMarkdown(spark, """timestamp | values_a | values_b
+        |1 | 1    | 10
+        |2 | None | None
+        |3 | 3    | None
+        |4 | None | None
+        |5 | None | None
+        |6 | 6    | 60""".stripMargin, key = Seq("timestamp"))
+    val cast = new graft.core.Table(
+      t.df.withColumn("values_a", col("values_a").cast("double"))
+        .withColumn("values_b", col("values_b").cast("double")), t.key)
+    val out = cast.interpolate(col("timestamp"), Nil, None,
+      "values_a", "values_b").df
+    assert(rowsOf(out) == Set(
+      Seq(1L, 1.0, 10.0), Seq(2L, 2.0, 20.0), Seq(3L, 3.0, 30.0),
+      Seq(4L, 4.0, 40.0), Seq(5L, 5.0, 50.0), Seq(6L, 6.0, 60.0)))
+  }
+
   test("diff doctest: global and per-instance (ordered/diff.py:42)") {
     val t1 = Testkit.fromMarkdown(spark, """timestamp | values
         |1 | 1
