@@ -145,11 +145,17 @@ final class Table(val df: DataFrame, val key: Seq[String]) {
 
   /** Explode an array column, duplicating the rest
     * (reference: table.py:2089 flatten; graph.rs:847). Adds `_origin_pos`
-    * so the origin row is recoverable (reference exposes origin_id). */
+    * so the origin row is recoverable (reference exposes origin_id).
+    * A STRING column flattens to its characters — reference parity
+    * (the flatten doctest explodes "Dog" into D/o/g). */
   def flatten(column: String, posCol: String = "_origin_pos"): Table = {
     val others = df.columns.filterNot(_ == column).map(col)
+    val src =
+      if (df.schema(column).dataType == org.apache.spark.sql.types.StringType)
+        org.apache.spark.sql.functions.split(col(column), "")
+      else col(column)
     new Table(
-      df.select(others :+ posexplode(col(column)).as(Seq(posCol, column)): _*),
+      df.select(others :+ posexplode(src).as(Seq(posCol, column)): _*),
       key :+ posCol)
   }
 

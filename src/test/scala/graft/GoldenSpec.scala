@@ -99,6 +99,16 @@ class GoldenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatten doctest: string column explodes to characters (table.py:2104)") {
+    val t = Testkit.fromMarkdown(spark, """pet | age
+        |Dog | 2
+        |Cat | 5""".stripMargin)
+    val out = t.flatten("pet").df.select("pet", "age")
+    assert(rowsOf(out) == Set(
+      Seq("C", 5L), Seq("D", 2L), Seq("a", 5L), Seq("g", 2L),
+      Seq("o", 2L), Seq("t", 5L)))
+  }
+
   test("interpolate doctest: linear fill of both columns (_interpolate.py:33)") {
     val t = Testkit.fromMarkdown(spark, """timestamp | values_a | values_b
         |1 | 1    | 10
