@@ -84,6 +84,34 @@ object TpchQueries extends QueryModule {
       .select("c_custkey", "c_name", "revenue", "c_acctbal")
   }
 
+  // Q18 shape: large-volume customers — groupBy-HAVING on the fact
+  // table feeds a semi-join (the having set is small → broadcast), then
+  // re-aggregation and a TakeOrderedAndProject top-N
+  q("q18_large_volume",
+    """WITH big AS (SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+      |SELECT c_name, c_custkey, o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS o_orderdate,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE), 4) AS total_qty
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+      |ORDER BY total_qty DESC, o_orderkey LIMIT 100""") { (s, dir) =>
+    val li = load(s, dir, "lineitem")
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("_q")).filter(col("_q") > 150)
+      .select(col("l_orderkey"))
+    val joined = load(s, dir, "customer")
+      .join(load(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(big, Seq("l_orderkey"), "left_semi")
+    joined.groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+      .agg(r4(dsum(col("l_quantity"))).as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey").asc).limit(100)
+  }
+
   // salted fact-to-dim join at lineitem scale, through an aggregation:
   // the salting rewrite must be row-identical to the plain join the
   // oracle computes (complements q_join_salted, which checks the bare
