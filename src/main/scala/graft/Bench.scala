@@ -28,6 +28,7 @@ object Bench {
     * stdout tail window. */
   private val headline = Seq(
     "q1_agg", "q3_shipping_priority", "q5_local_supplier", "q10_returned_items",
+    "q18_large_volume",
     "q_asof_backward", "q_interval_join", "q_window_join", "q_session",
     "q_sort_linked", "q_dedup_exact",
     "q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram_jaccard",

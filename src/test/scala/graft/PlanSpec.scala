@@ -112,6 +112,12 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_sample_exact").contains("TakeOrderedAndProject"))
   }
 
+  test("q18: top-N is TakeOrderedAndProject, no cartesian fallback") {
+    val p = plan("q18_large_volume")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-N plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_cdc_apply: state replay is one aggregate, no window sort") {
     val p = plan("q_cdc_apply")
     assert(!p.contains("Window"), s"latest-per-key must be an aggregate:\n$p")
