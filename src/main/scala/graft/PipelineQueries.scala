@@ -377,6 +377,29 @@ object PipelineQueries extends QueryModule {
       .orderBy(col("tf").desc, col("token").asc).limit(50)
   }
 
+  // unigram-perplexity quality proxy: mean ln(tf/total) per document
+  // under the corpus's own unigram model; the mean goes through the
+  // exact-decimal sum so partial-agg order can't flip the hash
+  q("q_text_unigram",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |v AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+      |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM v),
+      |lp AS (SELECT doc_id, ln(CAST(tf AS DOUBLE) / total) AS lp
+      |  FROM tok JOIN v USING (token) CROSS JOIN tot)
+      |SELECT doc_id,
+      |  round(CAST(sum(CAST(lp AS DECIMAL(24,6))) AS DOUBLE) / count(*)
+      |    + 1e-9, 4) AS logprob,
+      |  count(*) AS n_tok
+      |FROM lp GROUP BY doc_id""") { (s, dir) =>
+    TextOps.unigramTokenLogProbs(load(s, dir, "documents"), col("doc_id"),
+        col("text"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(r4(dsum(col("lp")) / count(lit(1)) + lit(1e-9)).as("logprob"),
+        count(lit(1)).as("n_tok"))
+      .select(col("doc_id"), col("logprob"), col("n_tok"))
+  }
+
   // pre-training scrub: URLs stripped, emails/IPv4s masked, whitespace
   // normalized. The noise is injected deterministically in BOTH engines
   // (the synthetic corpus is clean text), so the scrub is exercised on

@@ -91,6 +91,33 @@ object TextOps {
       .groupBy("token")
       .agg(count(lit(1)).as("tf"), countDistinct(col("_id")).as("df"))
 
+  /** Per-token unigram log-probabilities under the corpus's own unigram
+    * model — the CCNet/Gopher-style perplexity proxy for quality
+    * filtering (docs of high-frequency tokens score high; gibberish and
+    * rare-token soup score low). Two aggregations over one token
+    * explode: vocab counts (shuffle by token — the scalable join key at
+    * any corpus size) and the grand total (one broadcast row). Returns
+    * (id, token, lp) with lp = ln(tf/total); average per id for a
+    * document score (use an exact decimal sum if the result must be
+    * engine-reproducible — see QueryModule.dsum). */
+  def unigramTokenLogProbs(df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(id.as("id"), explode(tokens(text)).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("tf"))
+    val total = vocab.agg(sum(col("tf")).as("total"))
+    tok.join(vocab, "token")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(total))
+      .select(col("id"), col("token"),
+        log(col("tf").cast("double") / col("total")).as("lp"))
+  }
+
+  /** Document-level unigram quality score: mean token log-probability
+    * (higher = more typical text) plus the token count. */
+  def unigramScore(df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column): org.apache.spark.sql.DataFrame =
+    unigramTokenLogProbs(df, id, text).groupBy("id")
+      .agg(avg(col("lp")).as("logprob"), count(lit(1)).as("n_tok"))
+
   // -- cleaning / PII masking ---------------------------------------------
   // Patterns are restricted to syntax RE2 and java.util.regex agree on
   // (character classes, \s/\S, bounded quantifiers — no lookaround, no

@@ -94,6 +94,18 @@ class PipelineSpec extends SparkSpec {
     assert(shuffled == out.getString(3))
   }
 
+  test("unigramScore ranks common-token docs above rare-token docs") {
+    val df = Seq(
+      (1L, "the the the the"),      // most common token only
+      (2L, "the the zzz qqq"),      // half rare singletons
+      (3L, "the the the the"))      // exact dup of 1 → equal score
+      .toDF("doc_id", "text")
+    val s = TextOps.unigramScore(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(1L) == s(3L))
+    assert(s(1L) > s(2L))
+  }
+
   test("cleanText strips URLs, masks emails/IPs, normalizes whitespace") {
     val df = Seq(
       (1L, "see https://x.io/a?b=c#d  and mail a.b+c@foo-bar.org now"),
