@@ -61,6 +61,37 @@ object TemporalQueries extends QueryModule {
       .agg(count(lit(1)).as("n_events"), r4(dsum(col("value"))).as("sum_value"))
   }
 
+  // sessionized conversion funnel: per user, how many sessions saw a
+  // click and how many of those converted to a purchase — sessionize +
+  // conditional aggregation composition (the product-analytics shape)
+  q("q_session_funnel",
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |  FROM events),
+      |m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |    OR us - lag(us) OVER w > 14400000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |x AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM m),
+      |s AS (SELECT user_id, sess,
+      |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_buy
+      |  FROM x GROUP BY user_id, sess)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+      |  CAST(sum(has_click) AS BIGINT) AS n_click_sessions,
+      |  CAST(sum(has_click * has_buy) AS BIGINT) AS n_converted
+      |FROM s GROUP BY user_id""") { (s, dir) =>
+    Temporal.sessionize(loadEvents(s, dir), col("ts"), 4 * 3600,
+        Seq(col("user_id")), tieBreak = Seq(col("event_id")))
+      .groupBy(col("user_id"), col("session_start"))
+      .agg(
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("has_click"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("has_buy"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("has_click")).cast("long").as("n_click_sessions"),
+        sum(col("has_click") * col("has_buy")).cast("long").as("n_converted"))
+  }
+
   // interval join (reference: _interval_join.py:577) — views within ±5 min
   // of each click, same user, left semantics (clicks w/o views count 0)
   q("q_interval_join",
