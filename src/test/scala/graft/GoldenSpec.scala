@@ -99,6 +99,26 @@ class GoldenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("update_cells / update_rows doctests (table.py:1439 / :1524)") {
+    val t1 = Testkit.fromMarkdown(spark, """id | age | owner | pet
+        |1 | 10 | Alice | 1
+        |2 | 9  | Bob   | 1
+        |3 | 8  | Alice | 2""".stripMargin, key = Seq("id"))
+    val cells = Testkit.fromMarkdown(spark, """id | age | owner | pet
+        |1 | 10 | Alice | 30""".stripMargin, key = Seq("id"))
+    val t3 = t1.updateCells(cells).df.select("age", "owner", "pet")
+    assert(rowsOf(t3) == Set(
+      Seq(8L, "Alice", 2L), Seq(9L, "Bob", 1L), Seq(10L, "Alice", 30L)))
+
+    val rows = Testkit.fromMarkdown(spark, """id | age | owner | pet
+        |1  | 10 | Alice | 30
+        |12 | 12 | Tom   | 40""".stripMargin, key = Seq("id"))
+    val t4 = t1.updateRows(rows).df.select("age", "owner", "pet")
+    assert(rowsOf(t4) == Set(
+      Seq(8L, "Alice", 2L), Seq(9L, "Bob", 1L), Seq(10L, "Alice", 30L),
+      Seq(12L, "Tom", 40L)))
+  }
+
   test("flatten doctest: string column explodes to characters (table.py:2104)") {
     val t = Testkit.fromMarkdown(spark, """pet | age
         |Dog | 2
