@@ -99,6 +99,33 @@ class GoldenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("groupby/reduce doctest: sum per (pet, owner) (table.py:942)") {
+    val t1 = Testkit.fromMarkdown(spark, """age | owner | pet
+        |10 | Alice | dog
+        |9  | Bob   | dog
+        |8  | Alice | cat
+        |7  | Bob   | dog""".stripMargin)
+    val out = t1.groupby(col("pet"), col("owner"))
+      .reduce("ageagg" -> sum(col("age")))
+      .select("owner", "pet", "ageagg")
+    assert(rowsOf(out) == Set(
+      Seq("Alice", "cat", 8L), Seq("Alice", "dog", 10L),
+      Seq("Bob", "dog", 16L)))
+  }
+
+  test("ix doctest: pointer lookup into another table (table.py:1164)") {
+    val animals = Testkit.fromMarkdown(spark, """id | epithet    | genus
+        |1 | upupa      | epops
+        |2 | acherontia | atropos
+        |3 | bubo       | scandiacus
+        |4 | dynastes   | hercules""".stripMargin, key = Seq("id"))
+    val birds = Testkit.fromMarkdown(spark, """id | desc
+        |2 | hoopoe
+        |4 | owl""".stripMargin, key = Seq("id"))
+    val out = animals.ix(birds).df.select(col("desc"), col("genus").as("latin"))
+    assert(rowsOf(out) == Set(Seq("hoopoe", "atropos"), Seq("owl", "hercules")))
+  }
+
   test("update_cells / update_rows doctests (table.py:1439 / :1524)") {
     val t1 = Testkit.fromMarkdown(spark, """id | age | owner | pet
         |1 | 10 | Alice | 1
