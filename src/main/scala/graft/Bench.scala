@@ -136,11 +136,18 @@ object Bench {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
+    // the word-count state has 8 distinct keys: 32 shuffle partitions
+    // mean 32 nearly-empty state stores initialized/committed per
+    // micro-batch, pure overhead at this cardinality. The conf is read
+    // at query START, so scope it around start() and restore after.
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
     val counts = in.toDF().select(explode(split(col("value"), " ")).as("word"))
       .groupBy("word").count()
     val q = counts.writeStream.format("memory").queryName("graft_wc")
       .outputMode("complete").start()
+    spark.conf.set("spark.sql.shuffle.partitions", prevSp)
     val words = Array("the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog")
     val batch = (0 until rows).map(i =>
       s"${words(i % 8)} ${words((i / 8) % 8)} ${words((i / 64) % 8)}")
