@@ -31,7 +31,17 @@ class AsofPropertySpec extends SparkSpec {
         case Temporal.Forward =>
           val c = cands.filter(_._2 >= lt)
           if (c.isEmpty) None else Some(c.minBy(_._2)._3)
-        case Temporal.Nearest => sys.error("not exercised here")
+        case Temporal.Nearest =>
+          // min |rt - lt|; equidistant tie → backward (earlier) wins,
+          // matching the operator's documented rule
+          val back = cands.filter(_._2 <= lt).sortBy(_._2).lastOption
+          val fwd = cands.filter(_._2 >= lt).sortBy(_._2).headOption
+          (back, fwd) match {
+            case (None, f) => f.map(_._3)
+            case (b, None) => b.map(_._3)
+            case (Some(b), Some(f)) =>
+              if (lt - b._2 <= f._2 - lt) Some(b._3) else Some(f._3)
+          }
       }
       (k, lt, lv, pick)
     }.toSet
@@ -60,7 +70,7 @@ class AsofPropertySpec extends SparkSpec {
       val l = genRows(rnd, rnd.nextInt(26)).distinct
       val r = genRows(rnd, rnd.nextInt(26))
         .groupBy(x => (x._1, x._2)).map(_._2.head).toList
-      for (dir <- Seq(Temporal.Backward, Temporal.Forward)) {
+      for (dir <- Seq(Temporal.Backward, Temporal.Forward, Temporal.Nearest)) {
         val got = run(l, r, dir)
         val want = expected(l, r, dir)
         assert(got == want,
