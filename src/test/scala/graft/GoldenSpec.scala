@@ -226,6 +226,34 @@ class GoldenSpec extends SparkSpec {
       Seq(1L, 10L, 15L, 12L, 13L, 2L)))
   }
 
+  test("windowby sliding doctest: duration 10 hop 3 per instance (_window.py:685)") {
+    val t = Testkit.fromMarkdown(spark, """instance | t
+        |0 | 12
+        |0 | 13
+        |0 | 14
+        |0 | 15
+        |0 | 16
+        |0 | 17
+        |1 | 10
+        |1 | 11""".stripMargin).df
+      .select(col("instance"), col("t"), timestamp_seconds(col("t")).as("ts"))
+    val out = graft.operators.Temporal.assignSliding(t, col("ts"),
+        durationSec = 10, hopSec = 3)
+      .groupBy(col("instance"), unix_seconds(col("window_start")).as("start"),
+        unix_seconds(col("window_end")).as("end"))
+      .agg(min(col("t")).as("min_t"), max(col("t")).as("max_t"),
+        count(lit(1)).as("count"))
+    assert(rowsOf(out.select("instance", "start", "end", "min_t", "max_t", "count")) == Set(
+      Seq(0L, 3L, 13L, 12L, 12L, 1L),
+      Seq(0L, 6L, 16L, 12L, 15L, 4L),
+      Seq(0L, 9L, 19L, 12L, 17L, 6L),
+      Seq(0L, 12L, 22L, 12L, 17L, 6L),
+      Seq(0L, 15L, 25L, 15L, 17L, 3L),
+      Seq(1L, 3L, 13L, 10L, 11L, 2L),
+      Seq(1L, 6L, 16L, 10L, 11L, 2L),
+      Seq(1L, 9L, 19L, 10L, 11L, 2L)))
+  }
+
   test("windowby session-predicate doctest (_window.py:884)") {
     val t = Testkit.fromMarkdown(spark, """instance | t  | v
         |0        | 1  | 10
