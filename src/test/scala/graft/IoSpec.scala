@@ -66,4 +66,26 @@ class IoSpec extends SparkSpec {
     val back = io.parquet(spark, p, key = Seq("id"))
     assert(back.key == Seq("id") && rowsOf(back.df) == rowsOf(df))
   }
+
+  test("streaming file source picks up files incrementally") {
+    // the reference's fs connector in streaming mode watches a directory
+    // (ConnectorMode.Streaming); Spark's file stream source is the same
+    // contract — each new file becomes a micro-batch
+    val dir = tmp("stream_json")
+    io.write(df.filter(col("id") <= 2), dir + "/batch0", "json")
+    // file source reads a directory of files; point it at the dir glob
+    val src = io.stream(spark, "json", schema = schema)
+      .load(dir + "/*/")
+    val q = src.writeStream.format("memory").queryName("io_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM io_stream").count() == 2)
+      // a new file arrives → picked up incrementally, no re-read of old
+      io.write(df.filter(col("id") === 3), dir + "/batch1", "json")
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, name, score FROM io_stream")
+      assert(rowsOf(rows) == rowsOf(df))
+    } finally q.stop()
+  }
 }
