@@ -88,4 +88,17 @@ class IoSpec extends SparkSpec {
       assert(rowsOf(rows) == rowsOf(df))
     } finally q.stop()
   }
+
+  test("streaming parquet sink via io.writeStream with checkpoint") {
+    val in = tmp("sink_in")
+    val out = tmp("sink_out")
+    val ckpt = tmp("sink_ckpt")
+    io.write(df, in + "/b0", "json")
+    val src = io.stream(spark, "json", schema = schema).load(in + "/*/")
+    val q = io.writeStream(src, out, checkpoint = ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(rowsOf(io.parquet(spark, out, key = Seq("id")).df) == rowsOf(df))
+    // checkpoint directory was actually used (offsets recorded)
+    assert(new java.io.File(ckpt, "offsets").list().nonEmpty)
+  }
 }
