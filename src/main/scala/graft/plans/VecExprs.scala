@@ -26,10 +26,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * DuckDB's `list_dot_product`, so oracle hashes are unchanged.
   *
   * Null semantics: NULL array on either side → NULL (standard
-  * BinaryExpression null propagation). Null ELEMENTS are read as 0.0
-  * (primitive accessor) — embeddings with null components are not
-  * meaningful inputs; declare them out of scope rather than paying a
-  * per-element branch in the hot loop.
+  * BinaryExpression null propagation), and MISMATCHED LENGTHS → NULL —
+  * a malformed embedding must surface as a visible null, not silently
+  * score against a truncated prefix (the zip_with/element_at
+  * predecessors both returned NULL here; keeping that contract also
+  * keeps Similarity.dot/cosine and rhpBucketSlice honest). Null
+  * ELEMENTS are read as 0.0 (primitive accessor) — embeddings with
+  * null components are not meaningful inputs; declare them out of
+  * scope rather than paying a per-element branch in the hot loop.
   */
 object VecExprs {
 
@@ -116,10 +120,13 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -132,12 +139,16 @@ case class DotProductExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
