@@ -98,6 +98,38 @@ object IoQueries extends QueryModule {
     Cdc.applyLatest(decoded, Seq("o_orderkey"), col("_ts_ms"))
   }
 
+  // Same change log and end state as q_cdc_apply, but EVERY event shares
+  // one ts_ms — ordering falls entirely to the documented
+  // struct(ts_ms, offset) recipe (Debezium only orders same-millisecond
+  // events by log offset). Exercises the non-negating struct-order path
+  // end-to-end; before round 7 this exact recipe failed analysis.
+  q("q_cdc_tiebreak",
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders WHERE o_orderkey % 7 <> 0""") { (s, dir) =>
+    val o = load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val row = struct(o.columns.map(col): _*)
+    def env(payload: org.apache.spark.sql.Column, off: Long) = Seq(
+      to_json(struct(payload.as("payload"))).as("value"),
+      lit(off).as("offset"))
+    val snapshot = o.select(env(struct(row.as("after"),
+      lit("r").as("op"), lit(1000L).as("ts_ms")), 1L): _*)
+    val updates = o.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .select(env(struct(struct(o.columns.map(col): _*).as("after"),
+        lit("u").as("op"), lit(1000L).as("ts_ms")), 2L): _*)
+    val deletes = o.filter(col("o_orderkey") % 7 === 0)
+      .select(env(struct(row.as("before"),
+        lit("d").as("op"), lit(1000L).as("ts_ms")), 3L): _*)
+    val events = snapshot.unionByName(updates).unionByName(deletes)
+    val decoded = Cdc.decodeDebezium(events, col("value"), cdcRowSchema)
+    Cdc.applyLatest(decoded, Seq("o_orderkey"),
+      struct(col("_ts_ms"), col("offset")))
+  }
+
   q("q_io_text",
     """SELECT value FROM read_csv('/tmp/graft_io/sf0.01/nation_txt/*.txt',
       |  delim='', quote='', escape='', header=false,

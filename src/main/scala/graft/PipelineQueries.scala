@@ -206,8 +206,15 @@ object PipelineQueries extends QueryModule {
       |  FROM sc)
       |SELECT query_id, rank, neighbor_id, round(c, 4) AS cosine
       |FROM r WHERE rank <= 1""") { (s, dir) =>
-    Similarity.lshTopK(load(s, dir, "embeddings"), col("vec_id"),
-        col("embedding"), dim = 64, planes = 6, k = 1)
+    val emb = load(s, dir, "embeddings")
+    // planes DERIVED from the corpus (planesFor), not frozen: target
+    // occupancy 8 ⇒ ceil(log2(500/8)) = 6 at the sf0.01 oracle scale —
+    // the same 6 planes the oracle SQL hardcodes — and log2 more planes
+    // per scale-up beyond it (10 at sf0.1), keeping per-bucket pairwise
+    // work bounded instead of quadratic in corpus growth
+    Similarity.lshTopK(emb, col("vec_id"),
+        col("embedding"), dim = 64,
+        planes = Similarity.planesFor(emb.count(), targetBucketSize = 8), k = 1)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cosine"), 4).as("cosine"))
   }

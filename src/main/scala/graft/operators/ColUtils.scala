@@ -27,6 +27,22 @@ object ColUtils {
       tieBreak: Column): DataFrame =
     pickRows(df, on, what, tieBreak)
 
+  /** Keep each group's row maximal by `order`, comparing `order` AS-IS —
+    * the path for multi-component struct orders (e.g. Debezium's
+    * `struct(ts_ms, offset)`), which [[argmaxRows]] cannot take: its
+    * min-based encoding negates the score and unary minus fails analysis
+    * on a struct. One max(struct(order, row)) aggregate — the same
+    * map-side-combinable single-shuffle shape as [[argmaxRows]]. Ties in
+    * `order` break toward the LARGEST remaining row columns in column
+    * order (struct comparison just keeps going), so the pick stays
+    * deterministic. */
+  def argmaxRowsOrdered(df: DataFrame, on: Seq[Column], order: Column): DataFrame = {
+    val cols = df.columns.toSeq
+    val packed = struct((order.as("_o") +: cols.map(col)): _*)
+    df.groupBy(on: _*).agg(max(packed).as("_m"))
+      .select(cols.map(c => col(s"_m.$c").as(c)): _*)
+  }
+
   /** min(struct(score, tie, row)) — struct comparison is field-ordered,
     * so this picks the smallest score then the smallest tieBreak, and
     * carries the whole row through one aggregate (no join-back, no

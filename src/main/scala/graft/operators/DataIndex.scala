@@ -29,16 +29,25 @@ object DataIndex {
             col("neighbor_id").as("id"), col("cosine").as("score"))
     }
 
-  /** ANN via random-hyperplane LSH buckets (scale path; recall < 1). */
+  /** ANN via random-hyperplane LSH buckets (scale path; recall < 1).
+    *
+    * `planes <= 0` (the default) derives the plane count from the corpus
+    * via [[Similarity.planesFor]] — per-bucket candidate work is
+    * quadratic in occupancy, so the plane count must GROW with the
+    * corpus (log2 of the scale-up), not stay a caller-frozen constant.
+    * `targetBucketSize` is the occupancy the derivation aims for. */
   def lsh(data: DataFrame, id: Column, vec: Column, dim: Int,
-      planes: Int): Retriever =
+      planes: Int = 0, targetBucketSize: Long = 256): Retriever =
     new Retriever {
       def retrieve(queries: DataFrame, qid: Column, query: Column, k: Int): DataFrame = {
+        val nPlanes =
+          if (planes > 0) planes
+          else Similarity.planesFor(data.count(), targetBucketSize)
         val d = data.select(id.as("id"), vec.cast("array<double>").as("v"))
-          .withColumn("bucket", Similarity.rhpBucket(col("v"), dim, planes))
+          .withColumn("bucket", Similarity.rhpBucket(col("v"), dim, nPlanes))
           .withColumn("n2", Similarity.norm2(col("v")))
         val q = queries.select(qid.as("qid"), query.cast("array<double>").as("qv"))
-          .withColumn("bucket", Similarity.rhpBucket(col("qv"), dim, planes))
+          .withColumn("bucket", Similarity.rhpBucket(col("qv"), dim, nPlanes))
           .withColumn("qn2", Similarity.norm2(col("qv")))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("qid").orderBy(col("score").desc, col("id").asc)

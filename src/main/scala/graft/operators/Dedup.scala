@@ -46,8 +46,7 @@ object Dedup {
     * 6× slower end-to-end at sf0.1). */
   def shingles(df: DataFrame, id: Column, text: Column, n: Int = 3,
       carry: Seq[Column] = Nil): DataFrame = {
-    val par = df.sparkSession.sessionState.conf.numShufflePartitions
-    val base = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val base = graft.core.Par.spread(df)
     val w = base.select((id.as("id") +: split(text, " ").as("_w") +: carry): _*)
     val ws = col("_w")
     val idxs = when(size(ws) >= n, sequence(lit(1), size(ws) - (n - 1)))

@@ -44,6 +44,9 @@ object Hmm {
     val ds = df.select(instance.cast("string").as("i"),
         order.cast("long").as("o"), obs.cast("string").as("x"))
       .as[(String, Long, String)]
+    // the state scan order is a property of the MODEL — sort once here
+    // and ship the sorted list in the closure, not once per observation
+    val sortedStates = model.states.sorted.toList
     ds.groupByKey(_._1).flatMapGroups { (key, it) =>
       val seq = it.toIndexedSeq.sortBy(r => (r._2, r._3))
       if (seq.isEmpty) Iterator.empty
@@ -52,7 +55,7 @@ object Hmm {
         // reversed). States scanned in model order; ties toward the
         // smaller state name keep the decode deterministic.
         var dp: List[(String, (Double, List[String]))] =
-          model.states.sorted.toList.map { s =>
+          sortedStates.map { s =>
             val lp = model.logInit.getOrElse(s, NegInf) +
               model.logEmit(s, seq.head._3)
             s -> ((lp, List(s)))
@@ -64,7 +67,7 @@ object Hmm {
           }
         dp = prune(dp)
         seq.tail.foreach { t =>
-          dp = prune(model.states.sorted.toList.map { s =>
+          dp = prune(sortedStates.map { s =>
             val (plp, ppath) = dp.map { case (p, (lp, path)) =>
               (lp + model.logTrans.getOrElse((p, s), NegInf), path)
             }.maxBy(_._1) // stable max: first in dp order wins ties

@@ -72,11 +72,11 @@ object Similarity {
     * pairwise-scoring operator inherits its INPUT's partitioning through
     * broadcast joins, so an under-partitioned corpus table silently
     * serializes the whole scoring loop into its task count, however many
-    * cores the cluster has. No-op on a real many-split corpus. */
-  private[operators] def spread(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-  }
+    * cores the cluster has. No-op on a real many-split corpus.
+    * Narrowness is estimated from plan stats ([[graft.core.Par.spread]])
+    * — no RDD materialization in the operator constructor. */
+  private[operators] def spread(df: DataFrame): DataFrame =
+    graft.core.Par.spread(df)
 
   /** Exact brute-force top-k by cosine: every query row against every
     * data row (broadcast data when it fits). Returns

@@ -69,9 +69,12 @@ object Cdc {
     * a delete (`op = "d"`), the key is absent from the result. Keys are
     * read from the after image, falling back to before (deletes carry
     * only before). `order` must totally order events within a key —
-    * ts_ms alone if unique, else `struct(ts_ms, offset)`.
+    * ts_ms alone if unique, else `struct(ts_ms, offset)` (Debezium only
+    * orders events by the (ts_ms, offset) pair when two changes land in
+    * the same millisecond; struct orders compare component-wise here).
     *
-    * Single struct-max aggregate (via ColUtils.argmaxRows): one shuffle
+    * Single struct-max aggregate (via ColUtils.argmaxRowsOrdered, the
+    * non-negating path — struct orders can't be negated): one shuffle
     * by key, partial aggregation map-side — the scalable shape for a
     * 100 TB replay. Returns the after-image columns. */
   def applyLatest(decoded: DataFrame, keys: Seq[String], order: Column)
@@ -80,8 +83,8 @@ object Cdc {
       coalesce(col(s"_after.$k"), col(s"_before.$k")).as(s"_k_$k"))
     val keyed = decoded.select((keyCols :+ struct(col("_op"), col("_after"))
       .as("_ev") :+ order.as("_ord")): _*)
-    val latest = graft.operators.ColUtils.argmaxRows(
-      keyed, keys.map(k => col(s"_k_$k")), col("_ord"), col("_ord"))
+    val latest = graft.operators.ColUtils.argmaxRowsOrdered(
+      keyed, keys.map(k => col(s"_k_$k")), col("_ord"))
     latest.filter(col("_ev._op") =!= "d" && col("_ev._after").isNotNull)
       .select(col("_ev._after.*"))
   }

@@ -45,6 +45,23 @@ class CdcSpec extends SparkSpec {
     assert(rowsOf(state) == Set(Seq(1L, "a2"), Seq(3L, "c2")))
   }
 
+  test("applyLatest: duplicate ts_ms — struct(ts_ms, offset) order decides") {
+    // the scaladoc-recommended recipe for non-unique ts_ms: Debezium only
+    // orders same-millisecond events by their log offset
+    val env = Seq(
+      // key 1: two updates in the SAME millisecond — offset must decide
+      ("""{"payload":{"after":{"id":1,"v":"first"},"op":"u","ts_ms":10}}""", 1L),
+      ("""{"payload":{"after":{"id":1,"v":"second"},"op":"u","ts_ms":10}}""", 2L),
+      // key 2: create then delete in the same millisecond → tombstoned
+      ("""{"payload":{"after":{"id":2,"v":"alive"},"op":"c","ts_ms":10}}""", 3L),
+      ("""{"payload":{"before":{"id":2,"v":"alive"},"op":"d","ts_ms":10}}""", 4L))
+      .toDF("value", "offset")
+    val state = Cdc.applyLatest(
+      Cdc.decodeDebezium(env, col("value"), row), Seq("id"),
+      struct(col("_ts_ms"), col("offset")))
+    assert(rowsOf(state) == Set(Seq(1L, "second")))
+  }
+
   test("upsertStream: update-mode emissions, late events suppressed, tombstones") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Boolean, String)]

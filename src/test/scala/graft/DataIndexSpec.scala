@@ -48,6 +48,21 @@ class DataIndexSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("lsh retriever derives planes from corpus size by default") {
+    import graft.operators.Similarity
+    // the derivation itself: occupancy-8 target over the sf0.01 corpus
+    // reproduces the 6 planes the oracle hardcodes; 100× data ⇒ +log2
+    assert(Similarity.planesFor(500, 8) == 6)
+    assert(Similarity.planesFor(50000, 8) == 13)
+    assert(Similarity.planesFor(3) == 1) // floor: never 0 planes
+    // default (planes = 0) path derives planesFor(count) and still works
+    val r = DataIndex.lsh(vecs, col("id"), col("v"), dim = 2)
+    val out = r.retrieve(vecs, col("id"), col("v"), 3)
+    val pairs = out.select("qid", "id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
   test("ivf retriever: exact when nprobe = nlist, list-restricted otherwise") {
     import graft.operators.Similarity
     // nprobe = nlist -> every list probed -> exact ranking (the query row

@@ -21,6 +21,20 @@ class VecExprsSpec extends SparkSpec {
     assert(f.select(VecExprs.dotProduct(col("a"), col("b"))).head.getDouble(0) == 11.0)
   }
 
+  test("dotProduct: length mismatch → NULL (codegen and interpreted)") {
+    // codegen path (plain projection over a DataFrame)
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0))).toDF("a", "b")
+    assert(df.select(VecExprs.dotProduct(col("a"), col("b"))).head.isNullAt(0))
+    // interpreted path: eval() the catalyst expression directly
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def lit3(xs: Double*) = Literal.create(xs.toArray, ArrayType(DoubleType))
+    assert(graft.plans.DotProductExpr(lit3(1.0, 2.0, 3.0), lit3(4.0, 5.0))
+      .eval(null) == null)
+    assert(graft.plans.DotProductExpr(lit3(1.0, 2.0), lit3(3.0, 4.0))
+      .eval(null) == 11.0)
+  }
+
   test("matMul: known product, identity, shape mismatch → NULL") {
     val a = Seq(Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))          // 2×2
     val i2 = Seq(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
