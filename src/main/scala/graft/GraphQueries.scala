@@ -71,4 +71,97 @@ object GraphQueries extends QueryModule {
         (col("c_custkey") + 10000).as("dst"), lit(1.0).as("weight")))
     Graphs.bellmanFord(edges, lit(0L))
   }
+
+  // Viterbi HMM decode (reference: stdlib/ml/hmm.py:11
+  // create_hmm_reducer): each user's first 5 events (by event_id)
+  // decoded against a sticky 2-state activity model — active favors
+  // click/purchase, idle favors view/error, staying costs 1 bit less
+  // than switching. Every log-prob is an integer-valued double, so DP
+  // sums are EXACT on both engines; the oracle replays the identical
+  // recurrence as an unrolled 5-step DP with the same
+  // smallest-state-name tie-breaks, so paths agree bit-for-bit. The
+  // 'signup' observation emits equally from both states — ties flow
+  // through the tie-break rules, which is the point.
+  q("q_hmm",
+    """WITH seq0 AS (SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS t
+      |  FROM events),
+      |seq AS (SELECT * FROM seq0 WHERE t <= 5),
+      |em AS (SELECT user_id, t, event_type,
+      |  CASE WHEN event_type IN ('click','purchase') THEN -1.0 ELSE -3.0 END AS ea,
+      |  CASE WHEN event_type IN ('view','error') THEN -1.0 ELSE -3.0 END AS ei
+      |  FROM seq),
+      |d1 AS (SELECT user_id, 'active' AS st, -1.0 + ea AS lp, 'active' AS path
+      |    FROM em WHERE t = 1
+      |  UNION ALL
+      |  SELECT user_id, 'idle', -1.0 + ei, 'idle' FROM em WHERE t = 1),
+      |c2 AS (SELECT d.user_id, s.st AS st, d.st AS pst, d.path,
+      |    d.lp + (CASE WHEN d.st = s.st THEN -1.0 ELSE -2.0 END) AS plp
+      |  FROM d1 d CROSS JOIN (SELECT unnest(['active','idle']) AS st) s),
+      |b2 AS (SELECT user_id, st, plp, path FROM c2
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, st ORDER BY plp DESC, pst) = 1),
+      |d2 AS (SELECT b.user_id, b.st,
+      |    b.plp + (CASE WHEN b.st = 'active' THEN e.ea ELSE e.ei END) AS lp,
+      |    b.path || ',' || b.st AS path
+      |  FROM b2 b JOIN em e ON e.user_id = b.user_id AND e.t = 2),
+      |c3 AS (SELECT d.user_id, s.st AS st, d.st AS pst, d.path,
+      |    d.lp + (CASE WHEN d.st = s.st THEN -1.0 ELSE -2.0 END) AS plp
+      |  FROM d2 d CROSS JOIN (SELECT unnest(['active','idle']) AS st) s),
+      |b3 AS (SELECT user_id, st, plp, path FROM c3
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, st ORDER BY plp DESC, pst) = 1),
+      |d3 AS (SELECT b.user_id, b.st,
+      |    b.plp + (CASE WHEN b.st = 'active' THEN e.ea ELSE e.ei END) AS lp,
+      |    b.path || ',' || b.st AS path
+      |  FROM b3 b JOIN em e ON e.user_id = b.user_id AND e.t = 3),
+      |c4 AS (SELECT d.user_id, s.st AS st, d.st AS pst, d.path,
+      |    d.lp + (CASE WHEN d.st = s.st THEN -1.0 ELSE -2.0 END) AS plp
+      |  FROM d3 d CROSS JOIN (SELECT unnest(['active','idle']) AS st) s),
+      |b4 AS (SELECT user_id, st, plp, path FROM c4
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, st ORDER BY plp DESC, pst) = 1),
+      |d4 AS (SELECT b.user_id, b.st,
+      |    b.plp + (CASE WHEN b.st = 'active' THEN e.ea ELSE e.ei END) AS lp,
+      |    b.path || ',' || b.st AS path
+      |  FROM b4 b JOIN em e ON e.user_id = b.user_id AND e.t = 4),
+      |c5 AS (SELECT d.user_id, s.st AS st, d.st AS pst, d.path,
+      |    d.lp + (CASE WHEN d.st = s.st THEN -1.0 ELSE -2.0 END) AS plp
+      |  FROM d4 d CROSS JOIN (SELECT unnest(['active','idle']) AS st) s),
+      |b5 AS (SELECT user_id, st, plp, path FROM c5
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, st ORDER BY plp DESC, pst) = 1),
+      |d5 AS (SELECT b.user_id, b.st,
+      |    b.plp + (CASE WHEN b.st = 'active' THEN e.ea ELSE e.ei END) AS lp,
+      |    b.path || ',' || b.st AS path
+      |  FROM b5 b JOIN em e ON e.user_id = b.user_id AND e.t = 5),
+      |fin AS (SELECT user_id, 1 AS lev, st, lp, path FROM d1
+      |  UNION ALL SELECT user_id, 2, st, lp, path FROM d2
+      |  UNION ALL SELECT user_id, 3, st, lp, path FROM d3
+      |  UNION ALL SELECT user_id, 4, st, lp, path FROM d4
+      |  UNION ALL SELECT user_id, 5, st, lp, path FROM d5),
+      |len AS (SELECT user_id, max(t) AS L FROM seq GROUP BY 1),
+      |best AS (SELECT f.user_id, f.path FROM fin f JOIN len l
+      |    ON f.user_id = l.user_id AND f.lev = l.L
+      |  QUALIFY row_number() OVER (PARTITION BY f.user_id ORDER BY f.lp DESC, f.st) = 1),
+      |pr AS (SELECT user_id, unnest(string_split(path, ',')) AS state,
+      |    unnest(range(1, len(string_split(path, ',')) + 1)) AS t FROM best)
+      |SELECT CAST(p.user_id AS BIGINT) AS instance, s.event_id AS "order",
+      |  s.event_type AS observation, p.state
+      |FROM pr p JOIN seq s ON s.user_id = p.user_id AND s.t = p.t""") { (s, dir) =>
+    import graft.operators.Hmm
+    val ev = graft.SparkEntry.loadEvents(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val first5 = ev.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 5).drop("_rn")
+    val model = Hmm.Model(
+      states = Seq("active", "idle"),
+      logInit = Map("active" -> -1.0, "idle" -> -1.0),
+      logTrans = Map(
+        ("active", "active") -> -1.0, ("active", "idle") -> -2.0,
+        ("idle", "idle") -> -1.0, ("idle", "active") -> -2.0),
+      logEmit = (st, o) =>
+        if (st == "active") { if (o == "click" || o == "purchase") -1.0 else -3.0 }
+        else { if (o == "view" || o == "error") -1.0 else -3.0 })
+    Hmm.viterbi(first5, col("user_id"), col("event_id"), col("event_type"), model)
+      .select(col("instance").cast("long").as("instance"), col("order"),
+        col("observation"), col("state"))
+  }
 }

@@ -98,6 +98,23 @@ object IoQueries extends QueryModule {
     Cdc.applyLatest(decoded, Seq("o_orderkey"), col("_ts_ms"))
   }
 
+  // JDBC round-trip through embedded Derby (the one JDBC driver shipped
+  // with Spark's jars): nation is written over a real JDBC connection,
+  // read back through the io.jdbc wrapper, and oracle-compared to the
+  // parquet original — the wrapper is an executed path, not a
+  // format-string stub. Server databases (postgres et al.) differ only
+  // in URL + driver jar.
+  q("q_io_jdbc",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation""") { (s, dir) =>
+    System.setProperty("derby.stream.error.file", "/tmp/graft_io/derby.log")
+    val db = s"${ioDir(dir)}/derby_nation"
+    io.writeJdbc(load(s, dir, "nation").coalesce(1),
+      s"jdbc:derby:$db;create=true", "nation_jdbc",
+      options = Map("createTableColumnTypes" -> "n_name VARCHAR(64)"))
+    io.jdbc(s, s"jdbc:derby:$db", "nation_jdbc", key = Seq("n_nationkey")).df
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+  }
+
   // Same change log and end state as q_cdc_apply, but EVERY event shares
   // one ts_ms — ordering falls entirely to the documented
   // struct(ts_ms, offset) recipe (Debezium only orders same-millisecond

@@ -219,6 +219,36 @@ object TemporalQueries extends QueryModule {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  // sliding window join, OUTER mode (_window_join.py:156 per-window
+  // unmatched semantics): every (row, covering-window) assignment on
+  // EITHER side surfaces at least once — a click in a window with no
+  // errors carries a null e_id, an error in a window with no clicks a
+  // null event_id. The join key includes the window, so "unmatched" is
+  // per window assignment, not per row.
+  q("q_window_join_sliding_outer",
+    """WITH c AS (SELECT event_id, user_id, epoch_us(ts) // 86400000000 AS d
+      |  FROM events WHERE event_type = 'click'),
+      |e AS (SELECT event_id AS e_id, user_id, epoch_us(ts) // 86400000000 AS d
+      |  FROM events WHERE event_type = 'error'),
+      |cw AS (SELECT event_id, user_id, d - i.i AS w FROM c
+      |  CROSS JOIN (SELECT unnest(range(2)) AS i) i),
+      |ew AS (SELECT e_id, user_id, d - i.i AS w FROM e
+      |  CROSS JOIN (SELECT unnest(range(2)) AS i) i)
+      |SELECT coalesce(cw.user_id, ew.user_id) AS user_id,
+      |  make_timestamp(coalesce(cw.w, ew.w) * 86400000000) AS window_start,
+      |  cw.event_id, ew.e_id
+      |FROM cw FULL OUTER JOIN ew
+      |  ON ew.user_id = cw.user_id AND ew.w = cw.w""") { (s, dir) =>
+    val ev = loadEvents(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id"), col("ts").as("e_ts"))
+    Temporal.windowJoinSliding(clicks, errors, col("ts"), col("e_ts"),
+        172800, 86400, Seq("user_id"), how = "outer")
+      .select(col("user_id"), col("window_start"), col("event_id"), col("e_id"))
+  }
+
   // session window join (reference: _window_join.py:156) — sessions form
   // over the UNION of both sides' times (4h gap), then clicks × errors
   // within each shared session

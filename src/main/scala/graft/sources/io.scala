@@ -49,6 +49,29 @@ object io {
   def parquet(spark: SparkSession, path: String, key: Seq[String] = Nil): Table =
     Table.fromDF(spark.read.parquet(path), key)
 
+  /** JDBC read (reference: psql/sqlite/mongodb connectors,
+    * data_storage.rs:1072 PsqlWriter's read twin). Any DriverManager URL
+    * whose driver jar is on the classpath; pass
+    * partitionColumn/lowerBound/upperBound/numPartitions in `options` to
+    * parallelize the scan across executors (one JDBC cursor per
+    * partition — without them the read is a single cursor, fine for dim
+    * tables only). Executed in-tree against embedded Derby (IoQueries
+    * q_io_jdbc); server databases differ only in the URL. */
+  def jdbc(spark: SparkSession, url: String, tableName: String,
+      options: Map[String, String] = Map.empty, key: Seq[String] = Nil): Table =
+    Table.fromDF(spark.read.format("jdbc")
+      .option("url", url).option("dbtable", tableName)
+      .options(options).load(), key)
+
+  /** JDBC write (reference: PsqlWriter data_storage.rs:1072). `mode`
+    * follows Spark semantics: overwrite drops/recreates, append inserts.
+    * Writes run one connection per partition — `df.coalesce(n)` first if
+    * the target can't take the fan-in. */
+  def writeJdbc(df: DataFrame, url: String, tableName: String,
+      mode: String = "overwrite", options: Map[String, String] = Map.empty): Unit =
+    df.write.format("jdbc").option("url", url).option("dbtable", tableName)
+      .options(options).mode(mode).save()
+
   /** Streaming variants (reference streaming mode connectors). */
   def stream(spark: SparkSession, format: String, schema: StructType = null,
       options: Map[String, String] = Map.empty): DataStreamReader = {
