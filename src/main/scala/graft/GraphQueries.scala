@@ -72,6 +72,74 @@ object GraphQueries extends QueryModule {
     Graphs.bellmanFord(edges, lit(0L))
   }
 
+  // Deterministic louvain (reference: louvain_communities/impl.py:225):
+  // customer→nation-hub→region-hub tree, 3 synchronous local-moving
+  // rounds. All modularity-gain comparisons are 2m-scaled BIGINT
+  // arithmetic — no float division — so the oracle replays the exact
+  // evolution as an unrolled 3-round recurrence.
+  q("q_louvain",
+    """WITH e0 AS (SELECT CAST(c_custkey AS BIGINT) AS src,
+      |    CAST(1000000 + c_nationkey AS BIGINT) AS dst FROM customer
+      |  UNION ALL SELECT CAST(1000000 + n_nationkey AS BIGINT),
+      |    CAST(2000000 + n_regionkey AS BIGINT) FROM nation),
+      |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+      |  FROM e GROUP BY 1),
+      |mm AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM e),
+      |l0 AS (SELECT node, node AS comm FROM deg),
+      |t1 AS (SELECT l.comm, CAST(sum(d.deg) AS BIGINT) AS tot
+      |  FROM l0 l JOIN deg d USING (node) GROUP BY 1),
+      |k1 AS (SELECT e.src AS node, l.comm, CAST(count(*) AS BIGINT) AS k
+      |  FROM e JOIN l0 l ON l.node = e.dst GROUP BY 1, 2),
+      |c1 AS (SELECT node, comm, max(k) AS k FROM (
+      |  SELECT node, comm, k FROM k1
+      |  UNION ALL SELECT node, comm, CAST(0 AS BIGINT) FROM l0) GROUP BY 1, 2),
+      |s1 AS (SELECT c.node, c.comm,
+      |    c.k * mm.m2 - d.deg *
+      |      (CASE WHEN c.comm = o.comm THEN t.tot - d.deg ELSE t.tot END) AS score
+      |  FROM c1 c JOIN deg d ON d.node = c.node JOIN l0 o ON o.node = c.node
+      |  JOIN t1 t ON t.comm = c.comm CROSS JOIN mm),
+      |l1 AS (SELECT node, comm FROM s1
+      |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY score DESC, comm) = 1),
+      |t2 AS (SELECT l.comm, CAST(sum(d.deg) AS BIGINT) AS tot
+      |  FROM l1 l JOIN deg d USING (node) GROUP BY 1),
+      |k2 AS (SELECT e.src AS node, l.comm, CAST(count(*) AS BIGINT) AS k
+      |  FROM e JOIN l1 l ON l.node = e.dst GROUP BY 1, 2),
+      |c2 AS (SELECT node, comm, max(k) AS k FROM (
+      |  SELECT node, comm, k FROM k2
+      |  UNION ALL SELECT node, comm, CAST(0 AS BIGINT) FROM l1) GROUP BY 1, 2),
+      |s2 AS (SELECT c.node, c.comm,
+      |    c.k * mm.m2 - d.deg *
+      |      (CASE WHEN c.comm = o.comm THEN t.tot - d.deg ELSE t.tot END) AS score
+      |  FROM c2 c JOIN deg d ON d.node = c.node JOIN l1 o ON o.node = c.node
+      |  JOIN t2 t ON t.comm = c.comm CROSS JOIN mm),
+      |l2 AS (SELECT node, comm FROM s2
+      |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY score DESC, comm) = 1),
+      |t3 AS (SELECT l.comm, CAST(sum(d.deg) AS BIGINT) AS tot
+      |  FROM l2 l JOIN deg d USING (node) GROUP BY 1),
+      |k3 AS (SELECT e.src AS node, l.comm, CAST(count(*) AS BIGINT) AS k
+      |  FROM e JOIN l2 l ON l.node = e.dst GROUP BY 1, 2),
+      |c3 AS (SELECT node, comm, max(k) AS k FROM (
+      |  SELECT node, comm, k FROM k3
+      |  UNION ALL SELECT node, comm, CAST(0 AS BIGINT) FROM l2) GROUP BY 1, 2),
+      |s3 AS (SELECT c.node, c.comm,
+      |    c.k * mm.m2 - d.deg *
+      |      (CASE WHEN c.comm = o.comm THEN t.tot - d.deg ELSE t.tot END) AS score
+      |  FROM c3 c JOIN deg d ON d.node = c.node JOIN l2 o ON o.node = c.node
+      |  JOIN t3 t ON t.comm = c.comm CROSS JOIN mm),
+      |l3 AS (SELECT node, comm FROM s3
+      |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY score DESC, comm) = 1)
+      |SELECT node, comm FROM l3""") { (s, dir) =>
+    val c = load(s, dir, "customer")
+    val n = load(s, dir, "nation")
+    val edges = c.select(col("c_custkey").cast("long").as("src"),
+        (col("c_nationkey").cast("long") + 1000000L).as("dst"))
+      .unionByName(n.select(
+        (col("n_nationkey").cast("long") + 1000000L).as("src"),
+        (col("n_regionkey").cast("long") + 2000000L).as("dst")))
+    Graphs.louvain(edges, rounds = 3)
+  }
+
   // Viterbi HMM decode (reference: stdlib/ml/hmm.py:11
   // create_hmm_reducer): each user's first 5 events (by event_id)
   // decoded against a sticky 2-state activity model — active favors

@@ -73,6 +73,68 @@ object Graphs {
     }.select("node", "rank")
   }
 
+  /** Deterministic Louvain-style community detection (reference:
+    * stdlib/graphs/louvain_communities/impl.py:225 — asynchronous local
+    * moving with RANDOM symmetry breaking, which is not cross-engine
+    * reproducible; this is the deterministic twin).
+    *
+    * Semantics: synchronous local-moving rounds over unit-weight
+    * undirected edges. Each round every node evaluates, for each
+    * neighbor community C (plus staying put), the standard modularity
+    * gain of joining C with itself removed from its own community:
+    * ΔQ ∝ k_iC − deg_i·Σtot_C / 2m. Two determinism decisions:
+    *
+    *  - gains are compared EXACTLY: the comparison is scaled by 2m into
+    *    pure integer arithmetic (score = k_iC·2m − deg_i·tot'_C, all
+    *    BIGINT) — no float division anywhere, so every engine picks the
+    *    identical move;
+    *  - ties break toward the smallest community id (total order), the
+    *    role the reference fills with randomness.
+    *
+    * `rounds` is FIXED, not run-to-convergence: a synchronous schedule
+    * can oscillate on symmetric graphs, and a fixed recurrence is what
+    * lets the DuckDB oracle replay the exact same evolution unrolled.
+    * Scale shape: per round, two aggregations and three hash joins, all
+    * keyed on node/community — the same shuffle profile as one CC round;
+    * labels are eager-cached per round so the plan stays bounded.
+    * Returns (node, comm). */
+  def louvain(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    val sym = graft.core.Caches.eager(edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    val deg = graft.core.Caches.cache(
+      sym.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).cast("long").as("deg")))
+    val m2 = sym.count() // = 2m for unit weights
+    var labels = deg.select(col("node"), col("node").as("comm"))
+    for (_ <- 1 to rounds) {
+      val tot = labels.join(deg, "node").groupBy("comm")
+        .agg(sum("deg").as("tot"))
+      // k_iC: edge count from each node into each neighbor community
+      val kic = sym
+        .join(labels.select(col("node").as("dst"), col("comm")), "dst")
+        .groupBy(col("src").as("node"), col("comm"))
+        .agg(count(lit(1)).cast("long").as("k"))
+      // candidate set = neighbor communities ∪ own community (k may be 0
+      // for a singleton's own community; max() keeps the real k when the
+      // node also has edges into its own community)
+      val cand = kic
+        .unionByName(labels.select(col("node"), col("comm"), lit(0L).as("k")))
+        .groupBy("node", "comm").agg(max("k").as("k"))
+      val scored = cand
+        .join(deg, "node")
+        .join(labels.select(col("node"), col("comm").as("own")), "node")
+        .join(tot, "comm")
+        // remove the node from its own community before comparing
+        .withColumn("tadj", when(col("comm") === col("own"),
+          col("tot") - col("deg")).otherwise(col("tot")))
+        .withColumn("score", col("k") * lit(m2) - col("deg") * col("tadj"))
+      labels = graft.core.Caches.eager(scored.groupBy("node")
+        .agg(max(struct(col("score"), (-col("comm")).as("nc"))).as("m"))
+        .select(col("node"), (-col("m.nc")).as("comm")))
+    }
+    labels.select(col("node"), col("comm"))
+  }
+
   /** Single-source shortest paths by iterative relaxation
     * (reference: stdlib/graphs/bellman_ford/impl.py:42). `edges` needs
     * src/dst/weight; returns (node, dist) for reachable nodes only. */

@@ -41,4 +41,22 @@ class GraphsSpec extends SparkSpec {
     val out = Graphs.bellmanFord(edges, lit(0L))
     assert(rowsOf(out) == Set(Seq(0L, 0.0), Seq(1L, 1.0), Seq(2L, 2.0)))
   }
+
+  test("louvain: synchronous deterministic rounds merge cliques") {
+    // two disjoint triangles; hand-traced 3-round evolution (see the
+    // louvain scaladoc): round 1 everyone tie-breaks to its smallest
+    // neighbor, round 2 the stragglers join the majority community,
+    // round 3 is stable — each triangle ends as one community labeled
+    // by its smallest-but-one node (the round-1 tie-break winner).
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    val out = Graphs.louvain(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // determinism: a second run lands on the identical labeling
+    val again = Graphs.louvain(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out)
+  }
 }
