@@ -279,6 +279,43 @@ object TemporalQueries extends QueryModule {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  // session window join, OUTER mode: sessions still form over the UNION
+  // of both sides' times, and a session whose one side is empty
+  // surfaces its other side's rows with nulls — per-session unmatched
+  // semantics (_window_join.py:156).
+  q("q_window_join_session_outer",
+    """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+      |  WHERE event_type = 'click'),
+      |er AS (SELECT event_id AS e_id, user_id, epoch_us(ts) AS us FROM events
+      |  WHERE event_type = 'error'),
+      |m AS (SELECT DISTINCT user_id, us FROM (
+      |  SELECT user_id, us FROM c UNION ALL SELECT user_id, us FROM er)),
+      |s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |    OR us - lag(us) OVER w > 14400000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      |x AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+      |    ROWS UNBOUNDED PRECEDING) AS sess FROM s),
+      |g AS (SELECT user_id, us, make_timestamp(min(us) OVER (PARTITION BY user_id, sess))
+      |    AS session_start FROM x),
+      |cg AS (SELECT c.user_id, g.session_start, c.event_id FROM c
+      |  JOIN g ON g.user_id = c.user_id AND g.us = c.us),
+      |eg AS (SELECT er.user_id, g.session_start, er.e_id FROM er
+      |  JOIN g ON g.user_id = er.user_id AND g.us = er.us)
+      |SELECT coalesce(cg.user_id, eg.user_id) AS user_id,
+      |  coalesce(cg.session_start, eg.session_start) AS session_start,
+      |  cg.event_id, eg.e_id
+      |FROM cg FULL OUTER JOIN eg
+      |  ON eg.user_id = cg.user_id AND eg.session_start = cg.session_start""") { (s, dir) =>
+    val ev = loadEvents(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id"), col("ts").as("e_ts"))
+    Temporal.windowJoinSession(clicks, errors, col("ts"), col("e_ts"),
+        4 * 3600, Seq("user_id"), how = "outer")
+      .select(col("user_id"), col("session_start"), col("event_id"), col("e_id"))
+  }
+
   // intervals_over (reference: _window.py:795) — per signup, aggregate the
   // user's events in the following 7 days (self at Δ=0 included)
   q("q_intervals_over",

@@ -118,6 +118,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("Par.spread: stat-estimated widening, no-op on wide-estimated input") {
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+    // small input (stats ≪ 32 × maxPartitionBytes) → repartition to the
+    // session parallelism, same decision the old physical probe made
+    val narrow = graft.core.Par.spread(df)
+    assert(narrow.queryExecution.optimizedPlan.toString.contains("Repartition"),
+      "small input must be widened")
+    // force the estimate over the threshold: with a 1-byte split size the
+    // estimated partition count exceeds 32, so spread must NOT add a
+    // shuffle (the 100 TB no-op path)
+    val old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+      val wide = graft.core.Par.spread(df)
+      assert(!wide.queryExecution.optimizedPlan.toString.contains("Repartition"),
+        "wide-estimated input must pass through unchanged")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+  }
+
   test("q_cdc_apply: state replay is one aggregate, no window sort") {
     val p = plan("q_cdc_apply")
     assert(!p.contains("Window"), s"latest-per-key must be an aggregate:\n$p")
