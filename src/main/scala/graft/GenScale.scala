@@ -56,6 +56,33 @@ object GenScale {
       if (i == 0) df
       else df.withColumn("c_custkey", col("c_custkey") + lit(i * OFF))
     }
+    // facts: keys offset consistently ACROSS tables per replica, so
+    // cross-table joins (orders↔customer, lineitem↔orders) land inside
+    // the same replica; dimension references (part/supplier/nation) are
+    // left shared — dims grow slower than facts in a real warehouse.
+    replicate("orders") { (df, i) =>
+      if (i == 0) df
+      else df.withColumn("o_orderkey", col("o_orderkey") + lit(i * OFF))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * OFF))
+    }
+    replicate("lineitem") { (df, i) =>
+      if (i == 0) df
+      else df.withColumn("l_orderkey", col("l_orderkey") + lit(i * OFF))
+    }
+    // events.parquet carries TIMESTAMP(NANOS): read nanos as long and
+    // write plain int64 — loadEvents' `ts div 1000` works on either
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    replicate("events") { (df, i) =>
+      if (i == 0) df
+      else df.withColumn("event_id", col("event_id") + lit(i * OFF))
+        .withColumn("user_id", col("user_id") + lit(i * OFF))
+    }
+    // dims: copied unscaled
+    Seq("part", "supplier", "nation", "region").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"$t: copied")
+    }
     spark.stop()
   }
 }

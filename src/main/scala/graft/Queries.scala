@@ -613,6 +613,32 @@ object Queries extends QueryModule {
       .df
   }
 
+  // retraction-aware reduction (custom_reducers.py:174 retract): a diff
+  // stream derived from orders — every row inserted, %5==0 keys later
+  // retracted — folded in ONE ordinary aggregate (retractions as
+  // negative contributions; decimal-exact product so both engines sum
+  // identically). The oracle replays the same delta algebra directly.
+  q("q_retract_reduce",
+    """WITH d AS (
+      |  SELECT o_orderpriority, o_totalprice, 1 AS diff FROM orders
+      |  UNION ALL
+      |  SELECT o_orderpriority, o_totalprice, -1 FROM orders
+      |  WHERE o_orderkey % 5 = 0)
+      |SELECT o_orderpriority,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(24,6))
+      |    * CAST(diff AS DECIMAL(2,0))) AS DOUBLE), 4) AS s,
+      |  CAST(sum(diff) AS BIGINT) AS n
+      |FROM d GROUP BY 1""") { (s, dir) =>
+    val o = load(s, dir, "orders")
+    val d = o.select(col("o_orderpriority"), col("o_totalprice"), lit(1L).as("diff"))
+      .unionByName(o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderpriority"), col("o_totalprice"), lit(-1L).as("diff")))
+    d.groupBy("o_orderpriority").agg(
+      r4(reducers.retractSum(col("o_totalprice").cast("decimal(24,6)"),
+        col("diff").cast("decimal(2,0)")).cast("double")).as("s"),
+      reducers.retractCount(col("diff")).cast("long").as("n"))
+  }
+
   // make_tuple + get (common.py:361, expression.py:994) — struct emitted
   // as compact JSON (identical `{"k":v}` form in both engines) so the
   // driver's pandas comparator can hash it.

@@ -95,4 +95,38 @@ object reducers {
     * is a streaming-only concern, batch recompute is semantically equal).
     */
   abstract class CustomReducer[IN, BUF, OUT] extends Aggregator[IN, BUF, OUT]
+
+  // -------------------------------------------------------------------
+  // Retraction-aware reduction (reference: custom_reducers.py:174
+  // BaseCustomAccumulator.retract — the engine feeds row DELTAS, so its
+  // accumulators must be able to subtract a retracted row).
+  //
+  // Spark-first mapping: a diff stream is a DataFrame whose rows carry
+  // diff ∈ {+1, -1} (Debezium decode, Table.diff, and any CDC source
+  // produce exactly this shape). Group-invertible reducers fold
+  // retractions as NEGATIVE contributions inside one ordinary aggregate
+  // — no custom state, map-side combinable, the same Semigroup shape the
+  // engine's SemigroupReducerImpl has, and valid in streaming update
+  // mode unchanged. Non-invertible reducers (min/max/unique/tuple)
+  // cannot subtract; [[netRows]] first collapses the diff stream to its
+  // net surviving row images, after which every batch reducer above
+  // applies — the "batch recompute is semantically equal" half of the
+  // reference's contract, made explicit.
+  def retractSum(c: Column, diff: Column): Column = sum(c * diff)
+  def retractCount(diff: Column): Column = sum(diff)
+  def retractAvg(c: Column, diff: Column): Column = sum(c * diff) / sum(diff)
+
+  /** Collapse a diff stream to rows whose net multiplicity is positive:
+    * group by the full row image, keep images with sum(diff) > 0. Feeds
+    * the NON-invertible reducers (min/max/unique — multiplicity is
+    * irrelevant to them); invertible ones should use retractSum/Count/
+    * Avg directly and skip this extra shuffle. */
+  def netRows(df: org.apache.spark.sql.DataFrame, diffCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val cols = df.columns.filterNot(_ == diffCol).toSeq
+    df.groupBy(cols.map(col): _*)
+      .agg(sum(col(diffCol)).as("_net"))
+      .filter(col("_net") > 0)
+      .select(cols.map(col): _*)
+  }
 }

@@ -54,4 +54,50 @@ object Monitor {
   def summary(buf: ConcurrentLinkedQueue[BatchMetric]): String =
     buf.asScala.map(m => f"${m.name}%-20s ${m.durationNs / 1e6}%10.1f ms ${m.error.getOrElse("")}")
       .mkString("\n")
+
+  /** Minimal metrics HTTP endpoint (reference: engine
+    * src/engine/http_server.rs — the engine serves liveness and
+    * per-operator probe values over HTTP; internals/monitoring.py renders
+    * the same numbers as the dashboard). JDK-builtin
+    * com.sun.net.httpserver, zero dependencies; serves the live listener
+    * buffers as JSON:
+    *
+    *   GET /healthz → {"status":"ok"}
+    *   GET /metrics → {"batch":[{name,duration_ms,error}...],
+    *                   "streams":[{query,batch_id,input_rows,rows_per_s}...]}
+    *
+    * `port = 0` binds an ephemeral port — read it from
+    * `serve(...).getAddress.getPort`; call `.stop(0)` to release. The
+    * handler renders on request from the concurrent buffers, so it
+    * observes metrics recorded after it started. */
+  def serve(batch: ConcurrentLinkedQueue[BatchMetric],
+      streams: ConcurrentLinkedQueue[StreamMetric],
+      port: Int = 0): com.sun.net.httpserver.HttpServer = {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val srv = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def num(d: Double) = if (d.isNaN || d.isInfinite) "0.0" else d.toString
+    def respond(ex: HttpExchange, body: String): Unit = {
+      val b = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, b.length)
+      val os = ex.getResponseBody
+      try os.write(b) finally os.close()
+    }
+    srv.createContext("/healthz",
+      (ex: HttpExchange) => respond(ex, """{"status":"ok"}"""))
+    srv.createContext("/metrics", (ex: HttpExchange) => {
+      val bj = batch.asScala.map(m =>
+        s"""{"name":"${esc(m.name)}","duration_ms":${num(m.durationNs / 1e6)},""" +
+        s""""error":${m.error.map(e => "\"" + esc(e) + "\"").getOrElse("null")}}""")
+        .mkString("[", ",", "]")
+      val sj = streams.asScala.map(m =>
+        s"""{"query":"${esc(m.queryName)}","batch_id":${m.batchId},""" +
+        s""""input_rows":${m.inputRows},"rows_per_s":${num(m.processedRowsPerSecond)}}""")
+        .mkString("[", ",", "]")
+      respond(ex, s"""{"batch":$bj,"streams":$sj}""")
+    })
+    srv.start()
+    srv
+  }
 }

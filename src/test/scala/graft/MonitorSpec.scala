@@ -43,4 +43,31 @@ class MonitorSpec extends SparkSpec {
       assert(!buf.isEmpty)
     } finally q.stop()
   }
+
+  test("metrics HTTP endpoint serves healthz and live buffers as JSON") {
+    val batch = Monitor.attachBatch(spark)
+    val streams = new java.util.concurrent.ConcurrentLinkedQueue[Monitor.StreamMetric]()
+    streams.add(Monitor.StreamMetric("wc", 3L, 42L, 1234.5))
+    val srv = Monitor.serve(batch, streams)
+    try {
+      val port = srv.getAddress.getPort
+      def get(path: String): String = {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        try {
+          assert(conn.getResponseCode == 200)
+          new String(conn.getInputStream.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+        } finally conn.disconnect()
+      }
+      assert(get("/healthz").contains("\"ok\""))
+      // generate a batch metric, then the endpoint must reflect it live
+      Seq(1, 2, 3).toDF("v").agg(sum("v")).collect()
+      val deadline = System.currentTimeMillis() + 5000
+      while (batch.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val body = get("/metrics")
+      assert(body.contains("\"batch\":[") && body.contains("\"duration_ms\""))
+      assert(body.contains("\"query\":\"wc\"") && body.contains("\"input_rows\":42"))
+    } finally srv.stop(0)
+  }
 }

@@ -60,4 +60,24 @@ class ReducersSpec extends SparkSpec {
       .groupBy("g").agg(reducers.array_sum_fixed(col("vec"), 2).as("s"))
     assert(rowsOf(out) == Set(Seq("a", Seq(4.0, 6.0))))
   }
+
+  test("retraction-aware reducers fold diffs; netRows feeds non-invertible") {
+    // diff stream: insert 10, 20, 30 into group a; retract the 20;
+    // group b inserts 5 twice and retracts one of them
+    val diffs = Seq(
+      ("a", 10L, 1L), ("a", 20L, 1L), ("a", 30L, 1L), ("a", 20L, -1L),
+      ("b", 5L, 1L), ("b", 5L, 1L), ("b", 5L, -1L))
+      .toDF("g", "v", "diff")
+    val inv = diffs.groupBy("g").agg(
+      reducers.retractSum(col("v"), col("diff")).as("s"),
+      reducers.retractCount(col("diff")).as("n"),
+      reducers.retractAvg(col("v"), col("diff")).as("m"))
+    // equals the batch recompute over surviving rows: a = {10, 30}, b = {5}
+    assert(rowsOf(inv) == Set(Seq("a", 40L, 2L, 20.0), Seq("b", 5L, 1L, 5.0)))
+    // non-invertible path: net surviving row images, then a plain min/max
+    val net = reducers.netRows(diffs, "diff")
+    assert(rowsOf(net) == Set(Seq("a", 10L), Seq("a", 30L), Seq("b", 5L)))
+    val mm = net.groupBy("g").agg(min("v").as("lo"), max("v").as("hi"))
+    assert(rowsOf(mm) == Set(Seq("a", 10L, 30L), Seq("b", 5L, 5L)))
+  }
 }
