@@ -253,6 +253,33 @@ object PipelineQueries extends QueryModule {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  // Partitioned HNSW ANN in the provably-exact configuration (efSearch
+  // and m ≥ partition row count → beam never fills, best-first becomes
+  // full traversal of the connected layer-0 graph, per-shard top-k is
+  // brute-force-exact and the merge preserves it) — so the brute-force
+  // oracle states the result. Approximate configs are spec-checked by
+  // recall (HnswSpec).
+  q("q_knn_hnsw",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |d AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+      |sc AS (SELECT qid, nid,
+      |  list_dot_product(qv, dv)
+      |    / sqrt(list_dot_product(qv, qv) * list_dot_product(dv, dv)) AS c
+      |  FROM q JOIN d ON qid != nid),
+      |r AS (SELECT qid AS query_id, nid AS neighbor_id, c,
+      |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank FROM sc)
+      |SELECT query_id, rank, neighbor_id, round(c, 4) AS cosine
+      |FROM r WHERE rank <= 3""") { (s, dir) =>
+    val e = load(s, dir, "embeddings")
+    operators.Hnsw.topK(
+        e.filter(col("vec_id") % 50 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 3, m = 64, efConstruction = 64, efSearch = 64)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   // LSH pre-clustering: 2 independent 12-plane bands, CC-merged
   q("q_lsh_cluster",
     """WITH RECURSIVE

@@ -77,6 +77,18 @@ object DataIndex {
             col("neighbor_id").as("id"), col("cosine").as("score"))
     }
 
+  /** ANN via partitioned HNSW graphs (reference: USearch integration —
+    * the reference's remaining index family). efSearch dials recall;
+    * efSearch ≥ partition rows (with m to match) is exact. */
+  def hnsw(data: DataFrame, id: Column, vec: Column, m: Int = 16,
+      efConstruction: Int = 64, efSearch: Int = 64): Retriever =
+    new Retriever {
+      def retrieve(queries: DataFrame, qid: Column, query: Column, k: Int): DataFrame =
+        Hnsw.topK(queries, data, qid, query, id, vec, k, m, efConstruction, efSearch)
+          .select(col("query_id").as("qid"), col("rank"),
+            col("neighbor_id").as("id"), col("cosine").as("score"))
+    }
+
   /** Full-text BM25 retriever. */
   def bm25(corpus: DataFrame, id: Column, text: Column): Retriever =
     new Retriever {

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Hnsw, Similarity}
+
+/** Partitioned HNSW semantics (reference: USearch HNSW integration):
+  * exact in the degenerate-parameter regime, recall-bounded and
+  * deterministic in the approximate regime. */
+class HnswSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embeddings = {
+    // 60 deterministic 8-dim vectors in 3 well-separated clusters; the
+    // noise hash has a long period so no two vectors are identical (an
+    // earlier modular generator produced exact duplicates every 39
+    // seeds — cosine-1.0 plateaus that make recall measurement
+    // meaningless)
+    def vec(seed: Long): Seq[Double] = {
+      val base = (seed % 3).toInt
+      (0 until 8).map { d =>
+        val center = if (d % 3 == base) 1.0 else 0.0
+        center + 0.02 * (((seed * 2654435761L + d * 40503L) % 1009L) - 504L) / 1009.0
+      }
+    }
+    (0L until 60L).map(i => (i, vec(i))).toDF("id", "v")
+  }
+
+  test("exact regime (ef ≥ partition rows) equals brute-force top-k") {
+    val e = embeddings
+    val q = e.filter(col("id") < 5)
+    val got = Hnsw.topK(q, e, col("id"), col("v"), col("id"), col("v"),
+        k = 4, m = 128, efConstruction = 128, efSearch = 128)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    val want = Similarity.bruteForceTopK(q, e, col("id"), col("v"),
+        col("id"), col("v"), k = 4)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    assert(rowsOf(got) == rowsOf(want))
+  }
+
+  test("approximate regime: deterministic across reruns, recall ≥ 0.9") {
+    val e = embeddings
+    val q = e.filter(col("id") < 10)
+    def run() = Hnsw.topK(q, e, col("id"), col("v"), col("id"), col("v"),
+        k = 3, m = 4, efConstruction = 8, efSearch = 8)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    val a = rowsOf(run())
+    assert(rowsOf(run()) == a, "same data + params must reproduce exactly")
+    val exact = rowsOf(Similarity.bruteForceTopK(q, e, col("id"), col("v"),
+        col("id"), col("v"), k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id")))
+    val overlap = a.map(r => (r(0), r(2))) intersect exact.map(r => (r(0), r(2)))
+    assert(overlap.size >= (exact.size * 0.9).toInt,
+      s"recall ${overlap.size}/${exact.size} below 0.9")
+  }
+
+  test("retriever façade surfaces hnsw results") {
+    val e = embeddings
+    val r = graft.operators.DataIndex.hnsw(e, col("id"), col("v"),
+      m = 128, efConstruction = 128, efSearch = 128)
+    val out = r.retrieve(e.filter(col("id") === 0), col("id"), col("v"), 2)
+    assert(out.count() == 2)
+    assert(out.columns.toSeq == Seq("qid", "rank", "id", "score"))
+  }
+}
