@@ -272,10 +272,17 @@ object PipelineQueries extends QueryModule {
       |SELECT query_id, rank, neighbor_id, round(c, 4) AS cosine
       |FROM r WHERE rank <= 3""") { (s, dir) =>
     val e = load(s, dir, "embeddings")
+    // exactness precondition computed, not assumed: ef/m ≥ rows per
+    // partition (ceil) keeps the configuration in the provably-exact
+    // regime whatever the session's parallelism — the oracle's validity
+    // must not hinge on a frozen "64 is bigger than 500/32"
+    val par = s.sessionState.conf.numShufflePartitions
+    val perShard = ((e.count() + par - 1) / par).toInt
+    val ef = math.max(64, perShard)
     operators.Hnsw.topK(
         e.filter(col("vec_id") % 50 === 0), e,
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
-        k = 3, m = 64, efConstruction = 64, efSearch = 64)
+        k = 3, m = ef, efConstruction = ef, efSearch = ef)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cosine"), 4).as("cosine"))
   }

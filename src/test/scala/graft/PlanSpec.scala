@@ -137,6 +137,18 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
   }
 
+  test("q_retract_reduce: diff fold is one shuffle, partial-aggregated") {
+    val p = plan("q_retract_reduce")
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected 1 exchange:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size == 2) // partial + final
+  }
+
+  test("q_louvain: rounds stay equi-join shaped, no cartesian fallback") {
+    val p = plan("q_louvain")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"NLJ in louvain plan:\n$p")
+  }
+
   test("q_cdc_apply: state replay is one aggregate, no window sort") {
     val p = plan("q_cdc_apply")
     assert(!p.contains("Window"), s"latest-per-key must be an aggregate:\n$p")
