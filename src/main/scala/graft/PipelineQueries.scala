@@ -272,17 +272,21 @@ object PipelineQueries extends QueryModule {
       |SELECT query_id, rank, neighbor_id, round(c, 4) AS cosine
       |FROM r WHERE rank <= 3""") { (s, dir) =>
     val e = load(s, dir, "embeddings")
-    // exactness precondition computed, not assumed: ef/m ≥ rows per
-    // partition (ceil) keeps the configuration in the provably-exact
-    // regime whatever the session's parallelism — the oracle's validity
-    // must not hinge on a frozen "64 is bigger than 500/32"
-    val par = s.sessionState.conf.numShufflePartitions
-    val perShard = ((e.count() + par - 1) / par).toInt
-    val ef = math.max(64, perShard)
+    // two regimes, switched on TOTAL corpus size (partition-independent,
+    // so the oracle's validity can't hinge on the session's parallelism):
+    //  - oracle-scale corpora (n ≤ 4096): ef = m = n ≥ any shard ⇒
+    //    provably exact against the brute-force oracle, still cheap;
+    //  - beyond: true ANN parameters (m=16, ef=64) — the approximate
+    //    profile is the point of the index at scale, and ef must NOT
+    //    grow to shard size there (an earlier ceil(n/partitions)
+    //    derivation degenerated to per-shard brute force plus
+    //    graph-build overhead at sf1: 130 s vs 2.4 s).
+    val n = e.count()
+    val (mm, ef) = if (n <= 4096) (n.toInt, n.toInt) else (16, 64)
     operators.Hnsw.topK(
         e.filter(col("vec_id") % 50 === 0), e,
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
-        k = 3, m = ef, efConstruction = ef, efSearch = ef)
+        k = 3, m = mm, efConstruction = ef, efSearch = ef)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cosine"), 4).as("cosine"))
   }

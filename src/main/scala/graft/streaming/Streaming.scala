@@ -164,6 +164,67 @@ object Streaming {
   def subscribe(df: DataFrame, onChange: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     df.writeStream.outputMode("update").foreachBatch(onChange)
 
+  /** Materialized current-state parquet sink for a change stream — the
+    * jar-less analog of a Delta upsert writer (reference:
+    * DeltaTableWriter data_storage.rs:1611; PsqlWriter :1072 in
+    * snapshot mode). Each micro-batch folds its events into the stored
+    * snapshot — highest `orderCol` per key wins, exactly the
+    * [[graft.sources.Cdc.applyLatest]] rule — and swaps the snapshot
+    * directory, so a reader between batches sees one complete state.
+    *
+    * Tombstones are RETAINED in the snapshot (deleteCol = true rows)
+    * rather than dropped: a dropped tombstone would let an
+    * out-of-order insert from a later batch resurrect the key. Filter
+    * them on read with [[readSnapshot]] — the same retain-until-vacuum
+    * discipline Delta uses. The foreachBatch checkpoint gives
+    * exactly-once batch replay, and the merge itself is idempotent
+    * (max-by-order over a union), so a retried half-applied batch
+    * converges to the same snapshot.
+    *
+    * Scale note: rewrites the whole snapshot per batch (what a
+    * compacting MERGE does at file granularity) — the right shape for
+    * dimension-sized state; for fact-sized state partition the path by
+    * a key prefix and rewrite only touched partitions. The directory
+    * swap is two renames (atomic on a real filesystem); object stores
+    * want a versioned-dir + pointer-file layout instead. */
+  def upsertParquetSink(events: DataFrame, keys: Seq[String],
+      orderCol: String, deleteCol: String, path: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    events.writeStream.outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val cur = new java.io.File(path)
+        val merged = {
+          val b = batch.persist()
+          val all =
+            if (cur.isDirectory)
+              spark.read.parquet(path).unionByName(b, allowMissingColumns = false)
+            else b
+          graft.operators.ColUtils.argmaxRowsOrdered(
+            all, keys.map(col), col(orderCol))
+        }
+        val tmp = new java.io.File(s"$path.tmp.$batchId")
+        val old = new java.io.File(s"$path.old.$batchId")
+        merged.write.mode("overwrite").parquet(tmp.getPath)
+        batch.unpersist()
+        if (cur.isDirectory) { cur.renameTo(old) }
+        tmp.renameTo(cur)
+        if (old.isDirectory) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(old)
+        }
+      }
+
+  /** Read the live rows of an [[upsertParquetSink]] snapshot —
+    * tombstoned keys filtered, bookkeeping columns dropped. */
+  def readSnapshot(spark: SparkSession, path: String, orderCol: String,
+      deleteCol: String): DataFrame =
+    spark.read.parquet(path).filter(!col(deleteCol))
+      .drop(orderCol, deleteCol)
+
   /** Persistence / recovery conventions (reference: src/persistence/ —
     * config.rs PersistenceConfig, operator_snapshot.rs, input_snapshot
     * .rs; recovery proven by integration_tests/wordcount/test_recovery

@@ -53,6 +53,20 @@ class HnswSpec extends SparkSpec {
       s"recall ${overlap.size}/${exact.size} below 0.9")
   }
 
+  test("randomized differential: exact regime equals brute force on uniform data") {
+    val rnd = new scala.util.Random(42)
+    val e = (0L until 200L).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))
+      .toDF("id", "v")
+    val q = e.filter(col("id") % 20 === 0)
+    val got = Hnsw.topK(q, e, col("id"), col("v"), col("id"), col("v"),
+        k = 5, m = 256, efConstruction = 256, efSearch = 256)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    val want = Similarity.bruteForceTopK(q, e, col("id"), col("v"),
+        col("id"), col("v"), k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    assert(rowsOf(got) == rowsOf(want))
+  }
+
   test("retriever façade surfaces hnsw results") {
     val e = embeddings
     val r = graft.operators.DataIndex.hnsw(e, col("id"), col("v"),

@@ -233,4 +233,31 @@ class StreamingSpec extends SparkSpec {
       assert(keys.contains("u"))
     } finally q.stop()
   }
+
+  test("upsertParquetSink materializes current state; tombstones retained, " +
+      "stale events lose") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val path = s"$root/state"
+    val in = MemoryStream[(Long, Long, Boolean, String)]
+    val events = in.toDF().toDF("id", "ord", "del", "v")
+    val q = Streaming.upsertParquetSink(events, Seq("id"), "ord", "del",
+      path, s"$root/ckpt").start()
+    try {
+      in.addData((1L, 10L, false, "a"), (2L, 10L, false, "b"))
+      q.processAllAvailable()
+      val s1 = Streaming.readSnapshot(spark, path, "ord", "del")
+      assert(rowsOf(s1) == Set(Seq(1L, "a"), Seq(2L, "b")))
+      // batch 2: update key 1, delete key 2, and a STALE event for key 1
+      // below its stored order — the stale row must lose to the snapshot
+      in.addData((1L, 30L, false, "a2"), (2L, 20L, true, "b"),
+        (1L, 5L, false, "STALE"))
+      q.processAllAvailable()
+      val s2 = Streaming.readSnapshot(spark, path, "ord", "del")
+      assert(rowsOf(s2) == Set(Seq(1L, "a2")))
+      // the tombstone itself is retained in the raw snapshot
+      val raw = spark.read.parquet(path)
+      assert(raw.filter(col("del")).select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    } finally q.stop()
+  }
 }
