@@ -72,6 +72,34 @@ object io {
     df.write.format("jdbc").option("url", url).option("dbtable", tableName)
       .options(options).mode(mode).save()
 
+  /** HTTP polling source (reference: pw.io.http REST connector —
+    * periodic GET of an endpoint into a stream). Spark-first mapping:
+    * the rate source provides the tick cadence and checkpointable
+    * offsets; each tick fetches the URL once via the JDK HttpClient
+    * (executor-side, no driver I/O) and emits
+    * (tick_time, status, body). Payload parsing (from_json etc.) is the
+    * caller's next transform, matching the reference's format layer.
+    * One fetch per tick — poll fan-out across a URL LIST can map each
+    * rate row to `urls(value % n)` instead. */
+  def httpPoll(spark: SparkSession, url: String,
+      pollsPerSecond: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fetch = udf { () =>
+      try {
+        val client = java.net.http.HttpClient.newHttpClient()
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      } catch { case e: Exception => (-1, e.toString) }
+    }.asNondeterministic()
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", math.max(1, pollsPerSecond)).load()
+      .withColumn("_r", fetch())
+      .select(col("timestamp").as("tick_time"),
+        col("_r._1").as("status"), col("_r._2").as("body"))
+  }
+
   /** Streaming variants (reference streaming mode connectors). */
   def stream(spark: SparkSession, format: String, schema: StructType = null,
       options: Map[String, String] = Map.empty): DataStreamReader = {

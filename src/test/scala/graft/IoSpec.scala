@@ -101,4 +101,35 @@ class IoSpec extends SparkSpec {
     // checkpoint directory was actually used (offsets recorded)
     assert(new java.io.File(ckpt, "offsets").list().nonEmpty)
   }
+
+  test("httpPoll streams periodic GETs of a live endpoint") {
+    // serve a real local endpoint with the JDK http server
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    srv.createContext("/data", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = s"""{"n":${hits.incrementAndGet()}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, body.length)
+      val os = ex.getResponseBody
+      try os.write(body) finally os.close()
+    })
+    srv.start()
+    val q = io.httpPoll(spark,
+        s"http://127.0.0.1:${srv.getAddress.getPort}/data", pollsPerSecond = 5)
+      .writeStream.format("memory").queryName("http_poll").outputMode("append")
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      def n() = spark.sql("SELECT * FROM http_poll WHERE status = 200").count()
+      while (n() < 2 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(200)
+      }
+      assert(n() >= 2, "expected at least two successful polls")
+      val bodies = spark.sql("SELECT body FROM http_poll WHERE status = 200")
+        .collect().map(_.getString(0))
+      assert(bodies.forall(_.startsWith("{\"n\":")))
+      assert(hits.get() >= 2) // the server really served the fetches
+    } finally { q.stop(); srv.stop(0) }
+  }
 }
