@@ -319,6 +319,43 @@ object PipelineQueries extends QueryModule {
   // Text analysis
   // ---------------------------------------------------------------
 
+  // Gopher-style repetition filter signals: top-unigram / top-bigram
+  // mass fractions per document (boilerplate & spam markers)
+  q("q_text_repetition",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |uni AS (SELECT doc_id, unnest(ws) AS g FROM w),
+      |uc AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY 1, 2),
+      |u AS (SELECT doc_id, max(c) AS c1, CAST(sum(c) AS BIGINT) AS n1
+      |  FROM uc GROUP BY 1),
+      |big AS (SELECT doc_id, ws[j] || ' ' || ws[j+1] AS g FROM w,
+      |  UNNEST(range(1, len(ws))) AS t(j)),
+      |bc AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+      |b AS (SELECT doc_id, max(c) AS c2, CAST(sum(c) AS BIGINT) AS n2
+      |  FROM bc GROUP BY 1)
+      |SELECT u.doc_id, u.n1 AS n_tokens,
+      |  round(u.c1 * 1.0 / u.n1 + 1e-9, 4) AS top_unigram_frac,
+      |  round(b.c2 * 1.0 / b.n2 + 1e-9, 4) AS top_bigram_frac
+      |FROM u LEFT JOIN b ON b.doc_id = u.doc_id""") { (s, dir) =>
+    val r = TextOps.repetitionSignals(load(s, dir, "documents"),
+      col("doc_id"), col("text"))
+    r.select(col("id").as("doc_id"), col("n_tokens"),
+      r4e(col("top_unigram_frac")).as("top_unigram_frac"),
+      r4e(col("top_bigram_frac")).as("top_bigram_frac"))
+  }
+
+  // Overlapping token-window chunking (8-word windows, 3-word overlap)
+  q("q_text_chunk",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |st AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 3, 1) + 1, 5)) AS s
+      |  FROM w)
+      |SELECT doc_id, CAST((s - 1) / 5 AS BIGINT) AS chunk_id,
+      |  array_to_string(ws[s : s + 7], ' ') AS chunk
+      |FROM st""") { (s, dir) =>
+    TextOps.chunk(load(s, dir, "documents"), col("doc_id"), col("text"),
+        chunkSize = 8, overlap = 3)
+      .select(col("id").as("doc_id"), col("chunk_id"), col("chunk"))
+  }
+
   q("q_text_stats",
     """SELECT doc_id,
       |  len(string_split(text, ' ')) AS n_tok,

@@ -28,9 +28,17 @@ object Graphs {
       .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
     val init = sym.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
+    // convergence probe: min-label propagation is MONOTONE (comp never
+    // increases), so the label total strictly decreases until the
+    // fixpoint — equal totals ⇔ no node changed. Two scalar aggregates
+    // over already-checkpointed frames, replacing the join-shuffle probe
+    // (one fewer shuffle per probe on every CC consumer: q_connected_
+    // components, lshCluster, dedup canonicalize). decimal(38,0) keeps
+    // the sum exact at any id scale.
+    def tot(df: DataFrame) =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
     Iterate.fixpoint(init, maxIter,
-      (prev, next) => next.join(prev.withColumnRenamed("comp", "pc"), "node")
-        .filter(col("comp") =!= col("pc")).count(),
+      (prev, next) => if (tot(next).compareTo(tot(prev)) == 0) 0L else 1L,
       checkEvery = 2) { labels =>
       // min over neighbors' components
       val nbrMin = sym

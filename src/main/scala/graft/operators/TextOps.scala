@@ -149,4 +149,52 @@ object TextOps {
     * projection: one scan at any corpus size. */
   def cleanText(text: Column): Column =
     normalizeWhitespace(maskIpv4(maskEmails(stripUrls(text))))
+
+  /** Gopher/MassiveText-style repetition signals (the published
+    * "repetitive content" filter family): per document, the fraction of
+    * all tokens taken by the single most frequent unigram and bigram —
+    * high values mark boilerplate, keyword-stuffing and spam.
+    *
+    * Deliberately a DataFrame op, not a per-row array fold: the mode of
+    * a token multiset via higher-order functions is O(len²) interpreted
+    * per row, while explode → two-level aggregate is the same
+    * map-side-combinable shingle shape the dedup pipeline scales on.
+    * Returns (id, n_tokens, top_unigram_frac, top_bigram_frac);
+    * single-word documents carry a NULL bigram fraction. */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val w = df.select(id.as("id"), tokens(text).as("ws"))
+    val uni = w.select(col("id"), explode(col("ws")).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max(col("c")).as("c1"), sum(col("c")).as("n1"))
+    val bigrams = when(size(col("ws")) >= 2,
+        transform(sequence(lit(1), size(col("ws")) - 1), j =>
+          concat_ws(" ", element_at(col("ws"), j), element_at(col("ws"), j + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bi = w.select(col("id"), explode(bigrams).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max(col("c")).as("c2"), sum(col("c")).as("n2"))
+    uni.join(bi, Seq("id"), "left")
+      .select(col("id"), col("n1").as("n_tokens"),
+        (col("c1") * lit(1.0) / col("n1")).as("top_unigram_frac"),
+        (col("c2") * lit(1.0) / col("n2")).as("top_bigram_frac"))
+  }
+
+  /** Overlapping token-window chunking (training/RAG corpus prep):
+    * windows of `chunkSize` words advancing by `chunkSize - overlap`;
+    * the final partial window is kept. Pure array expressions — the
+    * explode is the only row expansion, no UDF, so a 100 TB corpus
+    * chunks in one scan. Returns (id, chunk_id, chunk). */
+  def chunk(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      chunkSize: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(overlap >= 0 && chunkSize > overlap,
+      s"chunk: need 0 <= overlap < chunkSize, got $chunkSize/$overlap")
+    val step = chunkSize - overlap
+    val w = df.select(id.as("id"), tokens(text).as("ws"))
+    val starts = sequence(lit(1),
+      greatest(size(col("ws")) - lit(overlap), lit(1)), lit(step))
+    w.select(col("id"), posexplode(starts).as(Seq("chunk_id", "s")), col("ws"))
+      .select(col("id"), col("chunk_id").cast("long"),
+        concat_ws(" ", slice(col("ws"), col("s"), lit(chunkSize))).as("chunk"))
+  }
 }
