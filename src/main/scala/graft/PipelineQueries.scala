@@ -519,6 +519,49 @@ object PipelineQueries extends QueryModule {
   // Deterministic sampling (training-mix construction)
   // ---------------------------------------------------------------
 
+  // training-mix reweighting: per-source keep rates (src N keeps
+  // (N%4+1)·25%) decided by the same pure md5 predicate — a 100 TB mix
+  // change is one shuffle-free scan
+  q("q_sample_mixture",
+    """SELECT doc_id, source FROM documents
+      |WHERE CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |    AS BIGINT)
+      |  < ((CAST(substr(source, 4) AS INT) % 4) + 1) * 0.25 * 4294967296""") { (s, dir) =>
+    val rate = ((substring(col("source"), 4, 10).cast("int") % 4) + 1) * lit(0.25)
+    Sampling.mixtureSample(load(s, dir, "documents"), col("doc_id"), rate, "mix")
+      .select(col("doc_id"), col("source"))
+  }
+
+  // decontamination (the published exact n-gram collision method): drop
+  // training docs sharing ANY 5-gram with the benchmark set. Shingle +
+  // semi-join — at 100 TB the same bucketed equi-join shape as dedup
+  // (13-grams there; 5-grams here because the corpus is tiny). No DF
+  // cap: decontamination must not ignore hot n-grams.
+  q("q_decontaminate",
+    """WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+      |be AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+      |wt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM tr),
+      |wb AS (SELECT doc_id, string_split(text, ' ') AS ws FROM be),
+      |st AS (SELECT DISTINCT doc_id,
+      |  ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] || ' ' || ws[j+3] || ' ' || ws[j+4] AS s
+      |  FROM wt, UNNEST(range(1, len(ws) - 3)) AS t(j)),
+      |sb AS (SELECT DISTINCT
+      |  ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] || ' ' || ws[j+3] || ' ' || ws[j+4] AS s
+      |  FROM wb, UNNEST(range(1, len(ws) - 3)) AS t(j)),
+      |bad AS (SELECT DISTINCT doc_id FROM st JOIN sb USING (s))
+      |SELECT doc_id FROM tr
+      |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""") { (s, dir) =>
+    val docs = load(s, dir, "documents")
+    val train = docs.filter(col("doc_id") % 17 =!= 0)
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val ts = Dedup.shingles(train, col("doc_id"), col("text"), n = 5)
+    val bs = Dedup.shingles(bench, col("doc_id"), col("text"), n = 5)
+      .select(col("s")).distinct()
+    val contaminated = ts.join(bs, Seq("s"), "left_semi")
+      .select(col("id").as("doc_id")).distinct()
+    train.join(contaminated, Seq("doc_id"), "left_anti").select(col("doc_id"))
+  }
+
   // ~25% hash sample: pure per-row predicate of md5(salt‖id) — same rows
   // on any engine/partitioning. 0.25·2³² = 1073741824.
   q("q_sample_hash",

@@ -37,6 +37,17 @@ object Sampling {
     df.filter(hashU32(id, salt) < lit((rate * (1L << 32)).toLong))
   }
 
+  /** Weighted mixture resampling — the training-mix reweighting step:
+    * each row's keep-probability comes from a COLUMN (typically a
+    * per-source/domain target proportion joined or mapped on), decided
+    * by the same pure md5 predicate as [[hashSample]]. Reproducible on
+    * any engine/partitioning, referentially stable across tables
+    * sharing the salt, and still a shuffle-free codegen'd filter —
+    * reweighting a 100 TB mix is one scan. */
+  def mixtureSample(df: DataFrame, id: Column, rate: Column,
+      salt: String = ""): DataFrame =
+    df.filter(hashU32(id, salt) < rate * lit((1L << 32).toDouble))
+
   /** Assign each row a fold label by hash-range split of the unit
     * interval — the deterministic train/val/test split. `weights` need
     * not sum to 1; they are normalized. Returns the frame plus a

@@ -48,6 +48,20 @@ class SamplingSpec extends SparkSpec {
     assert(byLang("1") > 50 && byLang("1") < 150)
   }
 
+  test("mixtureSample applies per-row rates, partition-independent") {
+    import org.apache.spark.sql.functions.when
+    // two strata: even ids keep everything, odd ids keep ~25%
+    val rate = when(col("id") % 2 === 0, 1.0).otherwise(0.25)
+    val m = Sampling.mixtureSample(docs, col("id"), rate, "mx")
+    val even = m.filter(col("id") % 2 === 0).count()
+    val odd = m.filter(col("id") % 2 =!= 0).count()
+    assert(even == docs.filter(col("id") % 2 === 0).count()) // rate 1 = all
+    assert(odd > 90 && odd < 170, s"~25% of 500 odd ids, got $odd")
+    // pure per-row predicate: same rows whatever the partitioning
+    assert(rowsOf(m) == rowsOf(
+      Sampling.mixtureSample(docs.repartition(7), col("id"), rate, "mx")))
+  }
+
   test("sampleExact returns exactly n rows via TakeOrderedAndProject") {
     val s = Sampling.sampleExact(docs, col("id"), 37)
     assert(s.count() == 37)
