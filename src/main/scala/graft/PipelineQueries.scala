@@ -283,10 +283,14 @@ object PipelineQueries extends QueryModule {
     //    graph-build overhead at sf1: 130 s vs 2.4 s).
     val n = e.count()
     val (mm, ef) = if (n <= 4096) (n.toInt, n.toInt) else (16, 64)
+    // exact=true makes the oracle regime SELF-GUARDING: each shard
+    // asserts m,efSearch ≥ its row count, so the brute-force oracle can
+    // never silently compare against an approximate result
     operators.Hnsw.topK(
         e.filter(col("vec_id") % 50 === 0), e,
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
-        k = 3, m = mm, efConstruction = ef, efSearch = ef)
+        k = 3, m = mm, efConstruction = ef, efSearch = ef,
+        exact = n <= 4096)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cosine"), 4).as("cosine"))
   }

@@ -34,7 +34,16 @@ object Par {
     val conf = df.sparkSession.sessionState.conf
     val par = conf.numShufflePartitions
     val maxBytes = math.max(1L, conf.filesMaxPartitionBytes)
-    val estParts = df.queryExecution.optimizedPlan.stats.sizeInBytes / maxBytes
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // plans without real statistics (LogicalRDD, post-shuffle frames,
+    // join products) report the `spark.sql.defaultSizeInBytes` sentinel
+    // or an inflated product ≥ it — treating that as "wide" would
+    // silently serialize exactly the fan-out stages spread exists to
+    // parallelize. Only there, pay for the physical probe; file-sourced
+    // frames (the common callers) keep the stats-only fast path.
+    val estParts =
+      if (size >= BigInt(conf.defaultSizeInBytes)) BigInt(df.rdd.getNumPartitions)
+      else size / maxBytes
     if (estParts < par) df.repartition(par) else df
   }
 }

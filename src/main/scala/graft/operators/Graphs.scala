@@ -35,10 +35,14 @@ object Graphs {
     // (one fewer shuffle per probe on every CC consumer: q_connected_
     // components, lshCluster, dedup canonicalize). decimal(38,0) keeps
     // the sum exact at any id scale.
-    def tot(df: DataFrame) =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    // `sum` over ZERO rows is SQL-null — Option-wrap both sides so an
+    // empty edge set (a duplicate-free corpus reaching here through
+    // Dedup.canonicalize / Similarity.lshCluster) reads as converged
+    // instead of NPEing on compareTo
+    def tot(df: DataFrame) = Option(
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0))
     Iterate.fixpoint(init, maxIter,
-      (prev, next) => if (tot(next).compareTo(tot(prev)) == 0) 0L else 1L,
+      (prev, next) => if (tot(next) == tot(prev)) 0L else 1L,
       checkEvery = 2) { labels =>
       // min over neighbors' components
       val nbrMin = sym

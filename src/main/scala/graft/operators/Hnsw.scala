@@ -34,8 +34,10 @@ import org.apache.spark.sql.functions._
   */
 object Hnsw {
 
-  /** Worker-local HNSW over (id, vector, norm²) rows; cosine metric. */
-  private final class PartIndex(m: Int, efConstruction: Int) {
+  /** Worker-local HNSW over (id, vector, norm²) rows; cosine metric.
+    * `private[graft]` so HnswSpec can unit-test beam-edge cases the
+    * sharded path can't pin (partitioning spreads the corpus). */
+  private[graft] final class PartIndex(m: Int, efConstruction: Int) {
     private val ids = mutable.ArrayBuffer[Long]()
     private val vecs = mutable.ArrayBuffer[Array[Double]]()
     private val norms = mutable.ArrayBuffer[Double]()
@@ -180,7 +182,10 @@ object Hnsw {
       var ep = Seq(entry)
       var l = maxLevel
       while (l > 0) { ep = Seq(searchLayer(q, qn, ep, 1, l).head._2); l -= 1 }
-      searchLayer(q, qn, ep, math.max(efSearch, k), 0)
+      // beam ≥ k+1, not k: when excludeId is in the corpus its self-match
+      // occupies a beam slot, and a k-wide beam would post-filter down to
+      // k−1 results (ADVICE r8 low #1)
+      searchLayer(q, qn, ep, math.max(efSearch, k + 1), 0)
         .iterator.map { case (d, n) => (ids(n), 1.0 - d) }
         .filter(_._1 != excludeId).take(k).toSeq
     }
@@ -194,9 +199,15 @@ object Hnsw {
     * probe set by contract (the same smallness contract IVF's centroid
     * table and bruteForce's broadcast side carry); the CORPUS stays
     * fully distributed. Self-matches (same id) are excluded. */
+  /** `exact = true` asserts (per shard, where the row count is known)
+    * the degenerate-regime precondition `m ≥ n ∧ efSearch ≥ n` that the
+    * scaladoc's exactness argument rests on — callers claiming oracle
+    * exactness get a loud failure instead of a silently-approximate
+    * result if the parameter derivation ever drifts. */
   def topK(queries: DataFrame, data: DataFrame,
       qid: Column, qvec: Column, did: Column, dvec: Column, k: Int,
-      m: Int = 16, efConstruction: Int = 64, efSearch: Int = 64): DataFrame = {
+      m: Int = 16, efConstruction: Int = 64, efSearch: Int = 64,
+      exact: Boolean = false): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
     val qRows = queries.select(qid.cast("long").as("qid"),
@@ -211,6 +222,9 @@ object Hnsw {
       val idx = new PartIndex(m, efConstruction)
       // deterministic build order: same rows → same graph, any engine
       it.toArray.sortBy(_._1).foreach { case (id, v) => idx.insert(id, v) }
+      if (exact) require(m >= idx.size && efSearch >= idx.size,
+        s"Hnsw.topK(exact=true): shard has ${idx.size} rows but m=$m, " +
+          s"efSearch=$efSearch — the provably-exact regime needs both ≥ rows/shard")
       if (idx.size == 0) Iterator.empty
       else qB.value.iterator.flatMap { case (q, qv) =>
         idx.search(qv, k, efSearch, excludeId = q)

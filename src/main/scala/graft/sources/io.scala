@@ -81,13 +81,21 @@ object io {
     * caller's next transform, matching the reference's format layer.
     * One fetch per tick — poll fan-out across a URL LIST can map each
     * rate row to `urls(value % n)` instead. */
+  /** One JDK HttpClient per executor JVM: module init happens on first
+    * use executor-side, so every poll tick reuses the same client (and
+    * its connection pool) instead of paying a fresh client + handshake
+    * per tick (ADVICE r8 minor). */
+  private object HttpClients {
+    lazy val client: java.net.http.HttpClient =
+      java.net.http.HttpClient.newHttpClient()
+  }
+
   def httpPoll(spark: SparkSession, url: String,
       pollsPerSecond: Int = 1): DataFrame = {
     import org.apache.spark.sql.functions._
     val fetch = udf { () =>
       try {
-        val client = java.net.http.HttpClient.newHttpClient()
-        val resp = client.send(
+        val resp = HttpClients.client.send(
           java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
           java.net.http.HttpResponse.BodyHandlers.ofString())
         (resp.statusCode(), resp.body())

@@ -195,6 +195,16 @@ object Streaming {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         val cur = new java.io.File(path)
+        // crash recovery: a crash between the two swap renames leaves NO
+        // snapshot at `path` but a complete one at `path.tmp.<n>` (the
+        // merged state of the crashed batch) or `path.old.<n>` (the
+        // pre-batch state). Promote the newest leftover back to `path`
+        // BEFORE merging — either converges, because the checkpoint
+        // replays the crashed batch and the merge is idempotent
+        // (max-by-order over a union). Without this the replayed batch
+        // would rebuild state from itself alone, silently dropping every
+        // previously upserted key.
+        recoverSnapshot(cur)
         val merged = {
           val b = batch.persist()
           val all =
@@ -208,15 +218,40 @@ object Streaming {
         val old = new java.io.File(s"$path.old.$batchId")
         merged.write.mode("overwrite").parquet(tmp.getPath)
         batch.unpersist()
-        if (cur.isDirectory) { cur.renameTo(old) }
-        tmp.renameTo(cur)
-        if (old.isDirectory) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(old)
-        }
+        if (cur.isDirectory)
+          require(cur.renameTo(old),
+            s"upsertParquetSink: rename $cur -> $old failed")
+        require(tmp.renameTo(cur),
+          s"upsertParquetSink: rename $tmp -> $cur failed")
+        rmTree(old)
       }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
+  /** Restore an [[upsertParquetSink]] snapshot dir from swap leftovers
+    * (see the recovery note there), then clear remaining leftovers. */
+  private[graft] def recoverSnapshot(cur: java.io.File): Unit = {
+    val parent = Option(cur.getAbsoluteFile.getParentFile)
+      .getOrElse(new java.io.File("."))
+    def leftovers(kind: String): Seq[java.io.File] = {
+      val prefix = s"${cur.getName}.$kind."
+      Option(parent.listFiles).getOrElse(Array.empty[java.io.File]).toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
+          f.getName.drop(prefix.length).forall(_.isDigit))
+        .sortBy(_.getName.drop(prefix.length).toLong)
+    }
+    if (!cur.isDirectory) {
+      // tmp.<n> (post-batch-n) outranks old.<n> (pre-batch-n)
+      val candidate = leftovers("tmp").lastOption.orElse(leftovers("old").lastOption)
+      candidate.foreach { c =>
+        require(c.renameTo(cur),
+          s"upsertParquetSink: recovery rename $c -> $cur failed")
+      }
+    }
+    (leftovers("tmp") ++ leftovers("old")).foreach(rmTree)
+  }
 
   /** Read the live rows of an [[upsertParquetSink]] snapshot —
     * tombstoned keys filtered, bookkeeping columns dropped. */

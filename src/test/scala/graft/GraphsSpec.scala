@@ -26,6 +26,13 @@ class GraphsSpec extends SparkSpec {
       Seq(10L, 10L), Seq(11L, 10L)))
   }
 
+  test("connectedComponents on an empty edge set is empty, not an NPE") {
+    // sum() over zero rows is SQL-null; the convergence probe must read
+    // both-null as converged (regression: ADVICE r8 medium #1)
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graphs.connectedComponents(edges).count() == 0L)
+  }
+
   test("pagerank distributes rank along edges") {
     // star: 1,2,3 -> 0
     val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")

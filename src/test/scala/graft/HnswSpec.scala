@@ -67,6 +67,35 @@ class HnswSpec extends SparkSpec {
     assert(rowsOf(got) == rowsOf(want))
   }
 
+  test("self-match in the beam does not shorten results to k−1") {
+    // single worker-local index (the sharded path spreads the corpus, so
+    // partitioning would mask the beam edge): query IS corpus member 0,
+    // efSearch below k forces the beam to exactly its floor — pre-fix
+    // floor k kept the self-match in a slot and post-filtered to k−1
+    val idx = new Hnsw.PartIndex(8, 16)
+    def vec(seed: Long): Array[Double] =
+      Array.tabulate(4)(d => 1.0 + 0.1 * (((seed * 31 + d * 7) % 11) - 5))
+    (0L until 6L).foreach(i => idx.insert(i, vec(i)))
+    val got = idx.search(vec(0L), k = 4, efSearch = 1, excludeId = 0L)
+    assert(got.length == 4, s"expected k=4 results, got ${got.length}")
+    assert(!got.exists(_._1 == 0L))
+  }
+
+  test("exact=true guard trips when parameters fall below shard size") {
+    val e = embeddings
+    val q = e.filter(col("id") < 2)
+    val bad = Hnsw.topK(q, e, col("id"), col("v"), col("id"), col("v"),
+      k = 3, m = 4, efConstruction = 8, efSearch = 8, exact = true)
+    val ex = intercept[Exception](bad.collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(ex).exists(_.contains("provably-exact regime")), s"got: $ex")
+    // and the guard is quiet when the precondition actually holds
+    val ok = Hnsw.topK(q, e, col("id"), col("v"), col("id"), col("v"),
+      k = 3, m = 128, efConstruction = 128, efSearch = 128, exact = true)
+    assert(ok.count() > 0)
+  }
+
   test("retriever façade surfaces hnsw results") {
     val e = embeddings
     val r = graft.operators.DataIndex.hnsw(e, col("id"), col("v"),

@@ -40,6 +40,20 @@ class PipelineSpec extends SparkSpec {
     assert(kept.columns.contains("text"))
   }
 
+  test("canonicalize on a duplicate-free corpus keeps every row (empty CC)") {
+    // no near-dup pairs → connectedComponents sees an EMPTY edge set;
+    // regression for the convergence-probe NPE (sum over zero rows = null)
+    val distinctDocs = Seq(
+      (1L, "alpha bravo charlie delta echo"),
+      (2L, "zulu yankee xray whiskee victor"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val kept = Dedup.canonicalize(distinctDocs, col("doc_id"), col("text"),
+      length(col("text")), n = 3, k = 6, bands = 3, threshold = 0.9)
+    val ids = kept.select("doc_id", "_cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids == Set((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
   test("simhash16 collides exact dups, separates different docs") {
     val out = Dedup.simhash16(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

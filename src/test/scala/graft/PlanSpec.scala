@@ -137,6 +137,27 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
   }
 
+  test("Par.spread: sentinel-stat input falls back to the physical probe") {
+    // a LogicalRDD has no size statistics — its sizeInBytes is the
+    // spark.sql.defaultSizeInBytes sentinel, which the stats-only
+    // estimate used to read as "already wide" (regression: ADVICE r8
+    // low #2). The fallback must see the single physical partition and
+    // widen it.
+    val rdd = spark.sparkContext.parallelize(Seq(1L, 2L, 3L), 1)
+      .map(org.apache.spark.sql.Row(_))
+    val df = spark.createDataFrame(rdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType))))
+    val stats = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(stats >= BigInt(spark.sessionState.conf.defaultSizeInBytes),
+      s"precondition: LogicalRDD must carry the sentinel, got $stats")
+    val out = graft.core.Par.spread(df)
+    assert(out.rdd.getNumPartitions ==
+      spark.sessionState.conf.numShufflePartitions,
+      "narrow sentinel-stat input must be widened")
+  }
+
   test("q_retract_reduce: diff fold is one shuffle, partial-aggregated") {
     val p = plan("q_retract_reduce")
     assert("Exchange".r.findAllIn(p).size == 1, s"expected 1 exchange:\n$p")

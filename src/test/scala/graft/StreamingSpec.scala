@@ -260,4 +260,62 @@ class StreamingSpec extends SparkSpec {
       assert(raw.filter(col("del")).select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
     } finally q.stop()
   }
+
+  test("upsertParquetSink recovers a crash between the two swap renames " +
+      "without losing prior keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert_crash").toString
+    val path = s"$root/state"
+    val in = MemoryStream[(Long, Long, Boolean, String)]
+    val events = in.toDF().toDF("id", "ord", "del", "v")
+    val q1 = Streaming.upsertParquetSink(events, Seq("id"), "ord", "del",
+      path, s"$root/ckpt").start()
+    try {
+      in.addData((1L, 10L, false, "a"), (2L, 10L, false, "b"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // simulate the worst crash point of the NEXT batch's swap: state was
+    // renamed aside to `state.old.1` and the process died before the tmp
+    // promotion — `path` no longer exists at all
+    val cur = new java.io.File(path)
+    val old = new java.io.File(s"$path.old.1")
+    assert(cur.renameTo(old) && !cur.exists())
+    // restart from the same checkpoint with one more event; without
+    // recovery the new batch would rebuild state from itself alone
+    val in2 = MemoryStream[(Long, Long, Boolean, String)]
+    val q2 = Streaming.upsertParquetSink(in2.toDF().toDF("id", "ord", "del", "v"),
+      Seq("id"), "ord", "del", path, s"$root/ckpt").start()
+    try {
+      // the checkpoint already committed the old stream's offset 1: this
+      // first block occupies it and is (correctly) never re-processed
+      in2.addData((99L, 1L, true, "filler"))
+      in2.addData((3L, 20L, false, "c"))
+      q2.processAllAvailable()
+      val s = Streaming.readSnapshot(spark, path, "ord", "del")
+      assert(rowsOf(s) == Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+      // the leftover dir was consumed by recovery, not left to rot
+      assert(!old.exists())
+    } finally q2.stop()
+  }
+
+  test("recoverSnapshot prefers the newest tmp over old and clears leftovers") {
+    val root = java.nio.file.Files.createTempDirectory("graft_recover").toFile
+    val cur = new java.io.File(root, "state")
+    def mk(name: String, marker: String): java.io.File = {
+      val d = new java.io.File(root, name)
+      assert(d.mkdir())
+      java.nio.file.Files.writeString(new java.io.File(d, marker).toPath, marker)
+      d
+    }
+    mk("state.old.3", "from_old")
+    mk("state.tmp.4", "from_tmp")
+    Streaming.recoverSnapshot(cur)
+    // tmp.4 (post-batch state) won; both leftovers are gone
+    assert(cur.isDirectory && new java.io.File(cur, "from_tmp").exists())
+    assert(!new java.io.File(root, "state.old.3").exists())
+    assert(!new java.io.File(root, "state.tmp.4").exists())
+    // idempotent when the snapshot is already in place
+    Streaming.recoverSnapshot(cur)
+    assert(cur.isDirectory && new java.io.File(cur, "from_tmp").exists())
+  }
 }
