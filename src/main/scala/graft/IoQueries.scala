@@ -147,6 +147,27 @@ object IoQueries extends QueryModule {
       struct(col("_ts_ms"), col("offset")))
   }
 
+  // Custom-source SPI executed end-to-end: a ConnectorSubject replays
+  // nation through next()/commit() (driver-side feed — the subject
+  // contract, like the reference's Python connector thread) and the
+  // oracle proves the read-back table is exactly the source rows. The
+  // 7-row commit cadence exercises multi-batch emission on the same path
+  // the streaming mode uses.
+  q("q_io_subject",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation""") { (s, dir) =>
+    import s.implicits._
+    val rows = load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val subject = new graft.sources.ConnectorSubject[(Long, String, Long)] {
+      def run(): Unit = rows.grouped(7).foreach { batch =>
+        batch.foreach(next); commit()
+      }
+    }
+    io.subjectStatic(s, subject, key = Seq("_1")).df
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+  }
+
   q("q_io_text",
     """SELECT value FROM read_csv('/tmp/graft_io/sf0.01/nation_txt/*.txt',
       |  delim='', quote='', escape='', header=false,

@@ -601,7 +601,7 @@ object Queries extends QueryModule {
       .df
   }
 
-  // gradual_broadcast analog (table.py:631) — small dimension broadcast
+  // exact broadcast hash join — small dimension to every executor
   q("q_join_broadcast",
     """SELECT o_orderkey, c.c_mktsegment FROM orders o
       |JOIN customer c ON o.o_custkey = c.c_custkey""") { (s, dir) =>
@@ -611,6 +611,30 @@ object Queries extends QueryModule {
         col("o_custkey") === col("c_custkey"))
       .select("c_mktsegment" -> col("c_mktsegment"))
       .df
+  }
+
+  // gradual_broadcast (table.py:631, gradual_broadcast.rs threshold walk):
+  // triplet = (0, #open orders, #orders) — exact integer counts, so both
+  // engines derive a bit-identical double threshold; each customer's md5
+  // key-fraction picks upper or lower. No join, no shuffle: one broadcast
+  // row folded into a projection.
+  q("q_gradual_broadcast",
+    """WITH t AS (SELECT CAST(0 AS DOUBLE) AS lo,
+      |    CAST((SELECT count(*) FROM orders WHERE o_orderstatus = 'O') AS DOUBLE) AS va,
+      |    CAST((SELECT count(*) FROM orders) AS DOUBLE) AS up)
+      |SELECT c_custkey,
+      |  CASE WHEN CAST('0x' || substr(md5('gb' || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT)
+      |        < CAST(floor((va - lo) / (up - lo) * 4294967296.0) AS BIGINT)
+      |       THEN up ELSE lo END AS apx_value
+      |FROM customer, t""") { (s, dir) =>
+    val o = load(s, dir, "orders")
+    val t = o.agg(
+      lit(0.0).as("lo"),
+      count(when(col("o_orderstatus") === "O", 1)).cast("double").as("va"),
+      count(lit(1)).cast("double").as("up"))
+    table(s, dir, "customer", "c_custkey")
+      .gradualBroadcast(t, col("lo"), col("va"), col("up"))
+      .df.select(col("c_custkey"), col("apx_value"))
   }
 
   // retraction-aware reduction (custom_reducers.py:174 retract): a diff

@@ -407,6 +407,65 @@ object TemporalQueries extends QueryModule {
       .select(col("user_id"), round(col("value"), 4).as("value"))
   }
 
+  // STREAMING behavior replayed deterministically against a batch oracle
+  // (reference: temporal_behavior.py:29 common_behavior cutoff / engine
+  // `forget` time_column.rs:556) — the first oracle-checked row for the
+  // behavior family, which is otherwise ScalaTest-only. Three timed
+  // MemoryStream batches: (A) every on-time row (event_id % 10 != 0),
+  // establishing watermark = ms-floor(max ts over A) − 25h; (B) the
+  // held-back rows, of which those in 1-day windows closed before the
+  // watermark are DROPPED by the cutoff; (C) one far-future sentinel that
+  // closes every real window so append mode emits each exactly once. The
+  // oracle recomputes the same watermark arithmetic in µs and aggregates
+  // only the surviving rows.
+  q("q_behavior_cutoff",
+    """WITH ev AS (SELECT event_id, ts, event_type, value FROM events),
+      |a AS (SELECT * FROM ev WHERE event_id % 10 <> 0),
+      |wm AS (SELECT ((max(epoch_us(ts)) // 1000) - 90000000) * 1000 AS w FROM a),
+      |kept AS (
+      |  SELECT * FROM a
+      |  UNION ALL
+      |  SELECT e.* FROM ev e, wm
+      |  WHERE e.event_id % 10 = 0
+      |    AND ((epoch_us(e.ts) // 86400000000) + 1) * 86400000000 > wm.w)
+      |SELECT event_type,
+      |  make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS window_start,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE), 4) AS sum_value
+      |FROM kept GROUP BY 1, 2""") { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = loadEvents(s, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .as[(Long, java.sql.Timestamp, String, Double)].collect()
+    val (held, ontime) = rows.partition(_._1 % 10 == 0)
+    val sentinel = (-1L,
+      new java.sql.Timestamp(rows.map(_._2.getTime).max + 30L * 86400 * 1000),
+      "zz_sentinel", 0.0)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val behaved = graft.streaming.Streaming.withBehavior(
+      in.toDF().toDF("event_id", "ts", "event_type", "value"), "ts",
+      graft.streaming.Streaming.Behavior(cutoff = Some("25 hours"),
+        keepResults = false))
+    val agg = behaved
+      .groupBy(col("event_type"), window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"), r4(dsum(col("value"))).as("sum_value"))
+      .select(col("event_type"), col("window.start").as("window_start"),
+        col("n"), col("sum_value"))
+    val q = agg.writeStream.format("memory").queryName("behavior_cutoff_out")
+      .outputMode(graft.streaming.Streaming.outputMode(
+        graft.streaming.Streaming.Behavior(keepResults = false))).start()
+    try {
+      in.addData(ontime.toSeq); q.processAllAvailable()
+      in.addData(held.toSeq); q.processAllAvailable()
+      in.addData(Seq(sentinel)); q.processAllAvailable()
+    } finally q.stop()
+    // the sentinel's own window never closes (nothing advances the
+    // watermark past it) — the filter is belt-and-braces
+    s.table("behavior_cutoff_out").filter(col("event_type") =!= "zz_sentinel")
+  }
+
   // deduplicate — keep latest row per instance (reference: table.py:1064)
   q("q_dedup_latest",
     """SELECT user_id, event_id, round(value, 4) AS value FROM (

@@ -219,11 +219,51 @@ final class Table(val df: DataFrame, val key: Seq[String]) {
   def joinOn(other: Table, usingCols: Seq[String], how: String = "inner"): Table =
     new Table(df.join(other.df, usingCols, how), key)
   /** Join against a small slowly-changing table, broadcast to every
-    * executor (reference: table.py:631 gradual_broadcast / engine
-    * operators/gradual_broadcast.rs — approximate-broadcast of a small
-    * side; Spark's exact analog is a broadcast hash join). */
+    * executor — Spark's exact broadcast hash join, for when the small
+    * side's values must reach every row exactly. For the reference's
+    * *approximate* threshold-walk broadcast see [[gradualBroadcast]]. */
   def joinBroadcast(other: Table, cond: Column, how: String = "inner"): Table =
     new Table(df.join(broadcast(other.df), cond, how), key)
+
+  /** Gradual broadcast (reference: table.py:631 _gradual_broadcast /
+    * engine operators/gradual_broadcast.rs:128 get_threshold,
+    * :183 apply_to_fragment): attach an `apx_value` column from a
+    * one-row `(lower, value, upper)` threshold triplet WITHOUT joining —
+    * each row's hashed key is compared against
+    * `threshold = (value−lower)/(upper−lower) × keySpace`, rows whose
+    * hash falls below get `upper`, the rest `lower`. As `value` walks
+    * from `lower` to `upper`, a monotonically growing fraction of the
+    * uniform key space flips to the upper bound — the reference uses
+    * this inside Louvain (louvain_communities/impl.py:313) to anneal a
+    * threshold over rows with only O(changed-fragment) retractions.
+    *
+    * Spark-first shape: the triplet is a broadcast one-row frame (a
+    * `BroadcastNestedLoopJoin` the optimizer folds into a scan-side
+    * projection), the key hash is the engine-portable md5 recipe used by
+    * [[graft.operators.Sampling]] (first 8 hex chars → uniform 32-bit
+    * space), and the whole operator is one codegen'd projection — no
+    * shuffle, no driver round-trip, safe at any row count. The reference
+    * asserts one live triplet (gradual_broadcast.rs:283 "Gradual
+    * broadcast sees inconsistent stream"); here a >1-row triplet frame
+    * would silently duplicate rows, so the contract is the same: pass a
+    * 1-row aggregate. */
+  def gradualBroadcast(thresholds: DataFrame, lower: Column, value: Column,
+      upper: Column, apxName: String = "apx_value"): Table = {
+    require(key.nonEmpty, "gradualBroadcast needs a keyed table (row hash = key hash)")
+    val t = broadcast(thresholds.select(
+      lower.cast("double").as("_gb_lo"), value.cast("double").as("_gb_va"),
+      upper.cast("double").as("_gb_up")))
+    val h = conv(substring(md5(org.apache.spark.sql.functions.concat(
+      lit("gb") +: key.map(k => df.col(k).cast("string")): _*)),
+      1, 8), 16, 10).cast("long")
+    val threshold = floor((col("_gb_va") - col("_gb_lo")) /
+      (col("_gb_up") - col("_gb_lo")) * lit(4294967296.0)).cast("long")
+    new Table(
+      df.join(t)
+        .withColumn(apxName, when(h < threshold, col("_gb_up")).otherwise(col("_gb_lo")))
+        .drop("_gb_lo", "_gb_va", "_gb_up"),
+      key)
+  }
 
   /** Skew-resistant equi-join: salt this (large, skewed) side into
     * `buckets` sub-keys via a deterministic hash of the whole row,

@@ -22,7 +22,7 @@ import graft.core.Table
   * | parquet, deltalake | parquet, delta (jar-dependent) |
   * | kafka / redpanda / debezium | kafka (+ from_json on value) |
   * | postgres / sqlite / mongodb | jdbc (driver-dependent) |
-  * | python ConnectorSubject | rate / socket for tests; DSv2 custom |
+  * | python ConnectorSubject | [[subjectStatic]] / [[subjectStream]] |
   * | pw.io.subscribe | foreachBatch ([[graft.streaming.Streaming.subscribe]]) |
   */
 object io {
@@ -107,6 +107,24 @@ object io {
       .select(col("timestamp").as("tick_time"),
         col("_r._1").as("status"), col("_r._2").as("body"))
   }
+
+  /** Bounded read of a [[ConnectorSubject]]: `run()` executes to
+    * completion driver-side, the emitted rows become a keyed [[Table]]
+    * (reference: pw.io.python.read in static mode,
+    * __init__.py:349 + ConnectorMode::Static data_storage.rs:815). */
+  def subjectStatic[T: org.apache.spark.sql.Encoder](spark: SparkSession,
+      subject: ConnectorSubject[T], key: Seq[String] = Nil): Table =
+    ConnectorSubject.staticRead(spark, subject, key)
+
+  /** Unbounded read of a [[ConnectorSubject]]: `run()` executes on a
+    * feeder thread, each `commit` publishes a block into a MemoryStream
+    * micro-batch source (reference: streaming-mode read, the `*COMMIT*`
+    * channel literal __init__.py:41). Dev/test/control-plane transport —
+    * the in-process analog of the reference's Python subject; a
+    * replayable production source wants a DSv2 implementation instead. */
+  def subjectStream[T: org.apache.spark.sql.Encoder](spark: SparkSession,
+      subject: ConnectorSubject[T]): ConnectorSubject.SubjectStream =
+    ConnectorSubject.streamingRead(spark, subject)
 
   /** Streaming variants (reference streaming mode connectors). */
   def stream(spark: SparkSession, format: String, schema: StructType = null,

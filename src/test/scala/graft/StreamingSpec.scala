@@ -298,6 +298,76 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("subjectStream feeds commits through as ingestible blocks") {
+    // reference: pw.io.python.read in streaming mode — run() on a feeder
+    // thread, commit() = batch boundary (__init__.py:41 *COMMIT*)
+    val subject = new graft.sources.ConnectorSubject[(Long, String)] {
+      def run(): Unit = {
+        next((1L, "a")); next((2L, "b")); commit()
+        next((3L, "c")) // left uncommitted: the close-flush must publish it
+      }
+    }
+    val h = graft.sources.io.subjectStream(spark, subject)
+    val q = h.df.writeStream.format("memory").queryName("subject_out")
+      .outputMode("append").start()
+    try {
+      h.await() // joins run(); rethrows subject failures (reference end())
+      q.processAllAvailable()
+      assert(rowsOf(spark.table("subject_out")) ==
+        Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+    } finally q.stop()
+    // a subject is one-shot, like the reference's (__init__.py:404)
+    intercept[IllegalArgumentException] {
+      graft.sources.io.subjectStream(spark, subject)
+    }
+  }
+
+  test("kafka-shaped pipeline minus the jar: subject envelopes -> debezium " +
+      "decode -> upsert sink == batch applyLatest") {
+    // the exact `kafka + from_json on value` recipe with the transport
+    // swapped for the subject SPI — proves the pipeline end-to-end in a
+    // jar-less env: only `io.stream(spark,"kafka",...)` would differ
+    import org.apache.spark.sql.types._
+    val rowSchema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    def env(op: String, ts: Long, k: Long, v: String): String = {
+      val img = s"""{"k":$k,"v":"$v"}"""
+      val (before, after) =
+        if (op == "d") (img, "null") else ("null", img)
+      s"""{"payload":{"before":$before,"after":$after,"op":"$op","ts_ms":$ts}}"""
+    }
+    val envelopes = Seq(
+      env("r", 1000L, 1L, "a"), env("r", 1000L, 2L, "b"), // snapshot batch
+      env("u", 2000L, 1L, "a2"), env("d", 3000L, 2L, "b")) // change batch
+    val subject = new graft.sources.ConnectorSubject[String] {
+      def run(): Unit = {
+        envelopes.take(2).foreach(next); commit()
+        envelopes.drop(2).foreach(next); commit()
+      }
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_kafka_shape").toString
+    val h = graft.sources.io.subjectStream(spark, subject)
+    val decoded = graft.sources.Cdc.decodeDebezium(
+      h.df.toDF("value"), col("value"), rowSchema)
+    val events = decoded.select(
+      coalesce(col("_after.k"), col("_before.k")).as("k"),
+      col("_ts_ms").as("ord"), (col("_op") === "d").as("del"),
+      col("_after.v").as("v"))
+    val q = Streaming.upsertParquetSink(events, Seq("k"), "ord", "del",
+      s"$root/state", s"$root/ckpt").start()
+    val streamed = try {
+      h.await(); q.processAllAvailable()
+      rowsOf(Streaming.readSnapshot(spark, s"$root/state", "ord", "del"))
+    } finally q.stop()
+    // batch twin over the identical envelopes
+    val batch = graft.sources.Cdc.applyLatest(
+      graft.sources.Cdc.decodeDebezium(
+        envelopes.toDF("value"), col("value"), rowSchema),
+      Seq("k"), col("_ts_ms"))
+    assert(streamed == rowsOf(batch))
+    assert(streamed == Set(Seq(1L, "a2"))) // k2 deleted, k1 updated
+  }
+
   test("recoverSnapshot prefers the newest tmp over old and clears leftovers") {
     val root = java.nio.file.Files.createTempDirectory("graft_recover").toFile
     val cur = new java.io.File(root, "state")

@@ -150,4 +150,22 @@ class TableSpec extends SparkSpec {
     val out = t.deduplicateLatest(struct(col("t"), col("id")), Seq("u"))
     assert(rowsOf(out.df.select("id")) == Set(Seq(2L), Seq(3L)))
   }
+
+  test("gradualBroadcast walks the threshold monotonically (table.py:631)") {
+    val t = Table.fromDF((1L to 200L).toDF("id"), Seq("id"))
+    def trip(v: Double) = Seq((0.0, v, 10.0)).toDF("lo", "va", "up")
+    def upperSet(v: Double): Set[Long] =
+      t.gradualBroadcast(trip(v), col("lo"), col("va"), col("up"))
+        .df.filter(col("apx_value") === 10.0)
+        .collect().map(_.getLong(0)).toSet
+    // endpoints: value=lower → nobody upper; value=upper → everybody
+    assert(upperSet(0.0).isEmpty)
+    assert(upperSet(10.0).size == 200)
+    // the walk is GRADUAL: as value rises the upper-set only grows
+    // (supersets), and mid-values take a nontrivial slice either way
+    val steps = Seq(2.0, 5.0, 8.0).map(upperSet)
+    assert(steps(0).subsetOf(steps(1)) && steps(1).subsetOf(steps(2)))
+    assert(steps(1).size > 20 && steps(1).size < 180,
+      s"value midway should flip a mid-sized slice, got ${steps(1).size}")
+  }
 }
