@@ -147,6 +147,49 @@ object IoQueries extends QueryModule {
       struct(col("_ts_ms"), col("offset")))
   }
 
+  // The Delta-analog upsert sink driven to an ORACLE (previously
+  // spec-only): the same synthetic change log as q_cdc_apply — snapshot,
+  // +1.0 updates for keys %3, deletes for keys %7 — replayed as three
+  // typed micro-batches through upsertParquetSink, then the materialized
+  // snapshot read back via readSnapshot. End state must equal the direct
+  // batch oracle over orders: proves the per-batch latest-per-key fold,
+  // tombstone retention, and snapshot swap land on exactly CDC-apply
+  // semantics. Fresh state+checkpoint dirs per invocation (a reused
+  // checkpoint would mark the replayed offsets committed and skip them).
+  q("q_upsert_snapshot",
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders WHERE o_orderkey % 7 <> 0""") { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val o = load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .as[(Long, Long, String, Double)].collect()
+    type Ev = (Long, Long, Boolean, Long, String, Double)
+    val snapshot: Seq[Ev] = o.toSeq.map(r => (r._1, 1000L, false, r._2, r._3, r._4))
+    val updates: Seq[Ev] = o.toSeq.filter(_._1 % 3 == 0)
+      .map(r => (r._1, 2000L, false, r._2, r._3, r._4 + 1.0))
+    val deletes: Seq[Ev] = o.toSeq.filter(_._1 % 7 == 0)
+      .map(r => (r._1, 3000L, true, r._2, r._3, r._4))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Boolean, Long, String, Double)]
+    val events = in.toDF().toDF("o_orderkey", "_ord", "_del",
+      "o_custkey", "o_orderstatus", "o_totalprice")
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert_q").toString
+    val q = graft.streaming.Streaming.upsertParquetSink(events,
+      Seq("o_orderkey"), "_ord", "_del", s"$root/state", s"$root/ckpt").start()
+    try {
+      in.addData(snapshot); q.processAllAvailable()
+      in.addData(updates); q.processAllAvailable()
+      in.addData(deletes); q.processAllAvailable()
+    } finally q.stop()
+    graft.streaming.Streaming.readSnapshot(s, s"$root/state", "_ord", "_del")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+  }
+
   // Custom-source SPI executed end-to-end: a ConnectorSubject replays
   // nation through next()/commit() (driver-side feed — the subject
   // contract, like the reference's Python connector thread) and the

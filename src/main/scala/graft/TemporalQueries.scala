@@ -466,6 +466,41 @@ object TemporalQueries extends QueryModule {
     s.table("behavior_cutoff_out").filter(col("event_type") =!= "zz_sentinel")
   }
 
+  // inactivity_detection driven to an ORACLE (reference:
+  // time_utils.py:52; previously spec-only): every user key goes silent
+  // by end-of-input, so each emits exactly once with its last-seen time.
+  // Two far-future sentinels advance the event-time watermark in stages
+  // (old keys time out after the first, the rest after the second) —
+  // WHICH batch fires a key varies with watermark arithmetic, but the
+  // emitted (key, last_seen_ms) set is invariant, which is what the
+  // oracle pins: per-user max event time, ms-floored.
+  q("q_inactivity",
+    """SELECT CAST(user_id AS VARCHAR) AS k,
+      |  max(epoch_us(ts)) // 1000 AS last_seen FROM events GROUP BY user_id""") { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = loadEvents(s, dir)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)].collect()
+    val maxMs = rows.map(_._2.getTime).max
+    def sentinel(days: Long) =
+      (-1L, new java.sql.Timestamp(maxMs + days * 86400 * 1000))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    val watermarked = in.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "1 second")
+    val out = graft.streaming.Streaming.inactivityDetection(
+      watermarked, "user_id", "ts", "30 days")
+    val q = out.toDF("k", "last_seen").writeStream.format("memory")
+      .queryName("inactivity_out").outputMode("update").start()
+    try {
+      in.addData(rows.toSeq); q.processAllAvailable()
+      in.addData(Seq(sentinel(45))); q.processAllAvailable()
+      in.addData(Seq(sentinel(200))); q.processAllAvailable()
+    } finally q.stop()
+    s.table("inactivity_out").filter(col("k") =!= "-1")
+  }
+
   // deduplicate — keep latest row per instance (reference: table.py:1064)
   q("q_dedup_latest",
     """SELECT user_id, event_id, round(value, 4) AS value FROM (
