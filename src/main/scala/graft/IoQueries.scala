@@ -211,6 +211,39 @@ object IoQueries extends QueryModule {
       .toDF("n_nationkey", "n_name", "n_regionkey")
   }
 
+  // Streaming file source → parquet sink driven to an ORACLE (previously
+  // IoSpec-only): nation is split into two parquet files dropped into the
+  // watched directory ACROSS micro-batches (atomic rename into place, the
+  // file-source contract), streamed through the io wrappers into an
+  // append parquet sink, and the sink's accumulated output must equal the
+  // whole table — proving incremental pickup, exactly-once file
+  // processing, and writer/reader byte agreement in one pass.
+  q("q_io_filestream",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation""") { (s, dir) =>
+    val root = java.nio.file.Files.createTempDirectory("graft_fstream").toString
+    val src = s"$root/in"; val out = s"$root/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val nation = load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    def drop(part: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val tmp = s"$root/tmp_$tag"
+      part.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$src/$tag.parquet"))
+    }
+    drop(nation.filter(col("n_nationkey") < 12), "part1")
+    val stream = io.stream(s, "parquet", nation.schema).load(src)
+    val q = io.writeStream(stream, out, s"$root/ckpt").start()
+    try {
+      q.processAllAvailable()
+      drop(nation.filter(col("n_nationkey") >= 12), "part2")
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.schema(nation.schema).parquet(out)
+  }
+
   q("q_io_text",
     """SELECT value FROM read_csv('/tmp/graft_io/sf0.01/nation_txt/*.txt',
       |  delim='', quote='', escape='', header=false,

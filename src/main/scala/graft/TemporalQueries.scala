@@ -466,6 +466,103 @@ object TemporalQueries extends QueryModule {
     s.table("behavior_cutoff_out").filter(col("event_type") =!= "zz_sentinel")
   }
 
+  // keep_results=true twin of q_behavior_cutoff (reference:
+  // temporal_behavior.py:29 keep_results / engine `freeze`
+  // time_column.rs:631 ≈ update output mode): same watermark drop, but
+  // every window update is EMITTED as it happens instead of once at
+  // close. The memory sink therefore holds each window's whole update
+  // history; the final state is recovered by max-collapsing on n (a
+  // window's count strictly grows with each update, so max(struct(n,
+  // sum)) is its last emission) and must equal the same kept-rows
+  // aggregate the append-mode run converges to — update needs no
+  // sentinel: open windows emit too.
+  q("q_behavior_keep",
+    """WITH ev AS (SELECT event_id, ts, event_type, value FROM events),
+      |a AS (SELECT * FROM ev WHERE event_id % 10 <> 0),
+      |wm AS (SELECT ((max(epoch_us(ts)) // 1000) - 90000000) * 1000 AS w FROM a),
+      |kept AS (
+      |  SELECT * FROM a
+      |  UNION ALL
+      |  SELECT e.* FROM ev e, wm
+      |  WHERE e.event_id % 10 = 0
+      |    AND ((epoch_us(e.ts) // 86400000000) + 1) * 86400000000 > wm.w)
+      |SELECT event_type,
+      |  make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS window_start,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE), 4) AS sum_value
+      |FROM kept GROUP BY 1, 2""") { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = loadEvents(s, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .as[(Long, java.sql.Timestamp, String, Double)].collect()
+    val (held, ontime) = rows.partition(_._1 % 10 == 0)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val behavior = graft.streaming.Streaming.Behavior(
+      cutoff = Some("25 hours"), keepResults = true)
+    val agg = graft.streaming.Streaming.withBehavior(
+        in.toDF().toDF("event_id", "ts", "event_type", "value"), "ts", behavior)
+      .groupBy(col("event_type"), window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"), r4(dsum(col("value"))).as("sum_value"))
+      .select(col("event_type"), col("window.start").as("window_start"),
+        col("n"), col("sum_value"))
+    val q = agg.writeStream.format("memory").queryName("behavior_keep_out")
+      .outputMode(graft.streaming.Streaming.outputMode(behavior)).start()
+    try {
+      in.addData(ontime.toSeq); q.processAllAvailable()
+      in.addData(held.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    s.table("behavior_keep_out")
+      .groupBy(col("event_type"), col("window_start"))
+      .agg(max(struct(col("n"), col("sum_value"))).as("_last"))
+      .select(col("event_type"), col("window_start"),
+        col("_last.n").as("n"), col("_last.sum_value").as("sum_value"))
+  }
+
+  // asof_now_join driven to an ORACLE (reference: _asof_now_join.py:176;
+  // previously spec-only): each stream row joins the static side's state
+  // AT ARRIVAL, later updates don't retract. The static side lives in
+  // embedded Derby because a JDBC relation re-executes its scan every
+  // micro-batch (file-based static sides pin their listing at plan
+  // time): odd orders join V1 (customer balances as loaded), the table
+  // is then overwritten with V2 (+100), and even orders join V2. The
+  // oracle states the per-batch outcome directly.
+  q("q_asof_now",
+    """SELECT o_orderkey,
+      |  round(c_acctbal + CASE WHEN o_orderkey % 2 = 0 THEN 100.0 ELSE 0.0 END,
+      |    4) AS bal
+      |FROM orders JOIN customer ON o_custkey = c_custkey""") { (s, dir) =>
+    import s.implicits._
+    import graft.SparkEntry.load
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    System.setProperty("derby.stream.error.file", "/tmp/graft_derby.log")
+    val db = java.nio.file.Files.createTempDirectory("graft_asofnow").toString + "/db"
+    val cust = load(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+    graft.sources.io.writeJdbc(cust.coalesce(1),
+      s"jdbc:derby:$db;create=true", "cust_state")
+    val o = load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .as[(Long, Long)].collect()
+    val (evens, odds) = o.partition(_._1 % 2 == 0)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val static = graft.sources.io.jdbc(s, s"jdbc:derby:$db", "cust_state",
+      key = Seq("c_custkey")).df.withColumnRenamed("c_custkey", "o_custkey")
+    val joined = graft.streaming.Streaming.asofNowJoin(
+      in.toDF().toDF("o_orderkey", "o_custkey"), static, Seq("o_custkey"))
+    val q = joined.select(col("o_orderkey"), col("c_acctbal").as("bal"))
+      .writeStream.format("memory").queryName("asof_now_out")
+      .outputMode("append").start()
+    try {
+      in.addData(odds.toSeq); q.processAllAvailable()
+      graft.sources.io.writeJdbc(
+        cust.withColumn("c_acctbal", col("c_acctbal") + 100.0).coalesce(1),
+        s"jdbc:derby:$db", "cust_state") // overwrite → V2
+      in.addData(evens.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    s.table("asof_now_out").select(col("o_orderkey"), r4(col("bal")).as("bal"))
+  }
+
   // inactivity_detection driven to an ORACLE (reference:
   // time_utils.py:52; previously spec-only): every user key goes silent
   // by end-of-input, so each emits exactly once with its last-seen time.

@@ -55,6 +55,33 @@ object Monitor {
     buf.asScala.map(m => f"${m.name}%-20s ${m.durationNs / 1e6}%10.1f ms ${m.error.getOrElse("")}")
       .mkString("\n")
 
+  /** Text dashboard over the live buffers — the analog of the
+    * reference's terminal monitoring view (internals/monitoring.py
+    * StatisticsMonitor: per-connector message counts + operator latency
+    * table, redrawn per refresh). Render-on-call from the same
+    * concurrent buffers [[serve]] exposes as JSON; loop
+    * `print("[2J" + renderDashboard(...))` for the live-refresh
+    * experience, or snapshot it into logs. Streams show their LATEST
+    * progress per query (the reference shows current-minibatch figures);
+    * batch rows are the full completed-execution history. */
+  def renderDashboard(batch: ConcurrentLinkedQueue[BatchMetric],
+      streams: ConcurrentLinkedQueue[StreamMetric]): String = {
+    val b = batch.asScala.toSeq
+    val latest = streams.asScala.toSeq.groupBy(_.queryName)
+      .map { case (_, ms) => ms.maxBy(_.batchId) }.toSeq.sortBy(_.queryName)
+    val sb = new StringBuilder
+    sb ++= s"graft monitor — ${b.size} batch executions, ${latest.size} live streams\n"
+    sb ++= f"${"BATCH"}%-32s ${"ms"}%10s  status\n"
+    b.foreach { m =>
+      sb ++= f"${m.name.take(32)}%-32s ${m.durationNs / 1e6}%10.1f  ${m.error.getOrElse("ok")}\n"
+    }
+    sb ++= f"${"STREAM"}%-24s ${"batch"}%6s ${"rows"}%10s ${"rows/s"}%12s\n"
+    latest.foreach { m =>
+      sb ++= f"${m.queryName.take(24)}%-24s ${m.batchId}%6d ${m.inputRows}%10d ${m.processedRowsPerSecond}%12.1f\n"
+    }
+    sb.result()
+  }
+
   /** Minimal metrics HTTP endpoint (reference: engine
     * src/engine/http_server.rs — the engine serves liveness and
     * per-operator probe values over HTTP; internals/monitoring.py renders

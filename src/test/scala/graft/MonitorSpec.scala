@@ -70,4 +70,19 @@ class MonitorSpec extends SparkSpec {
       assert(body.contains("\"query\":\"wc\"") && body.contains("\"input_rows\":42"))
     } finally srv.stop(0)
   }
+
+  test("renderDashboard shows batch history and latest stream progress") {
+    val batch = new java.util.concurrent.ConcurrentLinkedQueue[Monitor.BatchMetric]()
+    batch.add(Monitor.BatchMetric("q1_agg", 12345678L, None))
+    batch.add(Monitor.BatchMetric("broken", 0L, Some("boom")))
+    val streams = new java.util.concurrent.ConcurrentLinkedQueue[Monitor.StreamMetric]()
+    streams.add(Monitor.StreamMetric("wc", 3L, 42L, 1234.5))
+    streams.add(Monitor.StreamMetric("wc", 4L, 77L, 2000.0)) // newer wins
+    val txt = Monitor.renderDashboard(batch, streams)
+    assert(txt.contains("2 batch executions") && txt.contains("1 live streams"))
+    assert(txt.contains("q1_agg") && txt.contains("ok"))
+    assert(txt.contains("boom"))
+    // stream line is the LATEST batch per query, not the history
+    assert(txt.contains("77") && !txt.contains("42"))
+  }
 }
