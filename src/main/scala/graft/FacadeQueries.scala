@@ -45,6 +45,77 @@ object FacadeQueries extends QueryModule {
       .select(col("o_orderkey"), digitSum(col("o_orderkey")).as("digit_sum"))
   }
 
+  // async UDF path (reference: apply_async, udfs/executors.py async
+  // executor; previously UdfsSpec-only): each row's result is computed in
+  // a Future on executor threads behind asyncMap's bounded in-flight
+  // window — the result set is deterministic, so DuckDB can state it
+  // directly.
+  q("q_udf_async",
+    """SELECT c_custkey, CAST(length(c_name) + c_custkey % 7 AS BIGINT) AS score
+      |FROM customer""") { (s, dir) =>
+    import s.implicits._
+    val ds = load(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      .as[(Long, String)]
+    udfs.asyncMap(ds, parallelism = 8) { case (k, name) =>
+      scala.concurrent.Future((k, (name.length + k % 7): Long))(
+        scala.concurrent.ExecutionContext.global)
+    }.toDF("c_custkey", "score")
+  }
+
+  // persistent UDF memoization (reference: UdfCaching persistence mode,
+  // python_api.rs:3698; previously UdfsSpec-only). The first memoize call
+  // computes the even keys into the store; the second call's compute
+  // function returns a WRONG value (-1) for any even key it is asked to
+  // recompute — so the oracle passes only if every even key was served
+  // from the memo and only the odd-key misses were computed.
+  q("q_udf_memoize",
+    """SELECT DISTINCT o_custkey AS key, CAST(o_custkey * 2 + 1 AS BIGINT) AS enriched
+      |FROM orders""") { (s, dir) =>
+    val store = java.nio.file.Files.createTempDirectory("graft_memo").toString + "/memo"
+    val keys = load(s, dir, "orders").select(col("o_custkey").as("key"))
+    udfs.memoize(s, store, keys.filter(col("key") % 2 === 0), "key")(m =>
+      m.withColumn("enriched", col("key") * 2 + 1))
+    udfs.memoize(s, store, keys, "key")(m =>
+      m.withColumn("enriched",
+        when(col("key") % 2 === 0, lit(-1L)).otherwise(col("key") * 2 + 1)))
+  }
+
+  // custom stateful reducer SPI (reference: custom_reducers.py:174
+  // BaseCustomAccumulator; previously ReducersSpec-only): mean-log price
+  // as a from-scratch Aggregator — zero/reduce/merge/finish is exactly
+  // the from_row/update/compute_result contract, and Spark runs it with
+  // map-side partial aggregation like any built-in.
+  q("q_custom_reducer",
+    """SELECT l_returnflag, round(avg(ln(l_extendedprice)) + 1e-9, 4) AS mean_log_price
+      |FROM lineitem GROUP BY 1""") { (s, dir) =>
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val meanLog = new graft.agg.reducers.CustomReducer[Double, (Double, Long), Double] {
+      def zero: (Double, Long) = (0.0, 0L)
+      def reduce(b: (Double, Long), a: Double): (Double, Long) =
+        (b._1 + math.log(a), b._2 + 1)
+      def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) =
+        (x._1 + y._1, x._2 + y._2)
+      def finish(b: (Double, Long)): Double = b._1 / b._2
+      def bufferEncoder: Encoder[(Double, Long)] =
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+      def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }
+    val meanLogUdaf = udaf(meanLog)
+    load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(meanLogUdaf(col("l_extendedprice")) + lit(1e-9), 4)
+        .as("mean_log_price"))
+  }
+
+  // demo stream generator (reference: pw.demo.range_stream; previously
+  // spec-only) — the deterministic (id, value) ramp every docs example
+  // starts from.
+  q("q_range_rows",
+    """SELECT CAST(range AS BIGINT) AS id, CAST(range AS DOUBLE) AS value
+      |FROM range(200)""") { (s, _) =>
+    graft.testkit.Testkit.rangeRows(s, 200).df
+  }
+
   // multimodal decode: binary assets -> partition-wise feature extraction
   // (documents' UTF-8 bytes stand in for image payloads; ASCII text means
   // the DuckDB codepoint mirror sees the same byte values)

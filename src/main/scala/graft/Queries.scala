@@ -552,6 +552,17 @@ object Queries extends QueryModule {
       Seq(col("o_custkey")), col("o_totalprice"), col("o_orderkey"))
   }
 
+  // unpack_col (stdlib/utils/col.py:60; previously ColUtilsSpec-only):
+  // struct column back to top-level columns — a pure projection, so the
+  // oracle is just the flat SELECT
+  q("q_unpack_col",
+    """SELECT p_partkey, p_name, p_retailprice FROM part""") { (s, dir) =>
+    val packed = load(s, dir, "part").select(
+      struct(col("p_partkey"), col("p_name"), col("p_retailprice")).as("packed"))
+    operators.ColUtils.unpackCol(packed, col("packed"),
+      "p_partkey", "p_name", "p_retailprice")
+  }
+
   // groupby_reduce_majority (stdlib/utils/col.py:326) — each user's most
   // frequent event type; ties toward the alphabetically smallest
   q("q_majority",

@@ -91,6 +91,57 @@ object RetrievalQueries extends QueryModule {
       .select(col("qid"), col("id"), r4e(col("rrf_score")).as("rrf_score"))
   }
 
+  // DataIndex/as_retriever façade end-to-end (reference:
+  // data_index.py:278 + hybrid_index.py:14; previously DataIndexSpec-
+  // only): exact brute-force and LSH retrievers over the same corpus,
+  // RRF-fused by the hybrid retriever. The LSH side derives 6 planes at
+  // the oracle scale (planesFor(500, 8)) — the same 6 the SQL hardcodes —
+  // and keeps its self-match (the façade's LSH path doesn't exclude the
+  // query row; brute force does).
+  q("q_hybrid_retriever",
+    """WITH w AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT id AS qid, v AS qv FROM w WHERE id % 50 = 0),
+      |bf AS (SELECT qid, id,
+      |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, id) AS rank
+      |  FROM (SELECT q.qid, w.id,
+      |    list_dot_product(qv, v)
+      |      / sqrt(list_dot_product(qv, qv) * list_dot_product(v, v)) AS c
+      |    FROM q JOIN w ON qid != id)
+      |  QUALIFY rank <= 3),
+      |pr AS (SELECT id, p,
+      |  list_sum(list_transform(range(64), d -> v[d+1] *
+      |    (CASE WHEN CAST('0x' || substr(md5(p || '_' || d), 1, 2) AS INTEGER) % 2 = 0
+      |          THEN 1.0 ELSE -1.0 END))) AS proj
+      |  FROM w, UNNEST(range(6)) AS t(p)),
+      |bk AS (SELECT id, CAST(sum(CASE WHEN proj >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+      |  AS bucket FROM pr GROUP BY id),
+      |bv AS (SELECT w.id, w.v, bk.bucket FROM w JOIN bk ON w.id = bk.id),
+      |ls AS (SELECT qid, id,
+      |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, id) AS rank
+      |  FROM (SELECT x.id AS qid, y.id AS id,
+      |    list_dot_product(x.v, y.v)
+      |      / sqrt(list_dot_product(x.v, x.v) * list_dot_product(y.v, y.v)) AS c
+      |    FROM bv x JOIN bv y ON x.bucket = y.bucket
+      |    WHERE x.id % 50 = 0)
+      |  QUALIFY rank <= 3),
+      |fused AS (SELECT qid, id, sum(1.0 / (60 + rank)) AS rrf
+      |  FROM (SELECT * FROM bf UNION ALL SELECT * FROM ls) GROUP BY 1, 2)
+      |SELECT qid, rank, id, round(rrf + 1e-9, 4) AS score
+      |FROM (SELECT qid, id, rrf,
+      |  row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS rank
+      |  FROM fused)
+      |WHERE rank <= 3""") { (s, dir) =>
+    import graft.operators.DataIndex
+    val emb = load(s, dir, "embeddings")
+    val retriever = DataIndex.hybrid(
+      DataIndex.bruteForce(emb, col("vec_id"), col("embedding"), dim = 64),
+      DataIndex.lsh(emb, col("vec_id"), col("embedding"), dim = 64,
+        targetBucketSize = 8))
+    retriever.retrieve(emb.filter(col("vec_id") % 50 === 0),
+        col("vec_id"), col("embedding"), k = 3)
+      .select(col("qid"), col("rank"), col("id"), r4e(col("score")).as("score"))
+  }
+
   // fuzzy join: even-id docs matched to their most-similar odd-id doc
   q("q_fuzzy_join",
     """WITH l AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),

@@ -20,11 +20,12 @@ trait Retriever {
 
 object DataIndex {
 
-  /** Exact cosine KNN over an embedding column. */
-  def bruteForce(data: DataFrame, id: Column, vec: Column): Retriever =
+  /** Exact cosine KNN over an embedding column. `dim > 0` unrolls the
+    * dot product into the codegen'd fixed-width expression. */
+  def bruteForce(data: DataFrame, id: Column, vec: Column, dim: Int = 0): Retriever =
     new Retriever {
       def retrieve(queries: DataFrame, qid: Column, query: Column, k: Int): DataFrame =
-        Similarity.bruteForceTopK(queries, data, qid, query, id, vec, k)
+        Similarity.bruteForceTopK(queries, data, qid, query, id, vec, k, dim)
           .select(col("query_id").as("qid"), col("rank"),
             col("neighbor_id").as("id"), col("cosine").as("score"))
     }
