@@ -244,6 +244,103 @@ object IoQueries extends QueryModule {
     s.read.schema(nation.schema).parquet(out)
   }
 
+  // checkpoint recovery driven to an ORACLE (reference: src/persistence/,
+  // test_recovery.py; previously StreamingSpec-only): the first query
+  // processes file 1 and STOPS (the "crash"); a brand-new query on the
+  // SAME checkpoint must skip the already-committed file and pick up only
+  // file 2 — the sink holding the whole table exactly once proves
+  // no-loss, no-duplication recovery.
+  q("q_recovery",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation""") { (s, dir) =>
+    val root = java.nio.file.Files.createTempDirectory("graft_recov").toString
+    val src = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val nation = load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    def drop(part: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val tmp = s"$root/tmp_$tag"
+      part.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$src/$tag.parquet"))
+    }
+    drop(nation.filter(col("n_nationkey") < 12), "part1")
+    val q1 = io.writeStream(
+      io.stream(s, "parquet", nation.schema).load(src), out, ckpt).start()
+    q1.processAllAvailable(); q1.stop()
+    drop(nation.filter(col("n_nationkey") >= 12), "part2")
+    val q2 = io.writeStream(
+      io.stream(s, "parquet", nation.schema).load(src), out, ckpt).start()
+    try q2.processAllAvailable() finally q2.stop()
+    s.read.schema(nation.schema).parquet(out)
+  }
+
+  // subscribe callback sink driven to an ORACLE (reference:
+  // pw.io.subscribe, io/_subscribe.py; previously StreamingSpec-only):
+  // the callback drains each micro-batch into a driver-side buffer; the
+  // buffer rebuilt as a DataFrame across two commits must equal the
+  // table.
+  q("q_subscribe",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation""") { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .as[(Long, String, Long)].collect()
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q = graft.streaming.Streaming.subscribe(
+      in.toDF().toDF("n_nationkey", "n_name", "n_regionkey"),
+      (batch, _) => batch.collect().foreach(r =>
+        buf.add((r.getLong(0), r.getString(1), r.getLong(2))))).start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    scala.jdk.CollectionConverters.CollectionHasAsScala(buf).asScala.toSeq
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+  }
+
+  // HTTP polling source driven to an ORACLE (reference: pw.io.http;
+  // previously IoSpec-only): a live local endpoint serves the nation
+  // table as a JSON array; the polled bodies parsed + exploded +
+  // deduplicated must equal the table read directly — real sockets, real
+  // fetches, engine-independent result.
+  q("q_io_http",
+    """SELECT n_nationkey, n_name FROM nation""") { (s, dir) =>
+    val nation = load(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val body = nation.toJSON.collect().mkString("[", ",", "]")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/nation", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(200, body.length)
+      val os = ex.getResponseBody
+      try os.write(body) finally os.close()
+    })
+    srv.start()
+    val q = io.httpPoll(s,
+        s"http://127.0.0.1:${srv.getAddress.getPort}/nation", pollsPerSecond = 5)
+      .writeStream.format("memory").queryName("http_oracle_out")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      def ok() = s.sql("SELECT * FROM http_oracle_out WHERE status = 200").count()
+      while (ok() < 1 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(200)
+      }
+    } finally { q.stop(); srv.stop(0) }
+    s.table("http_oracle_out").filter(col("status") === 200)
+      .select(explode(from_json(col("body"),
+        org.apache.spark.sql.types.DataType.fromDDL(
+          "array<struct<n_nationkey: bigint, n_name: string>>"))).as("r"))
+      .select(col("r.n_nationkey").as("n_nationkey"), col("r.n_name").as("n_name"))
+      .distinct()
+  }
+
   q("q_io_text",
     """SELECT value FROM read_csv('/tmp/graft_io/sf0.01/nation_txt/*.txt',
       |  delim='', quote='', escape='', header=false,

@@ -563,6 +563,55 @@ object TemporalQueries extends QueryModule {
     s.table("asof_now_out").select(col("o_orderkey"), r4(col("bal")).as("bal"))
   }
 
+  // stream-stream interval join driven to an ORACLE (reference:
+  // _interval_join.py in streaming mode; previously StreamingSpec-only):
+  // clicks and views replayed as two batches per side through
+  // intervalJoinStream — the second batch must still match rows buffered
+  // from the first (cross-batch state), and a 10-year watermark delay
+  // keeps every row in state so the inner-join emission is exactly the
+  // batch interval join DuckDB computes.
+  q("q_interval_stream",
+    """SELECT c.event_id, v.event_id AS v_id
+      |FROM events c JOIN events v
+      |  ON v.event_type = 'view' AND v.user_id = c.user_id
+      |  AND epoch_us(v.ts) BETWEEN epoch_us(c.ts) - 300000000
+      |                         AND epoch_us(c.ts) + 300000000
+      |WHERE c.event_type = 'click'""") { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = loadEvents(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, Long, java.sql.Timestamp, String)].collect()
+    val clicks = ev.filter(_._4 == "click").map(t => (t._1, t._2, t._3))
+    val views = ev.filter(_._4 == "view").map(t => (t._1, t._2, t._3))
+    val lIn = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val rIn = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = graft.streaming.Streaming.intervalJoinStream(
+      lIn.toDF().toDF("event_id", "user_id", "ts"),
+      rIn.toDF().toDF("v_id", "user_id", "v_ts"),
+      Seq("user_id"), "ts", "v_ts", "-300 seconds", "300 seconds",
+      watermarkDelay = "3650 days", how = "inner")
+    // state-store partition count is locked in at query start; 32 stores
+    // × 2 sides × 2 batches is pure commit overhead for a replay this
+    // size, so pin it low for the stream and restore after
+    val oldSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = joined.select(col("event_id"), col("v_id"))
+        .writeStream.format("memory").queryName("interval_stream_out")
+        .outputMode("append").start()
+      try {
+        val (c1, c2) = clicks.splitAt(clicks.length / 2)
+        val (v1, v2) = views.splitAt(views.length / 2)
+        lIn.addData(c1.toSeq); rIn.addData(v1.toSeq); q.processAllAvailable()
+        lIn.addData(c2.toSeq); rIn.addData(v2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
+    s.table("interval_stream_out")
+  }
+
   // inactivity_detection driven to an ORACLE (reference:
   // time_utils.py:52; previously spec-only): every user key goes silent
   // by end-of-input, so each emits exactly once with its last-seen time.
