@@ -107,6 +107,43 @@ object FacadeQueries extends QueryModule {
         .as("mean_log_price"))
   }
 
+  // AsyncTransformer end-to-end (reference: async_transformer.py:282;
+  // previously StreamingSpec-only): per-row async invocations over a
+  // 2-batch replay — odd keys fail every retry and must be routed to the
+  // failure side instead of killing the stream; the oracle states the
+  // settled (status, score) outcome for every key.
+  q("q_async_transformer",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN 'ok' ELSE 'failed' END AS status,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_orderkey * 3 AS BIGINT) END AS score
+      |FROM orders""") { (s, dir) =>
+    import s.implicits._
+    import scala.concurrent.duration._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val keys = load(s, dir, "orders").select(col("o_orderkey")).as[Long].collect()
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val ok = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = udfs.asyncTransformer(in.toDS(), parallelism = 8, retries = 1,
+        timeout = 30.seconds) { k =>
+        if (k % 2 == 0) scala.concurrent.Future.successful((k, k * 3))
+        else scala.concurrent.Future.failed(new RuntimeException("odd key"))
+      } { (succ, fail, _) =>
+        succ.collect().foreach(ok.add); fail.collect().foreach(bad.add)
+      }
+    try {
+      val (a, b) = keys.splitAt(keys.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    ok.asScala.toSeq.toDF("o_orderkey", "score")
+      .select(col("o_orderkey"), lit("ok").as("status"), col("score"))
+      .unionByName(bad.asScala.toSeq.toDF("o_orderkey")
+        .select(col("o_orderkey"), lit("failed").as("status"),
+          lit(null).cast("bigint").as("score")))
+  }
+
   // demo stream generator (reference: pw.demo.range_stream; previously
   // spec-only) — the deterministic (id, value) ramp every docs example
   // starts from.

@@ -244,6 +244,48 @@ object IoQueries extends QueryModule {
     s.read.schema(nation.schema).parquet(out)
   }
 
+  // Schema column properties driven to an ORACLE (reference:
+  // internals/schema.py:913 — primary_key / default_value; previously
+  // TestkitSpec-only): negative balances are NULLed out of the input,
+  // `Schema.apply` must refill them from the declared default and
+  // conjure the entirely-missing c_segment column from its default.
+  q("q_schema_apply",
+    """SELECT c_custkey,
+      |  CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS c_acctbal,
+      |  'UNKNOWN' AS c_segment
+      |FROM customer""") { (s, dir) =>
+    import graft.core.{ColumnDef, Schema}
+    val holed = load(s, dir, "customer").select(col("c_custkey"),
+      when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal"))
+        .as("c_acctbal"))
+    val schema = Schema.of(
+      ColumnDef("c_custkey", LongType, primaryKey = true),
+      ColumnDef("c_acctbal", DoubleType, default = Some(0.0)),
+      ColumnDef("c_segment", StringType, default = Some("UNKNOWN")))
+    schema(holed).df
+  }
+
+  // schema_from_csv inference driven to an ORACLE (reference:
+  // internals/schema.py:832; previously TestkitSpec-only): nation written
+  // as csv, the schema INFERRED from a bounded sample, the file read back
+  // under the inferred schema — name or type drift would break the
+  // compare. Integer width is normalized to BIGINT on both sides
+  // (Spark infers int32 where DuckDB infers int64).
+  q("q_schema_csv",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation""") { (s, dir) =>
+    import graft.core.Schema
+    val path = s"${ioDir(dir)}/nation_schema_csv"
+    load(s, dir, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+    val inferred = Schema.fromCsv(s, path, header = true,
+      primaryKey = Seq("n_nationkey"))
+    val back = s.read.schema(inferred.structType)
+      .option("header", "true").csv(path)
+    inferred(back).df
+      .select(col("n_nationkey").cast("bigint"), col("n_name"),
+        col("n_regionkey").cast("bigint"))
+  }
+
   // checkpoint recovery driven to an ORACLE (reference: src/persistence/,
   // test_recovery.py; previously StreamingSpec-only): the first query
   // processes file 1 and STOPS (the "crash"); a brand-new query on the
