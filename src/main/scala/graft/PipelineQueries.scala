@@ -186,6 +186,39 @@ object PipelineQueries extends QueryModule {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  // int8-quantized brute-force top-3 (beyond the reference — the memory
+  // lever for 100 TB ANN): L2-normalize, per-vector symmetric scale,
+  // floor(x/s + 0.5) codes, rank by s_q*s_d*(integer dot) ≈ cosine. The
+  // integer dot is exact in double, so the ranking has NO
+  // float-summation ambiguity — both engines derive bit-identical
+  // scores.
+  q("q_knn_quantized",
+    """WITH w AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |nz AS (SELECT id,
+      |  list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-30)) AS v
+      |  FROM w),
+      |qz AS (SELECT id, v,
+      |  greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 AS s
+      |  FROM nz),
+      |cz AS (SELECT id, s, list_transform(v, x -> floor(x / s + 0.5)) AS c
+      |  FROM qz),
+      |sc AS (SELECT q.id AS query_id, d.id AS neighbor_id,
+      |  q.s * d.s * list_dot_product(q.c, d.c) AS score
+      |  FROM cz q JOIN cz d ON q.id % 50 = 0 AND q.id != d.id),
+      |r AS (SELECT query_id, neighbor_id, score,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+      |    AS rank FROM sc)
+      |SELECT query_id, rank, neighbor_id, round(score + 1e-9, 6) AS score
+      |FROM r WHERE rank <= 3""") { (s, dir) =>
+    val e = load(s, dir, "embeddings")
+    Similarity.quantizedTopK(
+        e.filter(col("vec_id") % 50 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score") + lit(1e-9), 6).as("score"))
+  }
+
   // LSH-bucketed ANN: top-1 within the random-hyperplane bucket
   q("q_knn_lsh",
     """WITH w AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -90,6 +90,17 @@ object DataIndex {
             col("neighbor_id").as("id"), col("cosine").as("score"))
     }
 
+  /** Brute-force KNN over int8-quantized vectors — the memory-lever
+    * variant of [[bruteForce]] (8× smaller corpus in flight, integer-dot
+    * ranking; see [[Similarity.quantizeInt8]]). */
+  def quantized(data: DataFrame, id: Column, vec: Column): Retriever =
+    new Retriever {
+      def retrieve(queries: DataFrame, qid: Column, query: Column, k: Int): DataFrame =
+        Similarity.quantizedTopK(queries, data, qid, query, id, vec, k)
+          .select(col("query_id").as("qid"), col("rank"),
+            col("neighbor_id").as("id"), col("score"))
+    }
+
   /** Full-text BM25 retriever. */
   def bm25(corpus: DataFrame, id: Column, text: Column): Retriever =
     new Retriever {

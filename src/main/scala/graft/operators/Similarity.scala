@@ -237,6 +237,79 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Int8 scalar quantization of an embedding column (beyond the
+    * reference — the standard memory lever for ANN at corpus scale: the
+    * persisted/broadcast corpus shrinks 8× vs the array<double> Spark
+    * SQL otherwise carries, and integer dot products rank candidates
+    * without touching the float vectors).
+    *
+    * Per-vector symmetric scale: s = max|x|/127 (floored at 1e-30/127 so
+    * a zero vector quantizes to zeros instead of dividing by zero),
+    * codes c_i = floor(x_i/s + 0.5) ∈ [-127, 127] stored as TINYINT.
+    * Both steps are plain column expressions any engine reproduces
+    * bit-identically (floor, not banker's round — round() ties differ
+    * across engines).
+    *
+    * Adds `scaleCol` (double) and `codesCol` (array<tinyint>); drop the
+    * original vector column afterwards to realize the memory win. */
+  def quantizeInt8(df: DataFrame, vec: Column,
+      scaleCol: String = "qscale", codesCol: String = "qcodes"): DataFrame =
+    df.withColumn(scaleCol,
+        greatest(array_max(transform(vec.cast("array<double>"), x => abs(x))),
+          lit(1e-30)) / lit(127.0))
+      .withColumn(codesCol,
+        transform(vec.cast("array<double>"),
+          x => floor(x / col(scaleCol) + lit(0.5)).cast("tinyint")))
+
+  /** L2-normalize an array<double> column (norm floored at 1e-30 so a
+    * zero vector maps to zeros, not NaN). The norm is one [[dot]] fold —
+    * bit-identical to DuckDB's `sqrt(list_dot_product(v, v))` — and the
+    * per-element division is exact IEEE, so normalized vectors match
+    * across engines bit-for-bit. */
+  private def l2normalize(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("_norm",
+        greatest(sqrt(norm2(col(vecCol))), lit(1e-30)))
+      .withColumn(vecCol, transform(col(vecCol), x => x / col("_norm")))
+      .drop("_norm")
+
+  /** Brute-force top-k over int8-quantized UNIT vectors: vectors are
+    * L2-normalized first, so score = s_q·s_d·(codes_q·codes_d)
+    * approximates cosine — the same metric [[bruteForceTopK]] ranks by.
+    * The integer dot is exact in double (|sum| < 2^53), and norms,
+    * scales, and codes are identical doubles on every engine, so the
+    * RANKING is fully deterministic — no float-summation tie ambiguity
+    * at all, unlike raw-cosine ranking. Approximation error vs exact
+    * cosine is the quantization error only (recall ≥0.9 at k=3 on the
+    * test corpus — DataIndexSpec pins it).
+    *
+    * Same join shape as [[bruteForceTopK]]; at scale the quantized
+    * corpus is what gets broadcast/shuffled, which is the point.
+    * Composes with IVF: quantize inside each inverted list and rank by
+    * integer dot, re-scoring the top candidates exactly if needed. */
+  def quantizedTopK(queries: DataFrame, data: DataFrame,
+      qid: Column, qvec: Column, did: Column, dvec: Column,
+      k: Int): DataFrame = {
+    val q = fanoutRepartition(
+      quantizeInt8(
+        l2normalize(queries.select(qid.as("query_id"),
+          qvec.cast("array<double>").as("_qv")), "_qv"),
+        col("_qv"), "qs", "qc").drop("_qv"), col("query_id"))
+    val d = quantizeInt8(
+      l2normalize(data.select(did.as("neighbor_id"),
+        dvec.cast("array<double>").as("_dv")), "_dv"),
+      col("_dv"), "ds", "dc").drop("_dv")
+    val scored = q.join(d, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("qs") * col("ds") * dot(col("qc").cast("array<double>"),
+          col("dc").cast("array<double>"))).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
   /** Plane count that keeps EXPECTED bucket occupancy near
     * `targetBucketSize`: buckets = 2^planes, so
     * planes = ceil(log2(corpus / target)). Per-bucket candidate work is

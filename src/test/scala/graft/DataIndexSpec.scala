@@ -81,6 +81,36 @@ class DataIndexSpec extends SparkSpec {
       self.filter(col("query_id") === col("neighbor_id")).count() == 0)
   }
 
+  test("quantized retriever: int8 codes track exact brute-force ranking") {
+    import graft.operators.Similarity
+    // deterministic pseudo-random 16-dim corpus — recall@3 of the
+    // quantized ranking vs exact cosine must stay high (int8 keeps ~2.4
+    // decimal digits per component)
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 120).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat))).toDF("id", "v")
+    val queries = corpus.filter(col("id") % 20 === 0)
+    val exact = Similarity.bruteForceTopK(queries, corpus,
+        col("id"), col("v"), col("id"), col("v"), k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = DataIndex.quantized(corpus, col("id"), col("v"))
+      .retrieve(queries, col("id"), col("v"), 3)
+      .select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized recall@3 = $recall")
+    // codes are genuinely tinyint (the 8x memory claim) and bounded
+    val codes = Similarity.quantizeInt8(corpus, col("v"))
+    assert(codes.schema("qcodes").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.ByteType)
+    // zero vector survives quantization (scale floor, no div-by-zero)
+    val z = Similarity.quantizeInt8(
+      Seq((99L, Seq(0.0f, 0.0f))).toDF("id", "v"), col("v"))
+    assert(z.select("qcodes").collect()(0).getSeq[Byte](0).forall(_ == 0))
+  }
+
   test("planesFor scales plane count with the corpus (log2), never constant") {
     import graft.operators.Similarity
     assert(Similarity.planesFor(1000, 256) == 2)   // ~4 buckets
