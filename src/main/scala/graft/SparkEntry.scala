@@ -15,17 +15,27 @@ object SparkEntry {
   private[graft] def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as long (legacy conf) and convert to a µs
-    * timestamp — nanosecond sub-precision is dropped, matching what any
-    * Spark pipeline at scale would do. */
+  /** events.parquet has shipped with two physical `ts` encodings across
+    * testdata generations: TIMESTAMP(NANOS) (which Spark's parquet reader
+    * rejects — read nanos as long via the legacy conf and truncate to µs)
+    * and plain TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+    * TIMESTAMP_NTZ). Normalize both to a session-UTC TimestampType column
+    * so every downstream query and written snapshot keeps one schema. */
   private[graft] def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/events.parquet")
-    // integer division — `/` would go through double and lose low bits of
-    // the ~1.7e18 ns value (ulp ≈ 256 ns), flipping truncated µs vs the
-    // oracle's exact conversion
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer division — `/` would go through double and lose low bits
+        // of the ~1.7e18 ns value (ulp ≈ 256 ns), flipping truncated µs vs
+        // the oracle's exact conversion
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // session TZ is UTC in every graft entrypoint, so this cast is a
+        // pure type-tag change (same instant, same µs value)
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   private[graft] def table(spark: SparkSession, dir: String, name: String, key: String*): Table =
     Table.fromDF(load(spark, dir, name), key.toSeq)
