@@ -69,8 +69,10 @@ object GenScale {
       if (i == 0) df
       else df.withColumn("l_orderkey", col("l_orderkey") + lit(i * OFF))
     }
-    // events.parquet carries TIMESTAMP(NANOS): read nanos as long and
-    // write plain int64 — loadEvents' `ts div 1000` works on either
+    // events.parquet has shipped ts as TIMESTAMP(NANOS) or µs TIMESTAMP_NTZ
+    // across testdata generations; nanosAsLong makes the nanos form read as
+    // int64 (written back as int64), the µs form passes through as NTZ —
+    // loadEvents adapts to either physical type on read
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     replicate("events") { (df, i) =>
       if (i == 0) df
