@@ -34,6 +34,7 @@ object Bench {
     "q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram_jaccard",
     "q_dedup_canonical", "q_lsh_cluster", "q_cdc_apply",
     "q_fuzzy_join", "q_knn_lsh", "q_knn_ivf", "q_knn_bruteforce", "q_knn_hnsw",
+    "q_knn_classify",
     "q_bm25", "q_pagerank", "q_connected_components", "q_louvain", "q_hmm",
     "q_retract_reduce", "q_text_stats", "q_sql")
 

@@ -142,6 +142,35 @@ object RetrievalQueries extends QueryModule {
       .select(col("qid"), col("rank"), col("id"), r4e(col("score")).as("score"))
   }
 
+  // kNN classification (reference knn_lsh_classify): every 50th vector
+  // labeled by majority vote over its 5 exact nearest neighbors' labels,
+  // ties broken (count desc, label asc) — the engine's pinned twin of the
+  // reference's Python `mode`
+  q("q_knn_classify",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |d AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS dv, label
+      |  FROM embeddings),
+      |sc AS (SELECT qid, nid, label,
+      |  list_dot_product(qv, dv)
+      |    / sqrt(list_dot_product(qv, qv) * list_dot_product(dv, dv)) AS c
+      |  FROM q JOIN d ON qid != nid),
+      |r AS (SELECT qid, label,
+      |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank FROM sc),
+      |v AS (SELECT qid, label, count(*) AS n FROM r WHERE rank <= 5 GROUP BY 1, 2)
+      |SELECT qid, label AS predicted_label FROM (
+      |  SELECT qid, label,
+      |    row_number() OVER (PARTITION BY qid ORDER BY n DESC, label) AS rn FROM v)
+      |WHERE rn = 1""") { (s, dir) =>
+    import graft.operators.DataIndex
+    val emb = load(s, dir, "embeddings")
+    DataIndex.classify(
+      DataIndex.bruteForce(emb, col("vec_id"), col("embedding"), dim = 64),
+      emb, col("vec_id"), col("label"),
+      emb.filter(col("vec_id") % 50 === 0), col("vec_id"), col("embedding"),
+      k = 5)
+  }
+
   // fuzzy join: even-id docs matched to their most-similar odd-id doc
   q("q_fuzzy_join",
     """WITH l AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),

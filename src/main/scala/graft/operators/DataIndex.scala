@@ -109,6 +109,29 @@ object DataIndex {
           .select(col("qid"), col("rank"), col("id"), col("score"))
     }
 
+  /** kNN classification (reference: stdlib/ml/classifiers/_knn_lsh.py:306
+    * `knn_lsh_classify` — retrieve the k nearest per query, majority-vote
+    * the neighbors' labels; retriever-agnostic the way the reference's
+    * `knn_model` argument is a closure over any index). The reference
+    * votes with Python's `mode`, whose tie winner is whichever label the
+    * unordered neighbor tuple happens to list first; here the tie-break
+    * is pinned: highest vote count, then smallest label. Queries that
+    * retrieve nothing keep a NULL `predicted_label` (the reference's
+    * `knns_empty` update_cells path).
+    *
+    * Scale shape: one equi-join of the (|queries|·k)-row hit list against
+    * the label table on neighbor id, then [[ColUtils.majority]]'s two
+    * map-side-combinable aggregates — no window sort, no driver loop. */
+  def classify(retriever: Retriever, labels: DataFrame, lid: Column, label: Column,
+      queries: DataFrame, qid: Column, query: Column, k: Int): DataFrame = {
+    val hits = retriever.retrieve(queries, qid, query, k)
+    val lab = labels.select(lid.as("id"), label.as("_label"))
+    val voted = ColUtils.majority(hits.join(lab, "id"), col("qid"), col("_label"))
+      .select(col("group").as("qid"), col("majority").as("predicted_label"))
+    queries.select(qid.as("qid")).distinct()
+      .join(voted, Seq("qid"), "left")
+  }
+
   /** Reciprocal-rank fusion of two retrievers (reference HybridIndex). */
   def hybrid(a: Retriever, b: Retriever, k0: Int = 60): Retriever =
     new Retriever {

@@ -111,6 +111,34 @@ class DataIndexSpec extends SparkSpec {
     assert(z.select("qcodes").collect()(0).getSeq[Byte](0).forall(_ == 0))
   }
 
+  test("classify: majority vote, pinned tie-break, NULL on empty retrieval") {
+    // corpus around the x-axis: query 10's 3-NN are ids 1,2 (label A=1)
+    // and 3 (label B=2) -> majority 1
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.95f, 0.05f)),
+      (3L, Seq(0.6f, 0.4f)), (4L, Seq(0.0f, 1.0f)))
+      .toDF("id", "v")
+    val labels = Seq((1L, 1), (2L, 1), (3L, 2), (4L, 2)).toDF("id", "lbl")
+    val qs = Seq((10L, Seq(1.0f, 0.0f))).toDF("qid", "qv")
+    val bf = DataIndex.bruteForce(corpus, col("id"), col("v"))
+    val out = DataIndex.classify(bf, labels, col("id"), col("lbl"),
+      qs, col("qid"), col("qv"), k = 3).collect()
+    assert(out.length == 1 && out(0).getInt(1) == 1)
+    // k=2 -> neighbors 1 (label 1) and 2... adjust: take k=4 -> labels
+    // {1,1,2,2}, a 2-2 tie -> smallest label wins (pinned tie-break)
+    val tied = DataIndex.classify(bf, labels, col("id"), col("lbl"),
+      qs, col("qid"), col("qv"), k = 4).collect()
+    assert(tied(0).getInt(1) == 1)
+    // bm25 retriever with a query sharing no terms: empty retrieval ->
+    // the query row survives with a NULL label (reference knns_empty path)
+    val docs = Seq((1L, "spark shuffles data")).toDF("id", "text")
+    val dl = Seq((1L, 7)).toDF("id", "lbl")
+    val qt = Seq((20L, "unrelated words")).toDF("qid", "q")
+    val none = DataIndex.classify(DataIndex.bm25(docs, col("id"), col("text")),
+      dl, col("id"), col("lbl"), qt, col("qid"), col("q"), k = 3).collect()
+    assert(none.length == 1 && none(0).isNullAt(1))
+  }
+
   test("planesFor scales plane count with the corpus (log2), never constant") {
     import graft.operators.Similarity
     assert(Similarity.planesFor(1000, 256) == 2)   // ~4 buckets
