@@ -190,6 +190,51 @@ object IoQueries extends QueryModule {
         col("o_totalprice"))
   }
 
+  // Bucket-partitioned upsert sink (the fact-sized-state variant: a
+  // batch rewrites only the key-hash buckets it touches, not the whole
+  // snapshot) replaying the exact q_upsert_snapshot change log — same
+  // oracle, so the green row proves the incremental bucket merge + the
+  // per-bucket swap land on byte-identical CDC-apply semantics. Note
+  // this replay's batches touch EVERY bucket (the first batch is a full
+  // snapshot), so it benches as a full rewrite plus bucket bookkeeping —
+  // the incremental win (one key → one bucket) is what StreamingSpec
+  // pins; this row is the correctness evidence.
+  q("q_upsert_partitioned",
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders WHERE o_orderkey % 7 <> 0""") { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val o = load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .as[(Long, Long, String, Double)].collect()
+    type Ev = (Long, Long, Boolean, Long, String, Double)
+    val snapshot: Seq[Ev] = o.toSeq.map(r => (r._1, 1000L, false, r._2, r._3, r._4))
+    val updates: Seq[Ev] = o.toSeq.filter(_._1 % 3 == 0)
+      .map(r => (r._1, 2000L, false, r._2, r._3, r._4 + 1.0))
+    val deletes: Seq[Ev] = o.toSeq.filter(_._1 % 7 == 0)
+      .map(r => (r._1, 3000L, true, r._2, r._3, r._4))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Boolean, Long, String, Double)]
+    val events = in.toDF().toDF("o_orderkey", "_ord", "_del",
+      "o_custkey", "o_orderstatus", "o_totalprice")
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert_pq").toString
+    val q = graft.streaming.Streaming.upsertParquetSinkPartitioned(events,
+      Seq("o_orderkey"), "_ord", "_del", s"$root/state", s"$root/ckpt",
+      buckets = 16).start()
+    try {
+      in.addData(snapshot); q.processAllAvailable()
+      in.addData(updates); q.processAllAvailable()
+      in.addData(deletes); q.processAllAvailable()
+    } finally q.stop()
+    graft.streaming.Streaming.readSnapshotPartitioned(
+        s, s"$root/state", "_ord", "_del")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+  }
+
   // Custom-source SPI executed end-to-end: a ConnectorSubject replays
   // nation through next()/commit() (driver-side feed — the subject
   // contract, like the reference's Python connector thread) and the

@@ -183,10 +183,11 @@ object Streaming {
     *
     * Scale note: rewrites the whole snapshot per batch (what a
     * compacting MERGE does at file granularity) — the right shape for
-    * dimension-sized state; for fact-sized state partition the path by
-    * a key prefix and rewrite only touched partitions. The directory
-    * swap is two renames (atomic on a real filesystem); object stores
-    * want a versioned-dir + pointer-file layout instead. */
+    * dimension-sized state; fact-sized state wants
+    * [[upsertParquetSinkPartitioned]], which rewrites only the key-hash
+    * buckets a batch touches. The directory swap is two renames (atomic
+    * on a real filesystem); object stores want a versioned-dir +
+    * pointer-file layout instead. */
   def upsertParquetSink(events: DataFrame, keys: Seq[String],
       orderCol: String, deleteCol: String, path: String,
       checkpoint: String): DataStreamWriter[Row] =
@@ -226,6 +227,106 @@ object Streaming {
         rmTree(old)
       }
 
+  /** Hash-bucketed variant of [[upsertParquetSink]] for fact-sized
+    * state: the snapshot lives in `path/b=<i>` subdirectories (`buckets`
+    * of them, key-hash assigned), and a micro-batch merges + rewrites
+    * ONLY the buckets its keys touch — cost per batch is
+    * O(touched-bucket bytes), not O(snapshot bytes). The merge for all
+    * touched buckets is ONE Spark job (staged `partitionBy("b")` write);
+    * the swap is then a driver-side rename pair per touched bucket.
+    *
+    * Consistency: each bucket swap is atomic, and a key lives in exactly
+    * one bucket, so a concurrent reader sees every KEY at a complete
+    * batch boundary — but different keys may straddle batches N-1/N
+    * while a swap loop is mid-flight (the transaction-log-free analog of
+    * Delta's per-file replace; the reference's DeltaTableWriter
+    * data_storage.rs:1611 gets cross-key atomicity from the log).
+    *
+    * Crash safety mirrors the single-dir sink: leftovers are recovered
+    * on batch entry ([[recoverBuckets]]), the checkpoint replays the
+    * crashed batch, and the per-bucket merge is idempotent, so any
+    * mix of swapped/unswapped buckets converges. Bucket `.old` leftovers
+    * are SIBLINGS of `path` (`path.old.<batch>.b<i>`), never inside it —
+    * a dir like `b=3.old.7` under `path` would poison partition
+    * discovery for readers. */
+  def upsertParquetSinkPartitioned(events: DataFrame, keys: Seq[String],
+      orderCol: String, deleteCol: String, path: String,
+      checkpoint: String, buckets: Int = 32): DataStreamWriter[Row] =
+    events.writeStream.outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        require(!batch.columns.contains("b"),
+          "upsertParquetSinkPartitioned: the stream must not carry a column " +
+            "named 'b' — it is the snapshot's bucket-partition column")
+        recoverBuckets(new java.io.File(path))
+        val bCol = pmod(hash(keys.map(col): _*), lit(buckets))
+        val b = batch.persist()
+        val touched = b.select(bCol.as("b")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        val existing = touched
+          .map(i => new java.io.File(path, s"b=$i"))
+          .filter(_.isDirectory).map(_.getPath)
+        val all =
+          if (existing.isEmpty) b.toDF()
+          else spark.read.parquet(existing: _*)
+            .unionByName(b, allowMissingColumns = false)
+        val merged = graft.operators.ColUtils.argmaxRowsOrdered(
+          all, keys.map(col), col(orderCol))
+        val stage = new java.io.File(s"$path.stage.$batchId")
+        merged.withColumn("b", bCol)
+          .write.mode("overwrite").partitionBy("b").parquet(stage.getPath)
+        b.unpersist()
+        val root = new java.io.File(path)
+        root.mkdirs()
+        touched.foreach { i =>
+          val cur = new java.io.File(root, s"b=$i")
+          val old = new java.io.File(s"$path.old.$batchId.b$i")
+          val fresh = new java.io.File(stage, s"b=$i")
+          if (fresh.isDirectory) { // all-tombstone buckets still stage rows
+            if (cur.isDirectory)
+              require(cur.renameTo(old),
+                s"upsertParquetSinkPartitioned: rename $cur -> $old failed")
+            require(fresh.renameTo(cur),
+              s"upsertParquetSinkPartitioned: rename $fresh -> $cur failed")
+            rmTree(old)
+          }
+        }
+        rmTree(stage)
+      }
+
+  /** Restore bucket dirs of an [[upsertParquetSinkPartitioned]] snapshot
+    * from swap leftovers, then clear leftovers + stale staging dirs. */
+  private[graft] def recoverBuckets(root: java.io.File): Unit = {
+    val parent = Option(root.getAbsoluteFile.getParentFile)
+      .getOrElse(new java.io.File("."))
+    val oldPrefix = s"${root.getName}.old."
+    val stagePrefix = s"${root.getName}.stage."
+    val siblings = Option(parent.listFiles).getOrElse(Array.empty[java.io.File])
+    siblings.filter(f => f.isDirectory && f.getName.startsWith(oldPrefix))
+      .foreach { o =>
+        // name shape: <root>.old.<batchId>.b<i>
+        o.getName.drop(oldPrefix.length).split("\\.") match {
+          case Array(bid, bname) if bid.forall(_.isDigit) &&
+              bname.startsWith("b") && bname.drop(1).forall(_.isDigit) =>
+            val cur = new java.io.File(root, s"b=${bname.drop(1)}")
+            if (!cur.isDirectory) require(o.renameTo(cur),
+              s"upsertParquetSinkPartitioned: recovery rename $o -> $cur failed")
+            else rmTree(o)
+          case _ => () // not ours — leave unknown siblings alone
+        }
+      }
+    siblings.filter(f => f.isDirectory && f.getName.startsWith(stagePrefix))
+      .foreach(rmTree)
+  }
+
+  /** Read the live rows of an [[upsertParquetSinkPartitioned]] snapshot —
+    * tombstones filtered, bookkeeping + bucket columns dropped. */
+  def readSnapshotPartitioned(spark: SparkSession, path: String,
+      orderCol: String, deleteCol: String): DataFrame =
+    spark.read.parquet(path).filter(!col(deleteCol))
+      .drop(orderCol, deleteCol, "b")
+
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
   }
@@ -251,6 +352,67 @@ object Streaming {
       }
     }
     (leftovers("tmp") ++ leftovers("old")).foreach(rmTree)
+  }
+
+  /** Drop tombstones with order ≤ `horizon` from an [[upsertParquetSink]]
+    * snapshot — the second half of the retain-until-vacuum discipline
+    * (Delta VACUUM analog; the reference's DeltaTableWriter leans on
+    * Delta's own retention). Tombstones ABOVE the horizon stay: they
+    * still guard their key against out-of-order resurrection. The caller
+    * picks a horizon no later than the oldest order that can still
+    * arrive (a watermark, in streaming terms). Live rows are untouched —
+    * [[readSnapshot]] is identical before and after.
+    *
+    * Atomicity: same tmp→swap protocol as the sink, with the horizon as
+    * the numeric suffix, so [[recoverSnapshot]] heals a crashed vacuum
+    * exactly like a crashed batch (either state is correct — vacuum is
+    * maintenance, not data). Run it BETWEEN batches of the owning query:
+    * the sink and the vacuum must not swap the same dir concurrently. */
+  def vacuumSnapshot(spark: SparkSession, path: String, orderCol: String,
+      deleteCol: String, horizon: Long): Unit = {
+    val cur = new java.io.File(path)
+    recoverSnapshot(cur)
+    if (cur.isDirectory) {
+      val kept = spark.read.parquet(path)
+        .filter(!col(deleteCol) || col(orderCol) > lit(horizon))
+      val tmp = new java.io.File(s"$path.tmp.${math.max(horizon, 0L)}")
+      val old = new java.io.File(s"$path.old.${math.max(horizon, 0L)}")
+      kept.write.mode("overwrite").parquet(tmp.getPath)
+      require(cur.renameTo(old), s"vacuumSnapshot: rename $cur -> $old failed")
+      require(tmp.renameTo(cur), s"vacuumSnapshot: rename $tmp -> $cur failed")
+      rmTree(old)
+    }
+  }
+
+  /** [[vacuumSnapshot]] for an [[upsertParquetSinkPartitioned]] layout:
+    * every bucket is rewritten through one staged partitionBy job, then
+    * per-bucket atomic swaps ([[recoverBuckets]] heals a crash). */
+  def vacuumSnapshotPartitioned(spark: SparkSession, path: String,
+      orderCol: String, deleteCol: String, horizon: Long): Unit = {
+    val root = new java.io.File(path)
+    recoverBuckets(root)
+    val bucketDirs = Option(root.listFiles).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("b="))
+    if (bucketDirs.nonEmpty) {
+      val stage = new java.io.File(s"$path.stage.${math.max(horizon, 0L)}")
+      // partition values survive as a `b` column on a discovery read of
+      // the root; re-partitioning by it reproduces the exact layout
+      spark.read.parquet(path)
+        .filter(!col(deleteCol) || col(orderCol) > lit(horizon))
+        .write.mode("overwrite").partitionBy("b").parquet(stage.getPath)
+      bucketDirs.foreach { cur =>
+        val i = cur.getName.drop(2)
+        val old = new java.io.File(s"$path.old.${math.max(horizon, 0L)}.b$i")
+        val fresh = new java.io.File(stage, cur.getName)
+        require(cur.renameTo(old),
+          s"vacuumSnapshotPartitioned: rename $cur -> $old failed")
+        if (fresh.isDirectory) // a bucket can vacuum down to zero rows
+          require(fresh.renameTo(cur),
+            s"vacuumSnapshotPartitioned: rename $fresh -> $cur failed")
+        rmTree(old)
+      }
+      rmTree(stage)
+    }
   }
 
   /** Read the live rows of an [[upsertParquetSink]] snapshot —

@@ -298,6 +298,123 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("upsertParquetSinkPartitioned rewrites only the buckets a batch touches") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert_part").toString
+    val path = s"$root/state"
+    val in = MemoryStream[(Long, Long, Boolean, String)]
+    val events = in.toDF().toDF("id", "ord", "del", "v")
+    val q = Streaming.upsertParquetSinkPartitioned(events, Seq("id"), "ord",
+      "del", path, s"$root/ckpt", buckets = 8).start()
+    try {
+      in.addData((1L to 64L).map(i => (i, 10L, false, s"v$i")): _*)
+      q.processAllAvailable()
+      assert(Streaming.readSnapshotPartitioned(spark, path, "ord", "del")
+        .count() == 64)
+      def filesOf(d: java.io.File): Map[String, Long] =
+        Option(d.listFiles).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified).toMap
+      def snap(): Map[String, Map[String, Long]] =
+        new java.io.File(path).listFiles.filter(_.getName.startsWith("b="))
+          .map(d => d.getName -> filesOf(d)).toMap
+      val before = snap()
+      assert(before.size > 1) // 64 murmur3-hashed keys occupy many buckets
+      // update ONE key: exactly one bucket's files may change
+      in.addData((1L, 30L, false, "updated"))
+      q.processAllAvailable()
+      val after = snap()
+      val changed = (before.keySet ++ after.keySet)
+        .filter(k => before.getOrElse(k, Map.empty) != after.getOrElse(k, Map.empty))
+      assert(changed.size == 1, s"expected 1 rewritten bucket, got $changed")
+      val s2 = Streaming.readSnapshotPartitioned(spark, path, "ord", "del")
+      assert(s2.count() == 64)
+      assert(s2.filter(col("id") === 1).select("v")
+        .collect()(0).getString(0) == "updated")
+    } finally q.stop()
+  }
+
+  test("upsertParquetSinkPartitioned recovers a bucket lost mid-swap " +
+      "without losing its keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert_part_crash").toString
+    val path = s"$root/state"
+    val in = MemoryStream[(Long, Long, Boolean, String)]
+    val q1 = Streaming.upsertParquetSinkPartitioned(
+      in.toDF().toDF("id", "ord", "del", "v"), Seq("id"), "ord", "del",
+      path, s"$root/ckpt", buckets = 4).start()
+    try {
+      in.addData((1L to 16L).map(i => (i, 10L, false, s"v$i")): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // worst crash point of the next batch's swap loop: one bucket was
+    // renamed aside to its sibling .old dir and the process died before
+    // the staged promotion — that bucket is gone from the snapshot root
+    val victim = new java.io.File(path).listFiles
+      .filter(_.getName.startsWith("b=")).minBy(_.getName)
+    val i = victim.getName.drop(2)
+    val old = new java.io.File(s"$path.old.1.b$i")
+    assert(victim.renameTo(old) && !victim.exists())
+    val in2 = MemoryStream[(Long, Long, Boolean, String)]
+    val q2 = Streaming.upsertParquetSinkPartitioned(
+      in2.toDF().toDF("id", "ord", "del", "v"), Seq("id"), "ord", "del",
+      path, s"$root/ckpt", buckets = 4).start()
+    try {
+      // the checkpoint already committed the old stream's offset 1: this
+      // block occupies it and is (correctly) never re-processed
+      in2.addData((99L, 1L, true, "filler"))
+      in2.addData((100L, 20L, false, "new"))
+      q2.processAllAvailable()
+      val s = Streaming.readSnapshotPartitioned(spark, path, "ord", "del")
+      assert(s.count() == 17) // all 16 originals + the new key, none lost
+      assert(!old.exists()) // the leftover was consumed by recovery
+    } finally q2.stop()
+  }
+
+  test("vacuum drops only expired tombstones; the live view is unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    // single-dir layout
+    val root = java.nio.file.Files.createTempDirectory("graft_vacuum").toString
+    val path = s"$root/state"
+    val in = MemoryStream[(Long, Long, Boolean, String)]
+    val q = Streaming.upsertParquetSink(in.toDF().toDF("id", "ord", "del", "v"),
+      Seq("id"), "ord", "del", path, s"$root/ckpt").start()
+    try {
+      // key 1 live; key 2 tombstoned at ord 20 (expired); key 3
+      // tombstoned at ord 40 (still guarding against late arrivals)
+      in.addData((1L, 10L, false, "a"), (2L, 20L, true, "b"), (3L, 40L, true, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val liveBefore = rowsOf(Streaming.readSnapshot(spark, path, "ord", "del"))
+    Streaming.vacuumSnapshot(spark, path, "ord", "del", horizon = 30L)
+    val raw = spark.read.parquet(path)
+    assert(raw.filter(col("del")).select("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L)) // expired tombstone gone
+    assert(rowsOf(Streaming.readSnapshot(spark, path, "ord", "del")) == liveBefore)
+    // bucketed layout: same semantics, per-bucket swap
+    val root2 = java.nio.file.Files.createTempDirectory("graft_vacuum_p").toString
+    val path2 = s"$root2/state"
+    val in2 = MemoryStream[(Long, Long, Boolean, String)]
+    val q2 = Streaming.upsertParquetSinkPartitioned(
+      in2.toDF().toDF("id", "ord", "del", "v"), Seq("id"), "ord", "del",
+      path2, s"$root2/ckpt", buckets = 4).start()
+    try {
+      in2.addData((1L to 8L).map(i => (i, 10L, false, s"v$i")) ++
+        Seq((100L, 20L, true, "x"), (101L, 40L, true, "y")): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val liveBefore2 = rowsOf(
+      Streaming.readSnapshotPartitioned(spark, path2, "ord", "del"))
+    Streaming.vacuumSnapshotPartitioned(spark, path2, "ord", "del", horizon = 30L)
+    val raw2 = spark.read.parquet(path2)
+    assert(raw2.filter(col("del")).select("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(101L))
+    assert(rowsOf(
+      Streaming.readSnapshotPartitioned(spark, path2, "ord", "del")) == liveBefore2)
+    // layout preserved: bucket dirs survive the vacuum rewrite
+    assert(new java.io.File(path2).listFiles.exists(_.getName.startsWith("b=")))
+  }
+
   test("subjectStream feeds commits through as ingestible blocks") {
     // reference: pw.io.python.read in streaming mode — run() on a feeder
     // thread, commit() = batch boundary (__init__.py:41 *COMMIT*)
