@@ -170,6 +170,18 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), s"NLJ in louvain plan:\n$p")
   }
 
+  test("q_knn_classify: vote path is aggregates; label join broadcasts; " +
+      "top-k is group-limited") {
+    val p = plan("q_knn_classify")
+    // the only Window is the retriever's top-k, and it must carry the
+    // group-limit pushdown (no full per-query sort of all |q|x|d| pairs)
+    assert("Window(?!GroupLimit)".r.findAllIn(p).size == 1,
+      s"one window (top-k) only:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k must push a group limit:\n$p")
+    // the vote itself is aggregate-shaped, label join broadcast
+    assert(p.contains("BroadcastHashJoin"), s"label join must broadcast:\n$p")
+  }
+
   test("q_cdc_apply: state replay is one aggregate, no window sort") {
     val p = plan("q_cdc_apply")
     assert(!p.contains("Window"), s"latest-per-key must be an aggregate:\n$p")
