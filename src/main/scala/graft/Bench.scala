@@ -45,6 +45,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC everywhere loadEvents' NTZ→timestamp cast runs, not just in
+      // Verify — a non-UTC host JVM would shift event instants and make
+      // Bench/RunOne row counts diverge from the oracle-checked results
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

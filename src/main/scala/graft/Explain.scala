@@ -9,6 +9,7 @@ object Explain {
       else Seq("q1_agg", "q_ix", "q_interval_join", "q_dedup_minhash")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC") // match Verify/oracle
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -27,6 +27,7 @@ object GenScale {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("LC", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SP", "32"))
+      .config("spark.sql.session.timeZone", "UTC") // match Verify/oracle
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val OFF = 10000000L

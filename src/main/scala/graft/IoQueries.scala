@@ -147,20 +147,18 @@ object IoQueries extends QueryModule {
       struct(col("_ts_ms"), col("offset")))
   }
 
-  // The Delta-analog upsert sink driven to an ORACLE (previously
-  // spec-only): the same synthetic change log as q_cdc_apply — snapshot,
-  // +1.0 updates for keys %3, deletes for keys %7 — replayed as three
-  // typed micro-batches through upsertParquetSink, then the materialized
-  // snapshot read back via readSnapshot. End state must equal the direct
-  // batch oracle over orders: proves the per-batch latest-per-key fold,
-  // tombstone retention, and snapshot swap land on exactly CDC-apply
-  // semantics. Fresh state+checkpoint dirs per invocation (a reused
-  // checkpoint would mark the replayed offsets committed and skip them).
-  q("q_upsert_snapshot",
-    """SELECT o_orderkey, o_custkey, o_orderstatus,
-      |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
-      |       ELSE o_totalprice END AS o_totalprice
-      |FROM orders WHERE o_orderkey % 7 <> 0""") { (s, dir) =>
+  /** q_cdc_apply's synthetic change log over orders — full snapshot at
+    * order 1000, +1.0 updates for keys %3 at 2000, deletes for keys %7
+    * at 3000 — replayed as three typed micro-batches through whichever
+    * upsert sink `mkWriter` builds from the event stream. Shared by
+    * q_upsert_snapshot and q_upsert_partitioned so the two sinks are
+    * proven against the SAME workload; state+checkpoint under `root`
+    * (fresh per invocation — a reused checkpoint would mark the replayed
+    * offsets committed and skip them). */
+  private def replayOrdersChangeLog(s: org.apache.spark.sql.SparkSession,
+      dir: String)(mkWriter: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row]): Unit = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val o = load(s, dir, "orders")
@@ -177,14 +175,30 @@ object IoQueries extends QueryModule {
       .MemoryStream[(Long, Long, Boolean, Long, String, Double)]
     val events = in.toDF().toDF("o_orderkey", "_ord", "_del",
       "o_custkey", "o_orderstatus", "o_totalprice")
-    val root = java.nio.file.Files.createTempDirectory("graft_upsert_q").toString
-    val q = graft.streaming.Streaming.upsertParquetSink(events,
-      Seq("o_orderkey"), "_ord", "_del", s"$root/state", s"$root/ckpt").start()
+    val q = mkWriter(events).start()
     try {
       in.addData(snapshot); q.processAllAvailable()
       in.addData(updates); q.processAllAvailable()
       in.addData(deletes); q.processAllAvailable()
     } finally q.stop()
+  }
+
+  // The Delta-analog upsert sink driven to an ORACLE (previously
+  // spec-only): the change log replayed through upsertParquetSink, then
+  // the materialized snapshot read back via readSnapshot. End state must
+  // equal the direct batch oracle over orders: proves the per-batch
+  // latest-per-key fold, tombstone retention, and snapshot swap land on
+  // exactly CDC-apply semantics.
+  q("q_upsert_snapshot",
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders WHERE o_orderkey % 7 <> 0""") { (s, dir) =>
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert_q").toString
+    replayOrdersChangeLog(s, dir) { events =>
+      graft.streaming.Streaming.upsertParquetSink(events,
+        Seq("o_orderkey"), "_ord", "_del", s"$root/state", s"$root/ckpt")
+    }
     graft.streaming.Streaming.readSnapshot(s, s"$root/state", "_ord", "_del")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"))
@@ -204,31 +218,12 @@ object IoQueries extends QueryModule {
       |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
       |       ELSE o_totalprice END AS o_totalprice
       |FROM orders WHERE o_orderkey % 7 <> 0""") { (s, dir) =>
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val o = load(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_totalprice"))
-      .as[(Long, Long, String, Double)].collect()
-    type Ev = (Long, Long, Boolean, Long, String, Double)
-    val snapshot: Seq[Ev] = o.toSeq.map(r => (r._1, 1000L, false, r._2, r._3, r._4))
-    val updates: Seq[Ev] = o.toSeq.filter(_._1 % 3 == 0)
-      .map(r => (r._1, 2000L, false, r._2, r._3, r._4 + 1.0))
-    val deletes: Seq[Ev] = o.toSeq.filter(_._1 % 7 == 0)
-      .map(r => (r._1, 3000L, true, r._2, r._3, r._4))
-    val in = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, Long, Boolean, Long, String, Double)]
-    val events = in.toDF().toDF("o_orderkey", "_ord", "_del",
-      "o_custkey", "o_orderstatus", "o_totalprice")
     val root = java.nio.file.Files.createTempDirectory("graft_upsert_pq").toString
-    val q = graft.streaming.Streaming.upsertParquetSinkPartitioned(events,
-      Seq("o_orderkey"), "_ord", "_del", s"$root/state", s"$root/ckpt",
-      buckets = 16).start()
-    try {
-      in.addData(snapshot); q.processAllAvailable()
-      in.addData(updates); q.processAllAvailable()
-      in.addData(deletes); q.processAllAvailable()
-    } finally q.stop()
+    replayOrdersChangeLog(s, dir) { events =>
+      graft.streaming.Streaming.upsertParquetSinkPartitioned(events,
+        Seq("o_orderkey"), "_ord", "_del", s"$root/state", s"$root/ckpt",
+        buckets = 16)
+    }
     graft.streaming.Streaming.readSnapshotPartitioned(
         s, s"$root/state", "_ord", "_del")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
@@ -270,23 +265,29 @@ object IoQueries extends QueryModule {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
     val nation = load(s, dir, "nation")
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
-    def drop(part: org.apache.spark.sql.DataFrame, tag: String): Unit = {
-      val tmp = s"$root/tmp_$tag"
-      part.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val f = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(f.toPath,
-        java.nio.file.Paths.get(s"$src/$tag.parquet"))
-    }
-    drop(nation.filter(col("n_nationkey") < 12), "part1")
+    dropParquetInto(root, src)(nation.filter(col("n_nationkey") < 12), "part1")
     val stream = io.stream(s, "parquet", nation.schema).load(src)
     val q = io.writeStream(stream, out, s"$root/ckpt").start()
     try {
       q.processAllAvailable()
-      drop(nation.filter(col("n_nationkey") >= 12), "part2")
+      dropParquetInto(root, src)(nation.filter(col("n_nationkey") >= 12), "part2")
       q.processAllAvailable()
     } finally q.stop()
     s.read.schema(nation.schema).parquet(out)
+  }
+
+  /** Write `part` as one parquet file aside, then atomically rename it
+    * into the watched dir `src` — the file-source visibility contract
+    * (a file must appear complete). Shared by q_io_filestream and
+    * q_recovery. */
+  private def dropParquetInto(root: String, src: String)(
+      part: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+    val tmp = s"$root/tmp_$tag"
+    part.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val f = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(f.toPath,
+      java.nio.file.Paths.get(s"$src/$tag.parquet"))
   }
 
   // Schema column properties driven to an ORACLE (reference:
@@ -344,19 +345,11 @@ object IoQueries extends QueryModule {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
     val nation = load(s, dir, "nation")
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
-    def drop(part: org.apache.spark.sql.DataFrame, tag: String): Unit = {
-      val tmp = s"$root/tmp_$tag"
-      part.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val f = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(f.toPath,
-        java.nio.file.Paths.get(s"$src/$tag.parquet"))
-    }
-    drop(nation.filter(col("n_nationkey") < 12), "part1")
+    dropParquetInto(root, src)(nation.filter(col("n_nationkey") < 12), "part1")
     val q1 = io.writeStream(
       io.stream(s, "parquet", nation.schema).load(src), out, ckpt).start()
     q1.processAllAvailable(); q1.stop()
-    drop(nation.filter(col("n_nationkey") >= 12), "part2")
+    dropParquetInto(root, src)(nation.filter(col("n_nationkey") >= 12), "part2")
     val q2 = io.writeStream(
       io.stream(s, "parquet", nation.schema).load(src), out, ckpt).start()
     try q2.processAllAvailable() finally q2.stop()

@@ -15,6 +15,7 @@ object Profile {
     val names = if (args.length > 1) args.drop(1).toSeq else Seq("q_dedup_minhash")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC") // match Verify/oracle
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {

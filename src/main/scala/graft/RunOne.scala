@@ -6,6 +6,7 @@ object RunOne {
     val sfDir = args(0)
     val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("LC", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SP", "32"))
+      .config("spark.sql.session.timeZone", "UTC") // match Verify/oracle
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.drop(1).foreach { n =>

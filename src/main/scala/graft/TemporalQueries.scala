@@ -578,12 +578,19 @@ object TemporalQueries extends QueryModule {
       |                         AND epoch_us(c.ts) + 300000000
       |WHERE c.event_type = 'click'""") { (s, dir) =>
     import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val ev = loadEvents(s, dir)
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
       .as[(Long, Long, java.sql.Timestamp, String)].collect()
     val clicks = ev.filter(_._4 == "click").map(t => (t._1, t._2, t._3))
     val views = ev.filter(_._4 == "view").map(t => (t._1, t._2, t._3))
+    // state-store partition count is locked in at query start; 32 stores
+    // × 2 sides × 2 batches is pure commit overhead for a replay this
+    // size. Pin it low in an ISOLATED child session (own SQLConf, shared
+    // SparkContext) — mutating the shared session's conf would leak into
+    // queries Verify plans concurrently on its thread pool.
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
     val lIn = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Long, java.sql.Timestamp)]
     val rIn = org.apache.spark.sql.execution.streaming.runtime
@@ -593,23 +600,16 @@ object TemporalQueries extends QueryModule {
       rIn.toDF().toDF("v_id", "user_id", "v_ts"),
       Seq("user_id"), "ts", "v_ts", "-300 seconds", "300 seconds",
       watermarkDelay = "3650 days", how = "inner")
-    // state-store partition count is locked in at query start; 32 stores
-    // × 2 sides × 2 batches is pure commit overhead for a replay this
-    // size, so pin it low for the stream and restore after
-    val oldSp = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = joined.select(col("event_id"), col("v_id"))
+      .writeStream.format("memory").queryName("interval_stream_out")
+      .outputMode("append").start()
     try {
-      val q = joined.select(col("event_id"), col("v_id"))
-        .writeStream.format("memory").queryName("interval_stream_out")
-        .outputMode("append").start()
-      try {
-        val (c1, c2) = clicks.splitAt(clicks.length / 2)
-        val (v1, v2) = views.splitAt(views.length / 2)
-        lIn.addData(c1.toSeq); rIn.addData(v1.toSeq); q.processAllAvailable()
-        lIn.addData(c2.toSeq); rIn.addData(v2.toSeq); q.processAllAvailable()
-      } finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
-    s.table("interval_stream_out")
+      val (c1, c2) = clicks.splitAt(clicks.length / 2)
+      val (v1, v2) = views.splitAt(views.length / 2)
+      lIn.addData(c1.toSeq); rIn.addData(v1.toSeq); q.processAllAvailable()
+      lIn.addData(c2.toSeq); rIn.addData(v2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    s2.table("interval_stream_out")
   }
 
   // inactivity_detection driven to an ORACLE (reference:

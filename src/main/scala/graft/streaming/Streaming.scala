@@ -260,6 +260,21 @@ object Streaming {
           "upsertParquetSinkPartitioned: the stream must not carry a column " +
             "named 'b' — it is the snapshot's bucket-partition column")
         recoverBuckets(new java.io.File(path))
+        // the bucket count IS the key→directory mapping: restarting with
+        // a different value would route a key's update to a different
+        // bucket than its current row and silently duplicate/resurrect
+        // it. Persist the count on first write (underscore-prefixed =
+        // invisible to parquet discovery), fail loudly on mismatch.
+        val root = new java.io.File(path)
+        root.mkdirs()
+        val marker = new java.io.File(root, "_buckets")
+        if (marker.isFile) {
+          val stored = java.nio.file.Files.readString(marker.toPath).trim.toInt
+          require(stored == buckets,
+            s"upsertParquetSinkPartitioned: snapshot at $path was written " +
+              s"with buckets=$stored, restarted with buckets=$buckets — " +
+              "the key→bucket mapping would break; keep the original count")
+        } else java.nio.file.Files.writeString(marker.toPath, buckets.toString)
         val bCol = pmod(hash(keys.map(col): _*), lit(buckets))
         val b = batch.persist()
         val touched = b.select(bCol.as("b")).distinct()
@@ -277,8 +292,6 @@ object Streaming {
         merged.withColumn("b", bCol)
           .write.mode("overwrite").partitionBy("b").parquet(stage.getPath)
         b.unpersist()
-        val root = new java.io.File(path)
-        root.mkdirs()
         touched.foreach { i =>
           val cur = new java.io.File(root, s"b=$i")
           val old = new java.io.File(s"$path.old.$batchId.b$i")
@@ -344,8 +357,13 @@ object Streaming {
         .sortBy(_.getName.drop(prefix.length).toLong)
     }
     if (!cur.isDirectory) {
-      // tmp.<n> (post-batch-n) outranks old.<n> (pre-batch-n)
-      val candidate = leftovers("tmp").lastOption.orElse(leftovers("old").lastOption)
+      // tmp.<n> (post-batch-n) outranks old.<n> (pre-batch-n) — but only
+      // a COMMITTED tmp (job-commit marker present): a crash mid-write
+      // leaves a tmp with no _SUCCESS, and promoting that would wedge the
+      // sink on an unreadable snapshot every restart
+      val committed = leftovers("tmp")
+        .filter(d => new java.io.File(d, "_SUCCESS").isFile)
+      val candidate = committed.lastOption.orElse(leftovers("old").lastOption)
       candidate.foreach { c =>
         require(c.renameTo(cur),
           s"upsertParquetSink: recovery rename $c -> $cur failed")

@@ -369,6 +369,18 @@ class StreamingSpec extends SparkSpec {
       assert(s.count() == 17) // all 16 originals + the new key, none lost
       assert(!old.exists()) // the leftover was consumed by recovery
     } finally q2.stop()
+    // restarting over the same snapshot with a DIFFERENT bucket count
+    // must fail loudly — silently re-routing keys would duplicate them
+    val in3 = MemoryStream[(Long, Long, Boolean, String)]
+    val q3 = Streaming.upsertParquetSinkPartitioned(
+      in3.toDF().toDF("id", "ord", "del", "v"), Seq("id"), "ord", "del",
+      path, s"$root/ckpt_other", buckets = 8).start()
+    try {
+      in3.addData((200L, 30L, false, "z"))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+    } finally q3.stop()
   }
 
   test("vacuum drops only expired tombstones; the live view is unchanged") {
@@ -495,12 +507,18 @@ class StreamingSpec extends SparkSpec {
       d
     }
     mk("state.old.3", "from_old")
-    mk("state.tmp.4", "from_tmp")
+    val tmp4 = mk("state.tmp.4", "from_tmp")
+    // a committed write carries Spark's job-commit marker
+    java.nio.file.Files.writeString(new java.io.File(tmp4, "_SUCCESS").toPath, "")
+    // an UNCOMMITTED tmp (crash mid-write, no _SUCCESS) must never win,
+    // even though its batch id is newest
+    mk("state.tmp.5", "half_written")
     Streaming.recoverSnapshot(cur)
-    // tmp.4 (post-batch state) won; both leftovers are gone
+    // committed tmp.4 (post-batch state) won; all leftovers are gone
     assert(cur.isDirectory && new java.io.File(cur, "from_tmp").exists())
     assert(!new java.io.File(root, "state.old.3").exists())
     assert(!new java.io.File(root, "state.tmp.4").exists())
+    assert(!new java.io.File(root, "state.tmp.5").exists())
     // idempotent when the snapshot is already in place
     Streaming.recoverSnapshot(cur)
     assert(cur.isDirectory && new java.io.File(cur, "from_tmp").exists())
