@@ -286,6 +286,42 @@ object PipelineQueries extends QueryModule {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  // The same IVF retrieval through a PERSISTED index: build + ivfSave to
+  // parquet (centroids + cid-partitioned inverted lists), then a fresh
+  // ivfLoadRetrieve answers from disk — the build-once/query-many shape
+  // a 100 TB corpus requires. Same oracle as q_knn_ivf: the round-trip
+  // must not change a single row.
+  q("q_knn_ivf_persisted",
+    """WITH w AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT id AS cid, v AS cv FROM w ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 16),
+      |sc AS (SELECT w.id, c.cid,
+      |  list_dot_product(w.v, c.cv)
+      |    / sqrt(list_dot_product(w.v, w.v) * list_dot_product(c.cv, c.cv)) AS cc
+      |  FROM w CROSS JOIN c),
+      |rk AS (SELECT id, cid,
+      |  row_number() OVER (PARTITION BY id ORDER BY cc DESC, cid) AS rn FROM sc),
+      |asg AS (SELECT id, cid FROM rk WHERE rn = 1),
+      |pr AS (SELECT id, cid FROM rk WHERE rn <= 4),
+      |cand AS (SELECT pr.id AS query_id, a.id AS neighbor_id,
+      |  list_dot_product(q.v, d.v)
+      |    / sqrt(list_dot_product(q.v, q.v) * list_dot_product(d.v, d.v)) AS c
+      |  FROM pr JOIN asg a ON a.cid = pr.cid AND a.id != pr.id
+      |  JOIN w q ON q.id = pr.id JOIN w d ON d.id = a.id),
+      |r AS (SELECT query_id, neighbor_id, c,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+      |  FROM cand)
+      |SELECT query_id, rank, neighbor_id, round(c, 4) AS cosine
+      |FROM r WHERE rank <= 1""") { (s, dir) =>
+    val emb = load(s, dir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    Similarity.ivfSave(emb, col("vec_id"), col("embedding"), idx,
+      nlist = Similarity.nlistFor(emb.count()), dim = 64)
+    Similarity.ivfLoadRetrieve(s, idx, emb, col("vec_id"), col("embedding"),
+        nprobe = 4, k = 1, excludeSelf = true, dim = 64)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   // Partitioned HNSW ANN in the provably-exact configuration (efSearch
   // and m ≥ partition row count → beam never fills, best-first becomes
   // full traversal of the connected layer-0 graph, per-shard top-k is

@@ -188,6 +188,14 @@ object Similarity {
       qid: Column, qvec: Column, did: Column, dvec: Column,
       nlist: Int, nprobe: Int, k: Int,
       excludeSelf: Boolean = false, dim: Int = 0): DataFrame = {
+    val (cents, assigned) = ivfBuild(data, did, dvec, nlist, dim)
+    ivfSearch(cents, assigned, queries, qid, qvec, nprobe, k, excludeSelf, dim)
+  }
+
+  /** Build the two IVF structures: the centroid table (cid, cv, cn2) and
+    * the inverted-list assignment (neighbor_id, cid, dv, dn2). */
+  private[graft] def ivfBuild(data: DataFrame, did: Column, dvec: Column,
+      nlist: Int, dim: Int): (DataFrame, DataFrame) = {
     // eager: d is referenced by the centroid sample, both assignment
     // sides and the candidate join — see Caches.eager for the lock story
     val d = graft.core.Caches.eager(
@@ -208,6 +216,13 @@ object Similarity {
       .join(d, "id")
       .select(col("id").as("neighbor_id"), col("cid"),
         col("v").as("dv"), col("n2").as("dn2"))
+    (cents, assigned)
+  }
+
+  /** Query-side half of IVF retrieval over pre-built structures. */
+  private[graft] def ivfSearch(cents: DataFrame, assigned: DataFrame,
+      queries: DataFrame, qid: Column, qvec: Column,
+      nprobe: Int, k: Int, excludeSelf: Boolean, dim: Int): DataFrame = {
     // query side: probe the nprobe nearest lists
     val q = queries.select(qid.as("query_id"), qvec.cast("array<double>").as("qv"))
       .withColumn("qn2", norm2(col("qv"), dim))
@@ -235,6 +250,39 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Persist an IVF index as two parquet tables under `path`:
+    * `centroids/` (small — broadcast at query time) and `assigned/`
+    * (the inverted lists, partitioned by centroid id so a probe with a
+    * selective query set prunes whole list partitions at the scan).
+    *
+    * The at-scale usage pattern this enables: an index over a huge
+    * corpus is built ONCE in a batch job and then queried by many later
+    * jobs — ad-hoc [[ivfRetrieve]] re-pays the full corpus scan +
+    * assignment on every run. The reference keeps the same split:
+    * long-lived built indexes server-side, queries joining against them
+    * (external_index integration; xpack vector store). */
+  def ivfSave(data: DataFrame, did: Column, dvec: Column, path: String,
+      nlist: Int, dim: Int = 0): Unit = {
+    val (cents, assigned) = ivfBuild(data, did, dvec, nlist, dim)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    assigned.write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$path/assigned")
+  }
+
+  /** Retrieve against an [[ivfSave]]d index without rebuilding it. */
+  def ivfLoadRetrieve(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qid: Column, qvec: Column,
+      nprobe: Int, k: Int, excludeSelf: Boolean = false,
+      dim: Int = 0): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    // partition discovery re-infers the cid dir names' type (small longs
+    // read back as int) — cast back to the centroid table's type so the
+    // probe equi-join needs no implicit cast
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .withColumn("cid", col("cid").cast(cents.schema("cid").dataType))
+    ivfSearch(cents, assigned, queries, qid, qvec, nprobe, k, excludeSelf, dim)
   }
 
   /** Int8 scalar quantization of an embedding column (beyond the

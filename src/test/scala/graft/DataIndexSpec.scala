@@ -111,6 +111,27 @@ class DataIndexSpec extends SparkSpec {
     assert(z.select("qcodes").collect()(0).getSeq[Byte](0).forall(_ == 0))
   }
 
+  test("ivfSave/ivfLoadRetrieve round-trips the index byte-identically") {
+    import graft.operators.Similarity
+    val n = 40
+    val corpus = (1L to n).map { i =>
+      (i, Seq.tabulate(4)(j => (math.sin(i * 7.3 + j) * 10).toFloat))
+    }.toDF("id", "v")
+    val direct = Similarity.ivfRetrieve(corpus, corpus, col("id"), col("v"),
+        col("id"), col("v"), nlist = 8, nprobe = 2, k = 3, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    Similarity.ivfSave(corpus, col("id"), col("v"), idx, nlist = 8)
+    val loaded = Similarity.ivfLoadRetrieve(spark, idx, corpus,
+        col("id"), col("v"), nprobe = 2, k = 3, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(loaded == direct)
+    // the persisted layout: broadcastable centroids + cid-partitioned lists
+    assert(new java.io.File(s"$idx/centroids").isDirectory)
+    assert(new java.io.File(s"$idx/assigned").listFiles
+      .exists(_.getName.startsWith("cid=")))
+  }
+
   test("classify: majority vote, pinned tie-break, NULL on empty retrieval") {
     // corpus around the x-axis: query 10's 3-NN are ids 1,2 (label A=1)
     // and 3 (label B=2) -> majority 1
