@@ -32,8 +32,14 @@ final class Table(val df: DataFrame, val key: Seq[String]) {
 
   // -- projection / row-wise (reference: table.py:382 select, :1613
   //    with_columns, :490 filter, :531 split, :1921 without, :1763 renames)
-  def select(cols: (String, Column)*): Table =
-    new Table(df.select((key.map(k => df.col(k)) ++ cols.map { case (n, c) => c.as(n) }): _*), key)
+  def select(cols: (String, Column)*): Table = {
+    // keys are implicit in every projection, but one the caller re-defines
+    // must come from the caller's expression — prepending it too would
+    // duplicate the column name and poison every later keyed op
+    val redefined = cols.map(_._1).toSet
+    new Table(df.select((key.filterNot(redefined).map(k => df.col(k)) ++
+      cols.map { case (n, c) => c.as(n) }): _*), key)
+  }
   def withColumns(cols: (String, Column)*): Table =
     derive(df.withColumns(cols.toMap))
   def filter(cond: Column): Table = derive(df.filter(cond))
@@ -106,16 +112,34 @@ final class Table(val df: DataFrame, val key: Seq[String]) {
   }
   private def keyOnly: DataFrame = df.select(key.map(col): _*).distinct()
 
+  /** Raise (distributed, filter-borne like [[concat]]'s check) if `d`
+    * carries a duplicate key — the reference errors on duplicate update
+    * keys (ReplaceDuplicatesWithError); a silent duplicate here would
+    * fan out every matching row. */
+  private def requireUniqueKeys(d: DataFrame, op: String): DataFrame = {
+    val w = Window.partitionBy(key.map(d.col): _*)
+    d.withColumn("_dup", count(lit(1)).over(w))
+      .filter(when(col("_dup") > 1,
+        raise_error(lit(s"$op: duplicate key in update table"))).otherwise(lit(true)))
+      .drop("_dup")
+  }
+
   /** Overwrite cell values for matching keys
     * (reference: table.py:1439 update_cells / `<<`;
-    * graph.rs:876 update_cells_table). */
+    * graph.rs:876 update_cells_table). A matching key replaces the cell
+    * even when the new value is NULL — presence in `other` is the
+    * update signal, not non-nullness (a coalesce here would make NULLs
+    * un-writable). */
   def updateCells(other: Table): Table = {
     val shared = other.df.columns.toSeq.filterNot(key.contains).filter(df.columns.contains)
-    val o = other.df.select((key ++ shared).map(col): _*)
+    val o = requireUniqueKeys(other.df.select((key ++ shared).map(col): _*),
+        "update_cells")
       .withColumnsRenamed(shared.map(c => c -> s"_new_$c").toMap)
+      .withColumn("_hit", lit(true))
     val joined = df.join(o, key, "left")
     derive(shared.foldLeft(joined)((d, c) =>
-      d.withColumn(c, coalesce(col(s"_new_$c"), col(c))).drop(s"_new_$c")))
+      d.withColumn(c, when(col("_hit"), col(s"_new_$c")).otherwise(col(c)))
+        .drop(s"_new_$c")).drop("_hit"))
   }
 
   /** Upsert rows by key (reference: table.py:1524 update_rows;
@@ -123,7 +147,8 @@ final class Table(val df: DataFrame, val key: Seq[String]) {
   def updateRows(other: Table): Table = {
     require(df.columns.sorted.sameElements(other.df.columns.sorted),
       "update_rows: schemas must match")
-    derive(other.df.unionByName(df.join(other.keyOnly, key, "left_anti")))
+    derive(requireUniqueKeys(other.df, "update_rows")
+      .unionByName(df.join(other.keyOnly, key, "left_anti")))
   }
 
   /** Re-key the table (reference: table.py:1690 with_id_from;
@@ -202,6 +227,10 @@ final class Table(val df: DataFrame, val key: Seq[String]) {
         when(col(v).isNotNull, col(v))
           .when(pv.isNull, nv)
           .when(nv.isNull, pv)
+          // duplicate timestamps (tieBreak admits them) collapse the
+          // bracket to zero width; x/0 is SQL-NULL, which would leave the
+          // gap unfilled — take the previous known value instead
+          .when(nt === pt, pv)
           .otherwise(pv + (nv - pv) * (ts - pt) / (nt - pt)))
     })
   }
@@ -308,7 +337,22 @@ final class Table(val df: DataFrame, val key: Seq[String]) {
     * previous one. Distributed per-instance scan via window + a single
     * groupBy — acceptorless fast path keeps it fully declarative. */
   def deduplicateLatest(orderBy: Column, instance: Seq[String]): Table = {
-    val w = Window.partitionBy(instance.map(col): _*).orderBy(orderBy.desc)
+    // rows tying on orderBy would otherwise be ranked by partition
+    // arrival order — which row survives would change run to run. A
+    // struct over the row's ORDERABLE columns is a deterministic content
+    // tie-break (same input rows → same survivor, on any engine or
+    // partitioning); map-typed columns have no SQL ordering and are left
+    // out of the tie-break.
+    def orderable(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => orderable(f.dataType))
+      case _ => true
+    }
+    val contentTb = struct(
+      df.schema.fields.filter(f => orderable(f.dataType)).map(f => df.col(f.name)): _*)
+    val w = Window.partitionBy(instance.map(col): _*)
+      .orderBy(orderBy.desc, contentTb.desc)
     derive(df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn"))
   }
 

@@ -159,7 +159,26 @@ object functions {
     def dtFromTimestamp: Column = timestamp_seconds(c)
     def dtToUtc(tz: String): Column = to_utc_timestamp(c, tz)
     def dtToNaiveInTz(tz: String): Column = from_utc_timestamp(c, tz)
-    def dtRound(unit: String): Column = date_trunc(unit, c) // floor semantics
+    /** Round to the NEAREST unit boundary (reference .dt.round — pandas
+      * round semantics, ties up). Defined for fixed-width units only;
+      * month/quarter/year have no fixed width to halve (the reference's
+      * round rejects them too) — use [[dtFloor]] there. */
+    def dtRound(unit: String): Column = {
+      val micros: Long = unit.toLowerCase match {
+        case "second" | "sec" => 1000000L
+        case "minute" | "min" => 60L * 1000000L
+        case "hour" => 3600L * 1000000L
+        case "day" => 86400L * 1000000L
+        case "week" => 7L * 86400L * 1000000L
+        case u => throw new IllegalArgumentException(
+          s"dt.round: '$u' is not a fixed-width unit — use dtFloor")
+      }
+      // floor(x + half) in pure LONG arithmetic (pmod is non-negative, so
+      // subtracting it floors toward -inf even pre-epoch) — no double
+      // round-trip, exact at any epoch magnitude
+      val shifted = unix_micros(c.cast("timestamp")) + lit(micros / 2)
+      timestamp_micros(shifted - pmod(shifted, lit(micros)))
+    }
     def dtFloor(unit: String): Column = date_trunc(unit, c)
     def dtAddDuration(d: Column): Column = c + d
     def dtSubDuration(d: Column): Column = c - d

@@ -41,22 +41,42 @@ object udfs {
     if (deterministic) u else u.asNondeterministic()
   }
 
+  /** Exponential-backoff retry driver shared by [[asyncMap]] and
+    * [[asyncSettle]] (reference: udfs/retries.py ExponentialBackoffRetry
+    * — delay doubles per attempt). `backoff = 0` retries immediately —
+    * the right setting when the failure is deterministic (a replay of
+    * known-bad rows) rather than transient (a rate-limited service).
+    * Only non-fatal failures retry; fatal JVM errors propagate. The
+    * sleep occupies one of the caller's bounded in-flight slots, which
+    * is exactly the throttling a backoff is for. */
+  private def retrying[T, R](f: T => Future[R], retries: Int,
+      backoff: Duration)(implicit ec: ExecutionContext): T => Future[R] = {
+    def attempt(t: T, left: Int): Future[R] =
+      f(t).recoverWith {
+        case scala.util.control.NonFatal(_) if left > 0 =>
+          val delayMs = backoff.toMillis << (retries - left)
+          if (delayMs <= 0) attempt(t, left - 1)
+          else Future { Thread.sleep(delayMs) }.flatMap(_ => attempt(t, left - 1))
+      }
+    t => attempt(t, retries)
+  }
+
   /** Async row transform with bounded concurrency and retries
     * (reference: udfs/retries.py exponential backoff; executors.py async
     * executor). `f` runs on executor-side threads; each partition keeps
     * at most `parallelism` calls in flight. */
   def asyncMap[T, R: Encoder](ds: Dataset[T], parallelism: Int = 8,
-      retries: Int = 3, timeout: Duration = 30.seconds)(
+      retries: Int = 3, timeout: Duration = 30.seconds,
+      backoff: Duration = Duration.Zero)(
       f: T => Future[R]): Dataset[R] = {
     ds.mapPartitions { it =>
       implicit val ec: ExecutionContext = ExecutionContext.global
-      def attempt(t: T, left: Int): Future[R] =
-        f(t).recoverWith { case _ if left > 0 => attempt(t, left - 1) }
+      val attempt = retrying(f, retries, backoff)
       // sliding window of in-flight futures: submit `parallelism` ahead,
       // then drain in order (preserves row order, bounds memory)
       new Iterator[R] {
         private val queue = scala.collection.mutable.Queue.empty[Future[R]]
-        private val src = it.map(t => attempt(t, retries))
+        private val src = it.map(attempt)
         private def fill(): Unit =
           while (queue.size < parallelism && src.hasNext) queue.enqueue(src.next())
         def hasNext: Boolean = { fill(); queue.nonEmpty }
@@ -71,15 +91,15 @@ object udfs {
     * AsyncTransformer needs (a failed invocation must not kill the
     * stream). Same bounded in-flight window as [[asyncMap]]. */
   def asyncSettle[T, R](ds: Dataset[T], parallelism: Int = 8,
-      retries: Int = 3, timeout: Duration = 30.seconds)(f: T => Future[R])(
+      retries: Int = 3, timeout: Duration = 30.seconds,
+      backoff: Duration = Duration.Zero)(f: T => Future[R])(
       implicit e: Encoder[(Option[R], Option[T])]): Dataset[(Option[R], Option[T])] =
     ds.mapPartitions { it =>
       implicit val ec: ExecutionContext = ExecutionContext.global
-      def attempt(t: T, left: Int): Future[R] =
-        f(t).recoverWith { case _ if left > 0 => attempt(t, left - 1) }
+      val attempt = retrying(f, retries, backoff)
       new Iterator[(Option[R], Option[T])] {
         private val queue = scala.collection.mutable.Queue.empty[(T, Future[R])]
-        private val src = it.map(t => (t, attempt(t, retries)))
+        private val src = it.map(t => (t, attempt(t)))
         private def fill(): Unit =
           while (queue.size < parallelism && src.hasNext) queue.enqueue(src.next())
         def hasNext: Boolean = { fill(); queue.nonEmpty }
@@ -143,15 +163,23 @@ object udfs {
   def memoize(spark: org.apache.spark.sql.SparkSession, store: String,
       inputs: org.apache.spark.sql.DataFrame, key: String)(
       compute: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
     val keys = inputs.select(key).distinct()
     val memo = Try(spark.read.parquet(store)).toOption
-    val misses = memo.fold(keys)(m =>
-      keys.join(m.select(key).distinct(), Seq(key), "left_anti"))
+    // null-safe equality throughout: a plain equi-join never matches a
+    // NULL key, which would re-compute + re-append the null row every
+    // run and silently drop it from the returned slice
+    val misses = memo.fold(keys) { m =>
+      val mk = m.select(col(key).as("_memo_k")).distinct()
+      keys.join(mk, col(key) <=> col("_memo_k"), "left_anti")
+    }
     if (!misses.isEmpty)
       compute(misses).write.mode("append").parquet(store)
     spark.read.parquet(store)
-      .dropDuplicates(key)
-      .join(keys, Seq(key)) // only the requested slice
+      .dropDuplicates(key) // treats NULLs as equal, matching <=>
+      .join(keys.select(col(key).as("_req_k")),
+        col(key) <=> col("_req_k"), "inner") // only the requested slice
+      .drop("_req_k")
   }
 
   /** Memoizing wrapper for expensive deterministic functions —

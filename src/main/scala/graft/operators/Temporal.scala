@@ -121,7 +121,13 @@ object Temporal {
     * shuffles/broadcasts like any other. Degenerate lb==ub joins on the
     * exact shifted time (reference handles it separately,
     * _interval_join.py:211).
-    */
+    *
+    * Column contract: non-key columns of the two sides must have
+    * DISJOINT names (rename before joining — the reference namespaces
+    * `pw.left`/`pw.right`; Spark keeps both same-named columns and the
+    * left/outer legs would then hit ambiguous-reference errors). Key
+    * columns are deduplicated to one copy. `leftIdCols`/`rightIdCols`
+    * must be non-null row identifiers (see [[asofJoinFull]]). */
   def intervalJoin(left: DataFrame, right: DataFrame,
       lt: Column, rt: Column, lbSec: Double, ubSec: Double,
       keys: Seq[String] = Nil, how: String = "inner",
@@ -260,7 +266,13 @@ object Temporal {
   /** Right/outer as-of variants (reference: _asof_join.py asof_join_right
     * /_outer): matching is identical (each LEFT row finds its right
     * partner); the variant controls which side's unmatched rows survive.
-    * `rightIdCols` identify right rows for the anti-join. */
+    * `rightIdCols` identify right rows for the anti-join — they must be
+    * NON-NULL row identifiers: a NULL id cannot be told apart from the
+    * null padding unmatched rows carry, so a null-id right row would be
+    * re-emitted as unmatched even when it matched. Same contract as the
+    * left/right non-key column namespaces: columns the two sides share
+    * beyond `keys` must be renamed apart before joining (the operator
+    * keeps one copy of key columns only). */
   def asofJoinFull(left: DataFrame, right: DataFrame,
       lt: Column, rt: Column, keys: Seq[String],
       direction: Direction = Backward, how: String = "left",

@@ -88,4 +88,19 @@ class FunctionsSpec extends SparkSpec {
       .select(col("o").getField("i").as("i"), col("o").getField("s").as("s"))
     assert(rowsOf(df) == Set(Seq(7L, "ok"), Seq(null, "x"), Seq(null, null)))
   }
+
+  test("dt.round rounds to the NEAREST boundary; dt.floor truncates") {
+    val df = Seq("2024-03-05 10:59:30", "2024-03-05 10:10:00",
+        "2024-03-05 10:30:00").toDF("s")
+      .select(col("s").cast("timestamp").as("ts"))
+      .select(col("ts").dtRound("hour").as("r"), col("ts").dtFloor("hour").as("f"))
+      .select(col("r").cast("string"), col("f").cast("string"))
+    assert(rowsOf(df) == Set(
+      Seq("2024-03-05 11:00:00", "2024-03-05 10:00:00"), // 10:59:30 rounds up
+      Seq("2024-03-05 10:00:00", "2024-03-05 10:00:00"), // 10:10 rounds down
+      Seq("2024-03-05 11:00:00", "2024-03-05 10:00:00"))) // tie rounds up
+    intercept[IllegalArgumentException] {
+      Seq("2024-03-05").toDF("s").select(col("s").cast("timestamp").dtRound("month"))
+    }
+  }
 }

@@ -18,6 +18,58 @@ class TableSpec extends SparkSpec {
     assert(rowsOf(out.df) == Set(Seq(1L, "ALICE", 50L), Seq(2L, "BOB", 64L), Seq(3L, "CAROL", 56L)))
   }
 
+  test("select can redefine a key column without duplicating it") {
+    val out = people.select("id" -> (col("id") + 10), "name" -> col("name"))
+    assert(out.df.columns.toSeq == Seq("id", "name"))
+    assert(rowsOf(out.df.select("id")) == Set(Seq(11L), Seq(12L), Seq(13L)))
+    // the result stays a usable keyed table (no ambiguous reference)
+    assert(out.filter(col("id") === 11L).df.count() == 1)
+  }
+
+  test("updateCells overwrites with NULL and raises on duplicate update keys") {
+    // presence in `other` is the update signal: a NULL value must land
+    val clear = Table.fromDF(
+      Seq((1L, Option.empty[String])).toDF("id", "name"), Seq("id"))
+    val out = people.updateCells(clear)
+    assert(out.df.filter(col("id") === 1L).select("name")
+      .collect()(0).isNullAt(0))
+    assert(out.df.filter(col("id") === 2L).select("name")
+      .collect()(0).getString(0) == "bob") // untouched keys keep values
+    // duplicate keys in the update table fan out silently without the
+    // guard — reference raises (ReplaceDuplicatesWithError)
+    val dup = Table.fromDF(
+      Seq((1L, "x"), (1L, "y")).toDF("id", "name"), Seq("id"))
+    intercept[Exception] { people.updateCells(dup).df.collect() }
+    intercept[Exception] {
+      people.updateRows(Table.fromDF(
+        Seq((1L, "x", 1L), (1L, "y", 2L)).toDF("id", "name", "age"),
+        Seq("id"))).df.collect()
+    }
+  }
+
+  test("interpolate bridges duplicate timestamps without div-by-zero NULL") {
+    val t = Table.fromDF(
+      Seq((1L, 100L, Some(1.0)), (2L, 100L, Option.empty[Double]),
+        (3L, 100L, Some(3.0))).toDF("id", "t", "v"), Seq("id"))
+    val out = t.interpolate(col("t"), Seq(col("id")), None, "v")
+    // zero-width bracket: the previous known value fills the gap
+    assert(out.df.filter(col("id") === 2L).select("v")
+      .collect()(0).getDouble(0) == 1.0)
+  }
+
+  test("deduplicateLatest picks a deterministic survivor on order ties") {
+    val t = Table.fromDF(
+      Seq((1L, 10L, "a"), (1L, 10L, "z"), (2L, 5L, "m")).toDF("id", "t", "v"),
+      Seq("id"))
+    // same orderBy value for key 1 twice: content tie-break (struct desc)
+    // pins the survivor — 'z' > 'a' in the row struct ordering
+    (1 to 3).foreach { _ =>
+      val out = t.deduplicateLatest(col("t"), Seq("id"))
+        .df.filter(col("id") === 1L).select("v").collect()
+      assert(out.length == 1 && out(0).getString(0) == "z")
+    }
+  }
+
   test("filter and split partition rows") {
     val (old, young) = people.split(col("age") >= 28)
     assert(rowsOf(old.df.select("id")) == Set(Seq(2L), Seq(3L)))

@@ -55,4 +55,38 @@ class UdfsSpec extends SparkSpec {
     // result is restricted to the requested keys (1L not returned)
     assert(!run2.select("k").collect().map(_.getLong(0)).contains(1L))
   }
+
+  test("memoize serves NULL keys from the store instead of recomputing") {
+    import org.apache.spark.sql.functions._
+    val store = java.nio.file.Files.createTempDirectory("graft_memo_n").toString + "/memo"
+    val computed = spark.sparkContext.longAccumulator("computed_n")
+    def expensive(missing: org.apache.spark.sql.DataFrame) =
+      missing.select(col("k"),
+        udf((k: java.lang.Long) => { computed.add(1); 7L }).apply(col("k")).as("v"))
+    val in = Seq(Some(1L), None).toDF("k")
+    val run1 = udfs.memoize(spark, store, in, "k")(expensive)
+    assert(run1.count() == 2 && computed.value == 2)
+    // second run with the same inputs: both keys (incl. NULL) are hits
+    val run2 = udfs.memoize(spark, store, in, "k")(expensive)
+    assert(run2.count() == 2)
+    assert(computed.value == 2) // nothing recomputed
+  }
+
+  test("async retries back off exponentially when a base delay is given") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val ds = spark.range(0, 1).as[Long].map(_.toInt)
+    val t0 = System.nanoTime()
+    val out = udfs.asyncMap(ds, parallelism = 1, retries = 2,
+        backoff = 40.millis) { i =>
+      Future {
+        if (System.nanoTime() - t0 < 100L * 1000000L)
+          throw new RuntimeException("transient")
+        i
+      }
+    }.collect()
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    // two backoffs (40ms + 80ms) must have elapsed before success
+    assert(out.toSeq == Seq(0) && elapsedMs >= 100)
+  }
 }
