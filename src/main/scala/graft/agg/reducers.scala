@@ -41,11 +41,16 @@ object reducers {
     * deterministic choice is strictly stronger and test-friendly). */
   def rany(c: Column): Column = min(c)
 
-  /** sorted_tuple (reference: reducers.py:485). */
-  def sorted_tuple(c: Column, skipNones: Boolean = true): Column = {
-    val l = collect_list(c) // collect_list already skips nulls
-    if (skipNones) array_sort(l) else array_sort(l)
-  }
+  /** sorted_tuple (reference: reducers.py:485). `skipNones = false`
+    * keeps NULL entries, sorted last (collect_list drops nulls, so the
+    * keep path routes values through a struct wrapper first). */
+  def sorted_tuple(c: Column, skipNones: Boolean = true): Column =
+    if (skipNones) array_sort(collect_list(c))
+    else transform(
+      // struct is non-null even when c is null, so nulls survive the
+      // collect; (isNull, v) sorts non-nulls first, then ascending
+      array_sort(collect_list(struct(c.isNull.as("n"), c.as("v")))),
+      x => x.getField("v"))
 
   /** tuple in `sort_by` order (reference: reducers.py:516) — gather
     * (sortKey, value) structs, sort, project value. All codegen'd array
@@ -71,11 +76,22 @@ object reducers {
       private def add(b: Array[Double], a: Seq[Float]): Array[Double] =
         if (a == null) b
         else if (b.isEmpty) a.map(_.toDouble).toArray
-        else { var i = 0; while (i < b.length) { b(i) += a(i); i += 1 }; b }
+        else {
+          // raggedness must fail LOUDLY and deterministically: silently
+          // sizing from whichever row aggregates first would crash or
+          // drop dimensions depending on partition order
+          require(a.length == b.length,
+            s"arraySumFloat: ragged arrays in group (${a.length} vs ${b.length})")
+          var i = 0; while (i < b.length) { b(i) += a(i); i += 1 }; b
+        }
       def reduce(b: Array[Double], a: Seq[Float]): Array[Double] = add(b, a)
       def merge(x: Array[Double], y: Array[Double]): Array[Double] =
         if (x.isEmpty) y else if (y.isEmpty) x
-        else { var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x }
+        else {
+          require(x.length == y.length,
+            s"arraySumFloat: ragged arrays in group (${x.length} vs ${y.length})")
+          var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x
+        }
       def finish(r: Array[Double]): Seq[Double] = r.toSeq
       def bufferEncoder: Encoder[Array[Double]] =
         Encoders.javaSerialization[Array[Double]]
@@ -116,17 +132,21 @@ object reducers {
   def retractCount(diff: Column): Column = sum(diff)
   def retractAvg(c: Column, diff: Column): Column = sum(c * diff) / sum(diff)
 
-  /** Collapse a diff stream to rows whose net multiplicity is positive:
-    * group by the full row image, keep images with sum(diff) > 0. Feeds
-    * the NON-invertible reducers (min/max/unique — multiplicity is
-    * irrelevant to them); invertible ones should use retractSum/Count/
-    * Avg directly and skip this extra shuffle. */
+  /** Collapse a diff stream to its net surviving row images: group by
+    * the full row image, keep images with sum(diff) > 0, and emit each
+    * image with its NET MULTIPLICITY (sequence+explode) — so
+    * multiplicity-sensitive reducers (sorted_tuple/tuple_by/count over
+    * the collapsed frame) see the same multiset the reference's
+    * delta-fed accumulator sees, not a deduplicated one. Feeds the
+    * NON-invertible reducers; invertible ones should use retractSum/
+    * Count/Avg directly and skip this extra shuffle. */
   def netRows(df: org.apache.spark.sql.DataFrame, diffCol: String)
       : org.apache.spark.sql.DataFrame = {
     val cols = df.columns.filterNot(_ == diffCol).toSeq
     df.groupBy(cols.map(col): _*)
       .agg(sum(col(diffCol)).as("_net"))
       .filter(col("_net") > 0)
+      .withColumn("_copy", explode(sequence(lit(1L), col("_net"))))
       .select(cols.map(col): _*)
   }
 }

@@ -56,12 +56,20 @@ object Schema {
     * safe to call on a 100 TB prefix-listed dataset. */
   def fromCsv(spark: SparkSession, path: String, header: Boolean = true,
       sampleRows: Int = 1000, primaryKey: Seq[String] = Nil): Schema = {
-    import spark.implicits._
-    val lines = spark.read.textFile(path)
-      .limit(sampleRows + (if (header) 1 else 0))
+    // parse through the csv READER first (it strips each file's own
+    // header and handles quoted multi-line records — a raw
+    // textFile().limit() sample interleaves other part-files' header
+    // lines as data rows and degrades inference to StringType), bound
+    // the sample with limit (only enough partitions are read), then run
+    // type inference over the small re-written sample — the full
+    // dataset is never scanned
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_infer")
+      .toString
+    spark.read.option("header", header.toString).csv(path)
+      .limit(sampleRows)
+      .write.mode("overwrite").option("header", "true").csv(tmp)
     val sampled = spark.read
-      .option("header", header.toString).option("inferSchema", "true")
-      .csv(lines)
+      .option("header", "true").option("inferSchema", "true").csv(tmp)
     Schema(sampled.schema.fields.toSeq.map(f =>
       ColumnDef(f.name, f.dataType, primaryKey = primaryKey.contains(f.name))))
   }
@@ -73,6 +81,9 @@ object Schema {
   def checkAppendOnly(schema: Schema, old: Table, updated: Table): Table = {
     val key = schema.primaryKey
     val ao = schema.appendOnlyColumns.filter(updated.df.columns.contains)
+    require(ao.isEmpty || key.nonEmpty,
+      "append_only needs a primaryKey: joining on zero key columns would " +
+        "cross-join every updated row against every old row")
     if (ao.isEmpty) updated
     else {
       val prev = old.df.select((key ++ ao).map(col): _*)

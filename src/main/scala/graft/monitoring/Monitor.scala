@@ -102,7 +102,23 @@ object Monitor {
       port: Int = 0): com.sun.net.httpserver.HttpServer = {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
     val srv = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // full JSON string escaping: error messages routinely carry newlines
+    // (multi-line AnalysisException plans) — a bare control char would
+    // make the whole /metrics payload unparsable exactly when a failure
+    // needs reporting
+    def esc(s: String): String = {
+      val sb = new StringBuilder(s.length + 8)
+      s.foreach {
+        case '\\' => sb.append("\\\\")
+        case '"' => sb.append("\\\"")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
     def num(d: Double) = if (d.isNaN || d.isInfinite) "0.0" else d.toString
     def respond(ex: HttpExchange, body: String): Unit = {
       val b = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -29,20 +29,30 @@ object Graphs {
     val init = sym.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
     // convergence probe: min-label propagation is MONOTONE (comp never
-    // increases), so the label total strictly decreases until the
-    // fixpoint — equal totals ⇔ no node changed. Two scalar aggregates
-    // over already-checkpointed frames, replacing the join-shuffle probe
-    // (one fewer shuffle per probe on every CC consumer: q_connected_
-    // components, lshCluster, dedup canonicalize). decimal(38,0) keeps
-    // the sum exact at any id scale.
+    // increases), so for NUMERIC ids the label total strictly decreases
+    // until the fixpoint — equal totals ⇔ no node changed. Two scalar
+    // aggregates over already-checkpointed frames, replacing the
+    // join-shuffle probe (one fewer shuffle per probe on every CC
+    // consumer: q_connected_components, lshCluster, dedup canonicalize).
+    // decimal(38,0) keeps the sum exact at any id scale.
     // `sum` over ZERO rows is SQL-null — Option-wrap both sides so an
     // empty edge set (a duplicate-free corpus reaching here through
     // Dedup.canonicalize / Similarity.lshCluster) reads as converged
-    // instead of NPEing on compareTo
+    // instead of NPEing on compareTo.
+    // NON-numeric ids (string/binary doc hashes) would cast to NULL and
+    // fake instant convergence — for those the probe falls back to a
+    // changed-label count (one extra join per probe, numerically exact).
+    val numericIds = init.schema("comp").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def tot(df: DataFrame) = Option(
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0))
+    def changed(prev: DataFrame, next: DataFrame): Long =
+      next.join(prev.select(col("node"), col("comp").as("_pc")), "node")
+        .filter(!(col("comp") <=> col("_pc"))).count()
     Iterate.fixpoint(init, maxIter,
-      (prev, next) => if (tot(next) == tot(prev)) 0L else 1L,
+      (prev, next) =>
+        if (numericIds) { if (tot(next) == tot(prev)) 0L else 1L }
+        else changed(prev, next),
       checkEvery = 2) { labels =>
       // min over neighbors' components
       val nbrMin = sym
@@ -111,6 +121,16 @@ object Graphs {
     * labels are eager-cached per round so the plan stays bounded.
     * Returns (node, comm). */
   def louvain(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    // the smallest-community tie-break negates the community id
+    // (max(struct(score, -comm))) — meaningless for non-numeric ids,
+    // where the implicit cast would yield all-NULL communities silently.
+    // Fail loudly; hash or dense-rank string ids first.
+    require(edges.schema("src").dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+      edges.schema("dst").dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      "louvain requires numeric node ids (the -comm tie-break has no " +
+        "ordering negation for other types) — hash or dense-rank ids first")
     val sym = graft.core.Caches.eager(edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
     val deg = graft.core.Caches.cache(

@@ -49,20 +49,42 @@ object Cdc {
     * `_before`, `_after` (structs typed by `row`). Malformed JSON or
     * absent fields decode to NULL (soft errors — route them with
     * `Table.splitErrors` if the pipeline wants a dead-letter side).
-    * `flat = true` expects payload fields at the top level (Debezium's
-    * ExtractNewRecordState single-message transform). */
+    *
+    * `flat = true` decodes Debezium's ExtractNewRecordState output,
+    * which puts the ROW'S OWN FIELDS at the top level (the envelope is
+    * unwrapped away): the whole message is the after image; op/ts_ms
+    * survive only as the SMT's `add.fields` metadata (`__op`,
+    * `__ts_ms`), defaulted to an upsert when absent; a
+    * `delete.handling.mode=rewrite` delete carries `__deleted="true"`.
+    * `_before` is always NULL in this mode — ENRS discards it. */
   def decodeDebezium(df: DataFrame, value: Column, row: StructType,
-      flat: Boolean = false): DataFrame = {
-    val payload =
-      if (flat) from_json(value, payloadSchema(row))
-      else from_json(value, envelopeSchema(row)).getField("payload")
-    df.withColumn("_p", payload)
-      .withColumn("_op", col("_p.op"))
-      .withColumn("_ts_ms", col("_p.ts_ms"))
-      .withColumn("_before", col("_p.before"))
-      .withColumn("_after", col("_p.after"))
-      .drop("_p")
-  }
+      flat: Boolean = false): DataFrame =
+    if (flat) {
+      val meta = StructType(row.fields ++ Seq(
+        StructField("__op", StringType), StructField("__ts_ms", LongType),
+        StructField("__deleted", StringType)))
+      val d = df.withColumn("_p", from_json(value, meta))
+      d.withColumn("_op",
+          when(col("_p").isNull, lit(null).cast(StringType))
+            .when(col("_p.__deleted") === "true", lit("d"))
+            .otherwise(coalesce(col("_p.__op"), lit("u"))))
+        .withColumn("_ts_ms", col("_p.__ts_ms"))
+        .withColumn("_before",
+          lit(null).cast(row)) // ENRS drops the before image
+        .withColumn("_after",
+          when(col("_p").isNull, lit(null).cast(row))
+            .otherwise(struct(row.fieldNames.toSeq
+              .map(n => col(s"_p.$n").as(n)): _*)))
+        .drop("_p")
+    } else {
+      val payload = from_json(value, envelopeSchema(row)).getField("payload")
+      df.withColumn("_p", payload)
+        .withColumn("_op", col("_p.op"))
+        .withColumn("_ts_ms", col("_p.ts_ms"))
+        .withColumn("_before", col("_p.before"))
+        .withColumn("_after", col("_p.after"))
+        .drop("_p")
+    }
 
   /** Materialize current state from a batch of decoded change events:
     * per key, the event with the highest `order` wins; if that event is
@@ -92,22 +114,46 @@ object Cdc {
   /** Streaming upsert state: events (key, order, isDelete, value) →
     * update-mode stream of (key, Option[value]) — None is a tombstone.
     * State per key is the highest `order` seen + its value; lower-order
-    * (late, replayed) events emit nothing. Pair with a watermark on the
-    * event-time column upstream to bound state when keys churn. */
-  def upsertStream[K: Encoder, V](events: Dataset[(K, Long, Boolean, V)])(
+    * (late, replayed) events emit nothing.
+    *
+    * State lifetime: one entry PER KEY EVER SEEN, kept for the run's
+    * lifetime by default — the same per-key arrangement memory the
+    * reference's upsert session holds, bounded by key cardinality (NOT
+    * by a watermark: watermarks do not evict flatMapGroupsWithState
+    * state). For unbounded/churning key spaces pass `idleTtl` > 0 to
+    * evict keys idle that long (processing time); an evicted key loses
+    * its replay guard, so a later out-of-order event older than the
+    * evicted state would resurrect — pick a TTL larger than the
+    * source's max replay lag, and keep durable arbitration in
+    * [[applyLatest]] / the upsert parquet sink. */
+  def upsertStream[K: Encoder, V](events: Dataset[(K, Long, Boolean, V)],
+      idleTtl: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration.Zero)(
       implicit ev: Encoder[(K, Option[V])],
       sv: Encoder[(Long, Boolean, V)],
-      tv: Encoder[(K, Long, Boolean, V)]): Dataset[(K, Option[V])] =
+      tv: Encoder[(K, Long, Boolean, V)]): Dataset[(K, Option[V])] = {
+    val ttlMs = if (idleTtl.isFinite) idleTtl.toMillis else 0L
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Boolean, V), (K, Option[V])](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeoutConf) {
         (key, rows, state: GroupState[(Long, Boolean, V)]) =>
-          val best = rows.maxBy(_._2)
-          val cur = state.getOption
-          if (cur.exists(_._1 >= best._2)) Iterator.empty
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            state.update((best._2, best._3, best._4))
-            Iterator.single((key, if (best._3) None else Some(best._4)))
+            val best = rows.maxBy(_._2)
+            val cur = state.getOption
+            val out =
+              if (cur.exists(_._1 >= best._2)) Iterator.empty
+              else {
+                state.update((best._2, best._3, best._4))
+                Iterator.single((key,
+                  if (best._3) Option.empty[V] else Some(best._4)))
+              }
+            if (ttlMs > 0 && state.exists) state.setTimeoutDuration(ttlMs)
+            out
           }
       }
+  }
 }

@@ -24,9 +24,16 @@ class CdcSpec extends SparkSpec {
     assert(rowsOf(got) == Set(
       Seq("c", 10L, "a", null), Seq("d", 20L, null, 1L), Seq(null, null, null, null)))
 
-    val flat = Seq("""{"after":{"id":7,"v":"x"},"op":"u","ts_ms":5}""").toDF("value")
+    // flat = ExtractNewRecordState output: the row's own fields at top
+    // level; __op/__ts_ms only via add.fields; rewrite-mode deletes carry
+    // __deleted; bare messages default to an upsert
+    val flat = Seq(
+      """{"id":7,"v":"x","__op":"u","__ts_ms":5}""",
+      """{"id":8,"v":"y"}""",
+      """{"id":9,"v":null,"__deleted":"true","__ts_ms":6}""").toDF("value")
     val f = Cdc.decodeDebezium(flat, col("value"), row, flat = true)
-    assert(rowsOf(f.select(col("_op"), col("_after.id"))) == Set(Seq("u", 7L)))
+    assert(rowsOf(f.select(col("_op"), col("_after.id"), col("_ts_ms"))) == Set(
+      Seq("u", 7L, 5L), Seq("u", 8L, null), Seq("d", 9L, 6L)))
   }
 
   test("applyLatest: latest op wins per key, delete tombstones, before-keyed deletes") {

@@ -66,4 +66,20 @@ class GraphsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == out)
   }
+
+  test("connectedComponents handles STRING node ids (changed-count probe)") {
+    // a 5-node path needs >2 pointer-jump rounds: the numeric decimal-sum
+    // probe would read all-NULL sums as instantly converged and split it
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("x", "y")).toDF("src", "dst")
+    val out = Graphs.connectedComponents(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Set("a", "b", "c", "d", "e").map(out) == Set("a"))
+    assert(Set("x", "y").map(out) == Set("x"))
+  }
+
+  test("louvain rejects non-numeric node ids loudly") {
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    intercept[IllegalArgumentException] { Graphs.louvain(edges) }
+  }
 }

@@ -79,5 +79,23 @@ class ReducersSpec extends SparkSpec {
     assert(rowsOf(net) == Set(Seq("a", 10L), Seq("a", 30L), Seq("b", 5L)))
     val mm = net.groupBy("g").agg(min("v").as("lo"), max("v").as("hi"))
     assert(rowsOf(mm) == Set(Seq("a", 10L, 30L), Seq("b", 5L, 5L)))
+    // net multiplicity > 1 survives the collapse: two live inserts of the
+    // same image emit TWO rows (multiset parity for sorted_tuple et al.)
+    val dup = Seq(("c", 7L, 1L), ("c", 7L, 1L), ("c", 7L, 1L), ("c", 7L, -1L))
+      .toDF("g", "v", "diff")
+    assert(reducers.netRows(dup, "diff").count() == 2)
+  }
+
+  test("sorted_tuple keeps NULLs (sorted last) when skipNones = false") {
+    val df = Seq(("a", Some(2L)), ("a", Option.empty[Long]), ("a", Some(1L)))
+      .toDF("g", "v")
+    val kept = df.groupBy("g")
+      .agg(reducers.sorted_tuple(col("v"), skipNones = false).as("t"))
+      .select("t").collect()(0).getSeq[Any](0)
+    assert(kept == Seq(1L, 2L, null))
+    val skipped = df.groupBy("g")
+      .agg(reducers.sorted_tuple(col("v")).as("t"))
+      .select("t").collect()(0).getSeq[Any](0)
+    assert(skipped == Seq(1L, 2L))
   }
 }
