@@ -152,22 +152,35 @@ object Dedup {
   }
 
   private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame =
+    verifyJaccard2(cand, sh, sh, threshold)
+
+  /** Exact-Jaccard verification of (a, b) candidates against (possibly
+    * distinct) shingle tables for each side — the one implementation
+    * behind the self-dedup path and [[fuzzyJoin]]'s cross-table path. */
+  private def verifyJaccard2(cand: DataFrame, shA: DataFrame, shB: DataFrame,
       threshold: Double): DataFrame = {
     // pin the verification join's parallelism: the candidate list is a
     // few KB after LSH, AQE coalesces it to one partition, and the
     // |cand|·shinglesPerDoc expansion would run single-threaded
     val inter = Similarity.fanoutRepartition(cand, col("a"))
-      .join(sh.as("sa"), col("a") === col("sa.id"))
-      .join(sh.as("sb"), col("b") === col("sb.id") && col("sa.s") === col("sb.s"))
+      .join(shA.as("sa"), col("a") === col("sa.id"))
+      .join(shB.as("sb"), col("b") === col("sb.id") && col("sa.s") === col("sb.s"))
       .groupBy("a", "b").agg(count(lit(1)).as("i"))
-    finishJaccard(inter, sh.groupBy("id").agg(count(lit(1)).as("n")), threshold)
+    finishJaccard2(inter,
+      shA.groupBy("id").agg(count(lit(1)).as("n")),
+      shB.groupBy("id").agg(count(lit(1)).as("n")), threshold)
   }
 
   private def finishJaccard(inter: DataFrame, sizes: DataFrame,
       threshold: Double): DataFrame =
+    finishJaccard2(inter, sizes, sizes, threshold)
+
+  private def finishJaccard2(inter: DataFrame, sizesA: DataFrame,
+      sizesB: DataFrame, threshold: Double): DataFrame =
     inter
-      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      .join(sizesA.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sizesB.select(col("id").as("b"), col("n").as("nb")), "b")
       .withColumn("jaccard",
         col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= threshold)
@@ -191,18 +204,7 @@ object Dedup {
     val cand = bandRows(mhL, bands, r).as("x").join(bandRows(mhR, bands, r).as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-    val inter = Similarity.fanoutRepartition(cand, col("a"))
-      .join(shL.as("sa"), col("a") === col("sa.id"))
-      .join(shR.as("sb"), col("b") === col("sb.id") && col("sa.s") === col("sb.s"))
-      .groupBy("a", "b").agg(count(lit(1)).as("i"))
-    val pairs = inter
-      .join(shL.groupBy("id").agg(count(lit(1)).as("na"))
-        .select(col("id").as("a"), col("na")), "a")
-      .join(shR.groupBy("id").agg(count(lit(1)).as("nb"))
-        .select(col("id").as("b"), col("nb")), "b")
-      .withColumn("jaccard",
-        col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
-      .filter(col("jaccard") >= threshold)
+    val pairs = verifyJaccard2(cand, shL, shR, threshold)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("a").orderBy(col("jaccard").desc, col("b").asc)
     pairs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)

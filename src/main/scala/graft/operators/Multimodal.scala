@@ -35,9 +35,14 @@ object Multimodal {
   case class Frame(id: Long, frame_idx: Long, frame_sum: Long)
 
   /** Wrap an id + binary column into the canonical asset schema, deriving
-    * fake-but-typed metadata. */
+    * fake-but-typed metadata. Rows with a NULL id or NULL content are
+    * DROPPED (Asset's primitive fields can't carry them, and one
+    * malformed row must not kill a corpus-scale job) — route them aside
+    * first with `Table.splitErrors` if the pipeline wants a dead-letter
+    * side. */
   def toAssets(df: DataFrame, id: Column, content: Column, mime: String): Dataset[Asset] =
-    df.select(id.cast("long").as("id"), content.cast("binary").as("content"),
+    df.filter(id.isNotNull && content.isNotNull)
+      .select(id.cast("long").as("id"), content.cast("binary").as("content"),
         lit(mime).as("mime"),
         (length(content) % 640 + 16).cast("int").as("width"),
         (id % 480 + 16).cast("int").as("height"))
@@ -73,7 +78,10 @@ object Multimodal {
   /** Sample fixed-size "frames" (byte blocks) with a stride — the video
     * frame-sampling access pattern: emit block j for j % stride == 0. */
   def frameSample(assets: Dataset[Asset], frameBytes: Int,
-      stride: Int): Dataset[Frame] =
+      stride: Int): Dataset[Frame] = {
+    // fail driver-side, not as an ArithmeticException inside a task
+    require(frameBytes > 0 && stride > 0,
+      s"frameSample: frameBytes ($frameBytes) and stride ($stride) must be > 0")
     assets.mapPartitions { it =>
       it.flatMap { a =>
         val n = a.content.length / frameBytes
@@ -86,4 +94,5 @@ object Multimodal {
         }
       }
     }(Encoders.product[Frame])
+  }
 }

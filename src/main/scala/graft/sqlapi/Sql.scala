@@ -22,17 +22,27 @@ object Sql {
     * resolved view children, not catalog references), so the views are
     * dropped — or a caller's shadowed temp view of the same name
     * restored — before returning, and executing the result later still
-    * works. */
-  def sqlDF(spark: SparkSession, query: String, tables: (String, DataFrame)*): DataFrame = {
-    val prior: Seq[(String, Option[DataFrame])] = tables.map { case (name, _) =>
-      name -> scala.util.Try(spark.catalog.getTable(name))
-        .toOption.filter(_.isTemporary).map(_ => spark.table(name))
+    * works.
+    *
+    * The register→analyze→restore window runs under a process-wide lock:
+    * temp views live in the shared session catalog, so two concurrent
+    * calls binding the same name would otherwise read each other's
+    * frames (graft.Verify drives queries from a thread pool on one
+    * session). The lock covers only ANALYSIS — execution of the returned
+    * frame stays fully parallel. */
+  def sqlDF(spark: SparkSession, query: String, tables: (String, DataFrame)*): DataFrame =
+    lock.synchronized {
+      val prior: Seq[(String, Option[DataFrame])] = tables.map { case (name, _) =>
+        name -> scala.util.Try(spark.catalog.getTable(name))
+          .toOption.filter(_.isTemporary).map(_ => spark.table(name))
+      }
+      tables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+      try spark.sql(query)
+      finally prior.foreach {
+        case (name, Some(old)) => old.createOrReplaceTempView(name)
+        case (name, None) => spark.catalog.dropTempView(name); ()
+      }
     }
-    tables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
-    try spark.sql(query)
-    finally prior.foreach {
-      case (name, Some(old)) => old.createOrReplaceTempView(name)
-      case (name, None) => spark.catalog.dropTempView(name); ()
-    }
-  }
+
+  private val lock = new Object
 }
