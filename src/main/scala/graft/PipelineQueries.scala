@@ -322,6 +322,57 @@ object PipelineQueries extends QueryModule {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  // IVF-SQ: int8 quantization composed INSIDE the IVF inverted lists
+  // (the FAISS IVF-SQ serving shape — the actual 100 TB layout: coarse
+  // prune to nprobe lists, 8×-smaller integer codes rank candidates by
+  // EXACT integer dot, float re-score only on the top-8 short list).
+  // Deterministic end to end: normalized vectors/scales/codes are
+  // bit-identical doubles on both engines, the integer dot has no
+  // summation ambiguity, and the re-score cut is id-tie-broken.
+  q("q_knn_ivf_quantized",
+    """WITH w AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |nz AS (SELECT id,
+      |  list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-30)) AS v
+      |  FROM w),
+      |qz AS (SELECT id, v,
+      |  greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 AS s
+      |  FROM nz),
+      |cz AS (SELECT id, v, s, list_transform(v, x -> floor(x / s + 0.5)) AS c
+      |  FROM qz),
+      |cent AS (SELECT id AS cid, v AS cv FROM cz
+      |  ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 16),
+      |sc AS (SELECT cz.id, cent.cid,
+      |  list_dot_product(cz.v, cent.cv)
+      |    / sqrt(list_dot_product(cz.v, cz.v) * list_dot_product(cent.cv, cent.cv)) AS cc
+      |  FROM cz CROSS JOIN cent),
+      |rk AS (SELECT id, cid,
+      |  row_number() OVER (PARTITION BY id ORDER BY cc DESC, cid) AS rn FROM sc),
+      |asg AS (SELECT id, cid FROM rk WHERE rn = 1),
+      |pr AS (SELECT id, cid FROM rk WHERE rn <= 4 AND id % 50 = 0),
+      |cand AS (SELECT pr.id AS query_id, a.id AS neighbor_id,
+      |  q.s * d.s * list_dot_product(q.c, d.c) AS qscore,
+      |  list_dot_product(q.v, d.v)
+      |    / sqrt(list_dot_product(q.v, q.v) * list_dot_product(d.v, d.v)) AS cexact
+      |  FROM pr JOIN asg a ON a.cid = pr.cid AND a.id != pr.id
+      |  JOIN cz q ON q.id = pr.id JOIN cz d ON d.id = a.id),
+      |r1 AS (SELECT query_id, neighbor_id, cexact,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY qscore DESC, neighbor_id)
+      |    AS qrank FROM cand),
+      |r2 AS (SELECT query_id, neighbor_id, cexact,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cexact DESC, neighbor_id)
+      |    AS rank FROM r1 WHERE qrank <= 8)
+      |SELECT query_id, rank, neighbor_id, round(cexact + 1e-9, 4) AS cosine
+      |FROM r2 WHERE rank <= 2""") { (s, dir) =>
+    val e = load(s, dir, "embeddings")
+    Similarity.ivfQuantizedRetrieve(
+        e.filter(col("vec_id") % 50 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        nlist = Similarity.nlistFor(e.count()), nprobe = 4, k = 2,
+        rescore = 8, excludeSelf = true, dim = 64)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine") + lit(1e-9), 4).as("cosine"))
+  }
+
   // Partitioned HNSW ANN in the provably-exact configuration (efSearch
   // and m ≥ partition row count → beam never fills, best-first becomes
   // full traversal of the connected layer-0 graph, per-shard top-k is

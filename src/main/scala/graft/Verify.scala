@@ -22,7 +22,13 @@ object Verify {
     // (driver contract: one bad query must not sink the round).
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt)
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b narrows the dump for targeted local
+    // oracle checks; unset = full suite (the driver's mode)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val tasks = selected.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

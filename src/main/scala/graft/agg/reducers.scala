@@ -42,14 +42,17 @@ object reducers {
   def rany(c: Column): Column = min(c)
 
   /** sorted_tuple (reference: reducers.py:485). `skipNones = false`
-    * keeps NULL entries, sorted last (collect_list drops nulls, so the
-    * keep path routes values through a struct wrapper first). */
+    * keeps NULL entries, sorted FIRST — the reference's Value derives
+    * Ord with None as the first enum variant (value.rs:207), so None
+    * compares smallest. collect_list drops nulls, so the keep path
+    * routes values through a struct wrapper first. */
   def sorted_tuple(c: Column, skipNones: Boolean = true): Column =
     if (skipNones) array_sort(collect_list(c))
     else transform(
       // struct is non-null even when c is null, so nulls survive the
-      // collect; (isNull, v) sorts non-nulls first, then ascending
-      array_sort(collect_list(struct(c.isNull.as("n"), c.as("v")))),
+      // collect; (isNotNull, v) sorts nulls first (false < true), then
+      // ascending — matching the reference's None-smallest Ord
+      array_sort(collect_list(struct(c.isNotNull.as("n"), c.as("v")))),
       x => x.getField("v"))
 
   /** tuple in `sort_by` order (reference: reducers.py:516) — gather
@@ -139,13 +142,24 @@ object reducers {
     * the collapsed frame) see the same multiset the reference's
     * delta-fed accumulator sees, not a deduplicated one. Feeds the
     * NON-invertible reducers; invertible ones should use retractSum/
-    * Count/Avg directly and skip this extra shuffle. */
-  def netRows(df: org.apache.spark.sql.DataFrame, diffCol: String)
+    * Count/Avg directly and skip this extra shuffle.
+    *
+    * The diff column may be any numeric type (cast to long here —
+    * sequence() requires an integral bound). A single row image whose
+    * net multiplicity is huge materializes that many array slots before
+    * the explode; `maxMultiplicity` bounds it loudly (raise, not OOM) —
+    * raise the cap only if the pipeline genuinely carries such images. */
+  def netRows(df: org.apache.spark.sql.DataFrame, diffCol: String,
+              maxMultiplicity: Long = 10_000_000L)
       : org.apache.spark.sql.DataFrame = {
     val cols = df.columns.filterNot(_ == diffCol).toSeq
     df.groupBy(cols.map(col): _*)
-      .agg(sum(col(diffCol)).as("_net"))
+      .agg(sum(col(diffCol).cast("long")).as("_net"))
       .filter(col("_net") > 0)
+      .withColumn("_net",
+        when(col("_net") > maxMultiplicity,
+          raise_error(concat(lit(s"netRows: net multiplicity exceeds $maxMultiplicity for a single row image"))))
+          .otherwise(col("_net")))
       .withColumn("_copy", explode(sequence(lit(1L), col("_net"))))
       .select(cols.map(col): _*)
   }

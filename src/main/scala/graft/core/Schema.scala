@@ -63,15 +63,27 @@ object Schema {
     // the sample with limit (only enough partitions are read), then run
     // type inference over the small re-written sample — the full
     // dataset is never scanned
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_infer")
-      .toString
-    spark.read.option("header", header.toString).csv(path)
-      .limit(sampleRows)
-      .write.mode("overwrite").option("header", "true").csv(tmp)
-    val sampled = spark.read
-      .option("header", "true").option("inferSchema", "true").csv(tmp)
-    Schema(sampled.schema.fields.toSeq.map(f =>
-      ColumnDef(f.name, f.dataType, primaryKey = primaryKey.contains(f.name))))
+    // NOTE: the sample round-trips through a driver-local temp dir —
+    // valid in local mode (driver and executors share a filesystem); a
+    // distributed deployment must point this at shared storage instead
+    val tmpPath = java.nio.file.Files.createTempDirectory("graft_csv_infer")
+    val tmp = tmpPath.toString
+    try {
+      spark.read.option("header", header.toString).csv(path)
+        .limit(sampleRows)
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      val sampled = spark.read
+        .option("header", "true").option("inferSchema", "true").csv(tmp)
+      Schema(sampled.schema.fields.toSeq.map(f =>
+        ColumnDef(f.name, f.dataType, primaryKey = primaryKey.contains(f.name))))
+    } finally {
+      // schema is fully materialized above (StructType, not lazy), so
+      // deleting the sample dir here is safe
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(tmpPath).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
   }
 
   /** Checked append-only promise: raises if `updated` changed an

@@ -40,10 +40,13 @@ object DataIndex {
   def lsh(data: DataFrame, id: Column, vec: Column, dim: Int,
       planes: Int = 0, targetBucketSize: Long = 256): Retriever =
     new Retriever {
+      // geometry derived ONCE per retriever, not per retrieve call — the
+      // fallback count() is a full corpus scan, and a retriever is built
+      // to be queried many times (ADVICE r9: second scan per query batch)
+      private lazy val nPlanes =
+        if (planes > 0) planes
+        else Similarity.planesFor(data.count(), targetBucketSize)
       def retrieve(queries: DataFrame, qid: Column, query: Column, k: Int): DataFrame = {
-        val nPlanes =
-          if (planes > 0) planes
-          else Similarity.planesFor(data.count(), targetBucketSize)
         val d = data.select(id.as("id"), vec.cast("array<double>").as("v"))
           .withColumn("bucket", Similarity.rhpBucket(col("v"), dim, nPlanes))
           .withColumn("n2", Similarity.norm2(col("v")))
@@ -70,10 +73,12 @@ object DataIndex {
   def ivf(data: DataFrame, id: Column, vec: Column, nlist: Int = 0,
       nprobe: Int = 4): Retriever =
     new Retriever {
+      // derived once, same rationale as lsh's nPlanes memo
+      private lazy val lists =
+        if (nlist > 0) nlist else Similarity.nlistFor(data.count())
       def retrieve(queries: DataFrame, qid: Column, query: Column, k: Int): DataFrame =
         Similarity.ivfRetrieve(queries, data, qid, query, id, vec,
-            if (nlist > 0) nlist else Similarity.nlistFor(data.count()),
-            nprobe, k)
+            lists, nprobe, k)
           .select(col("query_id").as("qid"), col("rank"),
             col("neighbor_id").as("id"), col("cosine").as("score"))
     }
@@ -99,6 +104,24 @@ object DataIndex {
         Similarity.quantizedTopK(queries, data, qid, query, id, vec, k)
           .select(col("query_id").as("qid"), col("rank"),
             col("neighbor_id").as("id"), col("score"))
+    }
+
+  /** ANN via IVF lists with int8-quantized codes inside each list — the
+    * FAISS IVF-SQ serving shape ([[Similarity.ivfQuantizedRetrieve]]):
+    * coarse prune to `nprobe` lists, integer-dot candidate rank, exact
+    * re-score of the top `rescore` when > 0. */
+  def ivfQuantized(data: DataFrame, id: Column, vec: Column, nlist: Int = 0,
+      nprobe: Int = 4, rescore: Int = 0): Retriever =
+    new Retriever {
+      private lazy val lists =
+        if (nlist > 0) nlist else Similarity.nlistFor(data.count())
+      def retrieve(queries: DataFrame, qid: Column, query: Column, k: Int): DataFrame = {
+        val out = Similarity.ivfQuantizedRetrieve(queries, data, qid, query,
+          id, vec, lists, nprobe, k, rescore)
+        val score = if (rescore > 0) col("cosine") else col("score")
+        out.select(col("query_id").as("qid"), col("rank"),
+          col("neighbor_id").as("id"), score.as("score"))
+      }
     }
 
   /** Full-text BM25 retriever. */

@@ -207,13 +207,21 @@ object Hnsw {
   def topK(queries: DataFrame, data: DataFrame,
       qid: Column, qvec: Column, did: Column, dvec: Column, k: Int,
       m: Int = 16, efConstruction: Int = 64, efSearch: Int = 64,
-      exact: Boolean = false): DataFrame = {
+      exact: Boolean = false, maxQueries: Int = 100000): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
+    // the smallness contract, enforced: limit(max+1) bounds the fetch
+    // itself (a giant query table can't OOM the driver before the check),
+    // then the require names the contract instead of a bare OOM
     val qRows = queries.select(qid.cast("long").as("qid"),
         qvec.cast("array<double>").as("qv"))
+      .limit(maxQueries + 1)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    require(qRows.length <= maxQueries,
+      s"Hnsw.topK: query side exceeds the broadcast smallness contract " +
+        s"(> $maxQueries rows) — raise maxQueries deliberately or batch " +
+        s"the queries; the CORPUS side is the distributed one")
     val qB = spark.sparkContext.broadcast(qRows)
     val d = Similarity.spread(
       data.select(did.cast("long").as("id"), dvec.cast("array<double>").as("v")))

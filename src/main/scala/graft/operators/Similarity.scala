@@ -358,6 +358,104 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
   }
 
+  // -------------------------------------------------------------------
+  // IVF-SQ: int8 scalar quantization composed INSIDE the inverted lists
+  // (the FAISS IVF-SQ serving shape — what a 100 TB corpus actually
+  // runs: coarse quantizer prunes to nprobe lists, 8×-smaller int8
+  // codes rank candidates by exact-integer dot, and an optional exact
+  // re-score of the top candidates recovers float precision on the
+  // short list only). Beyond the reference's flat external indexes;
+  // the natural composition of [[ivfBuild]] and [[quantizeInt8]].
+
+  /** Build IVF-SQ structures: float centroid table (cid, cv, cn2) and
+    * quantized inverted lists (neighbor_id, cid, ds, dc, dv, dn2) — the
+    * float vector rides along for the optional exact re-score; drop
+    * `dv`/`dn2` downstream when rescore is never used and the 8× memory
+    * win should be fully realized. Vectors are L2-normalized first so
+    * the integer dot approximates cosine (see [[quantizedTopK]]). */
+  private[graft] def ivfQuantizedBuild(data: DataFrame, did: Column,
+      dvec: Column, nlist: Int, dim: Int): (DataFrame, DataFrame) = {
+    val d0 = l2normalize(
+      spread(data).select(did.as("id"), dvec.cast("array<double>").as("v")), "v")
+    val d = graft.core.Caches.eager(
+      quantizeInt8(d0, col("v"), "ds", "dc")
+        .withColumn("n2", norm2(col("v"), dim)))
+    val cents = graft.core.Caches.eager(
+      d.select(col("id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+        .orderBy(md5(col("cid").cast("string"))).limit(nlist))
+    val dScored = d.crossJoin(broadcast(cents))
+      .select(col("id"), col("cid"),
+        cosinePrenorm(col("v"), col("cv"), col("n2"), col("cn2"), dim).as("cc"))
+    val assigned = dScored.groupBy("id")
+      .agg(max(struct(col("cc"), (-col("cid")).as("nc"))).as("m"))
+      .select(col("id"), (-col("m").getField("nc")).as("cid"))
+      .join(d, "id")
+      .select(col("id").as("neighbor_id"), col("cid"), col("ds"), col("dc"),
+        col("v").as("dv"), col("n2").as("dn2"))
+    (cents, assigned)
+  }
+
+  /** IVF-SQ retrieval: probe `nprobe` lists by float-centroid cosine,
+    * rank candidates by the deterministic integer dot
+    * s_q·s_d·(codes_q·codes_d); with `rescore > 0`, re-score the top
+    * max(rescore, k) integer-ranked candidates by exact float cosine
+    * and emit that ranking (`cosine` column) — otherwise the integer
+    * score is emitted (`score` column). Both stages rank
+    * deterministically: the integer dot is exact in double, and the
+    * re-score list is id-tie-broken at the cut. */
+  def ivfQuantizedRetrieve(queries: DataFrame, data: DataFrame,
+      qid: Column, qvec: Column, did: Column, dvec: Column,
+      nlist: Int, nprobe: Int, k: Int, rescore: Int = 0,
+      excludeSelf: Boolean = false, dim: Int = 0): DataFrame = {
+    val (cents, assigned) = ivfQuantizedBuild(data, did, dvec, nlist, dim)
+    val q0 = l2normalize(
+      queries.select(qid.as("query_id"), qvec.cast("array<double>").as("qv")), "qv")
+    val q = quantizeInt8(q0, col("qv"), "qs", "qc")
+      .withColumn("qn2", norm2(col("qv"), dim))
+    val qScored = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("qn2"), col("qs"), col("qc"),
+        col("cid"),
+        cosinePrenorm(col("qv"), col("cv"), col("qn2"), col("cn2"), dim).as("cc"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cc").desc, col("cid").asc)
+    val probes = fanoutRepartition(
+      qScored.withColumn("_pr", row_number().over(wp))
+        .filter(col("_pr") <= nprobe)
+        .select(col("query_id"), col("qv"), col("qn2"), col("qs"), col("qc"),
+          col("cid")),
+      col("query_id"), col("cid"))
+    val cand0 = probes.join(assigned, Seq("cid"))
+    val cand = (if (excludeSelf) cand0.filter(col("query_id") =!= col("neighbor_id"))
+      else cand0)
+      .select(col("query_id"), col("neighbor_id"),
+        (col("qs") * col("ds") * dot(col("qc").cast("array<double>"),
+          col("dc").cast("array<double>"))).as("qscore"),
+        col("qv"), col("qn2"), col("dv"), col("dn2"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("qscore").desc, col("neighbor_id").asc)
+    if (rescore <= 0)
+      cand.withColumn("rank", row_number().over(wq))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("qscore").as("score"))
+    else {
+      // exact float cosine only on the short integer-ranked list — the
+      // expensive fold runs on ≤ max(rescore, k) rows per query
+      val short = cand.withColumn("_qr", row_number().over(wq))
+        .filter(col("_qr") <= math.max(rescore, k))
+        .select(col("query_id"), col("neighbor_id"),
+          cosinePrenorm(col("qv"), col("dv"), col("qn2"), col("dn2"), dim)
+            .as("cosine"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      short.withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    }
+  }
+
   /** Plane count that keeps EXPECTED bucket occupancy near
     * `targetBucketSize`: buckets = 2^planes, so
     * planes = ceil(log2(corpus / target)). Per-bucket candidate work is

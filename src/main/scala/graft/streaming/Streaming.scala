@@ -23,6 +23,14 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateT
   */
 object Streaming {
 
+  /** The partitioned upsert sink's key→bucket hash function, recorded in
+    * the `_buckets` marker so a restart under a DIFFERENT hash (a Spark
+    * major version changing `hash()` semantics, or a foreign engine
+    * reading the snapshot) fails loudly instead of mis-routing keys.
+    * Spark's `hash()` is Murmur3-x86-32 with seed 42 — stable across
+    * every Spark 1.6+ release to date. */
+  val BucketHashRecipe = "murmur3"
+
   /** reference: temporal_behavior.py:29 common_behavior. Durations are
     * Spark interval strings (e.g. "10 seconds"). */
   final case class Behavior(delay: Option[String] = None,
@@ -73,22 +81,46 @@ object Streaming {
   /** Acceptor-based streaming deduplicate (reference: table.py:1064 +
     * engine deduplicate dataflow.rs:3101): per key, keep the latest
     * value ACCEPTED by `acceptor(new, previous)`; emit on change.
-    * flatMapGroupsWithState in update mode — state is one value per key,
-    * evicted never (add a watermark upstream for TTL). */
+    * flatMapGroupsWithState in update mode — state is one value per key.
+    *
+    * State lives for the query's lifetime by default (bounded by key
+    * cardinality). For churning/unbounded key spaces pass `idleTtl` > 0
+    * to evict keys idle that long (processing time, the same option
+    * [[graft.sources.Cdc.upsertStream]] takes). An evicted key forgets
+    * its last accepted value: when it reappears, the first event is
+    * accepted unconditionally and RE-EMITS even if equal to the
+    * pre-eviction value — pick a TTL longer than a key's plausible
+    * silence if duplicate re-emission downstream matters.
+    *
+    * Operational note (applies to any ProcessingTimeTimeout stream,
+    * [[graft.sources.Cdc.upsertStream]] included): Spark schedules
+    * timeout-check batches continuously while the query runs, so
+    * `processAllAvailable()` never returns on such a query — tests and
+    * drain logic must poll the sink instead. */
   def deduplicateStreaming[K, V](ds: Dataset[V], key: V => K,
-      acceptor: (V, V) => Boolean)(
+      acceptor: (V, V) => Boolean,
+      idleTtl: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration.Zero)(
       implicit ke: Encoder[K], ve: Encoder[V]): Dataset[V] = {
+    val ttlMs = if (idleTtl.isFinite) idleTtl.toMillis else 0L
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     ds.groupByKey(key)
       .flatMapGroupsWithState[V, V](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeoutConf) {
         (_: K, rows: Iterator[V], state: GroupState[V]) =>
-          var cur = state.getOption
-          var emitted: Option[V] = None
-          rows.foreach { v =>
-            if (cur.forall(prev => acceptor(v, prev))) { cur = Some(v); emitted = cur }
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var cur = state.getOption
+            var emitted: Option[V] = None
+            rows.foreach { v =>
+              if (cur.forall(prev => acceptor(v, prev))) { cur = Some(v); emitted = cur }
+            }
+            emitted.foreach(state.update)
+            if (ttlMs > 0 && state.exists) state.setTimeoutDuration(ttlMs)
+            emitted.iterator
           }
-          emitted.foreach(state.update)
-          emitted.iterator
       }
   }
 
@@ -260,21 +292,28 @@ object Streaming {
           "upsertParquetSinkPartitioned: the stream must not carry a column " +
             "named 'b' — it is the snapshot's bucket-partition column")
         recoverBuckets(new java.io.File(path))
-        // the bucket count IS the key→directory mapping: restarting with
-        // a different value would route a key's update to a different
+        // the (hash fn, bucket count) pair IS the key→directory mapping:
+        // restarting with a different count — or on a Spark whose hash()
+        // recipe changed — would route a key's update to a different
         // bucket than its current row and silently duplicate/resurrect
-        // it. Persist the count on first write (underscore-prefixed =
-        // invisible to parquet discovery), fail loudly on mismatch.
+        // it. Persist the full recipe ("murmur3:<count>") on first write
+        // (underscore-prefixed = invisible to parquet discovery), fail
+        // loudly on any mismatch. Legacy bare-int markers predate the
+        // recipe tag and were written by this same murmur3 code path.
         val root = new java.io.File(path)
         root.mkdirs()
         val marker = new java.io.File(root, "_buckets")
+        val recipe = s"$BucketHashRecipe:$buckets"
         if (marker.isFile) {
-          val stored = java.nio.file.Files.readString(marker.toPath).trim.toInt
-          require(stored == buckets,
+          val stored0 = java.nio.file.Files.readString(marker.toPath).trim
+          val stored =
+            if (stored0.forall(_.isDigit)) s"$BucketHashRecipe:$stored0" else stored0
+          require(stored == recipe,
             s"upsertParquetSinkPartitioned: snapshot at $path was written " +
-              s"with buckets=$stored, restarted with buckets=$buckets — " +
-              "the key→bucket mapping would break; keep the original count")
-        } else java.nio.file.Files.writeString(marker.toPath, buckets.toString)
+              s"with bucket recipe '$stored', restarted with '$recipe' — " +
+              "the key→bucket mapping would break; keep the original " +
+              "count and hash function")
+        } else java.nio.file.Files.writeString(marker.toPath, recipe)
         val bCol = pmod(hash(keys.map(col): _*), lit(buckets))
         val b = batch.persist()
         val touched = b.select(bCol.as("b")).distinct()

@@ -111,6 +111,41 @@ class DataIndexSpec extends SparkSpec {
     assert(z.select("qcodes").collect()(0).getSeq[Byte](0).forall(_ == 0))
   }
 
+  test("ivfQuantized: integer-dot rank inside lists, exact re-score " +
+      "recovers brute-force top-k at nprobe = nlist") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 120).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat))).toDF("id", "v")
+    val queries = corpus.filter(col("id") % 20 === 0)
+    val exact = Similarity.bruteForceTopK(queries, corpus,
+        col("id"), col("v"), col("id"), col("v"), k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nprobe = nlist probes every list; rescore > k re-ranks by exact
+    // cosine, so the output must EQUAL brute force, not just approximate
+    val full = Similarity.ivfQuantizedRetrieve(queries, corpus,
+        col("id"), col("v"), col("id"), col("v"),
+        nlist = 8, nprobe = 8, k = 3, rescore = 32, excludeSelf = true)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, s"IVF-SQ full-probe+rescore diverged: $full vs $exact")
+    // the pruned serving shape keeps high recall
+    val pruned = Similarity.ivfQuantizedRetrieve(queries, corpus,
+        col("id"), col("v"), col("id"), col("v"),
+        nlist = 8, nprobe = 4, k = 3, rescore = 8, excludeSelf = true)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect pruned).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF-SQ recall@3 = $recall")
+    // without rescore the score column is the integer-dot approximation
+    val noRescore = DataIndex.ivfQuantized(corpus, col("id"), col("v"),
+        nlist = 8, nprobe = 8)
+      .retrieve(queries, col("id"), col("v"), 3)
+    assert(noRescore.columns.toSeq == Seq("qid", "rank", "id", "score"))
+    assert(noRescore.count() > 0)
+  }
+
   test("ivfSave/ivfLoadRetrieve round-trips the index byte-identically") {
     import graft.operators.Similarity
     val n = 40

@@ -96,6 +96,19 @@ class HnswSpec extends SparkSpec {
     assert(ok.count() > 0)
   }
 
+  test("maxQueries guard trips loudly instead of collecting a huge query side") {
+    val e = embeddings
+    val ex = intercept[IllegalArgumentException] {
+      Hnsw.topK(e, e, col("id"), col("v"), col("id"), col("v"),
+        k = 2, maxQueries = 3)
+    }
+    assert(ex.getMessage.contains("smallness contract"))
+    // quiet when within the cap
+    val ok = Hnsw.topK(e.limit(2), e, col("id"), col("v"), col("id"), col("v"),
+      k = 2, m = 128, efConstruction = 128, efSearch = 128, maxQueries = 3)
+    assert(ok.count() > 0)
+  }
+
   test("retriever façade surfaces hnsw results") {
     val e = embeddings
     val r = graft.operators.DataIndex.hnsw(e, col("id"), col("v"),

@@ -86,13 +86,14 @@ class ReducersSpec extends SparkSpec {
     assert(reducers.netRows(dup, "diff").count() == 2)
   }
 
-  test("sorted_tuple keeps NULLs (sorted last) when skipNones = false") {
+  test("sorted_tuple keeps NULLs sorted FIRST when skipNones = false") {
+    // reference Value Ord puts None first (value.rs:207)
     val df = Seq(("a", Some(2L)), ("a", Option.empty[Long]), ("a", Some(1L)))
       .toDF("g", "v")
     val kept = df.groupBy("g")
       .agg(reducers.sorted_tuple(col("v"), skipNones = false).as("t"))
       .select("t").collect()(0).getSeq[Any](0)
-    assert(kept == Seq(1L, 2L, null))
+    assert(kept == Seq(null, 1L, 2L))
     val skipped = df.groupBy("g")
       .agg(reducers.sorted_tuple(col("v")).as("t"))
       .select("t").collect()(0).getSeq[Any](0)

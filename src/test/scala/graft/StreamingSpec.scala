@@ -35,6 +35,79 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("deduplicateStreaming idleTtl evicts idle keys: the key re-emits " +
+      "on reappearance (documented semantics)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Int)]
+    val out = Streaming.deduplicateStreaming[String, (String, Int)](
+      in.toDS(), _._1, (n, p) => n._2 > p._2,
+      idleTtl = scala.concurrent.duration.Duration("200 ms"))
+    val q = out.writeStream.format("memory").queryName("dedup_ttl")
+      .outputMode("update").start()
+    // NOTE no processAllAvailable here: with ProcessingTimeTimeout Spark
+    // keeps scheduling timeout batches (shouldRunAnotherBatch is always
+    // true as processing time advances), so the no-new-data latch that
+    // processAllAvailable waits on never sets — poll the sink instead
+    def uEmits = spark.sql("SELECT * FROM dedup_ttl").collect()
+      .count(r => r.getString(0) == "u" && r.getInt(1) == 5)
+    try {
+      in.addData(("u", 5))
+      var tries = 0
+      while (uEmits < 1 && tries < 150) { Thread.sleep(100); tries += 1 }
+      assert(uEmits == 1, s"first (u,5) emission missing after ${tries * 100} ms")
+      // without eviction the strictly-growing acceptor would REJECT an
+      // equal value forever — a second (u,5) emission proves the TTL
+      // evicted the key's state. Re-offer the value until the eviction
+      // (which lands on some background timeout batch) has happened.
+      tries = 0
+      while (uEmits < 2 && tries < 30) {
+        Thread.sleep(700); in.addData(("u", 5)); tries += 1
+      }
+      assert(uEmits >= 2, s"(u,5) never re-emitted after eviction window")
+    } finally q.stop()
+  }
+
+  test("partitioned sink _buckets marker pins the hash recipe, not just " +
+      "the count: a foreign recipe fails loudly; a legacy bare-int marker " +
+      "is accepted") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_bucket_recipe").toString
+    def runOne(path: String, ckpt: String): Unit = {
+      val in = MemoryStream[(Long, Long, Boolean, String)]
+      val q = Streaming.upsertParquetSinkPartitioned(
+        in.toDF().toDF("id", "ord", "del", "v"), Seq("id"), "ord", "del",
+        path, ckpt, buckets = 4).start()
+      try { in.addData((1L, 10L, false, "a")); q.processAllAvailable() }
+      finally q.stop()
+    }
+    // legacy marker (bare count, written by the pre-recipe murmur3 code
+    // path) upgrades silently
+    val legacy = s"$root/legacy"
+    new java.io.File(legacy).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(legacy, "_buckets"), "4")
+    runOne(legacy, s"$root/ckpt_legacy")
+    assert(Streaming.readSnapshotPartitioned(spark, legacy, "ord", "del").count() == 1)
+    // a marker naming a DIFFERENT hash function must raise even though
+    // the count matches — the key→bucket mapping depends on both
+    val foreign = s"$root/foreign"
+    new java.io.File(foreign).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(foreign, "_buckets"), "xxhash64:4")
+    val in = MemoryStream[(Long, Long, Boolean, String)]
+    val q = Streaming.upsertParquetSinkPartitioned(
+      in.toDF().toDF("id", "ord", "del", "v"), Seq("id"), "ord", "del",
+      foreign, s"$root/ckpt_foreign", buckets = 4).start()
+    try {
+      in.addData((1L, 10L, false, "a"))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("bucket recipe") ||
+        Option(ex.getCause).exists(_.getMessage.contains("bucket recipe")))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: matches within bound, outer emits after watermark") {
     implicit val sqlCtx = spark.sqlContext
     val lIn = MemoryStream[(java.sql.Timestamp, String, Int)]
