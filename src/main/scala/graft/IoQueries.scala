@@ -251,6 +251,43 @@ object IoQueries extends QueryModule {
       .toDF("n_nationkey", "n_name", "n_regionkey")
   }
 
+  // The DSv2 REPLAYABLE subject source driven to an ORACLE: nation is
+  // recorded to a durable subject commit log in 7-row blocks, a
+  // checkpointed streaming query drains the first tranche and STOPS (the
+  // "crash"); more blocks are recorded while nothing is running; a
+  // brand-new query on the SAME checkpoint must resume at the committed
+  // block offset — the sink holding exactly the whole table proves the
+  // MicroBatchStream's offsets survive restart (the contract the
+  // MemoryStream bridge in io.subjectStream cannot give).
+  q("q_io_subject_replay",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation""") { (s, dir) =>
+    import s.implicits._
+    val nation = load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val rows = nation.as[(Long, String, Long)].collect().sortBy(_._1)
+    val root = java.nio.file.Files.createTempDirectory("graft_sublog_q").toString
+    val log = s"$root/log"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    def subjectOf(slice: Seq[(Long, String, Long)]) =
+      new graft.sources.ConnectorSubject[(Long, String, Long)] {
+        def run(): Unit = slice.grouped(7).foreach { b => b.foreach(next); commit() }
+      }
+    val (first, rest) = rows.splitAt(rows.length / 2)
+    graft.sources.SubjectLog.record(s, subjectOf(first.toSeq), log)
+    def drain() = {
+      val q = graft.sources.SubjectLog.readStream(s, log)
+        .toDF("n_nationkey", "n_name", "n_regionkey")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+    drain() // crash mid-feed after the first tranche
+    graft.sources.SubjectLog.record(s, subjectOf(rest.toSeq), log)
+    drain() // restart on the SAME checkpoint
+    // the sink's own (int64) schema — the source table may be narrower
+    // (int32 at some SFs) and the driver compare normalizes widths
+    s.read.parquet(out)
+  }
+
   // Streaming file source → parquet sink driven to an ORACLE (previously
   // IoSpec-only): nation is split into two parquet files dropped into the
   // watched directory ACROSS micro-batches (atomic rename into place, the
