@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.DocStore
+import graft.SparkEntry.load
+
+/** Oracle-checked queries for the DocStore pipeline façade (reference:
+  * xpacks/llm/document_store.py) — the full parse(binary) → chunk →
+  * embed → index → retrieve chain replayed in DuckDB SQL, both the
+  * in-memory exact path (with a metadata filter pushed pre-rank) and
+  * the persisted-IVF path (save → open → probe), plus the store's
+  * statistics and inputs query surfaces.
+  *
+  * Determinism: the stub embedder emits exact small integers (md5
+  * bucket/sign, token count), so dots, norms and cosines are
+  * bit-identical doubles on both engines and raw-score ranking is safe;
+  * ranking ties (duplicated chunks) break on the md5-derived chunk key,
+  * identical on both sides.
+  */
+object DocStoreQueries extends QueryModule {
+
+  private def r4e(c: Column) = round(c + lit(1e-9), 4)
+
+  /** DuckDB replay of [[DocStore.hashEmbedder]](16) over text expr `e`. */
+  private def embSql(e: String): String =
+    s"list_concat([CAST(len(string_split($e, ' ')) AS DOUBLE)], " +
+      s"list_transform(range(16), dd -> list_sum(list_transform(string_split($e, ' '), t -> " +
+      "CASE WHEN CAST('0x' || substr(md5(t), 1, 4) AS BIGINT) % 16 = dd " +
+      "THEN CASE WHEN CAST('0x' || substr(md5(t), 5, 1) AS BIGINT) % 2 = 0 " +
+      "THEN 1.0 ELSE -1.0 END ELSE 0.0 END))))"
+
+  /** Shared CTE prefix: documents → 8/3-token chunks (the q_text_chunk
+    * recipe) with metadata riding along, md5-derived 60-bit chunk keys
+    * (the [[DocStore.chunkKey]] recipe), chunk embeddings, and the
+    * every-25th-doc query set embedded from its first five words. */
+  private val pipeCte =
+    """w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS ws FROM documents),
+      |st AS (SELECT doc_id, lang, source, ws,
+      |  unnest(range(1, greatest(len(ws) - 3, 1) + 1, 5)) AS s FROM w),
+      |ch AS (SELECT doc_id, lang, source, CAST((s - 1) / 5 AS BIGINT) AS chunk_id,
+      |  array_to_string(ws[s : s + 7], ' ') AS chunk FROM st),
+      |ck AS (SELECT *, CAST('0x' || substr(md5(doc_id || '#' || chunk_id), 1, 15)
+      |  AS BIGINT) AS chunk_key FROM ch),
+      |ce AS (SELECT doc_id, chunk_id, chunk_key, lang, EMB_CHUNK AS v FROM ck),
+      |q AS (SELECT doc_id AS qid, EMB_QUERY AS qv FROM w WHERE doc_id % 25 = 0)"""
+      .replace("EMB_CHUNK", embSql("chunk"))
+      .replace("EMB_QUERY", embSql("array_to_string(ws[1 : 5], ' ')"))
+
+  private def storeOf(s: SparkSession, dir: String): DocStore.Store = {
+    val docs = load(s, dir, "documents")
+    // text re-encoded to a binary column: the store's parse stage (the
+    // reference's connector `data: bytes` contract) is exercised for real
+    val raw = docs.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("data"), col("lang"), col("source"))
+    DocStore.build(raw, col("doc_id"), col("data"),
+      metadata = Seq("lang", "source"), chunkSize = 8, overlap = 3,
+      embedder = DocStore.hashEmbedder(16))
+  }
+
+  private def queriesOf(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("qtext"))
+
+  // Full chain, exact path, metadata filter lang='en' applied PRE-rank
+  // (k survivors among matching chunks — the reference passes the filter
+  // into the index, never post-filters hits)
+  q("q_doc_store",
+    s"""WITH $pipeCte,
+      |sc AS (SELECT q.qid, ce.doc_id, ce.chunk_id, ce.chunk_key,
+      |  list_dot_product(q.qv, ce.v)
+      |    / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(ce.v, ce.v)) AS c
+      |  FROM q CROSS JOIN ce WHERE ce.lang = 'en'),
+      |r AS (SELECT qid, doc_id, chunk_id, c,
+      |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, chunk_key) AS rank
+      |  FROM sc)
+      |SELECT qid, rank, doc_id, chunk_id, round(c + 1e-9, 4) AS score
+      |FROM r WHERE rank <= 3""") { (s, dir) =>
+    storeOf(s, dir).retrieve(queriesOf(s, dir), col("qid"), col("qtext"),
+        k = 3, filter = Some(col("lang") === "en"))
+      .select(col("qid"), col("rank"), col("doc_id"), col("chunk_id"),
+        r4e(col("score")).as("score"))
+  }
+
+  // The same chain through a PERSISTED store: save (chunk table + IVF
+  // index, nlist derived = 64 at the sf0.01 chunk count — the oracle's
+  // LIMIT 64) then a fresh open() answers from disk via nprobe=4 coarse
+  // pruning. The oracle replays the IVF geometry exactly: md5-sampled
+  // centroids, argmax-cosine list assignment, probe-ranked lists.
+  q("q_doc_store_persisted",
+    s"""WITH $pipeCte,
+      |c AS (SELECT chunk_key AS cid, v AS cv FROM ce
+      |  ORDER BY md5(CAST(chunk_key AS VARCHAR)) LIMIT 64),
+      |sc2 AS (SELECT ce.chunk_key AS id, c.cid,
+      |  list_dot_product(ce.v, c.cv)
+      |    / sqrt(list_dot_product(ce.v, ce.v) * list_dot_product(c.cv, c.cv)) AS cc
+      |  FROM ce CROSS JOIN c),
+      |rk AS (SELECT id, cid,
+      |  row_number() OVER (PARTITION BY id ORDER BY cc DESC, cid) AS rn FROM sc2),
+      |asg AS (SELECT id, cid FROM rk WHERE rn = 1),
+      |qs AS (SELECT qid, cid, rn FROM (SELECT q.qid, c.cid,
+      |    row_number() OVER (PARTITION BY q.qid ORDER BY
+      |      list_dot_product(q.qv, c.cv)
+      |        / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.cv, c.cv))
+      |      DESC, c.cid) AS rn
+      |  FROM q CROSS JOIN c)),
+      |pr AS (SELECT qid, cid FROM qs WHERE rn <= 4),
+      |cand AS (SELECT pr.qid, a.id AS nid,
+      |  list_dot_product(q.qv, d.v)
+      |    / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(d.v, d.v)) AS c
+      |  FROM pr JOIN asg a ON a.cid = pr.cid
+      |  JOIN q ON q.qid = pr.qid JOIN ce d ON d.chunk_key = a.id),
+      |r AS (SELECT qid, nid, c,
+      |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
+      |  FROM cand)
+      |SELECT r.qid, r.rank, k2.doc_id, k2.chunk_id, round(r.c + 1e-9, 4) AS score
+      |FROM r JOIN ck k2 ON k2.chunk_key = r.nid WHERE r.rank <= 3""") { (s, dir) =>
+    val store = storeOf(s, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_docstore").toString
+    store.save(path)
+    DocStore.open(s, path, DocStore.hashEmbedder(16), nprobe = 4)
+      .retrieve(queriesOf(s, dir), col("qid"), col("qtext"), k = 3)
+      .select(col("qid"), col("rank"), col("doc_id"), col("chunk_id"),
+        r4e(col("score")).as("score"))
+  }
+
+  // statistics_query surface: doc/chunk counts over the indexed corpus
+  q("q_doc_store_stats",
+    s"""WITH $pipeCte
+      |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_count,
+      |  count(*) AS chunk_count, CAST(NULL AS BIGINT) AS last_modified
+      |FROM ck""") { (s, dir) =>
+    storeOf(s, dir).stats()
+  }
+
+  // inputs_query surface: indexed documents + metadata under a filter
+  q("q_doc_store_inputs",
+    "SELECT DISTINCT doc_id, lang, source FROM documents WHERE lang = 'de'") {
+    (s, dir) =>
+      storeOf(s, dir).inputs(Some(col("lang") === "de"))
+  }
+}

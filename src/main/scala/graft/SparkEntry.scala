@@ -47,7 +47,7 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] =
     Seq(Queries, TemporalQueries, GraphQueries, PipelineQueries, FacadeQueries,
-      RetrievalQueries, TpchQueries, IoQueries)
+      RetrievalQueries, TpchQueries, IoQueries, DocStoreQueries)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

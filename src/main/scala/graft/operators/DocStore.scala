@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Document-store pipeline façade (reference:
+  * python/pathway/xpacks/llm/document_store.py:31 `DocumentStore` — the
+  * xpack composing parse → post-process → split → index → query;
+  * python/pathway/xpacks/llm/vector_store.py:60 `VectorStoreServer` is
+  * its served variant). One composed pipeline from raw binary documents
+  * to a queryable chunk index:
+  *
+  *  1. parse: binary `data` column → text ([[parseUtf8]] default, like
+  *     the reference's `parsers.ParseUtf8`; richer parsers plug in as
+  *     `Column => Column` or a `mapInPandas` stage);
+  *  2. post-process: text → text transforms (reference
+  *     `doc_post_processors`);
+  *  3. chunk: overlapping token windows ([[TextOps.chunkKeep]] — the
+  *     reference's `splitters`), metadata riding on every chunk row;
+  *  4. embed: chunk text → vector, computed ONCE at build/index time and
+  *     stored with the chunk (at corpus scale the embedder runs once per
+  *     chunk, never per query-candidate pair);
+  *  5. index/retrieve: exact cosine ranking in-memory ([[Store.retrieve]])
+  *     or a persisted IVF index ([[Store.save]]/[[open]] — the
+  *     build-once/query-many layout a 100 TB corpus requires).
+  *
+  * Spark-first shape: every stage is a column transform over ONE chunk
+  * DataFrame — no RDDs, no driver loops; retrieval answers a query
+  * TABLE with a join + rank window like every [[DataIndex]] retriever.
+  * The reference's embedders/LLM calls are remote services this
+  * environment cannot reach; [[hashEmbedder]] is a deterministic stub
+  * with the same column-function signature a real model UDF
+  * (mapInPandas batch inference) would have, so the pipeline plumbing —
+  * schema, one-pass embedding, persisted index, filter pushdown — is
+  * real and oracle-tested end to end.
+  */
+object DocStore {
+
+  /** UTF-8 parser — the reference DocumentStore's default
+    * (xpacks/llm/parsers.py `ParseUtf8`). */
+  val parseUtf8: Column => Column = b => decode(b, "UTF-8")
+
+  /** Deterministic hashing-trick embedder stub: dimension 0 carries the
+    * token count (keeps every vector off the origin, so cosine is always
+    * defined), dimensions 1..dim each accumulate ±1 per token whose
+    * md5-derived bucket hits the dimension (sign from a second md5
+    * nibble). Every value is an exact small integer in double and md5 is
+    * engine-portable, so the DuckDB oracle replays embeddings — and
+    * therefore rankings — bit-identically.
+    *
+    * This is a STUB standing in for model inference (the reference's
+    * embedders are OpenAI/LiteLLM API calls — env-impossible here): the
+    * per-row `aggregate` fold is interpreted O(dim·tokens), fine for the
+    * fixture scale it runs at. A production embedder drops in as any
+    * `Column => Column` (or a mapInPandas batch-inference stage)
+    * without touching the rest of the pipeline. */
+  def hashEmbedder(dim: Int = 16): Column => Column = { text =>
+    val toks = split(text, " ")
+    val hashed = transform(sequence(lit(0), lit(dim - 1)), d =>
+      aggregate(toks, lit(0.0), (acc, t) =>
+        acc + when(
+          conv(substring(md5(t), 1, 4), 16, 10).cast("long") % dim === d.cast("long"),
+          when(conv(substring(md5(t), 5, 1), 16, 10).cast("long") % 2 === 0,
+            lit(1.0)).otherwise(lit(-1.0))).otherwise(lit(0.0))))
+    concat(array(size(toks).cast("double")), hashed)
+  }
+
+  /** 60-bit engine-portable chunk key: the first 15 hex digits of
+    * md5("<doc>#<chunk>") — the same hash-derived-pointer recipe as
+    * `functions.pointer_from` (the reference keys rows by hashed
+    * pointers too), parsed to a non-negative long so numeric index
+    * tie-breaks (IVF's struct-max) apply unchanged and any doc-id type
+    * works. Collision budget: birthday bound ≈ n²/2^61 — negligible to
+    * ~10^8 chunks per store; beyond that shard into multiple stores (or
+    * key chunks yourself upstream). */
+  private[graft] def chunkKey(docId: Column, chunkId: Column): Column =
+    conv(substring(md5(concat(docId.cast("string"), lit("#"),
+      chunkId.cast("string"))), 1, 15), 16, 10).cast("long")
+
+  /** Build the store pipeline over raw documents. `docs` needs an id
+    * column and a binary `data` column (the reference's connector
+    * contract); `metadata` names passthrough columns of `docs` that ride
+    * on every chunk and feed retrieval filters (the reference's
+    * `_metadata` + JMESPath filters, as a typed Column predicate here). */
+  def build(docs: DataFrame, id: Column, data: Column,
+      metadata: Seq[String] = Nil,
+      parser: Column => Column = parseUtf8,
+      postProcess: Seq[Column => Column] = Nil,
+      chunkSize: Int = 256, overlap: Int = 32,
+      embedder: Column => Column = hashEmbedder()): Store = {
+    val parsed = docs
+      .select(id.as("doc_id") +: parser(data).as("_text") +: metadata.map(col): _*)
+      .withColumn("_text", postProcess.foldLeft(col("_text"))((c, f) => f(c)))
+    val chunks = TextOps.chunkKeep(parsed, col("doc_id"), col("_text"),
+        chunkSize, overlap, metadata)
+      .select(col("id").as("doc_id") +: col("chunk_id") +:
+        chunkKey(col("id"), col("chunk_id")).as("chunk_key") +:
+        col("chunk").as("text") +: metadata.map(col): _*)
+      .withColumn("embedding", embedder(col("text")))
+    new Store(chunks, metadata, embedder)
+  }
+
+  /** A built store: one chunk-level DataFrame carrying everything the
+    * query methods need — (doc_id, chunk_id, chunk_key, text, metadata…,
+    * embedding). */
+  final class Store private[DocStore] (
+      val chunks: DataFrame,
+      val metadata: Seq[String],
+      embedder: Column => Column) {
+
+    /** k nearest chunks per query row by exact cosine (reference
+      * `retrieve_query`). `filter` (the metadata-filter analog)
+      * restricts the CANDIDATE set before ranking — k survivors from
+      * the matching chunks, exactly like the reference passing the
+      * filter INTO the index, not a lossy post-filter of unfiltered
+      * hits. Queries are the small probe-set side (broadcast); the
+      * chunk corpus stays fully distributed. Returns
+      * (qid, rank, doc_id, chunk_id, text, metadata…, score). */
+    def retrieve(queries: DataFrame, qid: Column, qtext: Column, k: Int,
+        filter: Option[Column] = None): DataFrame = {
+      val d = chunks.filter(filter.getOrElse(lit(true)))
+        .withColumn("_dn", Similarity.norm2(col("embedding")))
+      val q = queries.select(qid.as("qid"), embedder(qtext).as("_qv"))
+        .withColumn("_qn", Similarity.norm2(col("_qv")))
+      val scored = d.crossJoin(broadcast(q))
+        .select(col("qid") +: col("doc_id") +: col("chunk_id") +:
+          col("chunk_key") +: col("text") +: metadata.map(col) :+
+          Similarity.cosinePrenorm(col("_qv"), col("embedding"),
+            col("_qn"), col("_dn")).as("score"): _*)
+      val w = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("chunk_key").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid") +: col("rank") +: col("doc_id") +: col("chunk_id") +:
+          col("text") +: metadata.map(col) :+ col("score"): _*)
+    }
+
+    /** One-row store statistics (reference `statistics_query`:
+      * file count / last_modified). `modified`: optional per-chunk
+      * modification-stamp column carried in the metadata. */
+    def stats(modified: Option[Column] = None): DataFrame =
+      DocStore.statsOf(chunks, modified)
+
+    /** Indexed input documents and their metadata under a filter
+      * (reference `inputs_query`). */
+    def inputs(filter: Option[Column] = None): DataFrame =
+      DocStore.inputsOf(chunks, metadata, filter)
+
+    /** Persist the store: the chunk table (embeddings included — the
+      * one-pass embed cost is paid here, never again) plus a cosine IVF
+      * index over it ([[Similarity.ivfSave]]: broadcastable centroids +
+      * cid-partitioned inverted lists). `nlist <= 0` derives the list
+      * count from the chunk count ([[Similarity.nlistFor]]). The chunk
+      * table is written first and the index built from the written
+      * files, so the embedder runs exactly once per chunk. */
+    def save(path: String, nlist: Int = 0): Unit = {
+      chunks.write.mode("overwrite").parquet(s"$path/chunks")
+      val persisted = chunks.sparkSession.read.parquet(s"$path/chunks")
+      val n = if (nlist > 0) nlist else Similarity.nlistFor(persisted.count())
+      Similarity.ivfSave(persisted, col("chunk_key"), col("embedding"),
+        s"$path/index", n)
+    }
+  }
+
+  /** Open a [[Store.save]]d store. Retrieval serves from the persisted
+    * IVF index — coarse-prune to `nprobe` lists, exact cosine inside
+    * them, hits joined back to the persisted chunk table for
+    * text/metadata. The embedder must be the one the store was built
+    * with (the store persists data, not code — same contract as the
+    * reference, whose embedder is re-supplied at server start). */
+  def open(spark: SparkSession, path: String,
+      embedder: Column => Column = hashEmbedder(),
+      nprobe: Int = 4): PersistedStore =
+    new PersistedStore(spark, path, embedder, nprobe)
+
+  final class PersistedStore private[DocStore] (spark: SparkSession,
+      path: String, embedder: Column => Column, nprobe: Int) {
+
+    val chunks: DataFrame = spark.read.parquet(s"$path/chunks")
+
+    /** Metadata columns = everything that isn't pipeline-owned. */
+    val metadata: Seq[String] = chunks.columns.toSeq
+      .filterNot(Set("doc_id", "chunk_id", "chunk_key", "text", "embedding"))
+
+    /** k nearest chunks per query from the persisted index. The
+      * metadata `filter` is pushed into the index probe the same way
+      * [[Store.retrieve]] pushes it pre-rank: the inverted lists are
+      * semi-joined against the filtered chunk keys BEFORE candidate
+      * ranking, so k survivors come from matching chunks only. */
+    def retrieve(queries: DataFrame, qid: Column, qtext: Column, k: Int,
+        filter: Option[Column] = None): DataFrame = {
+      val cents = spark.read.parquet(s"$path/index/centroids")
+      val assigned0 = spark.read.parquet(s"$path/index/assigned")
+        .withColumn("cid", col("cid").cast(cents.schema("cid").dataType))
+      val assigned = filter match {
+        case None => assigned0
+        case Some(f) =>
+          assigned0.join(
+            chunks.filter(f).select(col("chunk_key").as("neighbor_id")),
+            Seq("neighbor_id"), "left_semi")
+      }
+      val q = queries.select(qid.as("qid"), embedder(qtext).as("qv"))
+      val hits = Similarity.ivfSearch(cents, assigned, q, col("qid"),
+        col("qv"), nprobe, k, excludeSelf = false, dim = 0)
+      hits.join(chunks.withColumnRenamed("chunk_key", "neighbor_id"),
+          "neighbor_id")
+        .select(col("query_id").as("qid") +: col("rank") +: col("doc_id") +:
+          col("chunk_id") +: col("text") +: metadata.map(col) :+
+          col("cosine").as("score"): _*)
+    }
+
+    def stats(modified: Option[Column] = None): DataFrame =
+      DocStore.statsOf(chunks, modified)
+
+    def inputs(filter: Option[Column] = None): DataFrame =
+      DocStore.inputsOf(chunks, metadata, filter)
+  }
+
+  private def statsOf(chunks: DataFrame, modified: Option[Column]): DataFrame =
+    chunks.agg(
+      countDistinct(col("doc_id")).as("doc_count"),
+      count(lit(1)).as("chunk_count"),
+      max(modified.getOrElse(lit(null).cast("long"))).as("last_modified"))
+
+  private def inputsOf(chunks: DataFrame, metadata: Seq[String],
+      filter: Option[Column]): DataFrame =
+    chunks.filter(filter.getOrElse(lit(true)))
+      .select(col("doc_id") +: metadata.map(col): _*).distinct()
+}

@@ -186,15 +186,28 @@ object TextOps {
     * explode is the only row expansion, no UDF, so a 100 TB corpus
     * chunks in one scan. Returns (id, chunk_id, chunk). */
   def chunk(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
-      chunkSize: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+      chunkSize: Int, overlap: Int): org.apache.spark.sql.DataFrame =
+    chunkKeep(df, id, text, chunkSize, overlap, Nil)
+
+  /** [[chunk]] with pass-through columns: `keep` names columns of `df`
+    * carried onto every chunk row unchanged (metadata traveling with its
+    * chunks — the DocStore pipeline's shape). Same single-scan
+    * explode-only plan; the passthrough avoids a chunk-level join back to
+    * the document table, which at corpus scale is a full extra shuffle of
+    * the (much larger) chunk set. */
+  def chunkKeep(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      chunkSize: Int, overlap: Int,
+      keep: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(overlap >= 0 && chunkSize > overlap,
       s"chunk: need 0 <= overlap < chunkSize, got $chunkSize/$overlap")
     val step = chunkSize - overlap
-    val w = df.select(id.as("id"), tokens(text).as("ws"))
+    val w = df.select(id.as("id") +: tokens(text).as("ws") +: keep.map(col): _*)
     val starts = sequence(lit(1),
       greatest(size(col("ws")) - lit(overlap), lit(1)), lit(step))
-    w.select(col("id"), posexplode(starts).as(Seq("chunk_id", "s")), col("ws"))
-      .select(col("id"), col("chunk_id").cast("long"),
-        concat_ws(" ", slice(col("ws"), col("s"), lit(chunkSize))).as("chunk"))
+    w.select(col("id") +: posexplode(starts).as(Seq("chunk_id", "s")) +:
+        col("ws") +: keep.map(col): _*)
+      .select(col("id") +: col("chunk_id").cast("long").as("chunk_id") +:
+        concat_ws(" ", slice(col("ws"), col("s"), lit(chunkSize))).as("chunk") +:
+        keep.map(col): _*)
   }
 }

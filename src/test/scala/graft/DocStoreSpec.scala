@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.DocStore
+
+/** DocStore pipeline façade (reference: xpacks/llm/document_store.py).
+  * The oracle queries (DocStoreQueries) pin the cross-engine numerics;
+  * this spec pins the API semantics the oracle can't isolate: filter
+  * pushdown vs post-filter, post-processors, binary parse, persisted
+  * round-trip equality, stats/inputs shapes. */
+class DocStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  // four docs, two languages; doc 4 duplicates doc 1's text
+  private def docsDf = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta", "en"),
+    (2L, "alpha beta gamma other words here", "en"),
+    (3L, "uno dos tres cuatro cinco seis", "es"),
+    (4L, "alpha beta gamma delta epsilon zeta", "es"))
+    .toDF("doc_id", "text", "lang")
+    .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"), col("lang"))
+
+  private def store = DocStore.build(docsDf, col("doc_id"), col("data"),
+    metadata = Seq("lang"), chunkSize = 3, overlap = 1,
+    embedder = DocStore.hashEmbedder(8))
+
+  private def q(text: String) = Seq((100L, text)).toDF("qid", "qtext")
+
+  test("parses binary data and chunks with metadata riding along") {
+    val ch = store.chunks
+    assert(ch.columns.toSeq ==
+      Seq("doc_id", "chunk_id", "chunk_key", "text", "lang", "embedding"))
+    // chunkSize=3 overlap=1 over 6 tokens -> starts 1,3,5 -> 3 chunks/doc
+    assert(ch.count() == 12)
+    assert(ch.filter(col("doc_id") === 3 && col("lang") =!= "es").count() == 0)
+    val first = ch.filter(col("doc_id") === 1 && col("chunk_id") === 0)
+      .select("text").as[String].collect()
+    assert(first.toSeq == Seq("alpha beta gamma"))
+  }
+
+  test("retrieve ranks exact-duplicate chunks deterministically by chunk key") {
+    // docs 1, 2 and 4 all open with "alpha beta gamma" -> three identical
+    // chunk embeddings; all must appear, ordered by the md5-derived chunk
+    // key, with identical scores
+    val out = store.retrieve(q("alpha beta gamma"), col("qid"), col("qtext"), 3)
+      .orderBy("rank").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 4L))
+    assert(out.map(_.getAs[Double]("score")).distinct.length == 1)
+    // tie order is a pure function of the md5-derived keys: re-running
+    // returns the identical permutation
+    val again = store.retrieve(q("alpha beta gamma"), col("qid"), col("qtext"), 3)
+      .orderBy("rank").collect()
+    assert(again.map(_.getAs[Long]("doc_id")).toSeq ==
+      out.map(_.getAs[Long]("doc_id")).toSeq)
+  }
+
+  test("metadata filter restricts candidates BEFORE ranking, not after") {
+    // unfiltered top-1 for this query lives in an 'en' doc; with the 'es'
+    // filter the store must still return k hits, drawn from es chunks
+    val unf = store.retrieve(q("other words here"), col("qid"), col("qtext"), 1)
+      .collect()(0)
+    assert(unf.getAs[String]("lang") == "en")
+    val es = store.retrieve(q("other words here"), col("qid"), col("qtext"), 2,
+      filter = Some(col("lang") === "es")).collect()
+    assert(es.length == 2)
+    assert(es.forall(_.getAs[String]("lang") == "es"))
+  }
+
+  test("post-processors transform parsed text before chunking") {
+    val uppered = DocStore.build(docsDf, col("doc_id"), col("data"),
+      metadata = Seq("lang"),
+      postProcess = Seq(t => org.apache.spark.sql.functions.upper(t)),
+      chunkSize = 3, overlap = 1, embedder = DocStore.hashEmbedder(8))
+    val texts = uppered.chunks.select("text").as[String].collect()
+    assert(texts.forall(t => t == t.toUpperCase))
+  }
+
+  test("persisted store answers identically to the in-memory store at full probe") {
+    val path = java.nio.file.Files.createTempDirectory("docstore_spec").toString
+    store.save(path, nlist = 4)
+    // nprobe = nlist -> IVF is exact -> must equal brute force
+    val ps = DocStore.open(spark, path, DocStore.hashEmbedder(8), nprobe = 4)
+    val queries = q("uno dos tres")
+    val exact = store.retrieve(queries, col("qid"), col("qtext"), 3)
+      .select("qid", "rank", "doc_id", "chunk_id", "score")
+    val persisted = ps.retrieve(queries, col("qid"), col("qtext"), 3)
+      .select("qid", "rank", "doc_id", "chunk_id", "score")
+    assert(persisted.exceptAll(exact).count() == 0)
+    assert(exact.exceptAll(persisted).count() == 0)
+    // metadata filter pushes into the persisted index too
+    val es = ps.retrieve(queries, col("qid"), col("qtext"), 3,
+      filter = Some(col("lang") === "es")).collect()
+    assert(es.nonEmpty && es.forall(_.getAs[String]("lang") == "es"))
+    // metadata column names recovered from the persisted schema
+    assert(ps.metadata == Seq("lang"))
+  }
+
+  test("stats and inputs query surfaces") {
+    val st = store.stats().collect()(0)
+    assert(st.getAs[Long]("doc_count") == 4L)
+    assert(st.getAs[Long]("chunk_count") == 12L)
+    assert(st.isNullAt(st.fieldIndex("last_modified")))
+    val ins = store.inputs(Some(col("lang") === "en"))
+    assert(ins.columns.toSeq == Seq("doc_id", "lang"))
+    assert(ins.as[(Long, String)].collect().toSet ==
+      Set((1L, "en"), (2L, "en")))
+  }
+
+  test("hashEmbedder keeps every vector off the origin") {
+    val v = spark.range(1).select(
+        DocStore.hashEmbedder(8)(lit("x")).as("v"))
+      .as[Seq[Double]].collect()(0)
+    assert(v.length == 9)
+    assert(v.head == 1.0) // token count dimension
+  }
+}
