@@ -38,6 +38,23 @@ object Bench {
     "q_bm25", "q_pagerank", "q_connected_components", "q_louvain", "q_hmm",
     "q_retract_reduce", "q_text_stats", "q_sql")
 
+  /** Queries whose wall-clock is dominated by a streaming-replay or
+    * external-service HARNESS (multi-micro-batch MemoryStream feeds,
+    * kill+restart recovery, embedded Derby, local HTTP endpoints,
+    * watched directories) rather than by the Spark plan under test —
+    * the harness startup/commit overhead IS part of what those oracles
+    * verify, but it makes their timings incomparable with plan-bound
+    * queries and inflates suite totals as oracle coverage grows (the r9
+    * 124.5 s vs r8 85.5 s "regression" was pure suite growth). The
+    * bench output reports `total_plan` / `total_harness` subtotals so
+    * round-over-round comparisons track the right number. */
+  private val harness = Set(
+    "q_asof_now", "q_async_transformer", "q_behavior_cutoff",
+    "q_behavior_keep", "q_inactivity", "q_interval_stream",
+    "q_io_filestream", "q_io_http", "q_io_jdbc", "q_io_subject",
+    "q_io_subject_replay", "q_recovery", "q_subscribe",
+    "q_upsert_partitioned", "q_upsert_snapshot")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -107,6 +124,8 @@ object Bench {
     val mins = names.map(n => n -> minOf(runs(n)))
     val med = names.map(n => n -> median(runs(n)))
     val total = mins.map(_._2).sum
+    val totalPlan = mins.filterNot(p => harness(p._1)).map(_._2).sum
+    val totalHarness = mins.filter(p => harness(p._1)).map(_._2).sum
     // best-of-3 for the same reason the queries report min-of-passes: a
     // single micro-batch measurement under a steal window swung 8k-65k
     // rows/s run-to-run
@@ -115,6 +134,7 @@ object Bench {
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_full.json")
     val fullJson =
       s"""{"sf":"$sfDir","cpus":$cpus,"reps":$reps,"total_min_sec":${r3(total)},""" +
+      s""""total_plan":${r3(totalPlan)},"total_harness":${r3(totalHarness)},""" +
       "\"failed\":" + failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]") + "," +
       s""""streaming_wordcount_rows_per_s":${r3(wcRate)},""" +
       "\"mins\":" + mins.map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}") +
@@ -130,6 +150,7 @@ object Bench {
     val qs = mins.filter { case (k, _) => headline.contains(k) }
       .map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
     println(s"""{"metric":"total_min_all_queries","value":${r3(total)},"unit":"sec",""" +
+      s""""total_plan":${r3(totalPlan)},"total_harness":${r3(totalHarness)},""" +
       s""""queries":$qs,"reps":$reps,"agg":"min",""" +
       s""""streaming_wordcount_rows_per_s":${r3(wcRate)},"sf":"$sfDir"}""")
   }

@@ -415,6 +415,36 @@ object PipelineQueries extends QueryModule {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  // The same HNSW retrieval through a PERSISTED index (parity with
+  // q_knn_ivf_persisted): graphs built once + hnswSave to parquet
+  // (per-shard node/link rows + a meta marker pinning m/efConstruction),
+  // then a fresh hnswLoadTopK answers from the restored graphs — same
+  // exact-regime oracle; the save→load round-trip must not move a row.
+  q("q_knn_hnsw_persisted",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |d AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+      |sc AS (SELECT qid, nid,
+      |  list_dot_product(qv, dv)
+      |    / sqrt(list_dot_product(qv, qv) * list_dot_product(dv, dv)) AS c
+      |  FROM q JOIN d ON qid != nid),
+      |r AS (SELECT qid AS query_id, nid AS neighbor_id, c,
+      |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank FROM sc)
+      |SELECT query_id, rank, neighbor_id, round(c, 4) AS cosine
+      |FROM r WHERE rank <= 3""") { (s, dir) =>
+    val e = load(s, dir, "embeddings")
+    val n = e.count()
+    val (mm, ef) = if (n <= 4096) (n.toInt, n.toInt) else (16, 64)
+    val idx = java.nio.file.Files.createTempDirectory("graft_hnsw_idx").toString
+    operators.Hnsw.hnswSave(e, col("vec_id"), col("embedding"), idx,
+      m = mm, efConstruction = ef)
+    operators.Hnsw.hnswLoadTopK(s, idx, e.filter(col("vec_id") % 50 === 0),
+        col("vec_id"), col("embedding"), k = 3, efSearch = ef,
+        exact = n <= 4096)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   // LSH pre-clustering: 2 independent 12-plane bands, CC-merged
   q("q_lsh_cluster",
     """WITH RECURSIVE

@@ -55,6 +55,26 @@ object Monitor {
     buf.asScala.map(m => f"${m.name}%-20s ${m.durationNs / 1e6}%10.1f ms ${m.error.getOrElse("")}")
       .mkString("\n")
 
+  /** Log-scale latency histogram over fixed decade buckets
+    * (<1 ms, <10 ms, <100 ms, <1 s, <10 s, ≥10 s), bar heights scaled
+    * to the densest bucket with eighth-block glyphs — six characters
+    * summarizing an operator's whole latency distribution, the
+    * per-operator texture of the reference's terminal view
+    * (internals/monitoring.py StatisticsMonitor latency column). Fixed
+    * edges, not data-derived quantiles, so two refreshes (or two
+    * operators) stay visually comparable. */
+  private[graft] def latencyHistogram(ms: Seq[Double]): String = {
+    val edges = Seq(1.0, 10.0, 100.0, 1000.0, 10000.0)
+    val counts = Array.fill(edges.length + 1)(0)
+    ms.foreach { v =>
+      val i = edges.indexWhere(v < _)
+      counts(if (i == -1) edges.length else i) += 1
+    }
+    val blocks = " ▁▂▃▄▅▆▇█"
+    val mx = math.max(counts.max, 1)
+    counts.map(c => blocks(if (c == 0) 0 else 1 + (c * 7) / mx)).mkString
+  }
+
   /** Text dashboard over the live buffers — the analog of the
     * reference's terminal monitoring view (internals/monitoring.py
     * StatisticsMonitor: per-connector message counts + operator latency
@@ -63,7 +83,8 @@ object Monitor {
     * `print("[2J" + renderDashboard(...))` for the live-refresh
     * experience, or snapshot it into logs. Streams show their LATEST
     * progress per query (the reference shows current-minibatch figures);
-    * batch rows are the full completed-execution history. */
+    * batch executions aggregate per operator name with run counts,
+    * min/p50/max latency and a [[latencyHistogram]]. */
   def renderDashboard(batch: ConcurrentLinkedQueue[BatchMetric],
       streams: ConcurrentLinkedQueue[StreamMetric]): String = {
     val b = batch.asScala.toSeq
@@ -71,9 +92,19 @@ object Monitor {
       .map { case (_, ms) => ms.maxBy(_.batchId) }.toSeq.sortBy(_.queryName)
     val sb = new StringBuilder
     sb ++= s"graft monitor — ${b.size} batch executions, ${latest.size} live streams\n"
-    sb ++= f"${"BATCH"}%-32s ${"ms"}%10s  status\n"
-    b.foreach { m =>
-      sb ++= f"${m.name.take(32)}%-32s ${m.durationNs / 1e6}%10.1f  ${m.error.getOrElse("ok")}\n"
+    // batch executions aggregate PER OPERATOR NAME (the reference's
+    // StatisticsMonitor renders one row per operator): run count,
+    // min/median/max latency, a log-decade latency histogram over every
+    // completed run, latest error (if any) as the status
+    sb ++= f"${"BATCH"}%-32s ${"n"}%4s ${"min ms"}%9s ${"p50 ms"}%9s ${"max ms"}%9s 1ms..10s status\n"
+    b.groupBy(_.name).toSeq.sortBy(_._1).foreach { case (name, ms) =>
+      val ok = ms.filter(_.error.isEmpty).map(_.durationNs / 1e6).sorted
+      val err = ms.flatMap(_.error).lastOption
+      val (mn, p50, mx) =
+        if (ok.isEmpty) (0.0, 0.0, 0.0)
+        else (ok.head, ok((ok.size - 1) / 2), ok.last)
+      sb ++= f"${name.take(32)}%-32s ${ms.size}%4d $mn%9.1f $p50%9.1f $mx%9.1f " +
+        s"[${latencyHistogram(ok)}] ${err.getOrElse("ok")}\n"
     }
     sb ++= f"${"STREAM"}%-24s ${"batch"}%6s ${"rows"}%10s ${"rows/s"}%12s\n"
     latest.foreach { m =>

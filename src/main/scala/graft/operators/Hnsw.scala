@@ -172,6 +172,17 @@ object Hnsw {
       if (lvl > maxLevel) { maxLevel = lvl; entry = node }
     }
 
+    /** Persistence dump: one row per node, links as level-indexed
+      * arrays. Together with [[PartIndex.restore]] this round-trips the
+      * graph EXACTLY (same links, same entry point) — a loaded index
+      * answers bit-identically to the index it was saved from. */
+    private[graft] def dumpNodes: Iterator[(Int, Long, Array[Double], Int, Seq[Seq[Int]])] =
+      ids.indices.iterator.map { n =>
+        (n, ids(n), vecs(n), levels(n), links(n).map(_.toSeq).toSeq)
+      }
+    private[graft] def entryNode: Int = entry
+    private[graft] def topLevel: Int = maxLevel
+
     /** Top-k (id, cosine) by descending cosine; excludes `excludeId`. */
     def search(q: Array[Double], k: Int, efSearch: Int,
         excludeId: Long): Seq[(Long, Double)] = {
@@ -188,6 +199,32 @@ object Hnsw {
       searchLayer(q, qn, ep, math.max(efSearch, k + 1), 0)
         .iterator.map { case (d, n) => (ids(n), 1.0 - d) }
         .filter(_._1 != excludeId).take(k).toSeq
+    }
+  }
+
+  private[graft] object PartIndex {
+    /** Rebuild a dumped graph verbatim — state restore, NOT re-insertion
+      * (re-inserting would rebuild links and, with different arrival
+      * order, a different graph). Norms are recomputed with the same
+      * ascending loop `insert` uses, so they are bit-identical to the
+      * saved instance's. `nodes` must be the complete node set of one
+      * graph; any order (sorted by node index here). */
+    def restore(m: Int, efConstruction: Int,
+        nodes: Seq[(Int, Long, Array[Double], Int, Seq[Seq[Int]])],
+        entry: Int, maxLevel: Int): PartIndex = {
+      val idx = new PartIndex(m, efConstruction)
+      nodes.sortBy(_._1).foreach { case (n, id, vec, lvl, lk) =>
+        require(n == idx.ids.length,
+          s"Hnsw restore: node indexes not contiguous at $n (graph rows missing?)")
+        var n2 = 0.0
+        var i = 0
+        while (i < vec.length) { n2 += vec(i) * vec(i); i += 1 }
+        idx.ids += id; idx.vecs += vec; idx.norms += n2; idx.levels += lvl
+        idx.links += lk.map(l => mutable.ArrayBuffer.from(l)).toArray
+      }
+      idx.entry = entry
+      idx.maxLevel = maxLevel
+      idx
     }
   }
 
@@ -237,6 +274,97 @@ object Hnsw {
       else qB.value.iterator.flatMap { case (q, qv) =>
         idx.search(qv, k, efSearch, excludeId = q)
           .map { case (nid, cos) => (q, nid, cos) }
+      }
+    }.toDF("query_id", "neighbor_id", "cosine")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    perShard.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Persist sharded HNSW graphs: build one [[PartIndex]] per partition
+    * of `data` (exactly as [[topK]] would) and serialize each graph as
+    * parquet rows under `path/graphs` — (node, id, vec, level,
+    * level-indexed links), partitioned by shard so one query task
+    * rebuilds whole graphs from whole files — plus a `path/meta` marker
+    * pinning (m, efConstruction): search quality is a property of the
+    * BUILT graph, so a reader must know what it is probing, and a
+    * mismatched assumption fails loudly at load instead of silently
+    * degrading recall. Parquet round-trips doubles and int arrays
+    * exactly, so a restored graph answers bit-identically to the
+    * instance it was saved from (HnswSpec pins this in the approximate
+    * regime, where it is NOT implied by exactness).
+    *
+    * Same build-once/query-many motivation as [[Similarity.ivfSave]]:
+    * at corpus scale the graph build (the expensive, insert-ordered
+    * part) happens in one batch job; later jobs probe from disk. */
+  def hnswSave(data: DataFrame, did: Column, dvec: Column, path: String,
+      m: Int = 16, efConstruction: Int = 64): Unit = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val d = Similarity.spread(
+      data.select(did.cast("long").as("id"), dvec.cast("array<double>").as("v")))
+      .as[(Long, Array[Double])]
+    val rows = d.mapPartitions { it =>
+      val shard = org.apache.spark.TaskContext.getPartitionId()
+      val idx = new PartIndex(m, efConstruction)
+      it.toArray.sortBy(_._1).foreach { case (id, v) => idx.insert(id, v) }
+      if (idx.size == 0) Iterator.empty
+      else {
+        val (entry, top) = (idx.entryNode, idx.topLevel)
+        idx.dumpNodes.map { case (n, id, vec, lvl, lk) =>
+          (shard, n, id, vec, lvl, lk, entry, top)
+        }
+      }
+    }.toDF("shard", "node", "id", "vec", "level", "links", "entry", "max_level")
+    rows.write.mode("overwrite").partitionBy("shard").parquet(s"$path/graphs")
+    Seq((m, efConstruction)).toDF("m", "ef_construction")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Top-k against a [[hnswSave]]d index without rebuilding the graphs.
+    * Graph rows shuffle by shard; each task restores its shards' graphs
+    * verbatim ([[PartIndex.restore]]) and runs the same beam search as
+    * [[topK]] — per-shard top-k, global rank-window merge. The query
+    * side keeps [[topK]]'s broadcast smallness contract. `exact = true`
+    * asserts the per-shard degenerate-regime precondition like [[topK]]. */
+  def hnswLoadTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qid: Column, qvec: Column, k: Int,
+      efSearch: Int = 64, exact: Boolean = false,
+      maxQueries: Int = 100000): DataFrame = {
+    import spark.implicits._
+    val metaRow = spark.read.parquet(s"$path/meta").collect()(0)
+    val (m, efc) = (metaRow.getAs[Int]("m"), metaRow.getAs[Int]("ef_construction"))
+    val qRows = queries.select(qid.cast("long").as("qid"),
+        qvec.cast("array<double>").as("qv"))
+      .limit(maxQueries + 1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(qRows.length <= maxQueries,
+      s"Hnsw.hnswLoadTopK: query side exceeds the broadcast smallness " +
+        s"contract (> $maxQueries rows)")
+    val qB = spark.sparkContext.broadcast(qRows)
+    val g = spark.read.parquet(s"$path/graphs")
+      .select(col("shard").cast("int"), col("node"), col("id"), col("vec"),
+        col("level"), col("links"), col("entry"), col("max_level"))
+      .repartition(col("shard"))
+      .as[(Int, Int, Long, Seq[Double], Int, Seq[Seq[Int]], Int, Int)]
+    val perShard = g.mapPartitions { it =>
+      // a task may receive several whole shards (hash co-location) —
+      // restore and search each independently
+      it.toSeq.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+        val idx = PartIndex.restore(m, efc,
+          rows.map(r => (r._2, r._3, r._4.toArray, r._5, r._6)),
+          rows.head._7, rows.head._8)
+        if (exact) require(m >= idx.size && efSearch >= idx.size,
+          s"Hnsw.hnswLoadTopK(exact=true): shard has ${idx.size} rows but " +
+            s"m=$m, efSearch=$efSearch — the provably-exact regime needs both ≥ rows/shard")
+        qB.value.iterator.flatMap { case (q, qv) =>
+          idx.search(qv, k, efSearch, excludeId = q)
+            .map { case (nid, cos) => (q, nid, cos) }
+        }
       }
     }.toDF("query_id", "neighbor_id", "cosine")
     val w = org.apache.spark.sql.expressions.Window

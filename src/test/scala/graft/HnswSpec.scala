@@ -117,4 +117,31 @@ class HnswSpec extends SparkSpec {
     assert(out.count() == 2)
     assert(out.columns.toSeq == Seq("qid", "rank", "id", "score"))
   }
+
+  test("persisted graphs answer identically to ad-hoc topK in the APPROXIMATE regime") {
+    // exactness would make equality trivial (both sides = brute force);
+    // approximate parameters pin the stronger claim — the save→load
+    // round-trip restores the very same graphs, so even recall-lossy
+    // results are bit-identical to the instance that was saved
+    val e = embeddings.repartition(4, col("id"))
+    val q = e.filter(col("id") < 10)
+    val path = java.nio.file.Files.createTempDirectory("hnsw_spec").toString
+    Hnsw.hnswSave(e, col("id"), col("v"), path, m = 4, efConstruction = 8)
+    val loaded = rowsOf(Hnsw.hnswLoadTopK(spark, path, q, col("id"), col("v"),
+      k = 3, efSearch = 8))
+    val adHoc = rowsOf(Hnsw.topK(q, e, col("id"), col("v"), col("id"), col("v"),
+      k = 3, m = 4, efConstruction = 8, efSearch = 8))
+    assert(loaded == adHoc)
+  }
+
+  test("persisted exact=true guard still trips on undersized parameters") {
+    val e = embeddings
+    val path = java.nio.file.Files.createTempDirectory("hnsw_spec_g").toString
+    Hnsw.hnswSave(e, col("id"), col("v"), path, m = 4, efConstruction = 8)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Hnsw.hnswLoadTopK(spark, path, e.filter(col("id") < 2),
+        col("id"), col("v"), k = 2, efSearch = 8, exact = true).count()
+    }
+    assert(ex.getMessage.contains("provably-exact regime"))
+  }
 }

@@ -85,4 +85,30 @@ class MonitorSpec extends SparkSpec {
     // stream line is the LATEST batch per query, not the history
     assert(txt.contains("77") && !txt.contains("42"))
   }
+
+  test("dashboard aggregates batch executions per operator with a latency histogram") {
+    val batch = new java.util.concurrent.ConcurrentLinkedQueue[Monitor.BatchMetric]()
+    // 3 runs of one operator across decades: 0.5ms, 5ms, 5ms, plus 2s
+    Seq(500000L, 5000000L, 5000000L, 2000000000L).foreach { ns =>
+      batch.add(Monitor.BatchMetric("q_mixed", ns, None))
+    }
+    batch.add(Monitor.BatchMetric("q_other", 1500000L, None))
+    val streams = new java.util.concurrent.ConcurrentLinkedQueue[Monitor.StreamMetric]()
+    val txt = Monitor.renderDashboard(batch, streams)
+    // ONE row per operator (aggregated), not one per execution
+    assert(txt.linesIterator.count(_.startsWith("q_mixed")) == 1)
+    val row = txt.linesIterator.find(_.startsWith("q_mixed")).get
+    assert(row.contains("   4 ")) // run count
+    assert(row.contains("0.5") && row.contains("5.0") && row.contains("2000.0"))
+    // histogram: <1ms has 1 hit, <10ms has 2 (the densest -> full block),
+    // <1s..<10s has the 2s run; decades 3 and 6 empty
+    assert(row.contains("[▄█  ▄ ]"))
+  }
+
+  test("latencyHistogram buckets by decade and scales to the densest bucket") {
+    assert(Monitor.latencyHistogram(Nil) == "      ")
+    assert(Monitor.latencyHistogram(Seq(0.5, 5.0, 5.0, 2000.0)) == "▄█  ▄ ")
+    // ≥10s lands in the overflow bucket
+    assert(Monitor.latencyHistogram(Seq(50000.0)) == "     █")
+  }
 }
