@@ -125,6 +125,38 @@ object DocStoreQueries extends QueryModule {
         r4e(col("score")).as("score"))
   }
 
+  // Two-stage retrieval (rerankers.py): embedding cosine fetches the
+  // top-10 candidates per query, the cross-encoder-stub (distinct-token
+  // overlap — an exact integer, no float ambiguity) re-scores ONLY that
+  // short list, top-3 by the new score win; ties keep first-stage order.
+  q("q_doc_store_rerank",
+    s"""WITH $pipeCte,
+      |qt AS (SELECT doc_id AS qid, array_to_string(ws[1 : 5], ' ') AS qtext
+      |  FROM w WHERE doc_id % 25 = 0),
+      |sc AS (SELECT q.qid, ce.doc_id, ce.chunk_id, ce.chunk_key,
+      |  list_dot_product(q.qv, ce.v)
+      |    / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(ce.v, ce.v)) AS c
+      |  FROM q CROSS JOIN ce WHERE ce.lang = 'en'),
+      |r1 AS (SELECT qid, doc_id, chunk_id, chunk_key, c,
+      |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, chunk_key) AS r1
+      |  FROM sc),
+      |f AS (SELECT * FROM r1 WHERE r1 <= 10),
+      |rs AS (SELECT f.qid, f.doc_id, f.chunk_id, f.r1,
+      |  CAST(len(list_intersect(string_split(qt.qtext, ' '),
+      |    string_split(k3.chunk, ' '))) AS DOUBLE) AS s2
+      |  FROM f JOIN qt ON qt.qid = f.qid
+      |  JOIN ck k3 ON k3.chunk_key = f.chunk_key),
+      |r2 AS (SELECT qid, doc_id, chunk_id, s2,
+      |  row_number() OVER (PARTITION BY qid ORDER BY s2 DESC, r1) AS rank
+      |  FROM rs)
+      |SELECT qid, rank, doc_id, chunk_id, s2 AS score
+      |FROM r2 WHERE rank <= 3""") { (s, dir) =>
+    storeOf(s, dir).retrieveRerank(queriesOf(s, dir), col("qid"), col("qtext"),
+        k = 3, fetch = 10, filter = Some(col("lang") === "en"))
+      .select(col("qid"), col("rank"), col("doc_id"), col("chunk_id"),
+        col("score"))
+  }
+
   // statistics_query surface: doc/chunk counts over the indexed corpus
   q("q_doc_store_stats",
     s"""WITH $pipeCte

@@ -66,6 +66,15 @@ object DocStore {
     concat(array(size(toks).cast("double")), hashed)
   }
 
+  /** Deterministic stub second-stage scorer (reference:
+    * xpacks/llm/rerankers.py — CrossEncoderReranker / LLMReranker score
+    * (query, document) PAIRS with a model; env-impossible here):
+    * distinct-token overlap between query and chunk. Same contract as a
+    * real cross-encoder — a `(queryText, chunkText) => score` column
+    * function, evaluated only on the short fetched candidate list. */
+  val overlapReranker: (Column, Column) => Column = (q, t) =>
+    size(array_intersect(split(q, " "), split(t, " "))).cast("double")
+
   /** 60-bit engine-portable chunk key: the first 15 hex digits of
     * md5("<doc>#<chunk>") — the same hash-derived-pointer recipe as
     * `functions.pointer_from` (the reference keys rows by hashed
@@ -134,6 +143,34 @@ object DocStore {
         .filter(col("rank") <= k)
         .select(col("qid") +: col("rank") +: col("doc_id") +: col("chunk_id") +:
           col("text") +: metadata.map(col) :+ col("score"): _*)
+    }
+
+    /** Two-stage retrieval (reference rerankers.py + the
+      * `rerank_topk_filter` pattern): stage 1 fetches the `fetch`
+      * nearest chunks per query by embedding cosine ([[retrieve]],
+      * filter included), stage 2 re-scores ONLY those candidates with
+      * `scorer` — a (queryText, chunkText) pair function, i.e. the
+      * cross-encoder contract: too expensive for the corpus, affordable
+      * on |queries|·fetch rows — and keeps the top `k` by the new
+      * score. Ties break on the first-stage rank (cosine order, itself
+      * chunk-key tie-broken), so rankings stay fully deterministic.
+      * Returns (qid, rank, doc_id, chunk_id, text, metadata…, score). */
+    def retrieveRerank(queries: DataFrame, qid: Column, qtext: Column,
+        k: Int, fetch: Int,
+        scorer: (Column, Column) => Column = overlapReranker,
+        filter: Option[Column] = None): DataFrame = {
+      require(fetch >= k, s"retrieveRerank: fetch ($fetch) must be >= k ($k)")
+      val hits = retrieve(queries, qid, qtext, fetch, filter)
+        .withColumnRenamed("rank", "_r1")
+      val q = broadcast(queries.select(qid.as("qid"), qtext.as("_qt")))
+      val rescored = hits.join(q, "qid")
+        .withColumn("_score2", scorer(col("_qt"), col("text")))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("_score2").desc, col("_r1").asc)
+      rescored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid") +: col("rank") +: col("doc_id") +: col("chunk_id") +:
+          col("text") +: metadata.map(col) :+ col("_score2").as("score"): _*)
     }
 
     /** One-row store statistics (reference `statistics_query`:

@@ -96,6 +96,23 @@ class DocStoreSpec extends SparkSpec {
     assert(ps.metadata == Seq("lang"))
   }
 
+  test("rerank re-scores only the fetched candidates and can reorder them") {
+    // embedding stage favors exact-duplicate chunks; the overlap reranker
+    // scores by distinct shared tokens, so a chunk sharing MORE tokens
+    // with the query must outrank a closer-by-embedding one
+    val out = store.retrieveRerank(q("delta epsilon zeta"), col("qid"),
+      col("qtext"), k = 3, fetch = 12)
+    val top = out.orderBy("rank").collect()
+    assert(top.length == 3)
+    // docs 1/4 chunk as "alpha beta gamma" (overlap 0), "gamma delta
+    // epsilon" (overlap 2), "epsilon zeta" (overlap 2): the winning
+    // rerank score is 2, and it must come from an overlap-2 chunk
+    assert(top(0).getAs[Double]("score") == 2.0)
+    assert(intercept[IllegalArgumentException] {
+      store.retrieveRerank(q("x"), col("qid"), col("qtext"), k = 5, fetch = 2)
+    }.getMessage.contains("fetch"))
+  }
+
   test("stats and inputs query surfaces") {
     val st = store.stats().collect()(0)
     assert(st.getAs[Long]("doc_count") == 4L)

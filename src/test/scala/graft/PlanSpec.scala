@@ -187,4 +187,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"latest-per-key must be an aggregate:\n$p")
     assert("HashAggregate|SortAggregate|ObjectHashAggregate".r.findFirstIn(p).isDefined)
   }
+
+  test("q_doc_store: the query side broadcasts; the chunk corpus is never broadcast") {
+    val p = plan("q_doc_store")
+    // retrieval scoring is corpus × broadcast(queries): the only join over
+    // the chunk set must be nested-loop with the BROADCAST build side
+    // being the tiny embedded-query table — a corpus-side broadcast (or a
+    // CartesianProduct) would OOM at real corpus scale
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"expected corpus x broadcast(queries):\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian fallback:\n$p")
+    // top-k per query keeps the rank-pushdown optimization
+    assert(p.contains("WindowGroupLimit"), s"expected rank pushdown:\n$p")
+  }
 }
