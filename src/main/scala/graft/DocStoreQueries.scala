@@ -83,12 +83,12 @@ object DocStoreQueries extends QueryModule {
         r4e(col("score")).as("score"))
   }
 
-  // The same chain through a PERSISTED store: save (chunk table + IVF
-  // index, nlist derived = 64 at the sf0.01 chunk count — the oracle's
-  // LIMIT 64) then a fresh open() answers from disk via nprobe=4 coarse
-  // pruning. The oracle replays the IVF geometry exactly: md5-sampled
-  // centroids, argmax-cosine list assignment, probe-ranked lists.
-  q("q_doc_store_persisted",
+  /** Shared oracle for every disk-backed retrieval path (persisted save
+    * and streaming ingest must land on the SAME state): full IVF replay
+    * — md5-sampled centroids (LIMIT 64 = the derived nlist at the
+    * sf0.01 chunk count), argmax-cosine list assignment, nprobe=4
+    * probe-ranked lists, hits joined back for doc/chunk ids. */
+  private val persistedSql =
     s"""WITH $pipeCte,
       |c AS (SELECT chunk_key AS cid, v AS cv FROM ce
       |  ORDER BY md5(CAST(chunk_key AS VARCHAR)) LIMIT 64),
@@ -115,11 +115,48 @@ object DocStoreQueries extends QueryModule {
       |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
       |  FROM cand)
       |SELECT r.qid, r.rank, k2.doc_id, k2.chunk_id, round(r.c + 1e-9, 4) AS score
-      |FROM r JOIN ck k2 ON k2.chunk_key = r.nid WHERE r.rank <= 3""") { (s, dir) =>
+      |FROM r JOIN ck k2 ON k2.chunk_key = r.nid WHERE r.rank <= 3"""
+
+  // The full chain through a PERSISTED store: save (chunk table + IVF
+  // index, nlist derived = 64 at the sf0.01 chunk count) then a fresh
+  // open() answers from disk via nprobe=4 coarse pruning.
+  q("q_doc_store_persisted", persistedSql) { (s, dir) =>
     val store = storeOf(s, dir)
     val path = java.nio.file.Files.createTempDirectory("graft_docstore").toString
     store.save(path)
     DocStore.open(s, path, DocStore.hashEmbedder(16), nprobe = 4)
+      .retrieve(queriesOf(s, dir), col("qid"), col("qtext"), k = 3)
+      .select(col("qid"), col("rank"), col("doc_id"), col("chunk_id"),
+        r4e(col("score")).as("score"))
+  }
+
+  // LIVE ingestion of the same corpus: documents arrive as TWO streaming
+  // micro-batches through buildStream (the stateless chunk pipeline under
+  // Structured Streaming, append parquet sink, exactly-once checkpoint),
+  // then a batch index refresh + open() must answer EXACTLY like the
+  // batch-persisted store — same oracle, not a row different.
+  q("q_doc_store_stream", persistedSql) { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .as[(Long, String, String, String)].collect()
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, String)]
+    val stream = in.toDF().toDF("doc_id", "text", "lang", "source")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"),
+        col("lang"), col("source"))
+    val root = java.nio.file.Files.createTempDirectory("graft_ds_stream").toString
+    val q = DocStore.buildStream(stream, col("doc_id"), col("data"),
+      root, s"$root/ckpt", metadata = Seq("lang", "source"),
+      chunkSize = 8, overlap = 3, embedder = DocStore.hashEmbedder(16)).start()
+    try {
+      val (evens, odds) = docs.partition(_._1 % 2 == 0)
+      in.addData(evens.toSeq); q.processAllAvailable()
+      in.addData(odds.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    DocStore.rebuildIndex(s, root)
+    DocStore.open(s, root, DocStore.hashEmbedder(16), nprobe = 4)
       .retrieve(queriesOf(s, dir), col("qid"), col("qtext"), k = 3)
       .select(col("qid"), col("rank"), col("doc_id"), col("chunk_id"),
         r4e(col("score")).as("score"))

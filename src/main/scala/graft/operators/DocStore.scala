@@ -97,17 +97,65 @@ object DocStore {
       parser: Column => Column = parseUtf8,
       postProcess: Seq[Column => Column] = Nil,
       chunkSize: Int = 256, overlap: Int = 32,
-      embedder: Column => Column = hashEmbedder()): Store = {
+      embedder: Column => Column = hashEmbedder()): Store =
+    new Store(chunkPipeline(docs, id, data, metadata, parser, postProcess,
+      chunkSize, overlap, embedder), metadata, embedder)
+
+  /** The parse → post-process → chunk → embed column pipeline. Every
+    * stage is a stateless projection or generator, so the SAME plan runs
+    * under Structured Streaming unchanged (no state, no watermark) —
+    * which is what makes [[buildStream]] a two-liner. */
+  private def chunkPipeline(docs: DataFrame, id: Column, data: Column,
+      metadata: Seq[String], parser: Column => Column,
+      postProcess: Seq[Column => Column], chunkSize: Int, overlap: Int,
+      embedder: Column => Column): DataFrame = {
     val parsed = docs
       .select(id.as("doc_id") +: parser(data).as("_text") +: metadata.map(col): _*)
       .withColumn("_text", postProcess.foldLeft(col("_text"))((c, f) => f(c)))
-    val chunks = TextOps.chunkKeep(parsed, col("doc_id"), col("_text"),
+    TextOps.chunkKeep(parsed, col("doc_id"), col("_text"),
         chunkSize, overlap, metadata)
       .select(col("id").as("doc_id") +: col("chunk_id") +:
         chunkKey(col("id"), col("chunk_id")).as("chunk_key") +:
         col("chunk").as("text") +: metadata.map(col): _*)
       .withColumn("embedding", embedder(col("text")))
-    new Store(chunks, metadata, embedder)
+  }
+
+  /** Streaming ingestion — the reference DocumentStore is a LIVE
+    * pipeline (connectors feed documents continuously; the index
+    * follows). The same stateless chunk pipeline runs over a STREAMING
+    * docs DataFrame, appending chunk rows (embeddings included — embed
+    * cost paid once per chunk, at ingest) to the persisted chunk table
+    * with exactly-once file semantics under `checkpoint`. Returns the
+    * un-started writer; `.start()` it like any graft stream.
+    *
+    * Index refresh is a separate batch concern ([[rebuildIndex]]), as in
+    * the reference, whose backing index structures are rebuilt/compacted
+    * server-side while retrieval stays available: [[open]] serves
+    * whatever chunk rows + index generation exist at read time. */
+  def buildStream(docs: DataFrame, id: Column, data: Column,
+      path: String, checkpoint: String,
+      metadata: Seq[String] = Nil,
+      parser: Column => Column = parseUtf8,
+      postProcess: Seq[Column => Column] = Nil,
+      chunkSize: Int = 256, overlap: Int = 32,
+      embedder: Column => Column = hashEmbedder())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    chunkPipeline(docs, id, data, metadata, parser, postProcess,
+        chunkSize, overlap, embedder)
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", s"$path/chunks")
+      .option("checkpointLocation", checkpoint)
+
+  /** (Re)build the IVF index over the accumulated chunk table of a
+    * [[buildStream]]-fed (or [[Store.save]]d) store — run after a batch
+    * of ingest, like the reference's periodic index maintenance.
+    * `nlist <= 0` derives from the CURRENT chunk count, so the index
+    * geometry grows with the corpus across refreshes. */
+  def rebuildIndex(spark: SparkSession, path: String, nlist: Int = 0): Unit = {
+    val persisted = spark.read.parquet(s"$path/chunks")
+    val n = if (nlist > 0) nlist else Similarity.nlistFor(persisted.count())
+    Similarity.ivfSave(persisted, col("chunk_key"), col("embedding"),
+      s"$path/index", n)
   }
 
   /** A built store: one chunk-level DataFrame carrying everything the
@@ -158,20 +206,9 @@ object DocStore {
     def retrieveRerank(queries: DataFrame, qid: Column, qtext: Column,
         k: Int, fetch: Int,
         scorer: (Column, Column) => Column = overlapReranker,
-        filter: Option[Column] = None): DataFrame = {
-      require(fetch >= k, s"retrieveRerank: fetch ($fetch) must be >= k ($k)")
-      val hits = retrieve(queries, qid, qtext, fetch, filter)
-        .withColumnRenamed("rank", "_r1")
-      val q = broadcast(queries.select(qid.as("qid"), qtext.as("_qt")))
-      val rescored = hits.join(q, "qid")
-        .withColumn("_score2", scorer(col("_qt"), col("text")))
-      val w = Window.partitionBy("qid")
-        .orderBy(col("_score2").desc, col("_r1").asc)
-      rescored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col("qid") +: col("rank") +: col("doc_id") +: col("chunk_id") +:
-          col("text") +: metadata.map(col) :+ col("_score2").as("score"): _*)
-    }
+        filter: Option[Column] = None): DataFrame =
+      rerankStage(retrieve(queries, qid, qtext, fetch, filter),
+        queries, qid, qtext, metadata, k, fetch, scorer)
 
     /** One-row store statistics (reference `statistics_query`:
       * file count / last_modified). `modified`: optional per-chunk
@@ -193,10 +230,7 @@ object DocStore {
       * files, so the embedder runs exactly once per chunk. */
     def save(path: String, nlist: Int = 0): Unit = {
       chunks.write.mode("overwrite").parquet(s"$path/chunks")
-      val persisted = chunks.sparkSession.read.parquet(s"$path/chunks")
-      val n = if (nlist > 0) nlist else Similarity.nlistFor(persisted.count())
-      Similarity.ivfSave(persisted, col("chunk_key"), col("embedding"),
-        s"$path/index", n)
+      DocStore.rebuildIndex(chunks.sparkSession, path, nlist)
     }
   }
 
@@ -252,6 +286,35 @@ object DocStore {
 
     def inputs(filter: Option[Column] = None): DataFrame =
       DocStore.inputsOf(chunks, metadata, filter)
+
+    /** Two-stage retrieval over the persisted index — see
+      * [[Store.retrieveRerank]]; stage 1 is the IVF probe. */
+    def retrieveRerank(queries: DataFrame, qid: Column, qtext: Column,
+        k: Int, fetch: Int,
+        scorer: (Column, Column) => Column = overlapReranker,
+        filter: Option[Column] = None): DataFrame =
+      rerankStage(retrieve(queries, qid, qtext, fetch, filter),
+        queries, qid, qtext, metadata, k, fetch, scorer)
+  }
+
+  /** Stage 2 of two-stage retrieval: re-score a fetched hit list with a
+    * (queryText, chunkText) pair scorer and keep the top k by the new
+    * score; ties keep first-stage order (the `rank` column of `hits`),
+    * so rankings stay fully deterministic. */
+  private def rerankStage(hits0: DataFrame, queries: DataFrame,
+      qid: Column, qtext: Column, metadata: Seq[String], k: Int, fetch: Int,
+      scorer: (Column, Column) => Column): DataFrame = {
+    require(fetch >= k, s"retrieveRerank: fetch ($fetch) must be >= k ($k)")
+    val hits = hits0.withColumnRenamed("rank", "_r1")
+    val q = broadcast(queries.select(qid.as("qid"), qtext.as("_qt")))
+    val rescored = hits.join(q, "qid")
+      .withColumn("_score2", scorer(col("_qt"), col("text")))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("_score2").desc, col("_r1").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid") +: col("rank") +: col("doc_id") +: col("chunk_id") +:
+        col("text") +: metadata.map(col) :+ col("_score2").as("score"): _*)
   }
 
   private def statsOf(chunks: DataFrame, modified: Option[Column]): DataFrame =

@@ -113,6 +113,37 @@ class DocStoreSpec extends SparkSpec {
     }.getMessage.contains("fetch"))
   }
 
+  test("streaming ingest appends chunks incrementally and converges to the batch store") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en"),
+      (2L, "alpha beta gamma other words here", "en"),
+      (3L, "uno dos tres cuatro cinco seis", "es"),
+      (4L, "alpha beta gamma delta epsilon zeta", "es"))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val stream = in.toDF().toDF("doc_id", "text", "lang")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"), col("lang"))
+    val root = java.nio.file.Files.createTempDirectory("ds_stream_spec").toString
+    val sq = DocStore.buildStream(stream, col("doc_id"), col("data"),
+      root, s"$root/ckpt", metadata = Seq("lang"),
+      chunkSize = 3, overlap = 1, embedder = DocStore.hashEmbedder(8)).start()
+    try {
+      in.addData(rows.take(2)); sq.processAllAvailable()
+      assert(spark.read.parquet(s"$root/chunks").count() == 6) // 2 docs x 3
+      in.addData(rows.drop(2)); sq.processAllAvailable()
+    } finally sq.stop()
+    DocStore.rebuildIndex(spark, root, nlist = 4)
+    val ps = DocStore.open(spark, root, DocStore.hashEmbedder(8), nprobe = 4)
+    assert(ps.chunks.count() == 12)
+    val streamed = ps.retrieve(q("uno dos tres"), col("qid"), col("qtext"), 3)
+      .select("qid", "rank", "doc_id", "chunk_id", "score")
+    val batch = store.retrieve(q("uno dos tres"), col("qid"), col("qtext"), 3)
+      .select("qid", "rank", "doc_id", "chunk_id", "score")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("stats and inputs query surfaces") {
     val st = store.stats().collect()(0)
     assert(st.getAs[Long]("doc_count") == 4L)
