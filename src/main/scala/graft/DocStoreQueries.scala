@@ -194,6 +194,28 @@ object DocStoreQueries extends QueryModule {
         col("score"))
   }
 
+  // RAG context assembly (question_answering.py builds its prompt from
+  // the retrieved chunks; the LLM call is env-impossible and out of
+  // scope): top-3 chunks per query concatenated in rank order — the
+  // deterministic string the prompt builder would consume.
+  q("q_doc_store_context",
+    s"""WITH $pipeCte,
+      |sc AS (SELECT q.qid, ce.chunk_key,
+      |  list_dot_product(q.qv, ce.v)
+      |    / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(ce.v, ce.v)) AS c
+      |  FROM q CROSS JOIN ce WHERE ce.lang = 'en'),
+      |r AS (SELECT qid, chunk_key, c,
+      |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, chunk_key) AS rank
+      |  FROM sc),
+      |f AS (SELECT r.qid, r.rank, k2.chunk FROM r
+      |  JOIN ck k2 ON k2.chunk_key = r.chunk_key WHERE r.rank <= 3)
+      |SELECT qid, CAST(count(*) AS BIGINT) AS n_chunks,
+      |  string_agg(chunk, e'\\n\\n' ORDER BY rank) AS context
+      |FROM f GROUP BY qid""") { (s, dir) =>
+    storeOf(s, dir).retrieveContext(queriesOf(s, dir), col("qid"), col("qtext"),
+      k = 3, filter = Some(col("lang") === "en"))
+  }
+
   // statistics_query surface: doc/chunk counts over the indexed corpus
   q("q_doc_store_stats",
     s"""WITH $pipeCte

@@ -57,12 +57,21 @@ object DocStore {
     * without touching the rest of the pipeline. */
   def hashEmbedder(dim: Int = 16): Column => Column = { text =>
     val toks = split(text, " ")
+    // Digest each token ONCE, up front: higher-order functions are
+    // interpreted (no codegen, no common-subexpression elimination), so
+    // an md5 written inside the per-dimension fold would run dim× per
+    // token — measured 10+ s per retrieval over a 53k-chunk corpus at
+    // sf0.1, vs ~1 s with the digests hoisted. The fold then scans a
+    // small (bucket, sign) struct array with integer compares only.
+    val hs = transform(toks, t => md5(t))
+    val kv = transform(hs, h => struct(
+      (conv(substring(h, 1, 4), 16, 10).cast("long") % dim).as("b"),
+      when(conv(substring(h, 5, 1), 16, 10).cast("long") % 2 === 0,
+        lit(1.0)).otherwise(lit(-1.0)).as("s")))
     val hashed = transform(sequence(lit(0), lit(dim - 1)), d =>
-      aggregate(toks, lit(0.0), (acc, t) =>
-        acc + when(
-          conv(substring(md5(t), 1, 4), 16, 10).cast("long") % dim === d.cast("long"),
-          when(conv(substring(md5(t), 5, 1), 16, 10).cast("long") % 2 === 0,
-            lit(1.0)).otherwise(lit(-1.0))).otherwise(lit(0.0))))
+      aggregate(kv, lit(0.0), (acc, e) =>
+        acc + when(e.getField("b") === d.cast("long"), e.getField("s"))
+          .otherwise(lit(0.0))))
     concat(array(size(toks).cast("double")), hashed)
   }
 
@@ -98,8 +107,17 @@ object DocStore {
       postProcess: Seq[Column => Column] = Nil,
       chunkSize: Int = 256, overlap: Int = 32,
       embedder: Column => Column = hashEmbedder()): Store =
-    new Store(chunkPipeline(docs, id, data, metadata, parser, postProcess,
-      chunkSize, overlap, embedder), metadata, embedder)
+    // spread the doc table first: the pipeline is projection/generator
+    // only, so everything downstream — chunking, the embed fold, pairwise
+    // scoring — inherits the INPUT's partitioning, and a doc corpus that
+    // arrives as one small parquet split would run the whole store
+    // single-threaded until the first rank-window exchange (measured: a
+    // 12.6 s one-task embed+score stage at sf0.1, tasks=1, vs ~1 s
+    // spread). Batch path only: Par.spread's stat probe cannot run on a
+    // streaming DataFrame, and buildStream inherits its micro-batch
+    // partitioning from the source instead.
+    new Store(chunkPipeline(Similarity.spread(docs), id, data, metadata,
+      parser, postProcess, chunkSize, overlap, embedder), metadata, embedder)
 
   /** The parse → post-process → chunk → embed column pipeline. Every
     * stage is a stateless projection or generator, so the SAME plan runs
@@ -139,12 +157,20 @@ object DocStore {
       postProcess: Seq[Column => Column] = Nil,
       chunkSize: Int = 256, overlap: Int = 32,
       embedder: Column => Column = hashEmbedder())
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    chunkPipeline(docs, id, data, metadata, parser, postProcess,
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // explicit repartition (the streaming twin of build's Par.spread —
+    // the stat probe can't run on a streaming plan): a micro-batch
+    // arriving in one source partition would otherwise run the whole
+    // chunk+embed fold single-threaded; one narrow doc-row shuffle per
+    // batch buys parallel embedding of the expanded chunk set
+    val spread = docs.repartition(
+      docs.sparkSession.sessionState.conf.numShufflePartitions)
+    chunkPipeline(spread, id, data, metadata, parser, postProcess,
         chunkSize, overlap, embedder)
       .writeStream.format("parquet").outputMode("append")
       .option("path", s"$path/chunks")
       .option("checkpointLocation", checkpoint)
+  }
 
   /** (Re)build the IVF index over the accumulated chunk table of a
     * [[buildStream]]-fed (or [[Store.save]]d) store — run after a batch
@@ -176,19 +202,28 @@ object DocStore {
       * (qid, rank, doc_id, chunk_id, text, metadata…, score). */
     def retrieve(queries: DataFrame, qid: Column, qtext: Column, k: Int,
         filter: Option[Column] = None): DataFrame = {
-      val d = chunks.filter(filter.getOrElse(lit(true)))
+      val corpus = chunks.filter(filter.getOrElse(lit(true)))
+      // Score and rank over NARROW rows — (qid, chunk_key, score) is 24
+      // bytes; the candidate expansion is |queries|×|chunks| rows, and
+      // carrying text+metadata through the pairwise projection and the
+      // rank window's sort multiplied the bytes materialized/sorted ~10×
+      // (measured ~11 s → ~3 s at sf0.1). The wide columns join back
+      // over only the |queries|·k winners, and that second corpus scan
+      // prunes the embedding column (the expensive stub fold), so it
+      // re-parses and re-chunks but never re-embeds.
+      val d = corpus.select(col("chunk_key"), col("embedding"))
         .withColumn("_dn", Similarity.norm2(col("embedding")))
       val q = queries.select(qid.as("qid"), embedder(qtext).as("_qv"))
         .withColumn("_qn", Similarity.norm2(col("_qv")))
       val scored = d.crossJoin(broadcast(q))
-        .select(col("qid") +: col("doc_id") +: col("chunk_id") +:
-          col("chunk_key") +: col("text") +: metadata.map(col) :+
+        .select(col("qid"), col("chunk_key"),
           Similarity.cosinePrenorm(col("_qv"), col("embedding"),
-            col("_qn"), col("_dn")).as("score"): _*)
+            col("_qn"), col("_dn")).as("score"))
       val w = Window.partitionBy("qid")
         .orderBy(col("score").desc, col("chunk_key").asc)
-      scored.withColumn("rank", row_number().over(w))
+      val top = scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
+      broadcast(top).join(corpus.drop("embedding"), "chunk_key")
         .select(col("qid") +: col("rank") +: col("doc_id") +: col("chunk_id") +:
           col("text") +: metadata.map(col) :+ col("score"): _*)
     }
@@ -209,6 +244,24 @@ object DocStore {
         filter: Option[Column] = None): DataFrame =
       rerankStage(retrieve(queries, qid, qtext, fetch, filter),
         queries, qid, qtext, metadata, k, fetch, scorer)
+
+    /** Assemble a retrieval CONTEXT per query — the RAG prompt-building
+      * step (reference: xpacks/llm/question_answering.py builds its LLM
+      * prompt from the retrieved chunks; the LLM call itself is
+      * env-impossible and out of scope): the top-k chunks concatenated
+      * in rank order. Rank-ordered inside the aggregate via
+      * array_sort-of-struct (ranks are unique per query), so the
+      * context string is deterministic. Returns
+      * (qid, n_chunks, context). */
+    def retrieveContext(queries: DataFrame, qid: Column, qtext: Column,
+        k: Int, filter: Option[Column] = None,
+        sep: String = "\n\n"): DataFrame =
+      retrieve(queries, qid, qtext, k, filter)
+        .groupBy("qid").agg(
+          count(lit(1)).as("n_chunks"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("rank"), col("text")))),
+            s => s.getField("text")), sep).as("context"))
 
     /** One-row store statistics (reference `statistics_query`:
       * file count / last_modified). `modified`: optional per-chunk
@@ -327,4 +380,97 @@ object DocStore {
       filter: Option[Column]): DataFrame =
     chunks.filter(filter.getOrElse(lit(true)))
       .select(col("doc_id") +: metadata.map(col): _*).distinct()
+
+  /** Minimal REST query server over a built store (reference:
+    * xpacks/llm/servers.py `DocumentStoreServer` — the store's
+    * retrieve/statistics/inputs schemas exposed as REST endpoints;
+    * vector_store.py `VectorStoreServer` is the same shape). JDK-builtin
+    * HTTP server, zero dependencies, same pattern as `Monitor.serve`:
+    *
+    *   GET /v1/retrieve?query=<urlencoded>&k=N
+    *     → [{"doc_id":…,"chunk_id":…,"text":…,"score":…}…]  (rank order)
+    *   GET /v1/statistics → {"doc_count":N,"chunk_count":M}
+    *   GET /v1/inputs     → [{"doc_id":…,…metadata…}…]
+    *
+    * Each request runs one small Spark job from the driver (the query is
+    * a one-row table through the same [[Store.retrieve]] plan — serving
+    * is the k=1-query degenerate case of batch retrieval, not a separate
+    * code path). Query parameters instead of the reference's JSON POST
+    * bodies — a deliberate simplification to stay dependency-free.
+    * `port = 0` binds an ephemeral port; `.stop(0)` releases. */
+  def serve(store: Store, port: Int = 0): com.sun.net.httpserver.HttpServer = {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val spark = store.chunks.sparkSession
+    def esc(s: String): String = {
+      val sb = new StringBuilder(s.length + 8)
+      s.foreach {
+        case '\\' => sb.append("\\\\")
+        case '"' => sb.append("\\\"")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
+    def jval(v: Any): String = v match {
+      case null => "null"
+      case s: String => "\"" + esc(s) + "\""
+      case d: Double => if (d.isNaN || d.isInfinite) "null" else d.toString
+      case f: Float => jval(f.toDouble)
+      case x => x.toString
+    }
+    def jrows(df: DataFrame): String = {
+      val cols = df.columns
+      df.collect().map(r =>
+        cols.zipWithIndex.map { case (c, i) => s""""${esc(c)}":${jval(r.get(i))}""" }
+          .mkString("{", ",", "}")).mkString("[", ",", "]")
+    }
+    def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, b.length)
+      val os = ex.getResponseBody
+      try os.write(b) finally os.close()
+    }
+    def params(ex: HttpExchange): Map[String, String] =
+      Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+        .filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+    val srv = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
+    srv.createContext("/v1/retrieve", (ex: HttpExchange) => {
+      try {
+        val p = params(ex)
+        p.get("query") match {
+          case None => respond(ex, 400, """{"error":"missing query parameter"}""")
+          case Some(qtext) =>
+            val k = p.getOrElse("k", "3").toInt
+            import spark.implicits._
+            val qdf = Seq((0L, qtext)).toDF("q_id", "q_text")
+            val hits = store.retrieve(qdf, col("q_id"), col("q_text"), k)
+              .orderBy("rank")
+              .select("doc_id", "chunk_id", "text", "score")
+            respond(ex, 200, jrows(hits))
+        }
+      } catch { case e: Throwable =>
+        respond(ex, 500, s"""{"error":"${esc(e.toString)}"}""")
+      }
+    })
+    srv.createContext("/v1/statistics", (ex: HttpExchange) => {
+      try respond(ex, 200,
+        jrows(store.stats().select("doc_count", "chunk_count")).drop(1).dropRight(1))
+      catch { case e: Throwable =>
+        respond(ex, 500, s"""{"error":"${esc(e.toString)}"}""") }
+    })
+    srv.createContext("/v1/inputs", (ex: HttpExchange) => {
+      try respond(ex, 200, jrows(store.inputs()))
+      catch { case e: Throwable =>
+        respond(ex, 500, s"""{"error":"${esc(e.toString)}"}""") }
+    })
+    srv.start()
+    srv
+  }
 }

@@ -267,8 +267,13 @@ object Similarity {
       nlist: Int, dim: Int = 0): Unit = {
     val (cents, assigned) = ivfBuild(data, did, dvec, nlist, dim)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    assigned.write.mode("overwrite").partitionBy("cid")
-      .parquet(s"$path/assigned")
+    // cluster by cid before the partitioned write: partitionBy opens one
+    // file per (task, cid) pair, so un-clustered input writes up to
+    // tasks×nlist near-empty files (8k at nlist=256, local[32]) — slow
+    // here, and the classic small-files problem on a real filesystem.
+    // Hash-clustered, each list lands in exactly one task → nlist files.
+    assigned.repartition(col("cid")).write.mode("overwrite")
+      .partitionBy("cid").parquet(s"$path/assigned")
   }
 
   /** Retrieve against an [[ivfSave]]d index without rebuilding it. */

@@ -155,6 +155,39 @@ class DocStoreSpec extends SparkSpec {
       Set((1L, "en"), (2L, "en")))
   }
 
+  test("retrieveContext concatenates the top-k chunks in rank order") {
+    val out = store.retrieveContext(q("uno dos tres"), col("qid"), col("qtext"),
+      k = 2, sep = " || ").collect()(0)
+    assert(out.getAs[Long]("n_chunks") == 2L)
+    val ctx = out.getAs[String]("context")
+    val parts = ctx.split(java.util.regex.Pattern.quote(" || "))
+    assert(parts.length == 2)
+    // rank-1 chunk (exact prefix match from doc 3) must come first
+    assert(parts(0) == "uno dos tres")
+  }
+
+  test("REST server answers retrieve/statistics/inputs like the direct calls") {
+    val srv = DocStore.serve(store)
+    try {
+      val port = srv.getAddress.getPort
+      def get(path: String): String = {
+        val c = java.net.http.HttpClient.newHttpClient()
+        c.send(java.net.http.HttpRequest.newBuilder()
+            .uri(java.net.URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      }
+      val hits = get("/v1/retrieve?query=uno%20dos%20tres&k=2")
+      assert(hits.startsWith("[") && hits.contains("\"doc_id\":3"))
+      assert(hits.contains("\"text\":\"uno dos tres\""))
+      val stats = get("/v1/statistics")
+      assert(stats == """{"doc_count":4,"chunk_count":12}""")
+      val inputs = get("/v1/inputs")
+      assert(inputs.contains("\"doc_id\":1") && inputs.contains("\"lang\":\"es\""))
+      // missing query parameter fails loudly, not a 500 stack dump
+      assert(get("/v1/retrieve").contains("missing query parameter"))
+    } finally srv.stop(0)
+  }
+
   test("hashEmbedder keeps every vector off the origin") {
     val v = spark.range(1).select(
         DocStore.hashEmbedder(8)(lit("x")).as("v"))
