@@ -163,8 +163,17 @@ class DataIndexSpec extends SparkSpec {
     assert(loaded == direct)
     // the persisted layout: broadcastable centroids + cid-partitioned lists
     assert(new java.io.File(s"$idx/centroids").isDirectory)
-    assert(new java.io.File(s"$idx/assigned").listFiles
-      .exists(_.getName.startsWith("cid=")))
+    val cidDirs = new java.io.File(s"$idx/assigned").listFiles
+      .filter(_.getName.startsWith("cid="))
+    assert(cidDirs.nonEmpty)
+    // lists are CLUSTERED before the partitioned write: each inverted
+    // list is exactly one parquet file, not one per (task, cid) pair —
+    // un-clustered partitionBy writes tasks×nlist near-empty files
+    cidDirs.foreach { d =>
+      val parts = d.listFiles.filter(_.getName.startsWith("part-"))
+      assert(parts.length == 1,
+        s"${d.getName}: expected one clustered file, got ${parts.length}")
+    }
   }
 
   test("classify: majority vote, pinned tie-break, NULL on empty retrieval") {
