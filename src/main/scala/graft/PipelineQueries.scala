@@ -160,6 +160,90 @@ object PipelineQueries extends QueryModule {
       .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
   }
 
+  // Deterministic Lloyd k-means (Clustering.kmeans): md5-sample seeds,
+  // exact-double argmin assignment, centroid means via 2^-30-quantized
+  // BIGINT sums (order-free — the float-summation trap the louvain twin
+  // closed with integer gains). Two full rounds + final assignment,
+  // unrolled in the oracle.
+  q("q_kmeans",
+    """WITH w0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |w AS (SELECT id,
+      |  list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-30)) AS v
+      |  FROM w0),
+      |c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) AS cid,
+      |  v AS cv FROM w ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 8),
+      |a1 AS (SELECT id, cid FROM (
+      |  SELECT w.id, c.cid, row_number() OVER (PARTITION BY w.id ORDER BY
+      |    list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(w.v, c.cv), c.cid)
+      |    AS rn FROM w CROSS JOIN c0 c) WHERE rn = 1),
+      |u1 AS (SELECT a1.cid, di,
+      |  CAST(sum(CAST(floor(w.v[di] * 1073741824 + 0.5) AS BIGINT)) AS BIGINT) AS sv,
+      |  count(*) AS n
+      |  FROM a1 JOIN w ON w.id = a1.id, unnest(range(1, len(w.v) + 1)) AS t(di)
+      |  GROUP BY a1.cid, di),
+      |c1 AS (SELECT cid,
+      |  list(CAST(sv AS DOUBLE) / CAST(n * 1073741824 AS DOUBLE) ORDER BY di) AS cv
+      |  FROM u1 GROUP BY cid),
+      |a2 AS (SELECT id, cid FROM (
+      |  SELECT w.id, c.cid, row_number() OVER (PARTITION BY w.id ORDER BY
+      |    list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(w.v, c.cv), c.cid)
+      |    AS rn FROM w CROSS JOIN c1 c) WHERE rn = 1),
+      |u2 AS (SELECT a2.cid, di,
+      |  CAST(sum(CAST(floor(w.v[di] * 1073741824 + 0.5) AS BIGINT)) AS BIGINT) AS sv,
+      |  count(*) AS n
+      |  FROM a2 JOIN w ON w.id = a2.id, unnest(range(1, len(w.v) + 1)) AS t(di)
+      |  GROUP BY a2.cid, di),
+      |c2 AS (SELECT cid,
+      |  list(CAST(sv AS DOUBLE) / CAST(n * 1073741824 AS DOUBLE) ORDER BY di) AS cv
+      |  FROM u2 GROUP BY cid),
+      |a3 AS (SELECT id, cid FROM (
+      |  SELECT w.id, c.cid, row_number() OVER (PARTITION BY w.id ORDER BY
+      |    list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(w.v, c.cv), c.cid)
+      |    AS rn FROM w CROSS JOIN c2 c) WHERE rn = 1)
+      |SELECT id AS node, cid AS cluster FROM a3""") { (s, dir) =>
+    graft.operators.Clustering.kmeans(load(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), k = 8, rounds = 2)
+  }
+
+  // SemDeDup (Abbas et al. 2023): k-means blocks the embedding space,
+  // near-identical pairs are found WITHIN clusters only, and each
+  // near-dup group keeps the smallest-id witness chain head — the
+  // semantic twin of the lexical blocked-dedup family above.
+  q("q_dedup_semantic",
+    """WITH w0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |w AS (SELECT id,
+      |  list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-30)) AS v
+      |  FROM w0),
+      |c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) AS cid,
+      |  v AS cv FROM w ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 8),
+      |a1 AS (SELECT id, cid FROM (
+      |  SELECT w.id, c.cid, row_number() OVER (PARTITION BY w.id ORDER BY
+      |    list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(w.v, c.cv), c.cid)
+      |    AS rn FROM w CROSS JOIN c0 c) WHERE rn = 1),
+      |u1 AS (SELECT a1.cid, di,
+      |  CAST(sum(CAST(floor(w.v[di] * 1073741824 + 0.5) AS BIGINT)) AS BIGINT) AS sv,
+      |  count(*) AS n
+      |  FROM a1 JOIN w ON w.id = a1.id, unnest(range(1, len(w.v) + 1)) AS t(di)
+      |  GROUP BY a1.cid, di),
+      |c1 AS (SELECT cid,
+      |  list(CAST(sv AS DOUBLE) / CAST(n * 1073741824 AS DOUBLE) ORDER BY di) AS cv
+      |  FROM u1 GROUP BY cid),
+      |a2 AS (SELECT w.id, cid, w.v FROM (
+      |  SELECT w.id, c.cid, row_number() OVER (PARTITION BY w.id ORDER BY
+      |    list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(w.v, c.cv), c.cid)
+      |    AS rn FROM w CROSS JOIN c1 c) s
+      |  JOIN w ON w.id = s.id WHERE s.rn = 1),
+      |drop0 AS (SELECT DISTINCT b.id FROM a2 a JOIN a2 b
+      |  ON a.cid = b.cid AND a.id < b.id
+      |  AND list_dot_product(a.v, b.v)
+      |    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.4)
+      |SELECT a2.id AS node, a2.cid AS cluster,
+      |  (drop0.id IS NULL) AS kept
+      |FROM a2 LEFT JOIN drop0 ON drop0.id = a2.id""") { (s, dir) =>
+    graft.operators.Clustering.semDedup(load(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), k = 8, rounds = 1, tau = 0.4)
+  }
+
   // ---------------------------------------------------------------
   // Similarity search
   // ---------------------------------------------------------------
@@ -373,6 +457,109 @@ object PipelineQueries extends QueryModule {
         round(col("cosine") + lit(1e-9), 4).as("cosine"))
   }
 
+  // PQ: product-quantization ANN (the FAISS memory end-game — m=8 one-byte
+  // codes + a shared broadcast codebook replace 512 bytes of doubles per
+  // vector: 64×). Deterministic twin of k-means codebooks: per-subspace
+  // codewords are the md5-smallest rows' subvectors, encode is exact-double
+  // argmin (|c|²−2x·c, ties to smallest codeword), ranking is ONE in-order
+  // dot against the decoded vector, and the float re-score touches only the
+  // top-8 short list — every stage bit-replayable in DuckDB.
+  q("q_knn_pq",
+    """WITH w0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |w AS (SELECT id,
+      |  list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-30)) AS v
+      |  FROM w0),
+      |cb0 AS (SELECT id, v,
+      |  row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) AS j
+      |  FROM w ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 16),
+      |cbf AS (SELECT j, s, v[s*8+1 : (s+1)*8] AS cw
+      |  FROM cb0, unnest(range(0, 8)) AS t(s)),
+      |enc0 AS (SELECT w.id, f.s, f.j,
+      |  list_dot_product(f.cw, f.cw)
+      |    - 2.0 * list_dot_product(w.v[f.s*8+1 : (f.s+1)*8], f.cw) AS dist
+      |  FROM w CROSS JOIN cbf f),
+      |enc AS (SELECT id, s, j FROM (
+      |  SELECT id, s, j,
+      |    row_number() OVER (PARTITION BY id, s ORDER BY dist, j) AS rn FROM enc0)
+      |  WHERE rn = 1),
+      |rv AS (SELECT enc.id, flatten(list(f.cw ORDER BY enc.s)) AS rv
+      |  FROM enc JOIN cbf f ON f.s = enc.s AND f.j = enc.j GROUP BY enc.id),
+      |q AS (SELECT id AS query_id, v AS qv FROM w WHERE id % 50 = 0),
+      |sc AS (SELECT q.query_id, rv.id AS neighbor_id, q.qv,
+      |  list_dot_product(q.qv, rv.rv) AS score
+      |  FROM q JOIN rv ON rv.id != q.query_id),
+      |r1 AS (SELECT query_id, neighbor_id, qv,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+      |    AS qr FROM sc),
+      |re AS (SELECT r1.query_id, r1.neighbor_id,
+      |  list_dot_product(r1.qv, w.v) AS cosine
+      |  FROM r1 JOIN w ON w.id = r1.neighbor_id WHERE r1.qr <= 8),
+      |r2 AS (SELECT query_id, neighbor_id, cosine,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+      |    AS rank FROM re)
+      |SELECT query_id, rank, neighbor_id, round(cosine + 1e-9, 4) AS cosine
+      |FROM r2 WHERE rank <= 2""") { (s, dir) =>
+    val e = load(s, dir, "embeddings")
+    Similarity.pqTopK(
+        e.filter(col("vec_id") % 50 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        m = 8, ksub = 16, k = 2, rescore = 8, dim = 64)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine") + lit(1e-9), 4).as("cosine"))
+  }
+
+  // The same PQ retrieval through a PERSISTED index: pqSave writes codes
+  // (m bytes/vector — the at-rest corpus representation) + codebook;
+  // pqLoadTopK answers from disk, refining against the source table's
+  // float vectors only on the shortlist. Same oracle as q_knn_pq: the
+  // round-trip must not change a row.
+  q("q_knn_pq_persisted",
+    """WITH w0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |w AS (SELECT id,
+      |  list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-30)) AS v
+      |  FROM w0),
+      |cb0 AS (SELECT id, v,
+      |  row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) AS j
+      |  FROM w ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 16),
+      |cbf AS (SELECT j, s, v[s*8+1 : (s+1)*8] AS cw
+      |  FROM cb0, unnest(range(0, 8)) AS t(s)),
+      |enc0 AS (SELECT w.id, f.s, f.j,
+      |  list_dot_product(f.cw, f.cw)
+      |    - 2.0 * list_dot_product(w.v[f.s*8+1 : (f.s+1)*8], f.cw) AS dist
+      |  FROM w CROSS JOIN cbf f),
+      |enc AS (SELECT id, s, j FROM (
+      |  SELECT id, s, j,
+      |    row_number() OVER (PARTITION BY id, s ORDER BY dist, j) AS rn FROM enc0)
+      |  WHERE rn = 1),
+      |rv AS (SELECT enc.id, flatten(list(f.cw ORDER BY enc.s)) AS rv
+      |  FROM enc JOIN cbf f ON f.s = enc.s AND f.j = enc.j GROUP BY enc.id),
+      |q AS (SELECT id AS query_id, v AS qv FROM w WHERE id % 50 = 0),
+      |sc AS (SELECT q.query_id, rv.id AS neighbor_id, q.qv,
+      |  list_dot_product(q.qv, rv.rv) AS score
+      |  FROM q JOIN rv ON rv.id != q.query_id),
+      |r1 AS (SELECT query_id, neighbor_id, qv,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+      |    AS qr FROM sc),
+      |re AS (SELECT r1.query_id, r1.neighbor_id,
+      |  list_dot_product(r1.qv, w.v) AS cosine
+      |  FROM r1 JOIN w ON w.id = r1.neighbor_id WHERE r1.qr <= 8),
+      |r2 AS (SELECT query_id, neighbor_id, cosine,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+      |    AS rank FROM re)
+      |SELECT query_id, rank, neighbor_id, round(cosine + 1e-9, 4) AS cosine
+      |FROM r2 WHERE rank <= 2""") { (s, dir) =>
+    val e = load(s, dir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    Similarity.pqSave(e, col("vec_id"), col("embedding"), idx,
+      m = 8, ksub = 16, dim = 64)
+    Similarity.pqLoadTopK(s, idx,
+        e.filter(col("vec_id") % 50 === 0), col("vec_id"), col("embedding"),
+        k = 2, rescore = 8,
+        rescoreAgainst = Some((e, col("vec_id"), col("embedding"))))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine") + lit(1e-9), 4).as("cosine"))
+  }
+
   // Partitioned HNSW ANN in the provably-exact configuration (efSearch
   // and m ≥ partition row count → beam never fills, best-first becomes
   // full traversal of the connected layer-0 graph, per-shard top-k is
@@ -508,6 +695,31 @@ object PipelineQueries extends QueryModule {
     TextOps.chunk(load(s, dir, "documents"), col("doc_id"), col("text"),
         chunkSize = 8, overlap = 3)
       .select(col("id").as("doc_id"), col("chunk_id"), col("chunk"))
+  }
+
+  // Separator-aware chunking (the reference xpack's RecursiveSplitter
+  // family): split on a structural boundary, pack whole pieces under a
+  // 40-token budget by the deterministic prefix-sum bucket rule — one
+  // explode + one integer running-sum window, engine-replayable exactly.
+  q("q_text_chunk_sep",
+    """WITH ps AS (SELECT doc_id, string_split(text, ' the ') AS ps FROM documents),
+      |px AS (SELECT doc_id, ps[pos] AS p, pos
+      |  FROM ps, unnest(range(1, len(ps) + 1)) AS t(pos)),
+      |tc AS (SELECT doc_id, pos, p,
+      |  CAST(len(string_split(p, ' ')) AS BIGINT) AS t FROM px),
+      |cb AS (SELECT doc_id, pos, p, t,
+      |  CAST(floor(coalesce(sum(t) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 40.0)
+      |    AS BIGINT) AS chunk_id
+      |  FROM tc)
+      |SELECT doc_id, chunk_id, count(*) AS n_pieces,
+      |  CAST(sum(t) AS BIGINT) AS n_tokens,
+      |  string_agg(p, ' the ' ORDER BY pos) AS chunk
+      |FROM cb GROUP BY doc_id, chunk_id""") { (s, dir) =>
+    TextOps.chunkBySeparator(load(s, dir, "documents"), col("doc_id"),
+        col("text"), " the ", maxTokens = 40)
+      .select(col("id").as("doc_id"), col("chunk_id"), col("n_pieces"),
+        col("n_tokens"), col("chunk"))
   }
 
   q("q_text_stats",

@@ -461,6 +461,188 @@ object Similarity {
     }
   }
 
+  // -------------------------------------------------------------------
+  // PQ: product quantization (the FAISS memory end-game — beyond IVF-SQ's
+  // 8× the corpus representation shrinks to m BYTES per vector plus one
+  // shared broadcast codebook: dim=64 doubles = 512 bytes → m=8 codes =
+  // 64×). Deterministic twin of FAISS's k-means codebooks: per-subspace
+  // codewords are an md5-uniform sample of the corpus's own subvectors
+  // (the same replayable-sampling trick as the IVF coarse quantizer), so
+  // the DuckDB oracle regenerates codebooks, codes, and rankings
+  // bit-identically.
+
+  /** Build PQ structures over L2-normalized vectors.
+    *
+    *  - `m` subspaces of `dim/m` dimensions each (dim must divide);
+    *  - per subspace, `ksub` codewords: subvector s of the `ksub` rows
+    *    with smallest md5(id), codeword index j = 1..ksub in that md5
+    *    order (production PQ fixes ksub = 256 — one byte per code; m
+    *    grows with DIM, not corpus size, so codes stay m bytes however
+    *    large the corpus);
+    *  - encode: each row's subvector s maps to its L2-nearest codeword,
+    *    argmin (|c|² − 2·x_s·c) with ties to the smallest j — exact
+    *    double arithmetic, no float-summation ambiguity in the ranking
+    *    because every engine computes the identical in-order dots.
+    *
+    * Returns (codebook: (s, j, cw, cwn2) — m·ksub rows, broadcast-sized
+    * by construction; codes: (neighbor_id, codes array<int>) — the m
+    * codes, THE persisted corpus representation). */
+  private[graft] def pqBuild(data: DataFrame, did: Column, dvec: Column,
+      m: Int, ksub: Int, dim: Int): (DataFrame, DataFrame) = {
+    require(dim > 0 && dim % m == 0, s"pq: m ($m) must divide dim ($dim)")
+    val dsub = dim / m
+    val d = graft.core.Caches.eager(l2normalize(
+      spread(data).select(did.as("id"), dvec.cast("array<double>").as("v")), "v"))
+    // codeword sample: md5-smallest ksub rows, j = row_number in md5
+    // order (single-partition window over ksub rows only)
+    val samp = d.orderBy(md5(col("id").cast("string"))).limit(ksub)
+      .withColumn("j", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(md5(col("id").cast("string")))))
+    val cb = graft.core.Caches.eager(
+      samp.select(col("j"), posexplode(transform(
+          sequence(lit(0), lit(m - 1)),
+          s => slice(col("v"), s * lit(dsub) + lit(1), lit(dsub))))
+        .as(Seq("s", "cw")))
+        .withColumn("cwn2", norm2(col("cw"))))
+    // encode: subspace-explode the corpus, score against the broadcast
+    // codebook, keep the argmin codeword per (row, subspace); the
+    // |corpus|·m·ksub expansion is the one-time build cost (FAISS pays
+    // the same), map-side only — no shuffle grows with ksub
+    val dExp = d.select(col("id"), posexplode(transform(
+        sequence(lit(0), lit(m - 1)),
+        s => slice(col("v"), s * lit(dsub) + lit(1), lit(dsub))))
+      .as(Seq("s", "xv")))
+    val scored = dExp.join(broadcast(cb), "s")
+      .select(col("id"), col("s"), col("j"),
+        (col("cwn2") - lit(2.0) * dot(col("xv"), col("cw"))).as("dist"))
+    val codes = scored.groupBy("id", "s")
+      .agg(max(struct((-col("dist")).as("nd"), (-col("j")).as("nj"))).as("mx"))
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("s"),
+          (-col("mx").getField("nj")).as("j")))),
+        e => e.getField("j").cast("int")).as("codes"))
+      .select(col("id").as("neighbor_id"), col("codes"))
+    (cb, codes)
+  }
+
+  /** PQ top-k by asymmetric distance: rank every corpus row against each
+    * query by dot(query, decode(codes)) — the codes-only corpus is what
+    * persists/shuffles (m bytes/vector); decoding joins the broadcast
+    * codebook and concatenates codewords in subspace order, so the score
+    * is ONE in-order dot against the reconstructed vector — the same
+    * fold every engine computes bit-identically (a per-subspace LUT sum
+    * would regroup the additions and lose oracle replayability; decode
+    * touches the same m·dsub multiplies). With `rescore > 0`, the top
+    * max(rescore, k) PQ-ranked candidates are re-scored by exact float
+    * cosine against the original vectors (the FAISS refine stage) and
+    * that ranking is emitted (`cosine`); otherwise the PQ score
+    * (`score`). Returns (query_id, rank, neighbor_id, score|cosine). */
+  def pqTopK(queries: DataFrame, data: DataFrame,
+      qid: Column, qvec: Column, did: Column, dvec: Column,
+      m: Int, ksub: Int, k: Int, rescore: Int = 0, dim: Int = 0): DataFrame = {
+    val (cb, codes) = pqBuild(data, did, dvec, m, ksub, dim)
+    // decode once per CORPUS row (not per pair): codes explode to
+    // (id, s, j), join the broadcast codebook, concatenate in s order
+    val rv = codes.select(col("neighbor_id"), posexplode(col("codes")).as(Seq("s", "j")))
+      .join(broadcast(cb.select(col("s"), col("j"), col("cw"))), Seq("s", "j"))
+      .groupBy("neighbor_id")
+      .agg(flatten(transform(array_sort(collect_list(struct(col("s"), col("cw")))),
+        e => e.getField("cw"))).as("rv"))
+    val q = fanoutRepartition(
+      l2normalize(queries.select(qid.as("query_id"),
+        qvec.cast("array<double>").as("qv")), "qv"), col("query_id"))
+    val scored = q.join(rv, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"),
+        dot(col("qv"), col("rv")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    if (rescore <= 0)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+    else {
+      val short = scored.withColumn("_qr", row_number().over(w))
+        .filter(col("_qr") <= math.max(rescore, k))
+        .select(col("query_id"), col("qv"), col("neighbor_id"))
+      // exact re-score on the short list only: the float corpus vectors
+      // are touched for |q|·rescore rows, never for the full candidate set
+      val dfull = l2normalize(
+        data.select(did.as("neighbor_id"), dvec.cast("array<double>").as("dv")), "dv")
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      broadcast(short).join(dfull, "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          dot(col("qv"), col("dv")).as("cosine"))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    }
+  }
+
+  /** Persist a PQ index: `codebook/` (m·ksub rows — broadcast at query
+    * time) and `codes/` (m bytes per corpus vector, THE at-rest corpus
+    * representation: a 100 TB float corpus persists as ~1.5 TB of
+    * codes). Same build-once/query-many split as [[ivfSave]]. The
+    * original float vectors are NOT persisted — rescore against them by
+    * passing the source table to [[pqLoadTopK]] (rescans only the
+    * shortlist rows' vectors). */
+  def pqSave(data: DataFrame, did: Column, dvec: Column, path: String,
+      m: Int, ksub: Int, dim: Int = 0): Unit = {
+    val (cb, codes) = pqBuild(data, did, dvec, m, ksub, dim)
+    cb.write.mode("overwrite").parquet(s"$path/codebook")
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Query a [[pqSave]]d index. `rescoreAgainst` supplies the float
+    * corpus (did, dvec) for the optional exact refine stage; with
+    * `rescore <= 0` only codes + codebook are read. */
+  def pqLoadTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qid: Column, qvec: Column, k: Int,
+      rescore: Int = 0,
+      rescoreAgainst: Option[(DataFrame, Column, Column)] = None): DataFrame = {
+    val cb = spark.read.parquet(s"$path/codebook")
+    val codes = spark.read.parquet(s"$path/codes")
+    val rv = codes.select(col("neighbor_id"),
+        posexplode(col("codes")).as(Seq("s", "j")))
+      .join(broadcast(cb.select(col("s"), col("j"), col("cw"))), Seq("s", "j"))
+      .groupBy("neighbor_id")
+      .agg(flatten(transform(array_sort(collect_list(struct(col("s"), col("cw")))),
+        e => e.getField("cw"))).as("rv"))
+    val q = fanoutRepartition(
+      l2normalize(queries.select(qid.as("query_id"),
+        qvec.cast("array<double>").as("qv")), "qv"), col("query_id"))
+    val scored = q.join(rv, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"),
+        dot(col("qv"), col("rv")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    (rescore, rescoreAgainst) match {
+      case (r, Some((data, did, dvec))) if r > 0 =>
+        val short = scored.withColumn("_qr", row_number().over(w))
+          .filter(col("_qr") <= math.max(r, k))
+          .select(col("query_id"), col("qv"), col("neighbor_id"))
+        val dfull = l2normalize(data.select(did.as("neighbor_id"),
+          dvec.cast("array<double>").as("dv")), "dv")
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)
+        broadcast(short).join(dfull, "neighbor_id")
+          .select(col("query_id"), col("neighbor_id"),
+            dot(col("qv"), col("dv")).as("cosine"))
+          .withColumn("rank", row_number().over(wr))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      case _ =>
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+    }
+  }
+
   /** Plane count that keeps EXPECTED bucket occupancy near
     * `targetBucketSize`: buckets = 2^planes, so
     * planes = ceil(log2(corpus / target)). Per-bucket candidate work is

@@ -210,4 +210,44 @@ object TextOps {
         concat_ws(" ", slice(col("ws"), col("s"), lit(chunkSize))).as("chunk") +:
         keep.map(col): _*)
   }
+
+  /** Separator-aware chunking (the RecursiveSplitter/markdown-splitter
+    * family of the reference's xpack: split on a STRUCTURAL boundary —
+    * paragraph, sentence, heading — then pack whole pieces into chunks
+    * under a token budget, never cutting a piece mid-window the way
+    * [[chunk]]'s fixed windows do).
+    *
+    * Deterministic budget-bucketing twin of greedy packing: piece p
+    * (in document order, token count t_p) lands in chunk
+    * floor(Σ_{q<p} t_q / maxTokens) — a pure prefix-sum rule, so the
+    * whole operator is one explode + one integer running-sum window +
+    * one group-by, replayable in any engine (strict greedy packing needs
+    * a sequential carry loop; the bucket rule differs only in that a
+    * piece straddling a boundary joins the chunk its PREFIX sum selects,
+    * and chunks can exceed maxTokens by at most one piece — the same
+    * tolerance greedy has). Oversized single pieces become their own
+    * oversized chunk, as in the reference splitters. Returns
+    * (id, chunk_id, n_pieces, n_tokens, chunk) + `keep` passthrough;
+    * chunk text re-joins its pieces with the separator. */
+  def chunkBySeparator(df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, separator: String, maxTokens: Int,
+      keep: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    require(maxTokens > 0, s"chunkBySeparator: maxTokens must be > 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(id.as("id") +:
+        split(text, java.util.regex.Pattern.quote(separator)).as("ps") +:
+        keep.map(col): _*)
+      .select(col("id") +: posexplode(col("ps")).as(Seq("pos", "p")) +:
+        keep.map(col): _*)
+      .withColumn("t", size(split(col("p"), " ")).cast("long"))
+      .withColumn("chunk_id",
+        floor(coalesce(sum(col("t")).over(w), lit(0L)) / lit(maxTokens)))
+      .groupBy(col("id") +: col("chunk_id") +: keep.map(col): _*)
+      .agg(count(lit(1)).as("n_pieces"), sum(col("t")).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("p")))),
+          e => e.getField("p")), separator).as("chunk"))
+  }
 }
