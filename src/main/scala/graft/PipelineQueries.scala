@@ -508,6 +508,73 @@ object PipelineQueries extends QueryModule {
         round(col("cosine") + lit(1e-9), 4).as("cosine"))
   }
 
+  // IVF-PQ: the full FAISS serving composition — coarse md5-sample
+  // centroids prune each query to 4 inverted lists, PQ codes rank the
+  // in-list candidates by decoded-vector dot, float refine on the top-8
+  // shortlist only. Coarse prune and PQ memory win COMPOSE; every stage
+  // deterministic and replayed in DuckDB.
+  q("q_knn_ivf_pq",
+    """WITH w0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |w AS (SELECT id,
+      |  list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-30)) AS v
+      |  FROM w0),
+      |cent AS (SELECT id AS cid, v AS cv FROM w
+      |  ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 16),
+      |csc AS (SELECT w.id, c.cid,
+      |  list_dot_product(w.v, c.cv)
+      |    / sqrt(list_dot_product(w.v, w.v) * list_dot_product(c.cv, c.cv)) AS cc
+      |  FROM w CROSS JOIN cent c),
+      |crk AS (SELECT id, cid,
+      |  row_number() OVER (PARTITION BY id ORDER BY cc DESC, cid) AS rn FROM csc),
+      |asg AS (SELECT id, cid FROM crk WHERE rn = 1),
+      |cb0 AS (SELECT id, v,
+      |  row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) AS j
+      |  FROM w ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 16),
+      |cbf AS (SELECT j, s, v[s*8+1 : (s+1)*8] AS cw
+      |  FROM cb0, unnest(range(0, 8)) AS t(s)),
+      |enc0 AS (SELECT w.id, f.s, f.j,
+      |  list_dot_product(f.cw, f.cw)
+      |    - 2.0 * list_dot_product(w.v[f.s*8+1 : (f.s+1)*8], f.cw) AS dist
+      |  FROM w CROSS JOIN cbf f),
+      |enc AS (SELECT id, s, j FROM (
+      |  SELECT id, s, j,
+      |    row_number() OVER (PARTITION BY id, s ORDER BY dist, j) AS rn FROM enc0)
+      |  WHERE rn = 1),
+      |rv AS (SELECT enc.id, flatten(list(f.cw ORDER BY enc.s)) AS rv
+      |  FROM enc JOIN cbf f ON f.s = enc.s AND f.j = enc.j GROUP BY enc.id),
+      |q AS (SELECT id AS query_id, v AS qv FROM w WHERE id % 50 = 0),
+      |pr AS (SELECT query_id, qv, cid FROM (
+      |  SELECT q.query_id, q.qv, c.cid,
+      |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |      list_dot_product(q.qv, c.cv)
+      |        / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.cv, c.cv))
+      |      DESC, c.cid) AS rn
+      |  FROM q CROSS JOIN cent c) WHERE rn <= 4),
+      |cand AS (SELECT pr.query_id, pr.qv, a.id AS neighbor_id,
+      |  list_dot_product(pr.qv, rv.rv) AS qscore
+      |  FROM pr JOIN asg a ON a.cid = pr.cid AND a.id != pr.query_id
+      |  JOIN rv ON rv.id = a.id),
+      |r1 AS (SELECT query_id, qv, neighbor_id,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY qscore DESC, neighbor_id)
+      |    AS qr FROM cand),
+      |re AS (SELECT r1.query_id, r1.neighbor_id,
+      |  list_dot_product(r1.qv, w.v) AS cosine
+      |  FROM r1 JOIN w ON w.id = r1.neighbor_id WHERE r1.qr <= 8),
+      |r2 AS (SELECT query_id, neighbor_id, cosine,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+      |    AS rank FROM re)
+      |SELECT query_id, rank, neighbor_id, round(cosine + 1e-9, 4) AS cosine
+      |FROM r2 WHERE rank <= 2""") { (s, dir) =>
+    val e = load(s, dir, "embeddings")
+    Similarity.ivfPqRetrieve(
+        e.filter(col("vec_id") % 50 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        nlist = Similarity.nlistFor(e.count()), nprobe = 4,
+        m = 8, ksub = 16, k = 2, rescore = 8, excludeSelf = true, dim = 64)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine") + lit(1e-9), 4).as("cosine"))
+  }
+
   // The same PQ retrieval through a PERSISTED index: pqSave writes codes
   // (m bytes/vector — the at-rest corpus representation) + codebook;
   // pqLoadTopK answers from disk, refining against the source table's

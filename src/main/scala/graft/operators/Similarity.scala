@@ -582,6 +582,102 @@ object Similarity {
     }
   }
 
+  /** IVF-PQ retrieval — the full FAISS serving composition: a coarse
+    * quantizer of `nlist` md5-sample centroids prunes each query to its
+    * `nprobe` nearest inverted lists, PQ codes (m bytes/vector) rank the
+    * candidates inside them by decoded-vector dot, and the float refine
+    * stage re-scores only the top max(rescore, k) shortlist. Candidate
+    * volume is |q|·nprobe·(n/nlist) like IVF-flat, but the in-flight
+    * candidate payload is codes, not vectors — the coarse prune and the
+    * PQ memory win COMPOSE. Deterministic end to end for the same
+    * reasons as [[ivfTopK]] + [[pqTopK]]. Returns
+    * (query_id, rank, neighbor_id, cosine) — `rescore` must be > 0 (the
+    * refine stage is the precision contract of this layout). */
+  def ivfPqRetrieve(queries: DataFrame, data: DataFrame,
+      qid: Column, qvec: Column, did: Column, dvec: Column,
+      nlist: Int, nprobe: Int, m: Int, ksub: Int, k: Int, rescore: Int,
+      excludeSelf: Boolean = false, dim: Int = 0): DataFrame = {
+    require(rescore > 0, "ivfPqRetrieve: rescore must be > 0")
+    require(dim > 0 && dim % m == 0, s"pq: m ($m) must divide dim ($dim)")
+    val d = graft.core.Caches.eager(l2normalize(
+      spread(data).select(did.as("id"), dvec.cast("array<double>").as("v")), "v")
+      .withColumn("n2", norm2(col("v"))))
+    // coarse quantizer: same recipe as ivfBuild, over normalized vectors
+    val cents = graft.core.Caches.eager(
+      d.select(col("id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+        .orderBy(md5(col("cid").cast("string"))).limit(nlist))
+    val coarse = d.crossJoin(broadcast(cents))
+      .select(col("id"), col("cid"),
+        cosinePrenorm(col("v"), col("cv"), col("n2"), col("cn2"), dim).as("cc"))
+      .groupBy("id")
+      .agg(max(struct(col("cc"), (-col("cid")).as("nc"))).as("m"))
+      .select(col("id"), (-col("m").getField("nc")).as("cid"))
+    // PQ codes + decode, carrying the coarse list id and the float
+    // vector (refine side reads it for shortlist rows only)
+    val dsub = dim / m
+    val samp = d.orderBy(md5(col("id").cast("string"))).limit(ksub)
+      .withColumn("j", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(md5(col("id").cast("string")))))
+    val cb = graft.core.Caches.eager(
+      samp.select(col("j"), posexplode(transform(
+          sequence(lit(0), lit(m - 1)),
+          s => slice(col("v"), s * lit(dsub) + lit(1), lit(dsub))))
+        .as(Seq("s", "cw")))
+        .withColumn("cwn2", norm2(col("cw"))))
+    val dExp = d.select(col("id"), posexplode(transform(
+        sequence(lit(0), lit(m - 1)),
+        s => slice(col("v"), s * lit(dsub) + lit(1), lit(dsub))))
+      .as(Seq("s", "xv")))
+    val enc = dExp.join(broadcast(cb), "s")
+      .select(col("id"), col("s"), col("j"),
+        (col("cwn2") - lit(2.0) * dot(col("xv"), col("cw"))).as("dist"))
+      .groupBy("id", "s")
+      .agg(max(struct((-col("dist")).as("nd"), (-col("j")).as("nj"))).as("mx"))
+      .select(col("id"), col("s"), (-col("mx").getField("nj")).cast("int").as("j"))
+    val rv = enc.join(broadcast(cb.select(col("s"), col("j"), col("cw"))), Seq("s", "j"))
+      .groupBy("id")
+      .agg(flatten(transform(array_sort(collect_list(struct(col("s"), col("cw")))),
+        e => e.getField("cw"))).as("rv"))
+    val lists = coarse.join(rv, "id")
+      .select(col("id").as("neighbor_id"), col("cid"), col("rv"))
+    // query side: probe nprobe lists, rank in-list by decoded dot
+    val q = l2normalize(
+      queries.select(qid.as("query_id"), qvec.cast("array<double>").as("qv")), "qv")
+      .withColumn("qn2", norm2(col("qv")))
+    val qScored = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("qn2"), col("cid"),
+        cosinePrenorm(col("qv"), col("cv"), col("qn2"), col("cn2"), dim).as("cc"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cc").desc, col("cid").asc)
+    val probes = fanoutRepartition(
+      qScored.withColumn("_pr", row_number().over(wp))
+        .filter(col("_pr") <= nprobe)
+        .select(col("query_id"), col("qv"), col("cid")),
+      col("query_id"), col("cid"))
+    val cand0 = probes.join(lists, Seq("cid"))
+    val cand = (if (excludeSelf) cand0.filter(col("query_id") =!= col("neighbor_id"))
+      else cand0)
+      .select(col("query_id"), col("qv"), col("neighbor_id"),
+        dot(col("qv"), col("rv")).as("qscore"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("qscore").desc, col("neighbor_id").asc)
+    val short = cand.withColumn("_qr", row_number().over(wq))
+      .filter(col("_qr") <= math.max(rescore, k))
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(short)
+      .join(d.select(col("id").as("neighbor_id"), col("v").as("dv")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("qv"), col("dv")).as("cosine"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Persist a PQ index: `codebook/` (m·ksub rows — broadcast at query
     * time) and `codes/` (m bytes per corpus vector, THE at-rest corpus
     * representation: a 100 TB float corpus persists as ~1.5 TB of

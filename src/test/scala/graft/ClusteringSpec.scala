@@ -126,6 +126,31 @@ class ClusteringSpec extends SparkSpec {
       .map(_.getInt(0)).toSeq == Seq(8))
   }
 
+  test("ivfPqRetrieve ≈ exact top-k on clustered data") {
+    val d = grouped
+    val q = d.filter(col("id") % 8 === 0)
+    val exact = Similarity.bruteForceTopK(q, d, col("id"), col("v"),
+        col("id"), col("v"), k = 3, dim = 16)
+      .select("query_id", "rank", "neighbor_id")
+    val ivfpq = Similarity.ivfPqRetrieve(q, d, col("id"), col("v"),
+        col("id"), col("v"), nlist = 8, nprobe = 4, m = 4, ksub = 32,
+        k = 3, rescore = 16, excludeSelf = true, dim = 16)
+      .select("query_id", "rank", "neighbor_id")
+    val e = rowsOf(exact)
+    val p = rowsOf(ivfpq)
+    val recall = p.count(e.contains).toDouble / e.size
+    assert(recall >= 0.8, s"ivf-pq recall@3 = $recall")
+  }
+
+  test("ivfPqRetrieve requires a refine stage") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqRetrieve(blobs, blobs, col("id"), col("v"),
+        col("id"), col("v"), nlist = 2, nprobe = 1, m = 2, ksub = 2,
+        k = 1, rescore = 0, dim = 2)
+    }
+    assert(e.getMessage.contains("rescore"))
+  }
+
   test("pqBuild rejects m not dividing dim") {
     val e = intercept[IllegalArgumentException] {
       Similarity.pqTopK(blobs, blobs, col("id"), col("v"), col("id"),
