@@ -83,6 +83,55 @@ object DocStoreQueries extends QueryModule {
         r4e(col("score")).as("score"))
   }
 
+  // The same full chain under the SEPARATOR splitter (the reference
+  // DocumentStore's pluggable `splitter` arg): pieces split on ' the ',
+  // packed under a 20-token budget by the prefix-sum bucket rule
+  // (TextOps.chunkBySeparator — shuffle-free, so the identical plan
+  // serves buildStream too), then keyed/embedded/ranked exactly like
+  // q_doc_store.
+  q("q_doc_store_sep",
+    s"""WITH pp AS (SELECT doc_id, lang, source, text,
+      |  string_split(text, ' the ') AS ps FROM documents),
+      |px AS (SELECT doc_id, lang, source, ps[pos] AS p, pos
+      |  FROM pp, unnest(range(1, len(ps) + 1)) AS t(pos)),
+      |tc AS (SELECT doc_id, lang, source, pos, p,
+      |  CAST(len(string_split(p, ' ')) AS BIGINT) AS t FROM px),
+      |cbk AS (SELECT doc_id, lang, source, pos, p, t,
+      |  CAST(floor(coalesce(sum(t) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 20.0)
+      |    AS BIGINT) AS chunk_id FROM tc),
+      |ch AS (SELECT doc_id, lang, source, chunk_id,
+      |  string_agg(p, ' the ' ORDER BY pos) AS chunk
+      |  FROM cbk GROUP BY doc_id, lang, source, chunk_id),
+      |ck AS (SELECT *, CAST('0x' || substr(md5(doc_id || '#' || chunk_id), 1, 15)
+      |  AS BIGINT) AS chunk_key FROM ch),
+      |ce AS (SELECT doc_id, chunk_id, chunk_key, lang, EMB_CHUNK AS v FROM ck),
+      |q AS (SELECT doc_id AS qid,
+      |  EMB_QUERY AS qv FROM pp WHERE doc_id % 25 = 0),
+      |sc AS (SELECT q.qid, ce.doc_id, ce.chunk_id, ce.chunk_key,
+      |  list_dot_product(q.qv, ce.v)
+      |    / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(ce.v, ce.v)) AS c
+      |  FROM q CROSS JOIN ce WHERE ce.lang = 'en'),
+      |r AS (SELECT qid, doc_id, chunk_id, c,
+      |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, chunk_key) AS rank
+      |  FROM sc)
+      |SELECT qid, rank, doc_id, chunk_id, round(c + 1e-9, 4) AS score
+      |FROM r WHERE rank <= 3"""
+      .replace("EMB_CHUNK", embSql("chunk"))
+      .replace("EMB_QUERY",
+        embSql("array_to_string(string_split(text, ' ')[1 : 5], ' ')"))) { (s, dir) =>
+    val docs = load(s, dir, "documents")
+    val raw = docs.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("data"), col("lang"), col("source"))
+    val store = DocStore.build(raw, col("doc_id"), col("data"),
+      metadata = Seq("lang", "source"), splitBy = Some((" the ", 20)),
+      embedder = DocStore.hashEmbedder(16))
+    store.retrieve(queriesOf(s, dir), col("qid"), col("qtext"),
+        k = 3, filter = Some(col("lang") === "en"))
+      .select(col("qid"), col("rank"), col("doc_id"), col("chunk_id"),
+        r4e(col("score")).as("score"))
+  }
+
   /** Shared oracle for every disk-backed retrieval path (persisted save
     * and streaming ingest must land on the SAME state): full IVF replay
     * — md5-sampled centroids (LIMIT 64 = the derived nlist at the

@@ -106,6 +106,7 @@ object DocStore {
       parser: Column => Column = parseUtf8,
       postProcess: Seq[Column => Column] = Nil,
       chunkSize: Int = 256, overlap: Int = 32,
+      splitBy: Option[(String, Int)] = None,
       embedder: Column => Column = hashEmbedder()): Store =
     // spread the doc table first: the pipeline is projection/generator
     // only, so everything downstream — chunking, the embed fold, pairwise
@@ -117,7 +118,8 @@ object DocStore {
     // streaming DataFrame, and buildStream inherits its micro-batch
     // partitioning from the source instead.
     new Store(chunkPipeline(Similarity.spread(docs), id, data, metadata,
-      parser, postProcess, chunkSize, overlap, embedder), metadata, embedder)
+      parser, postProcess, chunkSize, overlap, splitBy, embedder),
+      metadata, embedder)
 
   /** The parse → post-process → chunk → embed column pipeline. Every
     * stage is a stateless projection or generator, so the SAME plan runs
@@ -126,12 +128,22 @@ object DocStore {
   private def chunkPipeline(docs: DataFrame, id: Column, data: Column,
       metadata: Seq[String], parser: Column => Column,
       postProcess: Seq[Column => Column], chunkSize: Int, overlap: Int,
-      embedder: Column => Column): DataFrame = {
+      splitBy: Option[(String, Int)], embedder: Column => Column): DataFrame = {
     val parsed = docs
       .select(id.as("doc_id") +: parser(data).as("_text") +: metadata.map(col): _*)
       .withColumn("_text", postProcess.foldLeft(col("_text"))((c, f) => f(c)))
-    TextOps.chunkKeep(parsed, col("doc_id"), col("_text"),
-        chunkSize, overlap, metadata)
+    // splitter choice (the reference DocumentStore's pluggable `splitter`):
+    // fixed overlapping token windows by default, or separator-aware
+    // budget packing — both stateless single-scan pipelines, so either
+    // runs under buildStream unchanged
+    (splitBy match {
+      case None =>
+        TextOps.chunkKeep(parsed, col("doc_id"), col("_text"),
+          chunkSize, overlap, metadata)
+      case Some((sep, maxTok)) =>
+        TextOps.chunkBySeparator(parsed, col("doc_id"), col("_text"),
+          sep, maxTok, metadata).drop("n_pieces", "n_tokens")
+    })
       .select(col("id").as("doc_id") +: col("chunk_id") +:
         chunkKey(col("id"), col("chunk_id")).as("chunk_key") +:
         col("chunk").as("text") +: metadata.map(col): _*)
@@ -156,6 +168,7 @@ object DocStore {
       parser: Column => Column = parseUtf8,
       postProcess: Seq[Column => Column] = Nil,
       chunkSize: Int = 256, overlap: Int = 32,
+      splitBy: Option[(String, Int)] = None,
       embedder: Column => Column = hashEmbedder())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     // explicit repartition (the streaming twin of build's Par.spread —
@@ -166,7 +179,7 @@ object DocStore {
     val spread = docs.repartition(
       docs.sparkSession.sessionState.conf.numShufflePartitions)
     chunkPipeline(spread, id, data, metadata, parser, postProcess,
-        chunkSize, overlap, embedder)
+        chunkSize, overlap, splitBy, embedder)
       .writeStream.format("parquet").outputMode("append")
       .option("path", s"$path/chunks")
       .option("checkpointLocation", checkpoint)

@@ -233,21 +233,37 @@ object TextOps {
       text: Column, separator: String, maxTokens: Int,
       keep: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     require(maxTokens > 0, s"chunkBySeparator: maxTokens must be > 0")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy("pos")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    df.select(id.as("id") +:
-        split(text, java.util.regex.Pattern.quote(separator)).as("ps") +:
+    // Everything stays INSIDE the row: prefix sums, bucket ids, and
+    // chunk re-assembly are array expressions over the piece list, so —
+    // unlike the obvious window-function formulation (shuffle by doc id,
+    // running sum, group-by) — this is shuffle-FREE: one scan at any
+    // corpus size, and the same stateless plan runs under Structured
+    // Streaming (windows are unsupported there), which is what lets the
+    // DocStore ingest path take a splitter. The per-row folds are
+    // O(pieces · chunks), trivial at document scale.
+    val ps = split(text, java.util.regex.Pattern.quote(separator))
+    df.select(id.as("id") +: ps.as("ps") +: keep.map(col): _*)
+      .withColumn("_tc",
+        transform(col("ps"), p => size(split(p, " ")).cast("long")))
+      .withColumn("_z",
+        transform(sequence(lit(0), size(col("ps")) - 1), i => struct(
+          element_at(col("ps"), i + 1).as("p"),
+          element_at(col("_tc"), i + 1).as("t"),
+          floor(aggregate(slice(col("_tc"), lit(1), i), lit(0L),
+            (a, x) => a + x) / lit(maxTokens)).as("b"))))
+      .select(col("id") +:
+        explode(transform(array_distinct(transform(col("_z"), e => e.getField("b"))),
+          b => struct(
+            b.as("chunk_id"),
+            size(filter(col("_z"), e => e.getField("b") === b)).cast("long")
+              .as("n_pieces"),
+            aggregate(filter(col("_z"), e => e.getField("b") === b), lit(0L),
+              (a, e) => a + e.getField("t")).as("n_tokens"),
+            array_join(transform(filter(col("_z"), e => e.getField("b") === b),
+              e => e.getField("p")), separator).as("chunk")))).as("_c") +:
         keep.map(col): _*)
-      .select(col("id") +: posexplode(col("ps")).as(Seq("pos", "p")) +:
-        keep.map(col): _*)
-      .withColumn("t", size(split(col("p"), " ")).cast("long"))
-      .withColumn("chunk_id",
-        floor(coalesce(sum(col("t")).over(w), lit(0L)) / lit(maxTokens)))
-      .groupBy(col("id") +: col("chunk_id") +: keep.map(col): _*)
-      .agg(count(lit(1)).as("n_pieces"), sum(col("t")).as("n_tokens"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("p")))),
-          e => e.getField("p")), separator).as("chunk"))
+      .select(col("id") +: col("_c.chunk_id").as("chunk_id") +:
+        col("_c.n_pieces").as("n_pieces") +: col("_c.n_tokens").as("n_tokens") +:
+        col("_c.chunk").as("chunk") +: keep.map(col): _*)
   }
 }

@@ -26,6 +26,26 @@ class DocStoreSpec extends SparkSpec {
 
   private def q(text: String) = Seq((100L, text)).toDF("qid", "qtext")
 
+  test("separator splitter: pieces pack under the budget, metadata rides") {
+    val d = Seq((1L, "aa bb. cc dd. ee ff gg hh. ii", "en"))
+      .toDF("doc_id", "text", "lang")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"), col("lang"))
+    val st = DocStore.build(d, col("doc_id"), col("data"),
+      metadata = Seq("lang"), splitBy = Some((". ", 4)),
+      embedder = DocStore.hashEmbedder(8))
+    // pieces: "aa bb"(2) "cc dd"(2) "ee ff gg hh"(4) "ii"(1);
+    // prefix sums 0,2,4,8 at budget 4 → chunks 0,0,1,2
+    val ch = st.chunks.orderBy("chunk_id")
+      .select("chunk_id", "text", "lang").collect().map(_.toSeq)
+    assert(ch.toSeq == Seq(
+      Seq(0L, "aa bb. cc dd", "en"),
+      Seq(1L, "ee ff gg hh", "en"),
+      Seq(2L, "ii", "en")))
+    // retrieval works through the same store surface
+    val hits = st.retrieve(q("ee ff"), col("qid"), col("qtext"), k = 1)
+    assert(hits.select("text").as[String].collect().toSeq == Seq("ee ff gg hh"))
+  }
+
   test("parses binary data and chunks with metadata riding along") {
     val ch = store.chunks
     assert(ch.columns.toSeq ==
