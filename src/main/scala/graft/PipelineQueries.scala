@@ -205,6 +205,44 @@ object PipelineQueries extends QueryModule {
       col("vec_id"), col("embedding"), k = 8, rounds = 2)
   }
 
+  // The fit/assign split through a PERSISTED model: kmeansFit (1 round)
+  // on the full corpus, kmeansSave, then a fresh kmeansLoadAssign maps a
+  // DIFFERENT row set (every 3rd vector — "the next corpus batch")
+  // against the saved centroids without re-fitting: one broadcast +
+  // map-side argmin, the 100 TB-assignment shape.
+  q("q_kmeans_model",
+    """WITH w0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |w AS (SELECT id,
+      |  list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-30)) AS v
+      |  FROM w0),
+      |c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) AS cid,
+      |  v AS cv FROM w ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 8),
+      |a1 AS (SELECT id, cid FROM (
+      |  SELECT w.id, c.cid, row_number() OVER (PARTITION BY w.id ORDER BY
+      |    list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(w.v, c.cv), c.cid)
+      |    AS rn FROM w CROSS JOIN c0 c) WHERE rn = 1),
+      |u1 AS (SELECT a1.cid, di,
+      |  CAST(sum(CAST(floor(w.v[di] * 1073741824 + 0.5) AS BIGINT)) AS BIGINT) AS sv,
+      |  count(*) AS n
+      |  FROM a1 JOIN w ON w.id = a1.id, unnest(range(1, len(w.v) + 1)) AS t(di)
+      |  GROUP BY a1.cid, di),
+      |c1 AS (SELECT cid,
+      |  list(CAST(sv AS DOUBLE) / CAST(n * 1073741824 AS DOUBLE) ORDER BY di) AS cv
+      |  FROM u1 GROUP BY cid),
+      |a2 AS (SELECT id, cid FROM (
+      |  SELECT w.id, c.cid, row_number() OVER (PARTITION BY w.id ORDER BY
+      |    list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(w.v, c.cv), c.cid)
+      |    AS rn FROM w CROSS JOIN c1 c WHERE w.id % 3 = 0) WHERE rn = 1)
+      |SELECT id AS node, cid AS cluster FROM a2""") { (s, dir) =>
+    val e = load(s, dir, "embeddings")
+    val model = graft.operators.Clustering.kmeansFit(e, col("vec_id"),
+      col("embedding"), k = 8, rounds = 1)
+    val path = java.nio.file.Files.createTempDirectory("graft_kmeans").toString
+    graft.operators.Clustering.kmeansSave(model, path)
+    graft.operators.Clustering.kmeansLoadAssign(s, path,
+      e.filter(col("vec_id") % 3 === 0), col("vec_id"), col("embedding"))
+  }
+
   // SemDeDup (Abbas et al. 2023): k-means blocks the embedding space,
   // near-identical pairs are found WITHIN clusters only, and each
   // near-dup group keeps the smallest-id witness chain head — the

@@ -68,12 +68,12 @@ object Clustering {
         e => e.getField("c")).as("cv"))
       .withColumn("cvn2", Similarity.norm2(col("cv")))
 
-  /** Deterministic k-means over an embedding column: `rounds` Lloyd
-    * iterations (assign + centroid update) from the md5-sample seed,
-    * then one final assignment. Returns (node, cluster) — cluster ids
-    * are seed ranks 1..k (clusters may be fewer if some lost every
-    * member). `rounds = 0` assigns against the raw seed sample. */
-  def kmeans(df: DataFrame, id: Column, vec: Column, k: Int,
+  /** Train centroids only: `rounds` Lloyd iterations from the md5-sample
+    * seed. Returns the centroid table (cid, cv, cvn2) — broadcast-sized,
+    * the MODEL. At corpus scale this is the fit-once half: train on a
+    * sample or one pass, persist with [[kmeansSave]], and assign any
+    * number of later corpora against it without re-fitting. */
+  def kmeansFit(df: DataFrame, id: Column, vec: Column, k: Int,
       rounds: Int): DataFrame = {
     require(k > 0 && rounds >= 0, s"kmeans: need k > 0, rounds >= 0")
     val d = graft.core.Caches.eager(normed(df, id, vec))
@@ -86,8 +86,36 @@ object Clustering {
     var cents = graft.core.Caches.eager(seed)
     for (_ <- 0 until rounds)
       cents = graft.core.Caches.eager(update(assign(d, cents)))
-    assign(d, cents).select(col("id").as("node"), col("cluster"))
+    cents
   }
+
+  /** Assign rows to a trained centroid table — one k-row broadcast + an
+    * argmin aggregate whose map-side partial collapses the k candidate
+    * scores per row before the exchange, so shuffled volume is one row
+    * per input row, independent of k: the 100 TB-corpus half of the
+    * fit/assign split. Returns (node, cluster). */
+  def kmeansAssign(df: DataFrame, id: Column, vec: Column,
+      cents: DataFrame): DataFrame =
+    assign(normed(df, id, vec), cents)
+      .select(col("id").as("node"), col("cluster"))
+
+  /** Deterministic k-means over an embedding column: `rounds` Lloyd
+    * iterations (assign + centroid update) from the md5-sample seed,
+    * then one final assignment. Returns (node, cluster) — cluster ids
+    * are seed ranks 1..k (clusters may be fewer if some lost every
+    * member). `rounds = 0` assigns against the raw seed sample. */
+  def kmeans(df: DataFrame, id: Column, vec: Column, k: Int,
+      rounds: Int): DataFrame =
+    kmeansAssign(df, id, vec, kmeansFit(df, id, vec, k, rounds))
+
+  /** Persist a fitted centroid table (the model — k rows). */
+  def kmeansSave(cents: DataFrame, path: String): Unit =
+    cents.write.mode("overwrite").parquet(path)
+
+  /** Assign against a [[kmeansSave]]d model without re-fitting. */
+  def kmeansLoadAssign(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, id: Column, vec: Column): DataFrame =
+    kmeansAssign(df, id, vec, spark.read.parquet(path))
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023: k-means
     * the embedding space, then drop near-identical pairs WITHIN each

@@ -36,6 +36,19 @@ class ClusteringSpec extends SparkSpec {
     assert(out.count() == 6)
   }
 
+  test("kmeansSave → kmeansLoadAssign ≡ direct assignment") {
+    val model = Clustering.kmeansFit(blobs, col("id"), col("v"), 2, 1)
+    val path = java.nio.file.Files.createTempDirectory("km_spec").toString
+    Clustering.kmeansSave(model, path)
+    val direct = rowsOf(Clustering.kmeansAssign(blobs, col("id"), col("v"), model))
+    val loaded = rowsOf(Clustering.kmeansLoadAssign(spark, path,
+      blobs, col("id"), col("v")))
+    assert(loaded == direct)
+    // the model is k rows of (cid, cv, cvn2)
+    val m = spark.read.parquet(path)
+    assert(m.columns.toSet == Set("cid", "cv", "cvn2") && m.count() == 2)
+  }
+
   test("semDedup drops near-identical same-cluster rows, keeps smallest id") {
     val d = Seq(
       (1L, Array(10.0, 0.1)), (2L, Array(20.0, 0.2)), // 2 = scaled copy of 1

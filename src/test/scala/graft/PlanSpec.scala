@@ -200,4 +200,37 @@ class PlanSpec extends SparkSpec {
     // top-k per query keeps the rank-pushdown optimization
     assert(p.contains("WindowGroupLimit"), s"expected rank pushdown:\n$p")
   }
+
+  test("q_text_chunk_sep: separator chunking is shuffle-free") {
+    // prefix sums / bucket ids / chunk re-assembly all stay inside the
+    // row as array expressions — a window-function formulation would
+    // exchange the piece set by doc id; at 100 TB that shuffle IS the
+    // cost, so its absence is the operator's scale contract
+    val p = plan("q_text_chunk_sep")
+    assert(!p.contains("Exchange"), s"chunkBySeparator must not shuffle:\n$p")
+    assert(!p.contains("Window"), s"no window function expected:\n$p")
+  }
+
+  test("q_kmeans_model: centroid model broadcasts; assignment argmin is " +
+      "map-side partial-aggregated") {
+    val p = plan("q_kmeans_model")
+    // the k-row model is the broadcast side of the scoring join; the
+    // corpus is never broadcast, and the per-row argmin collapses the k
+    // candidate scores in the partial aggregate before the exchange
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected corpus x broadcast(centroids):\n$p")
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final argmin aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian fallback:\n$p")
+  }
+
+  test("q_knn_pq: codebook joins broadcast; corpus decode is partial-aggregated") {
+    val p = plan("q_knn_pq")
+    // encode (corpus-subspace x codebook) and decode (codes x codebook)
+    // must both broadcast the m·ksub codebook, never the corpus
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast codebook joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian fallback:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"expected rank pushdown:\n$p")
+  }
 }
