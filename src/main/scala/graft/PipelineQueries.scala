@@ -1083,4 +1083,17 @@ object PipelineQueries extends QueryModule {
     Sampling.sampleExact(load(s, dir, "documents"), col("doc_id"), 100)
       .select(col("doc_id"))
   }
+
+  // Exactly-n PER STRATUM (balanced-mix construction: equal counts per
+  // language no matter how skewed the corpus; WindowGroupLimit keeps
+  // per-partition state at n rows per stratum, never a stratum sort)
+  q("q_sample_stratified_exact",
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents) t WHERE rn <= 25""") { (s, dir) =>
+    Sampling.sampleExactPerStratum(load(s, dir, "documents"),
+        col("lang"), col("doc_id"), n = 25)
+      .select(col("doc_id"), col("lang"))
+  }
 }

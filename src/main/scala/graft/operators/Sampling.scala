@@ -94,4 +94,21 @@ object Sampling {
   def sampleExact(df: DataFrame, id: Column, n: Int,
       salt: String = ""): DataFrame =
     df.orderBy(md5(concat(lit(salt), id.cast("string")))).limit(n)
+
+  /** Exactly-n PER STRATUM (balanced-mix construction: equal document
+    * counts per language/source/quality band regardless of how skewed
+    * the corpus is): the n rows with smallest md5(salt‖id) within each
+    * stratum — one rank window per stratum, WindowGroupLimit pushes the
+    * top-n below the sort, so per-partition state is n rows per stratum,
+    * never a stratum-wide sort. Same determinism contract as
+    * [[sampleExact]]: the kept set is a pure function of (id, stratum,
+    * salt) and the stratum's membership, identical on any engine.
+    * Strata smaller than n keep every row. */
+  def sampleExactPerStratum(df: DataFrame, stratum: Column, id: Column,
+      n: Int, salt: String = ""): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(stratum)
+      .orderBy(md5(concat(lit(salt), id.cast("string"))), id)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n).drop("_rn")
+  }
 }

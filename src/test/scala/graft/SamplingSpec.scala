@@ -69,4 +69,22 @@ class SamplingSpec extends SparkSpec {
     val plan = s.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
   }
+
+  test("sampleExactPerStratum: n per stratum, small strata kept whole, " +
+      "group-limited plan") {
+    val s = Sampling.sampleExactPerStratum(docs, col("lang"), col("id"), 30)
+    val counts = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.toSet == Set(30L)) // 5 strata of 200 → 30 each
+    // stratum smaller than n keeps every row
+    val tiny = Sampling.sampleExactPerStratum(
+      docs.filter(col("id") <= 7), col("lang"), col("id"), 30)
+    assert(tiny.count() == 7)
+    // partition-independent
+    assert(rowsOf(s) == rowsOf(Sampling.sampleExactPerStratum(
+      docs.repartition(7, col("text")), col("lang"), col("id"), 30)))
+    // the rank pushdown keeps per-partition state at n rows per stratum
+    val plan = s.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"plan was:\n$plan")
+  }
 }
