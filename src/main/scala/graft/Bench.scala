@@ -36,7 +36,8 @@ object Bench {
     "q_fuzzy_join", "q_knn_lsh", "q_knn_ivf", "q_knn_bruteforce", "q_knn_hnsw",
     "q_knn_classify",
     "q_bm25", "q_pagerank", "q_connected_components", "q_louvain", "q_hmm",
-    "q_retract_reduce", "q_text_stats", "q_sql", "q_doc_store")
+    "q_retract_reduce", "q_text_stats", "q_sql", "q_doc_store",
+    "q_knn_pq", "q_knn_ivf_pq", "q_kmeans", "q_dedup_semantic")
 
   /** Queries whose wall-clock is dominated by a streaming-replay or
     * external-service HARNESS (multi-micro-batch MemoryStream feeds,

@@ -43,7 +43,7 @@ object DocStoreQueries extends QueryModule {
       |ck AS (SELECT *, CAST('0x' || substr(md5(doc_id || '#' || chunk_id), 1, 15)
       |  AS BIGINT) AS chunk_key FROM ch),
       |ce AS (SELECT doc_id, chunk_id, chunk_key, lang, EMB_CHUNK AS v FROM ck),
-      |q AS (SELECT doc_id AS qid, EMB_QUERY AS qv FROM w WHERE doc_id % 25 = 0)"""
+      |q AS (SELECT doc_id AS qid, EMB_QUERY AS qv FROM w WHERE doc_id % 25 = 0 AND doc_id < 5000)"""
       .replace("EMB_CHUNK", embSql("chunk"))
       .replace("EMB_QUERY", embSql("array_to_string(ws[1 : 5], ' ')"))
 
@@ -58,8 +58,16 @@ object DocStoreQueries extends QueryModule {
       embedder = DocStore.hashEmbedder(16))
   }
 
+  /** Fixed-size probe set: the id cap is a no-op at sf<=0.1 (every
+    * doc_id < 5000) and pins the query count at larger scale factors —
+    * retrieval is a SERVICE: its cost model is a growing CORPUS under a
+    * fixed query load, and a probe set that grew with the corpus made
+    * the benchmarked pair volume quadratic in sf (measured 20x+ wall at
+    * 10x data for the brute-force retrieval family), which measured the
+    * benchmark's query-set choice, not the operator. */
   private def queriesOf(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+    load(s, dir, "documents")
+      .filter(col("doc_id") % 25 === 0 && col("doc_id") < 5000)
       .select(col("doc_id").as("qid"),
         concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("qtext"))
 
@@ -107,7 +115,7 @@ object DocStoreQueries extends QueryModule {
       |  AS BIGINT) AS chunk_key FROM ch),
       |ce AS (SELECT doc_id, chunk_id, chunk_key, lang, EMB_CHUNK AS v FROM ck),
       |q AS (SELECT doc_id AS qid,
-      |  EMB_QUERY AS qv FROM pp WHERE doc_id % 25 = 0),
+      |  EMB_QUERY AS qv FROM pp WHERE doc_id % 25 = 0 AND doc_id < 5000),
       |sc AS (SELECT q.qid, ce.doc_id, ce.chunk_id, ce.chunk_key,
       |  list_dot_product(q.qv, ce.v)
       |    / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(ce.v, ce.v)) AS c
@@ -218,7 +226,7 @@ object DocStoreQueries extends QueryModule {
   q("q_doc_store_rerank",
     s"""WITH $pipeCte,
       |qt AS (SELECT doc_id AS qid, array_to_string(ws[1 : 5], ' ') AS qtext
-      |  FROM w WHERE doc_id % 25 = 0),
+      |  FROM w WHERE doc_id % 25 = 0 AND doc_id < 5000),
       |sc AS (SELECT q.qid, ce.doc_id, ce.chunk_id, ce.chunk_key,
       |  list_dot_product(q.qv, ce.v)
       |    / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(ce.v, ce.v)) AS c

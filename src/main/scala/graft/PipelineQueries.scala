@@ -522,7 +522,7 @@ object PipelineQueries extends QueryModule {
       |  WHERE rn = 1),
       |rv AS (SELECT enc.id, flatten(list(f.cw ORDER BY enc.s)) AS rv
       |  FROM enc JOIN cbf f ON f.s = enc.s AND f.j = enc.j GROUP BY enc.id),
-      |q AS (SELECT id AS query_id, v AS qv FROM w WHERE id % 50 = 0),
+      |q AS (SELECT id AS query_id, v AS qv FROM w WHERE id % 50 = 0 AND id < 2000),
       |sc AS (SELECT q.query_id, rv.id AS neighbor_id, q.qv,
       |  list_dot_product(q.qv, rv.rv) AS score
       |  FROM q JOIN rv ON rv.id != q.query_id),
@@ -538,8 +538,13 @@ object PipelineQueries extends QueryModule {
       |SELECT query_id, rank, neighbor_id, round(cosine + 1e-9, 4) AS cosine
       |FROM r2 WHERE rank <= 2""") { (s, dir) =>
     val e = load(s, dir, "embeddings")
+    // fixed probe set (the id cap is a no-op at sf <= 0.1): flat PQ
+    // scoring is |q|·|corpus| by design, so the service cost model is a
+    // growing corpus under FIXED query load — q_knn_ivf_pq below keeps
+    // its corpus-derived probe set because the coarse prune makes it
+    // sublinear either way
     Similarity.pqTopK(
-        e.filter(col("vec_id") % 50 === 0), e,
+        e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000), e,
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         m = 8, ksub = 16, k = 2, rescore = 8, dim = 64)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -638,7 +643,7 @@ object PipelineQueries extends QueryModule {
       |  WHERE rn = 1),
       |rv AS (SELECT enc.id, flatten(list(f.cw ORDER BY enc.s)) AS rv
       |  FROM enc JOIN cbf f ON f.s = enc.s AND f.j = enc.j GROUP BY enc.id),
-      |q AS (SELECT id AS query_id, v AS qv FROM w WHERE id % 50 = 0),
+      |q AS (SELECT id AS query_id, v AS qv FROM w WHERE id % 50 = 0 AND id < 2000),
       |sc AS (SELECT q.query_id, rv.id AS neighbor_id, q.qv,
       |  list_dot_product(q.qv, rv.rv) AS score
       |  FROM q JOIN rv ON rv.id != q.query_id),
@@ -658,7 +663,8 @@ object PipelineQueries extends QueryModule {
     Similarity.pqSave(e, col("vec_id"), col("embedding"), idx,
       m = 8, ksub = 16, dim = 64)
     Similarity.pqLoadTopK(s, idx,
-        e.filter(col("vec_id") % 50 === 0), col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000),
+        col("vec_id"), col("embedding"),
         k = 2, rescore = 8,
         rescoreAgainst = Some((e, col("vec_id"), col("embedding"))))
       .select(col("query_id"), col("rank"), col("neighbor_id"),
