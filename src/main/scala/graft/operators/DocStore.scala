@@ -56,23 +56,13 @@ object DocStore {
     * `Column => Column` (or a mapInPandas batch-inference stage)
     * without touching the rest of the pipeline. */
   def hashEmbedder(dim: Int = 16): Column => Column = { text =>
-    val toks = split(text, " ")
-    // Digest each token ONCE, up front: higher-order functions are
-    // interpreted (no codegen, no common-subexpression elimination), so
-    // an md5 written inside the per-dimension fold would run dim× per
-    // token — measured 10+ s per retrieval over a 53k-chunk corpus at
-    // sf0.1, vs ~1 s with the digests hoisted. The fold then scans a
-    // small (bucket, sign) struct array with integer compares only.
-    val hs = transform(toks, t => md5(t))
-    val kv = transform(hs, h => struct(
-      (conv(substring(h, 1, 4), 16, 10).cast("long") % dim).as("b"),
-      when(conv(substring(h, 5, 1), 16, 10).cast("long") % 2 === 0,
-        lit(1.0)).otherwise(lit(-1.0)).as("s")))
-    val hashed = transform(sequence(lit(0), lit(dim - 1)), d =>
-      aggregate(kv, lit(0.0), (acc, e) =>
-        acc + when(e.getField("b") === d.cast("long"), e.getField("s"))
-          .otherwise(lit(0.0))))
-    concat(array(size(toks).cast("double")), hashed)
+    // One native plan node ([[graft.plans.HashEmbedExpr]]): the earlier
+    // higher-order-function formulation was interpreted O(dim·tokens)
+    // per chunk (folds are CodegenFallback with per-element closure
+    // dispatch) and dominated the DocStore build at scale; the
+    // expression is one O(tokens+dim) pass over raw md5 bytes,
+    // bit-identical output (integer ±1 bucket sums — order-free).
+    graft.plans.VecExprs.hashEmbed(text, dim)
   }
 
   /** Deterministic stub second-stage scorer (reference:

@@ -49,6 +49,69 @@ object VecExprs {
   def matMul(a: Column, b: Column): Column =
     ColumnBridge.column(MatMulExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** `hash_embed(text, dim)`: the DocStore stub embedder as one native
+    * pass — see [[HashEmbedExpr]]. */
+  def hashEmbed(text: Column, dim: Int): Column =
+    ColumnBridge.column(HashEmbedExpr(ColumnBridge.expression(text), dim))
+}
+
+/** One-pass md5 hashing-trick text embedding (the [[graft.operators.DocStore]]
+  * stub embedder's hot loop as a single plan node).
+  *
+  * Bit-identical to the Column-expression formulation it replaces
+  * (split on ' ' with trailing empties kept; per token, bucket = first
+  * four md5 hex digits as an int mod dim, sign = fifth hex digit's
+  * parity; output[0] = token count, output[1+d] = Σ ±1 over tokens in
+  * bucket d — integer sums in double, so accumulation order can't
+  * matter) and to the DuckDB oracle replay of the same recipe. The
+  * fold-based original was interpreted O(dim·tokens) per CHUNK —
+  * dominant in the DocStore build at scale (the embed stage IS the
+  * pipeline's hot loop once parsing and chunking are single-scan);
+  * this is O(tokens + dim) with md5 on raw bytes, no hex string, no
+  * per-element closure dispatch. CodegenFallback like [[MatMulExpr]]:
+  * one virtual dispatch per row amortized over the whole token loop. */
+case class HashEmbedExpr(child: Expression, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(dim > 0, s"hash_embed: dim must be > 0, got $dim")
+
+  override def inputTypes = Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = ArrayType(DoubleType)
+  override def prettyName: String = "hash_embed"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(t: Any): Any = {
+    val md = HashEmbedExpr.digest.get()
+    val s = t.toString
+    // split(' ', -1): trailing empties kept — same as Spark's split()
+    val toks = s.split(" ", -1)
+    val acc = new Array[Double](dim + 1)
+    acc(0) = toks.length.toDouble
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first four hex digits = first two bytes; fifth = byte 2's high nibble
+      val b = (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % dim
+      val sign = if ((((d(2) >> 4) & 0xf) % 2) == 0) 1.0 else -1.0
+      acc(1 + b) += sign
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(acc)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashEmbedExpr =
+    copy(child = newChild)
+}
+
+object HashEmbedExpr {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 }
 
 case class MatMulExpr(left: Expression, right: Expression)

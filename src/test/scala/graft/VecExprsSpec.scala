@@ -51,4 +51,32 @@ class VecExprsSpec extends SparkSpec {
     val bad = mm(a, Seq(Seq(Seq(1.0, 2.0))))
     assert(bad.isNullAt(0))
   }
+
+  test("hashEmbed: matches the Column-expression recipe it replaced") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dim = 8
+    val df = Seq("alpha beta gamma", "x", "", "a a a b").toDF("t")
+    // the pre-native formulation, verbatim
+    val toks = split(col("t"), " ")
+    val kv = transform(transform(toks, t => md5(t)), h => struct(
+      (conv(substring(h, 1, 4), 16, 10).cast("long") % dim).as("b"),
+      when(conv(substring(h, 5, 1), 16, 10).cast("long") % 2 === 0,
+        lit(1.0)).otherwise(lit(-1.0)).as("s")))
+    val legacy = concat(array(size(toks).cast("double")),
+      transform(sequence(lit(0), lit(dim - 1)), d =>
+        aggregate(kv, lit(0.0), (acc, e) =>
+          acc + when(e.getField("b") === d.cast("long"), e.getField("s"))
+            .otherwise(lit(0.0)))))
+    val both = df.select(
+      graft.plans.VecExprs.hashEmbed(col("t"), dim).as("native"),
+      legacy.as("legacy")).collect()
+    both.foreach { r =>
+      assert(r.getSeq[Double](0) == r.getSeq[Double](1), r.toString)
+    }
+    // null text → null embedding
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(graft.plans.VecExprs.hashEmbed(col("t"), dim)).collect()
+    assert(n(0).isNullAt(0))
+  }
 }
