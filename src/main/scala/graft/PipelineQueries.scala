@@ -99,6 +99,30 @@ object PipelineQueries extends QueryModule {
 
   // canonicalization: minhash pair edges → connected components → keep
   // the longest member per cluster (tie: smallest doc_id)
+  // Exact duplicated spans (Lee et al. 2022 substring dedup, as a
+  // distributed shingle join): maximal >= 8-token verbatim runs between
+  // doc pairs via 5-gram positional shingles (DF-capped), diagonal
+  // islands found with one window + one aggregate.
+  q("q_dedup_spans",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |ps AS (SELECT doc_id, j AS p, md5(array_to_string(ws[j : j+4], ' ')) AS k
+      |  FROM w, unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(j)),
+      |hot AS (SELECT k FROM (SELECT k, count(DISTINCT doc_id) AS df
+      |  FROM ps GROUP BY k) h WHERE df > 8),
+      |pc AS (SELECT * FROM ps WHERE k NOT IN (SELECT k FROM hot)),
+      |m AS (SELECT a.doc_id AS a, b.doc_id AS b, a.p AS pa, b.p AS pb
+      |  FROM pc a JOIN pc b ON a.k = b.k AND a.doc_id < b.doc_id),
+      |i AS (SELECT a, b, pa, pb, pa - pb AS d,
+      |  pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS g
+      |  FROM m)
+      |SELECT a, b, min(pa) AS a_start, min(pb) AS b_start,
+      |  CAST(count(*) + 4 AS BIGINT) AS span_tokens
+      |FROM i GROUP BY a, b, d, g
+      |HAVING count(*) + 4 >= 8""") { (s, dir) =>
+    Dedup.duplicateSpans(load(s, dir, "documents"), col("doc_id"),
+      col("text"), n = 5, minSpan = 8, maxDf = 8)
+  }
+
   q("q_dedup_canonical",
     """WITH RECURSIVE
       |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),

@@ -250,6 +250,58 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** Exact duplicated-SPAN detection between document pairs (the
+    * substring-level dedup of Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better" — their suffix-array pass finds
+    * verbatim repeated sequences; this is the distributed shingle-join
+    * twin): maximal runs of ≥ `minSpan` tokens shared verbatim between
+    * two documents, reported with both start positions, e.g. to excise
+    * boilerplate or quote-duplication instead of dropping whole docs.
+    *
+    *  - positional n-gram shingles (md5 keys) equi-join across docs —
+    *    never a cross join; `maxDf` drops boilerplate shingles that
+    *    would make hot keys quadratic (same cap contract as
+    *    [[capShingleDf]], distinct-doc frequency);
+    *  - a shared span of L tokens is L−n+1 consecutive shingle matches
+    *    on one DIAGONAL (pa − pb constant); islands are found with the
+    *    classic gaps-and-islands trick (pa − row_number per diagonal),
+    *    one window + one aggregate, both shuffled by (a, b) pair;
+    *  - overlapping repeats within one doc surface as separate
+    *    diagonals, matching the suffix-array semantics.
+    *
+    * Returns (a, b, a_start, b_start, span_tokens), a < b, 1-based
+    * token positions. */
+  def duplicateSpans(df: DataFrame, id: Column, text: Column,
+      n: Int = 5, minSpan: Int = 10, maxDf: Int = 8): DataFrame = {
+    require(n > 0 && minSpan >= n, s"duplicateSpans: need minSpan >= n")
+    val w = graft.core.Par.spread(df)
+      .select(id.as("id"), split(text, " ").as("_w"))
+    val ws = col("_w")
+    val idxs = when(size(ws) >= n, sequence(lit(1), size(ws) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val ps = Caches.cache(w.select(col("id"),
+      explode(transform(idxs, j => struct(j.as("p"),
+        md5(concat_ws(" ",
+          (0 until n).map(o => element_at(ws, j + o)): _*)).as("k")))).as("e"))
+      .select(col("id"), col("e.p").as("p"), col("e.k").as("k")))
+    val hot = ps.groupBy("k").agg(countDistinct(col("id")).as("_df"))
+      .filter(col("_df") > maxDf).select("k")
+    val pc = Similarity.fanoutRepartition(
+      ps.join(broadcast(hot), Seq("k"), "left_anti"), col("k"))
+    val m = pc.select(col("id").as("a"), col("p").as("pa"), col("k"))
+      .join(pc.select(col("id").as("b"), col("p").as("pb"), col("k")), Seq("k"))
+      .filter(col("a") < col("b"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a"), col("b"), col("pa") - col("pb")).orderBy("pa")
+    m.withColumn("g", col("pa") - row_number().over(wd))
+      .groupBy(col("a"), col("b"), (col("pa") - col("pb")).as("_d"), col("g"))
+      .agg(min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
+        (count(lit(1)) + lit(n - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+      .select(col("a"), col("b"), col("a_start"), col("b_start"),
+        col("span_tokens"))
+  }
+
   /** Embedding near-duplicate pairs within a block: cosine ≥ threshold.
     * Candidate generation = equi-join on the block column (use an LSH
     * bucket — [[Similarity.rhpBucket]] — as the block at scale).

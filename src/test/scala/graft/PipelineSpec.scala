@@ -54,6 +54,32 @@ class PipelineSpec extends SparkSpec {
     assert(ids == Set((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("duplicateSpans finds the maximal shared run with both positions") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (1L, s"a1 a2 a3 $shared t1 t2"),            // shared run at pos 4
+      (2L, s"b1 $shared u1 u2 u3 u4"),            // shared run at pos 2
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11")) // no overlap
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(d, col("doc_id"), col("text"),
+      n = 3, minSpan = 5, maxDf = 8)
+    assert(rowsOf(out) == Set(Seq(1L, 2L, 4, 2, 10L)))
+  }
+
+  test("duplicateSpans: sub-minSpan overlaps and hot shingles drop out") {
+    val d = Seq(
+      (1L, "p q r s junk1 junk2 junk3"),
+      (2L, "p q r s other stuff here")) // 4-token overlap < minSpan 5
+      .toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(d, col("doc_id"), col("text"),
+      n = 3, minSpan = 5, maxDf = 8).count() == 0)
+    // a run present in MANY docs is boilerplate: DF cap excises it
+    val many = (1L to 6L).map(i => (i, s"common run of words here x$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(many, col("doc_id"), col("text"),
+      n = 3, minSpan = 5, maxDf = 2).count() == 0)
+  }
+
   test("simhash16 collides exact dups, separates different docs") {
     val out = Dedup.simhash16(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
