@@ -124,6 +124,39 @@ object DataIndex {
       }
     }
 
+  /** Product-quantization retriever ([[Similarity.pqTopK]]) — the
+    * memory end-game variant: m one-byte codes per vector + one shared
+    * broadcast codebook; `rescore > 0` enables the exact refine stage
+    * over the shortlist. ksub defaults to 16 for small corpora —
+    * production PQ fixes ksub = 256 (one byte per code). */
+  def pq(data: DataFrame, id: Column, vec: Column, dim: Int,
+      m: Int = 8, ksub: Int = 16, rescore: Int = 0): Retriever =
+    new Retriever {
+      def retrieve(queries: DataFrame, qid: Column, query: Column, k: Int): DataFrame = {
+        val out = Similarity.pqTopK(queries, data, qid, query, id, vec,
+          m, ksub, k, rescore, dim)
+        val score = if (rescore > 0) col("cosine") else col("score")
+        out.select(col("query_id").as("qid"), col("rank"),
+          col("neighbor_id").as("id"), score.as("score"))
+      }
+    }
+
+  /** IVF-PQ retriever ([[Similarity.ivfPqRetrieve]]) — coarse-list
+    * prune composed with PQ-code ranking and a mandatory float refine
+    * stage: the full FAISS serving shape behind the same façade. */
+  def ivfPq(data: DataFrame, id: Column, vec: Column, dim: Int,
+      nlist: Int = 0, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      rescore: Int = 8): Retriever =
+    new Retriever {
+      private lazy val lists =
+        if (nlist > 0) nlist else Similarity.nlistFor(data.count())
+      def retrieve(queries: DataFrame, qid: Column, query: Column, k: Int): DataFrame =
+        Similarity.ivfPqRetrieve(queries, data, qid, query, id, vec,
+            lists, nprobe, m, ksub, k, rescore, excludeSelf = false, dim = dim)
+          .select(col("query_id").as("qid"), col("rank"),
+            col("neighbor_id").as("id"), col("cosine").as("score"))
+    }
+
   /** Full-text BM25 retriever. */
   def bm25(corpus: DataFrame, id: Column, text: Column): Retriever =
     new Retriever {

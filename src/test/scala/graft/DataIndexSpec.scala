@@ -18,6 +18,34 @@ class DataIndexSpec extends SparkSpec {
     assert(got == Seq(2L, 3L))
   }
 
+  test("pq and ivfPq retrievers answer through the façade with refine") {
+    // 16-dim fixture (pq needs m | dim); 4 near-axis groups of 3
+    val d = (for (g <- 0 until 4; j <- 0 until 3) yield {
+      val v = Array.tabulate(16)(i =>
+        (if (i / 4 == g) 1.0 else 0.0) + ((g * 7 + j * 3 + i) % 3 - 1) / 30.0)
+      ((g * 3 + j).toLong, v)
+    }).toDF("id", "v")
+    // query id OUTSIDE the corpus id space: pqTopK excludes self-id
+    // matches while ivfPq (façade default) does not — a fresh query id
+    // makes the comparison independent of that policy difference
+    val q = Seq((100L, Array.tabulate(16)(i => if (i / 4 == 0) 1.0 else 0.0)))
+      .toDF("id", "v")
+    val exact = DataIndex.bruteForce(d, col("id"), col("v"))
+      .retrieve(q, col("id"), col("v"), 2)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    val pq = DataIndex.pq(d, col("id"), col("v"), dim = 16,
+        m = 4, ksub = 8, rescore = 12)
+      .retrieve(q, col("id"), col("v"), 2)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(pq == exact) // refine over the full shortlist recovers exact
+    val ivfpq = DataIndex.ivfPq(d, col("id"), col("v"), dim = 16,
+        nlist = 4, nprobe = 4, m = 4, ksub = 8, rescore = 12)
+      .retrieve(q, col("id"), col("v"), 2)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    // nprobe = nlist probes every list; refine covers the shortlist
+    assert(ivfpq == exact)
+  }
+
   test("bm25 retriever finds term matches") {
     val docs = Seq((1L, "spark shuffles data"), (2L, "ducks like water"))
       .toDF("id", "text")
