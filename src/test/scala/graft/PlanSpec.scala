@@ -224,6 +224,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian fallback:\n$p")
   }
 
+  test("q_dedup_spans: candidates come from a shingle equi-join, islands " +
+      "from one window") {
+    val p = plan("q_dedup_spans")
+    // pair generation must stay an equi-join on the shingle hash —
+    // a cartesian/NLJ fallback would be corpus-quadratic
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span candidates must be equi-join shaped:\n$p")
+    assert("Window".r.findAllIn(p).size >= 1, s"expected the island window:\n$p")
+  }
+
   test("q_knn_pq: codebook joins broadcast; corpus decode is partial-aggregated") {
     val p = plan("q_knn_pq")
     // encode (corpus-subspace x codebook) and decode (codes x codebook)
