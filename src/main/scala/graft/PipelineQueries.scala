@@ -123,6 +123,41 @@ object PipelineQueries extends QueryModule {
       col("text"), n = 5, minSpan = 8, maxDf = 8)
   }
 
+  // Span EXCISION: cut each duplicated run out of the later (b-side)
+  // copy — one copy of every repeated sequence survives corpus-wide,
+  // unique content untouched; fully-excised docs come back empty.
+  q("q_dedup_spans_excise",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |ps AS (SELECT doc_id, j AS p, md5(array_to_string(ws[j : j+4], ' ')) AS k
+      |  FROM w, unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(j)),
+      |hot AS (SELECT k FROM (SELECT k, count(DISTINCT doc_id) AS df
+      |  FROM ps GROUP BY k) h WHERE df > 8),
+      |pc AS (SELECT * FROM ps WHERE k NOT IN (SELECT k FROM hot)),
+      |m AS (SELECT a.doc_id AS a, b.doc_id AS b, a.p AS pa, b.p AS pb
+      |  FROM pc a JOIN pc b ON a.k = b.k AND a.doc_id < b.doc_id),
+      |i AS (SELECT a, b, pa, pb, pa - pb AS d,
+      |  pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS g
+      |  FROM m),
+      |sp0 AS (SELECT a, b, min(pa) AS a_start, min(pb) AS b_start,
+      |  count(*) + 4 AS span_tokens
+      |  FROM i GROUP BY a, b, d, g HAVING count(*) + 4 >= 8),
+      |sp AS (SELECT b AS id, b_start, b_start + span_tokens AS e FROM sp0),
+      |tk AS (SELECT doc_id, j AS p, ws[j] AS wd FROM w,
+      |  unnest(range(1, len(ws) + 1)) AS t(j)),
+      |kept AS (SELECT tk.doc_id, tk.p, tk.wd FROM tk WHERE NOT EXISTS (
+      |  SELECT 1 FROM sp WHERE sp.id = tk.doc_id
+      |    AND tk.p >= sp.b_start AND tk.p < sp.e)),
+      |rb AS (SELECT doc_id, string_agg(wd, ' ' ORDER BY p) AS text,
+      |  CAST(count(*) AS BIGINT) AS n_tokens FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id AS id, coalesce(rb.text, '') AS text,
+      |  coalesce(rb.n_tokens, 0) AS n_tokens
+      |FROM documents d LEFT JOIN rb ON rb.doc_id = d.doc_id""") { (s, dir) =>
+    val docs = load(s, dir, "documents")
+    val spans = Dedup.duplicateSpans(docs, col("doc_id"), col("text"),
+      n = 5, minSpan = 8, maxDf = 8)
+    Dedup.exciseSpans(docs, col("doc_id"), col("text"), spans)
+  }
+
   q("q_dedup_canonical",
     """WITH RECURSIVE
       |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),

@@ -302,6 +302,44 @@ object Dedup {
         col("span_tokens"))
   }
 
+  /** Excise duplicated spans from the LATER document of each pair
+    * (completes [[duplicateSpans]] the way Lee et al. use it: cut the
+    * repeated sequence out of one copy instead of dropping whole
+    * documents — boilerplate and quotes go, unique content stays).
+    *
+    * `spans` is [[duplicateSpans]] output; for every (a, b, …, b_start,
+    * span_tokens) row, tokens [b_start, b_start+span_tokens) of doc `b`
+    * are dropped (the a-side copy survives — a < b, so exactly one copy
+    * of every duplicated span remains corpus-wide). Overlapping spans
+    * union naturally through the anti-join. Token-level rebuild: output
+    * text re-joins kept tokens with single spaces.
+    *
+    * Scale shape: tokens anti-join spans on (doc equi-key + position
+    * range) — hash-join keyed by doc id with the range as a residual
+    * predicate, never a cartesian; re-assembly is one aggregate shuffled
+    * by doc. Returns (id, text, n_tokens) for EVERY input doc
+    * (fully-excised docs come back with empty text, n_tokens 0). */
+  def exciseSpans(df: DataFrame, id: Column, text: Column,
+      spans: DataFrame): DataFrame = {
+    val docs = graft.core.Par.spread(df).select(id.as("id"), text.as("_text"))
+    val toks = docs
+      .select(col("id"), posexplode(split(col("_text"), " ")).as(Seq("p0", "w")))
+      .select(col("id"), (col("p0") + 1).as("p"), col("w"))
+    val sp = spans.select(col("b").as("_sid"), col("b_start"),
+      (col("b_start") + col("span_tokens")).as("_send"))
+    val kept = toks.join(sp,
+      toks("id") === sp("_sid") && toks("p") >= sp("b_start") &&
+        toks("p") < sp("_send"), "left_anti")
+    val rebuilt = kept.groupBy("id")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("w")))),
+          e => e.getField("w")), " ").as("text"),
+        count(lit(1)).as("n_tokens"))
+    docs.select(col("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
+
   /** Embedding near-duplicate pairs within a block: cosine ≥ threshold.
     * Candidate generation = equi-join on the block column (use an LSH
     * bucket — [[Similarity.rhpBucket]] — as the block at scale).

@@ -80,6 +80,21 @@ class PipelineSpec extends SparkSpec {
       n = 3, minSpan = 5, maxDf = 2).count() == 0)
   }
 
+  test("exciseSpans cuts the b-side copy, keeps the a-side and unique text") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (1L, s"a1 a2 a3 $shared t1 t2"),
+      (2L, s"b1 $shared u1 u2"),
+      (3L, "c1 c2 c3")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, col("doc_id"), col("text"),
+      n = 3, minSpan = 5, maxDf = 8)
+    val out = Dedup.exciseSpans(d, col("doc_id"), col("text"), spans)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (s"a1 a2 a3 $shared t1 t2", 15L)) // a-side untouched
+    assert(out(2L) == ("b1 u1 u2", 3L))                 // shared run gone
+    assert(out(3L) == ("c1 c2 c3", 3L))                 // no spans, unchanged
+  }
+
   test("simhash16 collides exact dups, separates different docs") {
     val out = Dedup.simhash16(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
