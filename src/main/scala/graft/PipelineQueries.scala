@@ -1024,6 +1024,34 @@ object PipelineQueries extends QueryModule {
       .select(col("doc_id"), col("logprob"), col("n_tok"))
   }
 
+  // Bigram LM quality score (next step toward the CCNet 5-gram filter:
+  // word-order gibberish that unigram stats can't see scores low).
+  // Add-0.5 smoothing over the corpus's own bigram model; exact decimal
+  // sum of ln-probs for cross-engine reproducibility.
+  q("q_text_bigram",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (SELECT doc_id, ws[j] AS w1, ws[j+1] AS w2
+      |  FROM w, unnest(range(1, len(ws))) AS t(j)),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      |vs AS (SELECT count(DISTINCT tk) AS v FROM (
+      |  SELECT unnest(ws) AS tk FROM w) u),
+      |lp AS (SELECT bg.doc_id,
+      |  ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * vs.v)) AS lp
+      |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vs)
+      |SELECT doc_id,
+      |  round(CAST(sum(CAST(lp AS DECIMAL(24,6))) AS DOUBLE) / count(*)
+      |    + 1e-9, 4) AS logprob,
+      |  count(*) AS n_bigrams
+      |FROM lp GROUP BY doc_id""") { (s, dir) =>
+    TextOps.bigramLogProbs(load(s, dir, "documents"), col("doc_id"),
+        col("text"), k = 0.5)
+      .groupBy(col("id").as("doc_id"))
+      .agg(r4(dsum(col("lp")) / count(lit(1)) + lit(1e-9)).as("logprob"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("logprob"), col("n_bigrams"))
+  }
+
   // pre-training scrub: URLs stripped, emails/IPv4s masked, whitespace
   // normalized. The noise is injected deterministically in BOTH engines
   // (the synthetic corpus is clean text), so the scrub is exercised on

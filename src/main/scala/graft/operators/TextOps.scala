@@ -118,6 +118,38 @@ object TextOps {
     unigramTokenLogProbs(df, id, text).groupBy("id")
       .agg(avg(col("lp")).as("logprob"), count(lit(1)).as("n_tok"))
 
+  /** Per-bigram log-probabilities under the corpus's own add-k-smoothed
+    * bigram model — the next step up from [[unigramTokenLogProbs]]
+    * toward the CCNet 5-gram-LM quality filter: word-order gibberish
+    * that unigram statistics can't see (shuffled text has identical
+    * unigram counts) scores low here.
+    *
+    * P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V), V = corpus vocabulary
+    * size. Three aggregations over one bigram explode (by (w1,w2), by
+    * w1, and the scalar V — all map-side combinable, shuffled by the
+    * join keys they feed), then one join back; no window, no driver
+    * state. Docs with < 2 tokens emit no rows. Returns (id, lp);
+    * average per id for a document score (exact decimal sum for
+    * engine-reproducible results — QueryModule.dsum). */
+  def bigramLogProbs(df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, k: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val w = df.select(id.as("id"), tokens(text).as("ws"))
+    val ws = col("ws")
+    val pairs = when(size(ws) >= 2,
+        transform(sequence(lit(1), size(ws) - 1), j => struct(
+          element_at(ws, j).as("w1"), element_at(ws, j + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val bg = w.select(col("id"), explode(pairs).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vs = w.select(explode(ws).as("t")).agg(countDistinct(col("t")).as("v"))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(vs))
+      .select(col("id"),
+        log((col("c2") + lit(k)) / (col("c1") + lit(k) * col("v"))).as("lp"))
+  }
+
   // -- cleaning / PII masking ---------------------------------------------
   // Patterns are restricted to syntax RE2 and java.util.regex agree on
   // (character classes, \s/\S, bounded quantifiers — no lookaround, no

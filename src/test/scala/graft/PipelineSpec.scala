@@ -80,6 +80,21 @@ class PipelineSpec extends SparkSpec {
       n = 3, minSpan = 5, maxDf = 2).count() == 0)
   }
 
+  test("bigramLogProbs: repeated word order scores above unseen order; " +
+      "short docs emit nothing") {
+    // corpus dominated by the "a b" transition; doc 3 uses the unseen
+    // "b a" order with the SAME unigram profile — only a bigram model
+    // separates them
+    val d = Seq(
+      (1L, "a b a b a b"), (2L, "a b a b"), (3L, "b a b a"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val lp = graft.operators.TextOps.bigramLogProbs(d, col("doc_id"), col("text"))
+      .groupBy("id").agg(avg("lp").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(lp(1L) > lp(3L) && lp(2L) > lp(3L))
+    assert(!lp.contains(4L)) // single-token doc: no bigrams, no rows
+  }
+
   test("exciseSpans cuts the b-side copy, keeps the a-side and unique text") {
     val shared = (1 to 10).map(i => s"s$i").mkString(" ")
     val d = Seq(
