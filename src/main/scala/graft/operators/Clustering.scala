@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
   *    constant per row), ties to the smallest cid — exact doubles;
   *  - update: the float-summation-order trap in the centroid MEAN is
   *    closed by summing 2⁻³⁰-quantized components as BIGINTs (exact,
-  *    order-free; |sums| < 2⁴⁷ so even the back-cast to double is
-  *    exact) and dividing once — centroids are identical rationals on
-  *    every engine. Clusters that lose all members drop out (standard
-  *    Lloyd behavior), deterministically.
+  *    order-free) and dividing once — centroids are identical rationals
+  *    on every engine. The back-cast of the BIGINT sum to double is
+  *    itself exact only while |sum| < 2⁵³, i.e. up to ~2²³ members per
+  *    cluster for unit-normalized components (2⁻³⁰ quantization); past
+  *    that the cast rounds — still DETERMINISTIC across engines (both
+  *    round the identical integer the identical IEEE way), merely no
+  *    longer the exact mean. Clusters that lose all members drop out
+  *    (standard Lloyd behavior), deterministically.
   *
   * Scale shape: each round is one broadcast of k centroids + a map-side
   * argmin (no shuffle grows with k) + one (k·dim)-group aggregate —

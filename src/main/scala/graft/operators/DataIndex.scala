@@ -128,13 +128,17 @@ object DataIndex {
     * memory end-game variant: m one-byte codes per vector + one shared
     * broadcast codebook; `rescore > 0` enables the exact refine stage
     * over the shortlist. ksub defaults to 16 for small corpora —
-    * production PQ fixes ksub = 256 (one byte per code). */
+    * production PQ fixes ksub = 256 (one byte per code). `excludeSelf`
+    * (default true, same default as [[ivfPq]] — the two PQ retrievers
+    * agree on self-match semantics) drops corpus rows sharing the query
+    * id; pass false for disjoint query/corpus id spaces. */
   def pq(data: DataFrame, id: Column, vec: Column, dim: Int,
-      m: Int = 8, ksub: Int = 16, rescore: Int = 0): Retriever =
+      m: Int = 8, ksub: Int = 16, rescore: Int = 0,
+      excludeSelf: Boolean = true): Retriever =
     new Retriever {
       def retrieve(queries: DataFrame, qid: Column, query: Column, k: Int): DataFrame = {
         val out = Similarity.pqTopK(queries, data, qid, query, id, vec,
-          m, ksub, k, rescore, dim)
+          m, ksub, k, rescore, dim, excludeSelf)
         val score = if (rescore > 0) col("cosine") else col("score")
         out.select(col("query_id").as("qid"), col("rank"),
           col("neighbor_id").as("id"), score.as("score"))
@@ -143,16 +147,19 @@ object DataIndex {
 
   /** IVF-PQ retriever ([[Similarity.ivfPqRetrieve]]) — coarse-list
     * prune composed with PQ-code ranking and a mandatory float refine
-    * stage: the full FAISS serving shape behind the same façade. */
+    * stage: the full FAISS serving shape behind the same façade.
+    * `excludeSelf` defaults true, matching [[pq]] (ADVICE r10: the two
+    * PQ retrievers previously disagreed on self-match policy). */
   def ivfPq(data: DataFrame, id: Column, vec: Column, dim: Int,
       nlist: Int = 0, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
-      rescore: Int = 8): Retriever =
+      rescore: Int = 8, excludeSelf: Boolean = true): Retriever =
     new Retriever {
       private lazy val lists =
         if (nlist > 0) nlist else Similarity.nlistFor(data.count())
       def retrieve(queries: DataFrame, qid: Column, query: Column, k: Int): DataFrame =
         Similarity.ivfPqRetrieve(queries, data, qid, query, id, vec,
-            lists, nprobe, m, ksub, k, rescore, excludeSelf = false, dim = dim)
+            lists, nprobe, m, ksub, k, rescore, excludeSelf = excludeSelf,
+            dim = dim)
           .select(col("query_id").as("qid"), col("rank"),
             col("neighbor_id").as("id"), col("cosine").as("score"))
     }

@@ -537,10 +537,17 @@ object Similarity {
     * max(rescore, k) PQ-ranked candidates are re-scored by exact float
     * cosine against the original vectors (the FAISS refine stage) and
     * that ranking is emitted (`cosine`); otherwise the PQ score
-    * (`score`). Returns (query_id, rank, neighbor_id, score|cosine). */
+    * (`score`). `dim` is REQUIRED (> 0, divisible by m) — unlike the
+    * generic-loop dim=0 convention elsewhere in this object, PQ's
+    * subspace slicing cannot size itself from the data. `excludeSelf`
+    * (default true) drops corpus rows whose id equals the query id —
+    * the self-ANN convention; pass false for disjoint query/corpus id
+    * spaces where a match on the same id is a real neighbor.
+    * Returns (query_id, rank, neighbor_id, score|cosine). */
   def pqTopK(queries: DataFrame, data: DataFrame,
       qid: Column, qvec: Column, did: Column, dvec: Column,
-      m: Int, ksub: Int, k: Int, rescore: Int = 0, dim: Int = 0): DataFrame = {
+      m: Int, ksub: Int, k: Int, rescore: Int = 0, dim: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val (cb, codes) = pqBuild(data, did, dvec, m, ksub, dim)
     // decode once per CORPUS row (not per pair): codes explode to
     // (id, s, j), join the broadcast codebook, concatenate in s order
@@ -552,7 +559,8 @@ object Similarity {
     val q = fanoutRepartition(
       l2normalize(queries.select(qid.as("query_id"),
         qvec.cast("array<double>").as("qv")), "qv"), col("query_id"))
-    val scored = q.join(rv, col("query_id") =!= col("neighbor_id"))
+    val scored = q.join(rv,
+        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"), col("qv"),
         dot(col("qv"), col("rv")).as("score"))
     val w = org.apache.spark.sql.expressions.Window
@@ -686,19 +694,26 @@ object Similarity {
     * passing the source table to [[pqLoadTopK]] (rescans only the
     * shortlist rows' vectors). */
   def pqSave(data: DataFrame, did: Column, dvec: Column, path: String,
-      m: Int, ksub: Int, dim: Int = 0): Unit = {
+      m: Int, ksub: Int, dim: Int): Unit = {
     val (cb, codes) = pqBuild(data, did, dvec, m, ksub, dim)
     cb.write.mode("overwrite").parquet(s"$path/codebook")
     codes.write.mode("overwrite").parquet(s"$path/codes")
   }
 
   /** Query a [[pqSave]]d index. `rescoreAgainst` supplies the float
-    * corpus (did, dvec) for the optional exact refine stage; with
-    * `rescore <= 0` only codes + codebook are read. */
+    * corpus (did, dvec) for the exact refine stage and is REQUIRED when
+    * `rescore > 0` (a refine request without a float corpus would
+    * silently fall through to PQ-score ranking with a different output
+    * column — fail loudly instead); with `rescore <= 0` only codes +
+    * codebook are read. `excludeSelf` as in [[pqTopK]]. */
   def pqLoadTopK(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qid: Column, qvec: Column, k: Int,
       rescore: Int = 0,
-      rescoreAgainst: Option[(DataFrame, Column, Column)] = None): DataFrame = {
+      rescoreAgainst: Option[(DataFrame, Column, Column)] = None,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(rescore <= 0 || rescoreAgainst.isDefined,
+      s"pqLoadTopK: rescore = $rescore needs rescoreAgainst — the index " +
+        "persists codes only, the refine stage must be given the float corpus")
     val cb = spark.read.parquet(s"$path/codebook")
     val codes = spark.read.parquet(s"$path/codes")
     val rv = codes.select(col("neighbor_id"),
@@ -710,7 +725,8 @@ object Similarity {
     val q = fanoutRepartition(
       l2normalize(queries.select(qid.as("query_id"),
         qvec.cast("array<double>").as("qv")), "qv"), col("query_id"))
-    val scored = q.join(rv, col("query_id") =!= col("neighbor_id"))
+    val scored = q.join(rv,
+        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"), col("qv"),
         dot(col("qv"), col("rv")).as("score"))
     val w = org.apache.spark.sql.expressions.Window

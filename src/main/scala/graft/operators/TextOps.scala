@@ -271,18 +271,29 @@ object TextOps {
     // running sum, group-by) — this is shuffle-FREE: one scan at any
     // corpus size, and the same stateless plan runs under Structured
     // Streaming (windows are unsupported there), which is what lets the
-    // DocStore ingest path take a splitter. The per-row folds are
-    // O(pieces · chunks), trivial at document scale.
+    // DocStore ingest path take a splitter. Cost per row: ONE fold
+    // builds the exclusive prefix-sum array (O(pieces) interpreted
+    // steps; the per-step array append copies longs — memcpy, not
+    // expression eval), bucket ids are then O(1) lookups, and chunk
+    // re-assembly is O(pieces · chunks). The earlier formulation
+    // recomputed each piece's prefix with aggregate(slice(...)) —
+    // O(pieces²) interpreted fold steps, quadratic on a long document
+    // split on a common separator (ADVICE r10).
     val ps = split(text, java.util.regex.Pattern.quote(separator))
     df.select(id.as("id") +: ps.as("ps") +: keep.map(col): _*)
       .withColumn("_tc",
         transform(col("ps"), p => size(split(p, " ")).cast("long")))
+      .withColumn("_pfx",
+        aggregate(col("_tc"),
+          struct(lit(0L).as("s"), array().cast("array<bigint>").as("xs")),
+          (acc, t) => struct((acc.getField("s") + t).as("s"),
+            concat(acc.getField("xs"), array(acc.getField("s"))).as("xs")),
+          acc => acc.getField("xs")))
       .withColumn("_z",
         transform(sequence(lit(0), size(col("ps")) - 1), i => struct(
           element_at(col("ps"), i + 1).as("p"),
           element_at(col("_tc"), i + 1).as("t"),
-          floor(aggregate(slice(col("_tc"), lit(1), i), lit(0L),
-            (a, x) => a + x) / lit(maxTokens)).as("b"))))
+          floor(element_at(col("_pfx"), i + 1) / lit(maxTokens)).as("b"))))
       .select(col("id") +:
         explode(transform(array_distinct(transform(col("_z"), e => e.getField("b"))),
           b => struct(

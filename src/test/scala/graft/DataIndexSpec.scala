@@ -25,9 +25,9 @@ class DataIndexSpec extends SparkSpec {
         (if (i / 4 == g) 1.0 else 0.0) + ((g * 7 + j * 3 + i) % 3 - 1) / 30.0)
       ((g * 3 + j).toLong, v)
     }).toDF("id", "v")
-    // query id OUTSIDE the corpus id space: pqTopK excludes self-id
-    // matches while ivfPq (façade default) does not — a fresh query id
-    // makes the comparison independent of that policy difference
+    // query id OUTSIDE the corpus id space: both façades default to
+    // excludeSelf = true (one shared policy since r11); a fresh query id
+    // keeps the comparison independent of the self-match policy anyway
     val q = Seq((100L, Array.tabulate(16)(i => if (i / 4 == 0) 1.0 else 0.0)))
       .toDF("id", "v")
     val exact = DataIndex.bruteForce(d, col("id"), col("v"))
