@@ -319,9 +319,15 @@ object Hnsw {
         }
       }
     }.toDF("shard", "node", "id", "vec", "level", "links", "entry", "max_level")
-    rows.write.mode("overwrite").partitionBy("shard").parquet(s"$path/graphs")
+    // atomic generation publish (graft.core.IndexGen, shared with
+    // ivfSave/pqSave): graphs + meta land in a fresh gen dir, one marker
+    // rename makes both visible together — a reader never pairs new
+    // graphs with old meta (or vice versa)
+    val (dir, gen) = graft.core.IndexGen.stage(path)
+    rows.write.mode("overwrite").partitionBy("shard").parquet(s"$dir/graphs")
     Seq((m, efConstruction)).toDF("m", "ef_construction")
-      .write.mode("overwrite").parquet(s"$path/meta")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    graft.core.IndexGen.commit(path, gen)
   }
 
   /** Top-k against a [[hnswSave]]d index without rebuilding the graphs.
@@ -335,7 +341,8 @@ object Hnsw {
       efSearch: Int = 64, exact: Boolean = false,
       maxQueries: Int = 100000): DataFrame = {
     import spark.implicits._
-    val metaRow = spark.read.parquet(s"$path/meta").collect()(0)
+    val dir = graft.core.IndexGen.readDir(path)
+    val metaRow = spark.read.parquet(s"$dir/meta").collect()(0)
     val (m, efc) = (metaRow.getAs[Int]("m"), metaRow.getAs[Int]("ef_construction"))
     val qRows = queries.select(qid.cast("long").as("qid"),
         qvec.cast("array<double>").as("qv"))
@@ -346,7 +353,7 @@ object Hnsw {
       s"Hnsw.hnswLoadTopK: query side exceeds the broadcast smallness " +
         s"contract (> $maxQueries rows)")
     val qB = spark.sparkContext.broadcast(qRows)
-    val g = spark.read.parquet(s"$path/graphs")
+    val g = spark.read.parquet(s"$dir/graphs")
       .select(col("shard").cast("int"), col("node"), col("id"), col("vec"),
         col("level"), col("links"), col("entry"), col("max_level"))
       .repartition(col("shard"))

@@ -262,30 +262,39 @@ object Similarity {
     * jobs — ad-hoc [[ivfRetrieve]] re-pays the full corpus scan +
     * assignment on every run. The reference keeps the same split:
     * long-lived built indexes server-side, queries joining against them
-    * (external_index integration; xpack vector store). */
+    * (external_index integration; xpack vector store).
+    *
+    * Saves are atomically VERSIONED ([[graft.core.IndexGen]]): both
+    * tables land in a fresh `gen-<N>/` dir, one marker rename publishes
+    * them, so a reader concurrent with a re-save sees the old or the
+    * new index — never new centroids over old lists. */
   def ivfSave(data: DataFrame, did: Column, dvec: Column, path: String,
       nlist: Int, dim: Int = 0): Unit = {
     val (cents, assigned) = ivfBuild(data, did, dvec, nlist, dim)
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    val (dir, gen) = graft.core.IndexGen.stage(path)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
     // cluster by cid before the partitioned write: partitionBy opens one
     // file per (task, cid) pair, so un-clustered input writes up to
     // tasks×nlist near-empty files (8k at nlist=256, local[32]) — slow
     // here, and the classic small-files problem on a real filesystem.
     // Hash-clustered, each list lands in exactly one task → nlist files.
     assigned.repartition(col("cid")).write.mode("overwrite")
-      .partitionBy("cid").parquet(s"$path/assigned")
+      .partitionBy("cid").parquet(s"$dir/assigned")
+    graft.core.IndexGen.commit(path, gen)
   }
 
-  /** Retrieve against an [[ivfSave]]d index without rebuilding it. */
+  /** Retrieve against an [[ivfSave]]d index without rebuilding it —
+    * served from the committed generation at plan time. */
   def ivfLoadRetrieve(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qid: Column, qvec: Column,
       nprobe: Int, k: Int, excludeSelf: Boolean = false,
       dim: Int = 0): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids")
+    val dir = graft.core.IndexGen.readDir(path)
+    val cents = spark.read.parquet(s"$dir/centroids")
     // partition discovery re-infers the cid dir names' type (small longs
     // read back as int) — cast back to the centroid table's type so the
     // probe equi-join needs no implicit cast
-    val assigned = spark.read.parquet(s"$path/assigned")
+    val assigned = spark.read.parquet(s"$dir/assigned")
       .withColumn("cid", col("cid").cast(cents.schema("cid").dataType))
     ivfSearch(cents, assigned, queries, qid, qvec, nprobe, k, excludeSelf, dim)
   }
@@ -689,15 +698,18 @@ object Similarity {
   /** Persist a PQ index: `codebook/` (m·ksub rows — broadcast at query
     * time) and `codes/` (m bytes per corpus vector, THE at-rest corpus
     * representation: a 100 TB float corpus persists as ~1.5 TB of
-    * codes). Same build-once/query-many split as [[ivfSave]]. The
+    * codes). Same build-once/query-many split — and the same atomic
+    * generation-dir publish ([[graft.core.IndexGen]]) — as [[ivfSave]]. The
     * original float vectors are NOT persisted — rescore against them by
     * passing the source table to [[pqLoadTopK]] (rescans only the
     * shortlist rows' vectors). */
   def pqSave(data: DataFrame, did: Column, dvec: Column, path: String,
       m: Int, ksub: Int, dim: Int): Unit = {
     val (cb, codes) = pqBuild(data, did, dvec, m, ksub, dim)
-    cb.write.mode("overwrite").parquet(s"$path/codebook")
-    codes.write.mode("overwrite").parquet(s"$path/codes")
+    val (dir, gen) = graft.core.IndexGen.stage(path)
+    cb.write.mode("overwrite").parquet(s"$dir/codebook")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    graft.core.IndexGen.commit(path, gen)
   }
 
   /** Query a [[pqSave]]d index. `rescoreAgainst` supplies the float
@@ -714,8 +726,9 @@ object Similarity {
     require(rescore <= 0 || rescoreAgainst.isDefined,
       s"pqLoadTopK: rescore = $rescore needs rescoreAgainst — the index " +
         "persists codes only, the refine stage must be given the float corpus")
-    val cb = spark.read.parquet(s"$path/codebook")
-    val codes = spark.read.parquet(s"$path/codes")
+    val dir = graft.core.IndexGen.readDir(path)
+    val cb = spark.read.parquet(s"$dir/codebook")
+    val codes = spark.read.parquet(s"$dir/codes")
     val rv = codes.select(col("neighbor_id"),
         posexplode(col("codes")).as(Seq("s", "j")))
       .join(broadcast(cb.select(col("s"), col("j"), col("cw"))), Seq("s", "j"))

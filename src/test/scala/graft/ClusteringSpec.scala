@@ -133,7 +133,8 @@ class ClusteringSpec extends SparkSpec {
       rescoreAgainst = Some((emb, col("vec_id"), col("embedding")))))
     assert(loaded == adhoc)
     // codes are the persisted corpus representation: m ints per vector
-    val codes = spark.read.parquet(s"$idx/codes")
+    // (read from the committed generation dir — saves publish atomically)
+    val codes = spark.read.parquet(s"${graft.core.IndexGen.readDir(idx)}/codes")
     assert(codes.columns.toSet == Set("neighbor_id", "codes"))
     assert(codes.select(size(col("codes"))).distinct().collect()
       .map(_.getInt(0)).toSeq == Seq(8))

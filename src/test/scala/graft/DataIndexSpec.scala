@@ -189,9 +189,13 @@ class DataIndexSpec extends SparkSpec {
         col("id"), col("v"), nprobe = 2, k = 3, excludeSelf = true)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(loaded == direct)
-    // the persisted layout: broadcastable centroids + cid-partitioned lists
-    assert(new java.io.File(s"$idx/centroids").isDirectory)
-    val cidDirs = new java.io.File(s"$idx/assigned").listFiles
+    // the persisted layout: one committed GENERATION dir (atomic
+    // marker-flip publish) holding broadcastable centroids +
+    // cid-partitioned lists
+    val gdir = graft.core.IndexGen.readDir(idx)
+    assert(gdir != idx, "ivfSave must publish a committed generation")
+    assert(new java.io.File(s"$gdir/centroids").isDirectory)
+    val cidDirs = new java.io.File(s"$gdir/assigned").listFiles
       .filter(_.getName.startsWith("cid="))
     assert(cidDirs.nonEmpty)
     // lists are CLUSTERED before the partitioned write: each inverted
@@ -202,6 +206,28 @@ class DataIndexSpec extends SparkSpec {
       assert(parts.length == 1,
         s"${d.getName}: expected one clustered file, got ${parts.length}")
     }
+  }
+
+  test("pre-r11 flat index layout (no generation marker) stays readable") {
+    import graft.operators.Similarity
+    val corpus = (1L to 30).map { i =>
+      (i, Seq.tabulate(4)(j => (math.cos(i * 3.7 + j) * 10).toFloat))
+    }.toDF("id", "v")
+    val direct = Similarity.ivfRetrieve(corpus, corpus, col("id"), col("v"),
+        col("id"), col("v"), nlist = 4, nprobe = 2, k = 2, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // write the legacy FLAT layout by hand: artifacts directly under the
+    // path, no _current marker — what every pre-r11 ivfSave produced
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_legacy").toString
+    val (cents, assigned) = Similarity.ivfBuild(corpus, col("id"), col("v"),
+      nlist = 4, dim = 0)
+    cents.write.parquet(s"$idx/centroids")
+    assigned.repartition(col("cid")).write.partitionBy("cid")
+      .parquet(s"$idx/assigned")
+    val loaded = Similarity.ivfLoadRetrieve(spark, idx, corpus,
+        col("id"), col("v"), nprobe = 2, k = 2, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(loaded == direct)
   }
 
   test("classify: majority vote, pinned tie-break, NULL on empty retrieval") {

@@ -208,6 +208,78 @@ class DocStoreSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("index saves publish atomically: a reader mid-rebuild sees one complete generation") {
+    val root = java.nio.file.Files.createTempDirectory("ds_gen").toString
+    store.save(root, nlist = 4)
+    val idx = s"$root/index"
+    val ps = DocStore.open(spark, root, DocStore.hashEmbedder(8), nprobe = 4)
+    def hits() = ps.retrieve(q("uno dos tres"), col("qid"), col("qtext"), 3)
+      .select("qid", "rank", "doc_id", "chunk_id", "score")
+      .collect().map(_.toSeq).toSeq
+    val before = hits()
+    val cur = graft.core.IndexGen.current(idx).get
+    // simulate a rebuild in flight (or crashed): a HIGHER generation dir
+    // holds only half its artifacts — centroids written, inverted lists
+    // not — and the marker has NOT flipped. Pre-r11, mode("overwrite")
+    // put this half-state in the LIVE dirs and a concurrent reader could
+    // pair new centroids with old lists.
+    spark.read.parquet(s"${graft.core.IndexGen.readDir(idx)}/centroids")
+      .limit(1).write.parquet(s"$idx/gen-${cur + 1}/centroids")
+    assert(hits() == before,
+      "a reader mid-rebuild must keep serving the committed generation")
+    // the real rebuild skips the dead staging dir, publishes atomically
+    DocStore.rebuildIndex(spark, root, nlist = 4)
+    assert(graft.core.IndexGen.current(idx).contains(cur + 2))
+    assert(hits() == before, "same corpus -> same answers from the new generation")
+    // prune keeps exactly one generation of grace for in-flight readers
+    DocStore.rebuildIndex(spark, root, nlist = 4)
+    val gens = new java.io.File(idx).list().filter(_.startsWith("gen-")).toSet
+    assert(gens == Set(s"gen-${cur + 2}", s"gen-${cur + 3}"), s"gens = $gens")
+    assert(hits() == before)
+  }
+
+  test("parquetRowCount matches the scan count from footers alone") {
+    val root = java.nio.file.Files.createTempDirectory("ds_cnt").toString
+    store.save(root, nlist = 4)
+    assert(DocStore.parquetRowCount(spark, s"$root/chunks") ==
+      spark.read.parquet(s"$root/chunks").count())
+  }
+
+  test("retrieveRerankContext assembles the context in RERANKED order") {
+    val qs = q("uno dos tres")
+    val rr = store.retrieveRerank(qs, col("qid"), col("qtext"), k = 2, fetch = 4)
+      .orderBy("rank").select("text").as[String].collect()
+    val out = store.retrieveRerankContext(qs, col("qid"), col("qtext"),
+      k = 2, fetch = 4, sep = " || ").collect()(0)
+    assert(out.getAs[Long]("n_chunks") == 2L)
+    assert(out.getAs[String]("context") == rr.mkString(" || "))
+  }
+
+  test("REST server serves the persisted store, GET and JSON POST alike") {
+    val root = java.nio.file.Files.createTempDirectory("ds_srv").toString
+    store.save(root, nlist = 4)
+    val ps = DocStore.open(spark, root, DocStore.hashEmbedder(8), nprobe = 4)
+    val srv = DocStore.serve(ps)
+    try {
+      val port = srv.getAddress.getPort
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(path: String): String =
+        client.send(java.net.http.HttpRequest.newBuilder()
+            .uri(java.net.URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      def post(path: String, body: String): String =
+        client.send(java.net.http.HttpRequest.newBuilder()
+            .uri(java.net.URI.create(s"http://127.0.0.1:$port$path"))
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      val got = get("/v1/retrieve?query=uno%20dos%20tres&k=2")
+      assert(got.startsWith("[") && got.contains("\"doc_id\":3"), got)
+      // servers.py parity: the same request as a JSON POST body
+      assert(post("/v1/retrieve", """{"query":"uno dos tres","k":2}""") == got)
+      assert(get("/v1/statistics") == """{"doc_count":4,"chunk_count":12}""")
+    } finally srv.stop(0)
+  }
+
   test("hashEmbedder keeps every vector off the origin") {
     val v = spark.range(1).select(
         DocStore.hashEmbedder(8)(lit("x")).as("v"))
