@@ -21,6 +21,12 @@ import graft.sources.{io, Cdc}
   */
 object IoQueries extends QueryModule {
 
+  /** Typed CDC envelope rows for q_cdc_subject_log — the nested-struct
+    * values the subject-log codec carries since r11. */
+  case class COrder(o_orderkey: Long, o_custkey: Long,
+      o_orderstatus: String, o_totalprice: Double)
+  case class CEvent(_op: String, _ts_ms: Long, _after: COrder, _before: COrder)
+
   private def ioDir(dir: String) =
     s"/tmp/graft_io/${new java.io.File(dir).getName}"
 
@@ -286,6 +292,50 @@ object IoQueries extends QueryModule {
     // the sink's own (int64) schema — the source table may be narrower
     // (int32 at some SFs) and the driver compare normalizes widths
     s.read.parquet(out)
+  }
+
+  // A TYPED CDC envelope fed end-to-end through the replayable subject
+  // log: events are (op, ts, after-struct, before-struct) rows — the
+  // nested structs ride the r11 codec, no flattening — recorded in two
+  // record() calls with a kill+restart of the consuming query between
+  // them (the durable-offset contract), then replayed into current
+  // state via the same single-aggregate apply as q_cdc_apply. Same
+  // oracle: the whole subject → log → stream → apply loop must land on
+  // exactly the q_cdc_apply end state.
+  q("q_cdc_subject_log",
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders WHERE o_orderkey % 7 <> 0""") { (s, dir) =>
+    import s.implicits._
+    val rows = load(s, dir, "orders")
+      .select(col("o_orderkey").cast("long"), col("o_custkey").cast("long"),
+        col("o_orderstatus"), col("o_totalprice").cast("double"))
+      .as[COrder].collect()
+    val snapshot = rows.map(r => CEvent("r", 1000L, r, null))
+    val updates = rows.filter(_.o_orderkey % 3 == 0)
+      .map(r => CEvent("u", 2000L, r.copy(o_totalprice = r.o_totalprice + 1.0), null))
+    val deletes = rows.filter(_.o_orderkey % 7 == 0)
+      .map(r => CEvent("d", 3000L, null, r)) // deletes carry only before
+    val root = java.nio.file.Files.createTempDirectory("graft_cdclog").toString
+    val log = s"$root/log"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    def subjectOf(slice: Seq[CEvent]) =
+      new graft.sources.ConnectorSubject[CEvent] {
+        def run(): Unit = slice.grouped(4000).foreach { b => b.foreach(next); commit() }
+      }
+    def drain(): Unit = {
+      val q = graft.sources.SubjectLog.readStream(s, log)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+    graft.sources.SubjectLog.record(s, subjectOf(snapshot.toSeq), log)
+    drain() // "crash" after the snapshot tranche
+    graft.sources.SubjectLog.record(s, subjectOf((updates ++ deletes).toSeq), log)
+    drain() // restart on the SAME checkpoint — no loss, no duplicates
+    val decoded = s.read.schema(graft.sources.SubjectLog.read(s, log).schema)
+      .parquet(out)
+    Cdc.applyLatest(decoded, Seq("o_orderkey"), col("_ts_ms"))
   }
 
   // Streaming file source → parquet sink driven to an ORACLE (previously

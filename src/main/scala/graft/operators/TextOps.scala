@@ -130,9 +130,23 @@ object TextOps {
     * join keys they feed), then one join back; no window, no driver
     * state. Docs with < 2 tokens emit no rows. Returns (id, lp);
     * average per id for a document score (exact decimal sum for
-    * engine-reproducible results — QueryModule.dsum). */
+    * engine-reproducible results — QueryModule.dsum).
+    *
+    * Skew: the join back on `w1` (and on hot bigrams) concentrates head
+    * words — "the" can carry percents of a natural-language corpus. Each
+    * bg row matches exactly ONE count row, so there is no fanout, but
+    * the shuffle partition holding a head word is the straggler. AQE's
+    * skew-join split handles sort-merge plans at runtime; when it isn't
+    * available/enough, pass `saltBuckets` > 0 to route both count joins
+    * through the deterministic salting recipe of
+    * [[graft.core.Table.joinSalted]]: the bg side salts on a row hash,
+    * the (small) count tables replicate once per salt, and the hot key
+    * spreads over `saltBuckets` tasks. Output rows are IDENTICAL either
+    * way (SkewSpec pins it) — salting changes the partitioning, never
+    * the join result. */
   def bigramLogProbs(df: org.apache.spark.sql.DataFrame, id: Column,
-      text: Column, k: Double = 0.5): org.apache.spark.sql.DataFrame = {
+      text: Column, k: Double = 0.5,
+      saltBuckets: Int = 0): org.apache.spark.sql.DataFrame = {
     val w = df.select(id.as("id"), tokens(text).as("ws"))
     val ws = col("ws")
     val pairs = when(size(ws) >= 2,
@@ -144,8 +158,19 @@ object TextOps {
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     val vs = w.select(explode(ws).as("t")).agg(countDistinct(col("t")).as("v"))
-    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-      .crossJoin(org.apache.spark.sql.functions.broadcast(vs))
+    val joined =
+      if (saltBuckets <= 0) bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      else {
+        val rep = (d: org.apache.spark.sql.DataFrame) => d.withColumn("_salt",
+          explode(sequence(lit(0), lit(saltBuckets - 1))))
+        bg.withColumn("_salt",
+            pmod(xxhash64(col("id").cast("string"), col("w2")),
+              lit(saltBuckets)).cast("int"))
+          .join(rep(c2), Seq("w1", "w2", "_salt"))
+          .join(rep(c1), Seq("w1", "_salt"))
+          .drop("_salt")
+      }
+    joined.crossJoin(org.apache.spark.sql.functions.broadcast(vs))
       .select(col("id"),
         log((col("c2") + lit(k)) / (col("c1") + lit(k) * col("v"))).as("lp"))
   }

@@ -53,10 +53,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * source, the log dir must live on storage all executors can reach
   * (DFS/NFS on a real cluster; local fs under local[*]).
   *
-  * Supported column types: the primitive/temporal/binary/string types
-  * plus arrays of them ([[SubjectLogCodec.validate]] rejects the rest
-  * loudly at record time) — matching the typed-row subset the
-  * reference's Python subject `next(**kwargs)` accepts.
+  * Supported column types: the primitive/temporal/binary/string/decimal
+  * types plus arrays AND nested structs of them (structs encode as
+  * nested JSON arrays; [[SubjectLogCodec.validate]] rejects the rest —
+  * maps — loudly at record time) — matching the typed-row values the
+  * reference's Python subject `next(**kwargs)` accepts, so a typed CDC
+  * envelope (op, ts, before/after row structs) feeds through the log
+  * without flattening.
+  *
+  * Retention: blocks are retained for replay/backfill until
+  * [[vacuumBlocks]] prunes a prefix — the explicit maintenance decision
+  * mirroring the upsert sink's vacuum. The pruned horizon is pinned in a
+  * `_horizon` marker; reads start there, and a checkpoint that predates
+  * it fails loudly instead of silently skipping rows.
   */
 object SubjectLog {
 
@@ -64,20 +73,62 @@ object SubjectLog {
 
   private def schemaPath(dir: String): Path = Paths.get(dir, "_schema.json")
 
+  private def horizonPath(dir: String): Path = Paths.get(dir, "_horizon")
+
   private[sources] def blockFile(dir: String, i: Long): Path =
     Paths.get(dir, f"block-$i%08d.jsonl")
 
-  /** Count of CONTIGUOUS durable blocks [0, n) — the replayable frontier.
-    * Atomic single-writer renames make gaps impossible in normal
-    * operation; counting contiguously anyway means a stray future-named
-    * file can only delay, never corrupt, the offset sequence. */
+  /** First retained block index: the [[vacuumBlocks]] horizon (0 when
+    * never vacuumed). Offsets below it are un-servable. */
+  private[sources] def horizonOf(dir: String): Long = {
+    val p = horizonPath(dir)
+    if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
+  }
+
+  /** Count of CONTIGUOUS durable blocks [horizon, n) — the replayable
+    * frontier. Atomic single-writer renames make gaps impossible in
+    * normal operation; counting contiguously anyway means a stray
+    * future-named file can only delay, never corrupt, the offset
+    * sequence. */
   private[sources] def contiguousBlocks(dir: String): Long = {
     val d = new java.io.File(dir)
     if (!d.isDirectory) return 0L
     val present = d.list().collect { case BlockPattern(n) => n.toLong }.toSet
-    var i = 0L
+    var i = horizonOf(dir)
     while (present(i)) i += 1
     i
+  }
+
+  /** Prune every durable block below `horizon` — the retention half of
+    * the commit log (an unbounded control feed must not grow the log
+    * forever; reference: the persistence layer compacts input snapshots
+    * the same explicit-maintenance way). The marker is flipped FIRST
+    * (write-aside + atomic rename), so a crash mid-vacuum leaves a
+    * fully-declared horizon with some prunable files still on disk —
+    * the next vacuum or any read is unaffected (reads never look below
+    * the marker).
+    *
+    * Contract with consumers: a checkpointed query whose committed
+    * offset is ≥ horizon restarts cleanly; one parked BELOW the horizon
+    * fails loudly at planInputPartitions (its data is gone — silent
+    * skipping would violate the replay guarantee). Pick horizons the
+    * way the upsert sink's vacuum picks them: no later than the oldest
+    * offset any consumer may still need. The horizon may not exceed the
+    * durable frontier. */
+  def vacuumBlocks(dir: String, horizon: Long): Unit = {
+    val frontier = contiguousBlocks(dir)
+    require(horizon <= frontier,
+      s"SubjectLog.vacuumBlocks: horizon $horizon exceeds the durable " +
+        s"frontier $frontier at $dir")
+    val old = horizonOf(dir)
+    if (horizon > old) {
+      val root = Paths.get(dir)
+      val tmp = root.resolve(s".tmp-horizon-${java.util.UUID.randomUUID()}")
+      Files.writeString(tmp, horizon.toString)
+      Files.move(tmp, horizonPath(dir), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      (old until horizon).foreach(i => Files.deleteIfExists(blockFile(dir, i)))
+    }
   }
 
   private[sources] def schemaOf(dir: String): StructType = {
@@ -137,8 +188,9 @@ object SubjectLog {
 
 /** Row codec for the subject log: one JSON array of column values per
   * line, values encoded from/to Spark INTERNAL representations (µs longs
-  * for timestamps, day ints for dates, base64 for binary) so the
-  * round-trip is exact — no string-formatted temporal ambiguity. */
+  * for timestamps, day ints for dates, base64 for binary, plain-string
+  * decimals, nested arrays for structs) so the round-trip is exact — no
+  * string-formatted temporal or decimal ambiguity. */
 private[sources] object SubjectLogCodec {
 
   private val factory = new JsonFactory()
@@ -149,9 +201,11 @@ private[sources] object SubjectLogCodec {
     case StringType | LongType | IntegerType | ShortType | ByteType |
          DoubleType | FloatType | BooleanType | BinaryType | DateType |
          TimestampType | TimestampNTZType => ()
+    case _: DecimalType => ()
     case other => throw new IllegalArgumentException(
       s"SubjectLog: unsupported column type $other — supported: " +
-        "string/integral/floating/boolean/binary/date/timestamp and arrays thereof")
+        "string/integral/floating/boolean/binary/date/timestamp/decimal " +
+        "plus arrays and nested structs thereof")
   }
 
   def rowToJson(row: InternalRow, schema: StructType): String = {
@@ -183,11 +237,23 @@ private[sources] object SubjectLogCodec {
       case FloatType => gen.writeNumber(g.getFloat(i))
       case BooleanType => gen.writeBoolean(g.getBoolean(i))
       case BinaryType => gen.writeString(Base64.getEncoder.encodeToString(g.getBinary(i)))
+      // decimals travel as their exact plain-string form — a JSON number
+      // would round-trip through double and lose low digits
+      case d: DecimalType => gen.writeString(
+        g.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString)
       case ArrayType(et, _) =>
         val arr = g.getArray(i)
         gen.writeStartArray()
         var j = 0
         while (j < arr.numElements()) { writeValue(gen, arr, j, et); j += 1 }
+        gen.writeEndArray()
+      // nested struct = nested JSON array of its fields, the same
+      // positional encoding as the top-level row
+      case st: StructType =>
+        val row = g.getStruct(i, st.length)
+        gen.writeStartArray()
+        var j = 0
+        while (j < st.length) { writeValue(gen, row, j, st.fields(j).dataType); j += 1 }
         gen.writeEndArray()
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
@@ -223,10 +289,23 @@ private[sources] object SubjectLogCodec {
         else p.getFloatValue
       case BooleanType => p.getBooleanValue
       case BinaryType => Base64.getDecoder.decode(p.getText)
+      case d: DecimalType =>
+        Decimal(new java.math.BigDecimal(p.getText), d.precision, d.scale)
       case ArrayType(et, _) =>
         val buf = ArrayBuffer[Any]()
         while (p.nextToken() != JsonToken.END_ARRAY) buf += readValue(p, et)
         new GenericArrayData(buf.toArray)
+      case st: StructType =>
+        val vals = new Array[Any](st.length)
+        var j = 0
+        while (j < st.length) {
+          p.nextToken()
+          vals(j) = readValue(p, st.fields(j).dataType)
+          j += 1
+        }
+        require(p.nextToken() == JsonToken.END_ARRAY,
+          s"SubjectLog: corrupt nested struct (missing end of array)")
+        new GenericInternalRow(vals)
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
 }
@@ -267,32 +346,47 @@ private[sources] class SubjectLogTable(tableSchema: StructType, dir: String)
 private[sources] class SubjectLogScan(tableSchema: StructType, dir: String) extends Scan {
   override def readSchema(): StructType = tableSchema
 
-  private def partitionsFor(from: Long, until: Long): Array[InputPartition] =
+  private def partitionsFor(from: Long, until: Long): Array[InputPartition] = {
+    // a vacuumed prefix is GONE: a restart whose checkpoint predates the
+    // horizon must fail loudly — silently skipping to the horizon would
+    // break the replay guarantee the log exists for
+    val horizon = SubjectLog.horizonOf(dir)
+    require(from >= horizon,
+      s"SubjectLog: offset $from predates the vacuum horizon $horizon at " +
+        s"$dir — the blocks were pruned; restart from a checkpoint at or " +
+        "after the horizon (or re-record)")
     (from until until)
       .map(i => SubjectLogPartition(SubjectLog.blockFile(dir, i).toString)
         : InputPartition)
       .toArray
+  }
 
   override def toBatch: Batch = new Batch {
-    // snapshot the frontier once at planning so the bounded read is a
-    // consistent prefix even while a recorder is appending
+    // snapshot horizon + frontier once at planning so the bounded read
+    // is a consistent retained range even while a recorder is appending
+    // or a vacuum is pruning
+    private val horizon = SubjectLog.horizonOf(dir)
     private val frontier = SubjectLog.contiguousBlocks(dir)
     override def planInputPartitions(): Array[InputPartition] =
-      partitionsFor(0L, frontier)
+      partitionsFor(horizon, frontier)
     override def createReaderFactory(): PartitionReaderFactory =
       new SubjectLogReaderFactory(tableSchema)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MicroBatchStream {
-      override def initialOffset(): Offset = SubjectLogOffset(0L)
+      // a FRESH query starts at the horizon (earlier blocks are pruned);
+      // a restarted query replays from its checkpoint, which the horizon
+      // check above validates
+      override def initialOffset(): Offset =
+        SubjectLogOffset(SubjectLog.horizonOf(dir))
       override def latestOffset(): Offset =
         SubjectLogOffset(SubjectLog.contiguousBlocks(dir))
       override def deserializeOffset(json: String): Offset =
         SubjectLogOffset(json.trim.toLong)
       // blocks are retained for replay/backfill; pruning is an explicit
-      // maintenance decision (mirror of the upsert sink's vacuum), not a
-      // side effect of one query's progress
+      // maintenance decision ([[SubjectLog.vacuumBlocks]], mirror of the
+      // upsert sink's vacuum), not a side effect of one query's progress
       override def commit(end: Offset): Unit = ()
       override def stop(): Unit = ()
       override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =

@@ -32,4 +32,19 @@ class SkewSpec extends SparkSpec {
       fact.joinSalted(dim, Seq("k"), 4, how = "full")
     }
   }
+
+  test("bigramLogProbs salted count-joins are row-identical to the plain path") {
+    import graft.operators.TextOps
+    // head-word-skewed corpus: "the" starts most bigrams
+    val docs = ((1L to 40L).map(i => (i, s"the cat ${i % 3} the dog the end")) ++
+      Seq((98L, "one two"), (99L, "solo")))
+      .toDF("id", "text")
+    val plain = rowsOf(TextOps.bigramLogProbs(docs, col("id"), col("text"))
+      .select(col("id"), round(col("lp") + lit(1e-9), 6).as("lp")))
+    val salted = rowsOf(TextOps.bigramLogProbs(docs, col("id"), col("text"),
+        saltBuckets = 8)
+      .select(col("id"), round(col("lp") + lit(1e-9), 6).as("lp")))
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
 }

@@ -85,6 +85,77 @@ class SubjectLogSpec extends SparkSpec {
     assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
   }
 
+  test("nested structs and decimals round-trip through the codec") {
+    val dir = tmp("nested")
+    // the typed CDC-envelope shape: (op, ts, after-row struct with a
+    // decimal field) + an array of structs — none of which needed
+    // flattening before r11
+    val rows: Seq[(String, Long, (Long, String, BigDecimal), Seq[(Int, String)])] = Seq(
+      ("u", 10L, (1L, "open", BigDecimal("12345.6789")), Seq((1, "a"), (2, "b"))),
+      ("d", 20L, (2L, null, BigDecimal("-0.000000000000000001")), Seq()),
+      ("r", 30L, null, null))
+    SubjectLog.record(spark, feedOf(rows.take(2), rows.drop(2)), dir)
+    val back = SubjectLog.read(spark, dir)
+      .as[(String, Long, (Long, String, BigDecimal), Seq[(Int, String)])]
+      .collect().sortBy(_._2)
+    assert(back.length == 3)
+    assert(back(0)._3 == ((1L, "open", BigDecimal("12345.6789"))))
+    assert(back(0)._4 == Seq((1, "a"), (2, "b")))
+    assert(back(1)._3._2 == null &&
+      back(1)._3._3 == BigDecimal("-0.000000000000000001"))
+    assert(back(1)._4 == Seq())
+    assert(back(2)._3 == null && back(2)._4 == null)
+  }
+
+  test("vacuumBlocks prunes a prefix: reads start at the horizon, " +
+      "numbering resumes, a pre-horizon checkpoint fails loudly") {
+    val dir = tmp("vacuum")
+    val root = tmp("vacuum_out")
+    def drain(tag: String): Unit = {
+      val q = SubjectLog.readStream(spark, dir)
+        .writeStream.format("parquet").option("path", s"$root/out_$tag")
+        .option("checkpointLocation", s"$root/ckpt_$tag").start()
+      q.processAllAvailable(); q.stop()
+    }
+    SubjectLog.record(spark, feedOf(Seq((1L, "a")), Seq((2L, "b"))), dir)
+    drain("early") // this checkpoint commits offset 2
+    SubjectLog.record(spark, feedOf(Seq((3L, "c")), Seq((4L, "d"))), dir)
+    drain("late")  // this one commits offset 4
+    SubjectLog.vacuumBlocks(dir, 3)
+    assert(!new java.io.File(dir).list().exists(_ == "block-00000000.jsonl"))
+    // bounded reads serve the retained range only
+    assert(SubjectLog.read(spark, dir).as[(Long, String)].collect().toSeq ==
+      Seq((4L, "d")))
+    // a fresh stream starts at the horizon, not offset 0
+    drain("fresh")
+    assert(spark.read.schema(SubjectLog.read(spark, dir).schema)
+      .parquet(s"$root/out_fresh").as[(Long, String)].collect().toSeq ==
+      Seq((4L, "d")))
+    // numbering resumes past the horizon; the post-horizon checkpoint
+    // restarts cleanly and picks up the new block
+    SubjectLog.record(spark, feedOf(Seq((5L, "e"))), dir)
+    drain("late")
+    assert(spark.read.schema(SubjectLog.read(spark, dir).schema)
+      .parquet(s"$root/out_late").as[(Long, String)].collect().toSeq.sorted ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+    // the checkpoint parked BELOW the horizon fails loudly — its blocks
+    // are gone; silent skipping would break the replay guarantee
+    val ex = intercept[Throwable] {
+      val q = SubjectLog.readStream(spark, dir)
+        .writeStream.format("parquet").option("path", s"$root/out_early")
+        .option("checkpointLocation", s"$root/ckpt_early").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("predates the vacuum horizon"), msgs)
+    // vacuuming past the durable frontier is refused
+    val over = intercept[IllegalArgumentException] {
+      SubjectLog.vacuumBlocks(dir, 99)
+    }
+    assert(over.getMessage.contains("exceeds the durable frontier"))
+  }
+
   test("short-name registration: format(\"graft-subject-log\") resolves " +
       "through DataSourceRegister") {
     val dir = tmp("shortname")
