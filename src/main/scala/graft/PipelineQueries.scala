@@ -1028,7 +1028,7 @@ object PipelineQueries extends QueryModule {
   // word-order gibberish that unigram stats can't see scores low).
   // Add-0.5 smoothing over the corpus's own bigram model; exact decimal
   // sum of ln-probs for cross-engine reproducibility.
-  q("q_text_bigram",
+  private val bigramSql =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |bg AS (SELECT doc_id, ws[j] AS w1, ws[j+1] AS w2
       |  FROM w, unnest(range(1, len(ws))) AS t(j)),
@@ -1043,9 +1043,24 @@ object PipelineQueries extends QueryModule {
       |  round(CAST(sum(CAST(lp AS DECIMAL(24,6))) AS DOUBLE) / count(*)
       |    + 1e-9, 4) AS logprob,
       |  count(*) AS n_bigrams
-      |FROM lp GROUP BY doc_id""") { (s, dir) =>
+      |FROM lp GROUP BY doc_id"""
+
+  q("q_text_bigram", bigramSql) { (s, dir) =>
     TextOps.bigramLogProbs(load(s, dir, "documents"), col("doc_id"),
         col("text"), k = 0.5)
+      .groupBy(col("id").as("doc_id"))
+      .agg(r4(dsum(col("lp")) / count(lit(1)) + lit(1e-9)).as("logprob"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("logprob"), col("n_bigrams"))
+  }
+
+  // The skew-guarded variant: both count joins routed through the
+  // deterministic salting recipe (head words like "the" are hot keys on
+  // the w1 shuffle). Same oracle — salting changes the partitioning,
+  // never a row of the result.
+  q("q_text_bigram_salted", bigramSql) { (s, dir) =>
+    TextOps.bigramLogProbs(load(s, dir, "documents"), col("doc_id"),
+        col("text"), k = 0.5, saltBuckets = 8)
       .groupBy(col("id").as("doc_id"))
       .agg(r4(dsum(col("lp")) / count(lit(1)) + lit(1e-9)).as("logprob"),
         count(lit(1)).as("n_bigrams"))

@@ -112,14 +112,27 @@ object Clustering {
       rounds: Int): DataFrame =
     kmeansAssign(df, id, vec, kmeansFit(df, id, vec, k, rounds))
 
-  /** Persist a fitted centroid table (the model — k rows). */
-  def kmeansSave(cents: DataFrame, path: String): Unit =
-    cents.write.mode("overwrite").parquet(path)
+  /** Persist a fitted centroid table (the model — k rows). Atomically
+    * versioned like every index save ([[graft.core.IndexGen]]): a
+    * re-fit publishes with one marker rename, so a concurrent
+    * [[kmeansLoadAssign]] reads a complete model, old or new. */
+  def kmeansSave(cents: DataFrame, path: String): Unit = {
+    val (dir, gen) = graft.core.IndexGen.stage(path)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    graft.core.IndexGen.commit(path, gen)
+  }
 
   /** Assign against a [[kmeansSave]]d model without re-fitting. */
   def kmeansLoadAssign(spark: org.apache.spark.sql.SparkSession,
-      path: String, df: DataFrame, id: Column, vec: Column): DataFrame =
-    kmeansAssign(df, id, vec, spark.read.parquet(path))
+      path: String, df: DataFrame, id: Column, vec: Column): DataFrame = {
+    val dir = graft.core.IndexGen.readDir(path)
+    // pre-r11 models were a flat parquet dir at `path` (readDir then
+    // resolves to `path` itself); committed generations hold centroids/
+    val cents =
+      if (dir == path) spark.read.parquet(path)
+      else spark.read.parquet(s"$dir/centroids")
+    kmeansAssign(df, id, vec, cents)
+  }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023: k-means
     * the embedding space, then drop near-identical pairs WITHIN each

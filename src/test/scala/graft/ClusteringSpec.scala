@@ -44,8 +44,10 @@ class ClusteringSpec extends SparkSpec {
     val loaded = rowsOf(Clustering.kmeansLoadAssign(spark, path,
       blobs, col("id"), col("v")))
     assert(loaded == direct)
-    // the model is k rows of (cid, cv, cvn2)
-    val m = spark.read.parquet(path)
+    // the model is k rows of (cid, cv, cvn2) in the committed generation
+    // dir (model saves publish atomically like every index save)
+    val m = spark.read.parquet(
+      s"${graft.core.IndexGen.readDir(path)}/centroids")
     assert(m.columns.toSet == Set("cid", "cv", "cvn2") && m.count() == 2)
   }
 
