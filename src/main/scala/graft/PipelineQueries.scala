@@ -1204,4 +1204,33 @@ object PipelineQueries extends QueryModule {
         col("lang"), col("doc_id"), n = 25)
       .select(col("doc_id"), col("lang"))
   }
+
+  // Deterministic sequence packing (training-batch construction: whole
+  // documents concatenated into fixed token-budget sequences so short
+  // docs don't waste context as padding): md5-bucketed packing streams,
+  // exclusive prefix-sum pack rule within each bucket — one shuffle +
+  // one in-bucket window, replayed bit-for-bit in DuckDB.
+  q("q_sample_pack",
+    """WITH d AS (SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8
+      |    AS bucket,
+      |  md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      |p AS (SELECT doc_id, n_tokens, bucket, h,
+      |  coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+      |  FROM d),
+      |k AS (SELECT doc_id, n_tokens, bucket,
+      |  CAST(floor(pfx / 512.0) AS BIGINT) AS pack, h FROM p)
+      |SELECT doc_id, n_tokens, bucket, pack,
+      |  row_number() OVER (PARTITION BY bucket, pack ORDER BY h, doc_id)
+      |    AS pack_pos
+      |FROM k""") { (s, dir) =>
+    val d = load(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+    Sampling.packSequences(d, col("doc_id"), col("n_tokens"),
+        budget = 512, buckets = 8)
+      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("pack"),
+        col("pack_pos"))
+  }
 }

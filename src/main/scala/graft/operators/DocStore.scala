@@ -493,9 +493,13 @@ object DocStore {
     * vector_store.py `VectorStoreServer` is the same shape). JDK-builtin
     * HTTP server, zero dependencies, same pattern as `Monitor.serve`:
     *
-    *   GET  /v1/retrieve?query=<urlencoded>&k=N
-    *   POST /v1/retrieve  {"query": "...", "k": N}   (servers.py parity)
+    *   GET  /v1/retrieve?query=<urlencoded>&k=N[&filter=<sql-predicate>]
+    *   POST /v1/retrieve  {"query": "...", "k": N, "filter": "..."}
     *     → [{"doc_id":…,"chunk_id":…,"text":…,"score":…}…]  (rank order)
+    *     `filter` is a SQL boolean expression over the chunk/metadata
+    *     columns (e.g. `lang = 'en'`), pushed INTO the index pre-rank
+    *     exactly like the batch retrieve's filter — the reference
+    *     server's metadata_filter (JMESPath there, Spark SQL here)
     *   GET /v1/statistics → {"doc_count":N,"chunk_count":M}
     *   GET /v1/inputs     → [{"doc_id":…,…metadata…}…]
     *
@@ -580,9 +584,10 @@ object DocStore {
           case None => respond(ex, 400, """{"error":"missing query parameter"}""")
           case Some(qtext) =>
             val k = p.getOrElse("k", "3").toInt
+            val filter = p.get("filter").filter(_.nonEmpty).map(expr)
             import spark.implicits._
             val qdf = Seq((0L, qtext)).toDF("q_id", "q_text")
-            val hits = store.retrieve(qdf, col("q_id"), col("q_text"), k)
+            val hits = store.retrieve(qdf, col("q_id"), col("q_text"), k, filter)
               .orderBy("rank")
               .select("doc_id", "chunk_id", "text", "score")
             respond(ex, 200, jrows(hits))

@@ -111,4 +111,47 @@ object Sampling {
     df.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= n).drop("_rn")
   }
+
+  /** Deterministic sequence packing — the training-batch construction
+    * step (sample packing: concatenate whole documents into fixed
+    * token-budget training sequences so short documents don't waste
+    * context length as padding).
+    *
+    * Distributed shape: rows hash into `buckets` independent packing
+    * streams (the md5-u32 recipe, salted), and WITHIN a bucket the
+    * deterministic md5 order + an exclusive running token sum assigns
+    * row p to pack floor(Σ_{q<p} t_q / budget) — the same prefix-sum
+    * bucket rule as [[graft.operators.TextOps.chunkBySeparator]], so a
+    * row straddling a boundary joins the pack its prefix selects and a
+    * pack can exceed `budget` by at most one row (an oversized single
+    * row becomes its own oversized pack). One shuffle by bucket + one
+    * in-bucket window — no global sort, no driver state; per-bucket row
+    * count is corpus/buckets, so `buckets` is the parallelism AND the
+    * bound on window partition size (size it like shuffle partitions).
+    *
+    * The pack assignment is a pure function of (id set, token counts,
+    * salt, buckets, budget) — identical on any engine/partitioning, so
+    * a re-run reproduces the exact training sequences. Returns the
+    * input columns + (bucket, pack, pack_pos): `(bucket, pack)` is the
+    * sequence key, `pack_pos` the row's 1-based position inside it in
+    * packing order. */
+  def packSequences(df: DataFrame, id: Column, tokenCount: Column,
+      budget: Long, buckets: Int, salt: String = ""): DataFrame = {
+    require(budget > 0 && buckets > 0,
+      s"packSequences: budget ($budget) and buckets ($buckets) must be > 0")
+    val ord = md5(concat(lit(salt), id.cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_bucket")).orderBy(ord, id)
+    val pfx = sum(tokenCount.cast("long"))
+      .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1))
+    df.withColumn("_bucket", pmod(hashU32(id, salt), lit(buckets.toLong)))
+      .withColumn("_pfx", coalesce(pfx, lit(0L)))
+      .withColumn("pack", floor(col("_pfx") / lit(budget.toDouble)))
+      .withColumn("pack_pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_bucket"), col("pack")).orderBy(ord, id)))
+      .withColumnRenamed("_bucket", "bucket")
+      .drop("_pfx")
+  }
 }

@@ -277,6 +277,14 @@ class DocStoreSpec extends SparkSpec {
       // servers.py parity: the same request as a JSON POST body
       assert(post("/v1/retrieve", """{"query":"uno dos tres","k":2}""") == got)
       assert(get("/v1/statistics") == """{"doc_count":4,"chunk_count":12}""")
+      // metadata filter pushed into the index pre-rank: docs 1/2 are
+      // 'en', so an en-filtered query about doc 3's text matches only
+      // en chunks — never doc 3 or 4
+      val filtered = post("/v1/retrieve",
+        """{"query":"uno dos tres","k":2,"filter":"lang = 'en'"}""")
+      assert(!filtered.contains("\"doc_id\":3") &&
+        !filtered.contains("\"doc_id\":4") &&
+        filtered.contains("\"doc_id\":"), filtered)
     } finally srv.stop(0)
   }
 

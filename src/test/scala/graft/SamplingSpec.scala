@@ -87,4 +87,32 @@ class SamplingSpec extends SparkSpec {
     val plan = s.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"plan was:\n$plan")
   }
+
+  test("packSequences: budget invariant, contiguous positions, " +
+      "partition-independence") {
+    // token counts 1..40 cycling — plenty of packs at budget 50
+    val d = (1L to 400L).map(i => (i, 1L + i % 40)).toDF("id", "t")
+    val packed = Sampling.packSequences(d, col("id"), col("t"),
+      budget = 50, buckets = 4)
+    assert(packed.count() == 400) // every row packed exactly once
+    val stats = packed.groupBy("bucket", "pack")
+      .agg(sum("t").as("total"), max("t").as("biggest"),
+        count(lit(1)).as("n"), max("pack_pos").as("maxpos"))
+      .collect()
+    stats.foreach { r =>
+      val (total, biggest, n, maxpos) = (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5))
+      // prefix-sum rule tolerance: total < budget + t_last (the one
+      // straddling row), so total - biggest < budget always holds
+      assert(n == 1 || total - biggest < 50,
+        s"pack over budget beyond one straddler: $r")
+      assert(maxpos == n, s"pack_pos must be contiguous 1..n: $r")
+    }
+    // multi-row packs exist (the packing actually packs)
+    assert(stats.exists(_.getLong(4) > 1))
+    // a re-run over different partitioning assigns identically
+    val re = Sampling.packSequences(d.repartition(13, col("t")),
+      col("id"), col("t"), budget = 50, buckets = 4)
+    assert(rowsOf(packed) == rowsOf(re))
+  }
 }
