@@ -81,6 +81,10 @@ object IndexGen {
     Option(root.listFiles()).getOrElse(Array.empty[File]).foreach { f =>
       f.getName match {
         case GenPattern(n) if n.toLong < gen - 1 => rmTree(f)
+        // a crash between marker write-aside and rename leaves a
+        // .tmp-current-<uuid> orphan — clear them on the next commit
+        // (this commit's own tmp was already renamed away; single writer)
+        case n if n.startsWith(".tmp-current-") => f.delete(); ()
         case _ => ()
       }
     }

@@ -127,7 +127,12 @@ object SubjectLog {
       Files.writeString(tmp, horizon.toString)
       Files.move(tmp, horizonPath(dir), StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
-      (old until horizon).foreach(i => Files.deleteIfExists(blockFile(dir, i)))
+      // delete by LISTING, not by the [old, horizon) range: a crash
+      // after a previous vacuum's marker flip but before its deletes
+      // leaves sub-`old` files a range-based sweep would never revisit
+      new java.io.File(dir).list()
+        .collect { case name @ BlockPattern(n) if n.toLong < horizon => name }
+        .foreach(name => Files.deleteIfExists(root.resolve(name)))
     }
   }
 
