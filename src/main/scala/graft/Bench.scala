@@ -51,10 +51,10 @@ object Bench {
     * round-over-round comparisons track the right number. */
   private val harness = Set(
     "q_asof_now", "q_async_transformer", "q_behavior_cutoff",
-    "q_behavior_keep", "q_doc_store_stream", "q_inactivity",
-    "q_interval_stream", "q_io_filestream", "q_io_http", "q_io_jdbc",
-    "q_io_subject", "q_io_subject_replay", "q_recovery", "q_subscribe",
-    "q_upsert_partitioned", "q_upsert_snapshot")
+    "q_behavior_keep", "q_cdc_subject_log", "q_doc_store_stream",
+    "q_inactivity", "q_interval_stream", "q_io_filestream", "q_io_http",
+    "q_io_jdbc", "q_io_subject", "q_io_subject_replay", "q_recovery",
+    "q_subscribe", "q_upsert_partitioned", "q_upsert_snapshot")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
