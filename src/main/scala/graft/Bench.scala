@@ -54,7 +54,8 @@ object Bench {
     "q_behavior_keep", "q_cdc_subject_log", "q_doc_store_stream",
     "q_inactivity", "q_interval_stream", "q_io_filestream", "q_io_http",
     "q_io_jdbc", "q_io_subject", "q_io_subject_replay", "q_recovery",
-    "q_subscribe", "q_upsert_partitioned", "q_upsert_snapshot")
+    "q_subscribe", "q_upsert_partitioned", "q_upsert_snapshot",
+    "q_upsert_timetravel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -210,6 +210,30 @@ object IoQueries extends QueryModule {
         col("o_totalprice"))
   }
 
+  // Version-retaining upsert sink, read AS-OF the middle batch (time
+  // travel): the same change log through upsertParquetSinkVersioned,
+  // then readSnapshotAsOf(version 2) — the state AFTER the +1.0 updates
+  // but BEFORE the %7 deletes ever happened. The oracle derives that
+  // historical state directly from orders, so the green row proves each
+  // retained generation is a consistent batch-boundary snapshot, not
+  // just that the latest one is.
+  q("q_upsert_timetravel",
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders""") { (s, dir) =>
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert_tt").toString
+    replayOrdersChangeLog(s, dir) { events =>
+      graft.streaming.Streaming.upsertParquetSinkVersioned(events,
+        Seq("o_orderkey"), "_ord", "_del", s"$root/state", s"$root/ckpt",
+        keepVersions = 3)
+    }
+    graft.streaming.Streaming.readSnapshotAsOf(s, s"$root/state",
+        "_ord", "_del", version = Some(2L))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+  }
+
   // Bucket-partitioned upsert sink (the fact-sized-state variant: a
   // batch rewrites only the key-hash buckets it touches, not the whole
   // snapshot) replaying the exact q_upsert_snapshot change log — same

@@ -97,6 +97,116 @@ object PipelineQueries extends QueryModule {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  // Winnowing fingerprints (Schleimer et al. 2003 / MOSS): k=4-gram md5
+  // hashes, window w=4, min hash per window with rightmost tie — the
+  // guaranteed-detection sketch (any shared run of >= 7 tokens shares a
+  // fingerprint). Oracle replays window argmin as row_number over
+  // (hash ASC, pos DESC).
+  q("q_text_winnow",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |hs AS (SELECT doc_id, j AS p, md5(array_to_string(ws[j : j+3], ' ')) AS h
+      |  FROM w, unnest(range(1, greatest(len(ws) - 3, 0) + 1)) AS t(j)),
+      |n AS (SELECT doc_id, count(*) AS nsh FROM hs GROUP BY 1),
+      |wj AS (SELECT n.doc_id, t.j
+      |  FROM n, unnest(range(1, greatest(n.nsh - 3, 1) + 1)) AS t(j)),
+      |wins AS (SELECT h.doc_id, wj.j, h.p, h.h,
+      |    row_number() OVER (PARTITION BY h.doc_id, wj.j
+      |                       ORDER BY h.h, h.p DESC) AS rn
+      |  FROM wj JOIN hs h
+      |    ON h.doc_id = wj.doc_id AND h.p BETWEEN wj.j AND wj.j + 3)
+      |SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos, h AS fp
+      |FROM wins WHERE rn = 1""") { (s, dir) =>
+    TextOps.winnowFingerprints(load(s, dir, "documents"),
+        col("doc_id"), col("text"), k = 4, w = 4)
+      .select(col("id").as("doc_id"), col("pos"), col("fp"))
+  }
+
+  // winnowed containment (the MOSS report): |A∩B| / min(|A|,|B|) over
+  // distinct fingerprint sets, DF-capped candidates, threshold 0.3 —
+  // catches short-doc-inside-long-doc that union-normalized Jaccard
+  // misses
+  q("q_dedup_containment",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |hs AS (SELECT doc_id, j AS p, md5(array_to_string(ws[j : j+3], ' ')) AS h
+      |  FROM w, unnest(range(1, greatest(len(ws) - 3, 0) + 1)) AS t(j)),
+      |n AS (SELECT doc_id, count(*) AS nsh FROM hs GROUP BY 1),
+      |wj AS (SELECT n.doc_id, t.j
+      |  FROM n, unnest(range(1, greatest(n.nsh - 3, 1) + 1)) AS t(j)),
+      |wins AS (SELECT h.doc_id, wj.j, h.p, h.h,
+      |    row_number() OVER (PARTITION BY h.doc_id, wj.j
+      |                       ORDER BY h.h, h.p DESC) AS rn
+      |  FROM wj JOIN hs h
+      |    ON h.doc_id = wj.doc_id AND h.p BETWEEN wj.j AND wj.j + 3),
+      |fp AS (SELECT DISTINCT doc_id, h FROM wins WHERE rn = 1),
+      |sz AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY 1),
+      |cap AS (SELECT doc_id, h FROM fp
+      |  QUALIFY count(*) OVER (PARTITION BY h) <= 20),
+      |i AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      |  FROM cap x JOIN cap y ON x.h = y.h AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b, round(i * 1.0 / least(sa.n, sb.n), 4) AS containment
+      |FROM i JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+      |WHERE i * 1.0 / least(sa.n, sb.n) >= 0.3""") { (s, dir) =>
+    Dedup.containmentPairs(load(s, dir, "documents"), col("doc_id"),
+        col("text"), k = 4, w = 4, threshold = 0.3, maxDf = 20)
+      .select(col("a"), col("b"), round(col("containment"), 4).as("containment"))
+  }
+
+  // Trainable quality/language classifier (fastText-style): hashed
+  // bag-of-words (dim 16) + bias, hard-sigmoid logistic regression,
+  // 2 full-batch gradient rounds (lr 0.5) on label lang='en', then
+  // corpus scoring. Exact 2^-30-quantized BIGINT weights/margins make
+  // the whole TRAINING run replay bit-for-bit in DuckDB (the kmeans
+  // playbook); the unrolled rounds below are the oracle's re-fit.
+  q("q_quality_classifier",
+    """WITH f AS (SELECT doc_id,
+      |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+      |  list_concat([CAST(1 AS BIGINT)],
+      |    list_transform(range(16), dd -> CAST(list_sum(list_transform(
+      |      string_split(text, ' '), t ->
+      |      CASE WHEN CAST('0x' || substr(md5(t), 1, 4) AS BIGINT) % 16 = dd
+      |      THEN CASE WHEN CAST('0x' || substr(md5(t), 5, 1) AS BIGINT) % 2 = 0
+      |           THEN 1 ELSE -1 END
+      |      ELSE 0 END)) AS BIGINT))) AS xa
+      |  FROM documents),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+      |dd AS (SELECT i AS d FROM unnest(range(17)) AS u(i)),
+      |e1 AS (SELECT doc_id, y, xa,
+      |  CAST(floor((0.5 - y) * 1073741824.0 + 0.5) AS BIGINT) AS eq FROM f),
+      |g1 AS (SELECT t.i AS d, sum(e1.eq * e1.xa[t.i + 1]) AS gq
+      |  FROM e1, unnest(range(17)) AS t(i)
+      |  WHERE e1.xa[t.i + 1] <> 0 GROUP BY 1),
+      |w1 AS (SELECT dd.d,
+      |  0 - CAST(floor(coalesce(g1.gq, 0) * 0.5 / n.n + 0.5) AS BIGINT) AS wq
+      |  FROM dd CROSS JOIN n LEFT JOIN g1 ON g1.d = dd.d),
+      |z2 AS (SELECT f.doc_id, sum(w1.wq * f.xa[w1.d + 1]) AS zq
+      |  FROM f CROSS JOIN w1 GROUP BY 1),
+      |e2 AS (SELECT f.doc_id, f.y, f.xa,
+      |  CAST(floor((least(greatest(
+      |    0.5 + CAST(z2.zq AS DOUBLE) / 1073741824.0 / 4.0, 0.0), 1.0) - f.y)
+      |    * 1073741824.0 + 0.5) AS BIGINT) AS eq
+      |  FROM f JOIN z2 USING (doc_id)),
+      |g2 AS (SELECT t.i AS d, sum(e2.eq * e2.xa[t.i + 1]) AS gq
+      |  FROM e2, unnest(range(17)) AS t(i)
+      |  WHERE e2.xa[t.i + 1] <> 0 GROUP BY 1),
+      |w2 AS (SELECT w1.d,
+      |  w1.wq - CAST(floor(coalesce(g2.gq, 0) * 0.5 / n.n + 0.5) AS BIGINT) AS wq
+      |  FROM w1 CROSS JOIN n LEFT JOIN g2 ON g2.d = w1.d),
+      |z3 AS (SELECT f.doc_id, sum(w2.wq * f.xa[w2.d + 1]) AS zq
+      |  FROM f CROSS JOIN w2 GROUP BY 1)
+      |SELECT doc_id, round(least(greatest(
+      |  0.5 + CAST(zq AS DOUBLE) / 1073741824.0 / 4.0, 0.0), 1.0) + 1e-9, 4)
+      |  AS score
+      |FROM z3""") { (s, dir) =>
+    val docs = load(s, dir, "documents")
+    val model = graft.operators.Classify.logregFit(docs, col("doc_id"),
+      col("text"), (col("lang") === "en").cast("int"),
+      dim = 16, rounds = 2, lr = 0.5)
+    graft.operators.Classify.logregPredict(docs, col("doc_id"), col("text"),
+        model, 16)
+      .select(col("id").as("doc_id"), r4e(col("score")).as("score"))
+  }
+
   // canonicalization: minhash pair edges → connected components → keep
   // the longest member per cluster (tie: smallest doc_id)
   // Exact duplicated spans (Lee et al. 2022 substring dedup, as a

@@ -71,8 +71,11 @@ object IndexGen {
 
   /** Atomically publish generation `gen` (write-aside + ATOMIC_MOVE of
     * the marker — the instant of the rename is the instant every new
-    * reader switches), then prune generations older than `gen - 1`. */
-  def commit(path: String, gen: Long): Unit = {
+    * reader switches), then prune generations older than `gen - grace`.
+    * The default grace of 1 keeps exactly the previous generation for
+    * in-flight readers; version-retaining consumers (the time-travel
+    * snapshot sink) pass a larger grace and vacuum explicitly. */
+  def commit(path: String, gen: Long, grace: Long = 1): Unit = {
     val root = new File(path)
     val tmp = new File(root, s".tmp-current-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp.toPath, gen.toString)
@@ -80,7 +83,7 @@ object IndexGen {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     Option(root.listFiles()).getOrElse(Array.empty[File]).foreach { f =>
       f.getName match {
-        case GenPattern(n) if n.toLong < gen - 1 => rmTree(f)
+        case GenPattern(n) if n.toLong < gen - grace => rmTree(f)
         // a crash between marker write-aside and rename leaves a
         // .tmp-current-<uuid> orphan — clear them on the next commit
         // (this commit's own tmp was already renamed away; single writer)
@@ -88,6 +91,18 @@ object IndexGen {
         case _ => ()
       }
     }
+  }
+
+  /** Committed generations on disk, ascending — every one of these is a
+    * complete, readable artifact set (uncommitted staged dirs above the
+    * marker are excluded). The time-travel surface of version-retaining
+    * consumers. */
+  def versions(path: String): Seq[Long] = current(path) match {
+    case None => Nil
+    case Some(cur) =>
+      Option(new File(path).list()).getOrElse(Array.empty[String])
+        .collect { case GenPattern(n) if n.toLong <= cur => n.toLong }
+        .toSeq.sorted
   }
 
   private def rmTree(f: File): Unit = {

@@ -234,6 +234,44 @@ object Dedup {
     ColUtils.argmaxRows(clustered, Seq(col("_cluster")), keepBy, col("_id"))
   }
 
+  /** Winnowed CONTAINMENT pairs (the MOSS report step over
+    * [[TextOps.winnowFingerprints]] sketches): document pairs whose
+    * sketches overlap heavily relative to the SMALLER sketch —
+    * containment |A∩B| / min(|A|,|B|) — which catches a short document
+    * pasted verbatim inside a long one, where Jaccard (union-normalized)
+    * stays arbitrarily low. The winnowing guarantee makes the sketch
+    * join sound: any shared run of ≥ w+k−1 tokens contributes a shared
+    * fingerprint, so real containment can't silently miss.
+    *
+    * Scale shape: candidates come from an equi-join on fingerprint hash
+    * over sketches that are ~2/(w+1) the size of the shingle tables the
+    * Jaccard pipelines join — winnowing IS the sketch-size dial.
+    * `maxDf` drops fingerprints shared by more than maxDf docs
+    * (boilerplate; same quadratic-cost argument as [[capShingleDf]]).
+    * Sketch sizes count distinct hashes and are measured BEFORE the
+    * cap, so a hot fingerprint weakens candidate generation, never the
+    * score's denominator. Returns (a, b, containment) with a < b. */
+  def containmentPairs(df: DataFrame, id: Column, text: Column,
+      k: Int = 4, w: Int = 4, threshold: Double = 0.5,
+      maxDf: Int = 100): DataFrame = {
+    val fp = Caches.cache(
+      TextOps.winnowFingerprints(df, id, text, k, w)
+        .select(col("id"), col("fp").as("s")).distinct())
+    val sizes = fp.groupBy("id").agg(count(lit(1)).as("n"))
+    val capped = capShingleDf(fp, Seq("s"), maxDf)
+    val inter = capped.as("x").join(capped.as("y"),
+        col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      .withColumn("containment",
+        col("i") * lit(1.0) / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select(col("a"), col("b"), col("containment"))
+  }
+
   /** SimHash fingerprint (16-bit, word-multiset weighted): bit j is the
     * sign of Σ_words ±1 where ± comes from bit j of md5(word). Near-dups
     * collide on the fingerprint (or within small Hamming distance).

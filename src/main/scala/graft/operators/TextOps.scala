@@ -79,6 +79,52 @@ object TextOps {
       md5(concat_ws(" ", (0 until n).map(o => element_at(words, j + o)): _*))))
   }
 
+  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken 2003 —
+    * the MOSS local-fingerprinting algorithm): hash every k-token
+    * shingle, slide a w-hash window over the hash sequence, and in each
+    * window select the minimum hash (ties → RIGHTMOST occurrence, the
+    * paper's density rule); the distinct selected (position, hash) pairs
+    * are the document's sketch. Guarantees the single global min of
+    * [[minShingleFingerprint]] cannot give: every shared token run of
+    * ≥ w + k − 1 tokens between two documents shares at least one
+    * fingerprint HASH, and no run shorter than k tokens ever matches.
+    * Expected sketch density ≈ 2/(w+1) of the shingle count.
+    *
+    * Pure array expressions inside the row — the hash array is built
+    * ONCE, windows index into it — so fingerprinting is shuffle-free,
+    * one scan at any corpus size. Cost per document is O(shingles·w)
+    * hash comparisons with w a small constant (the paper's O(n) ring
+    * buffer is a sequential carry; the windowed argmin is the order-free
+    * formulation that replays identically in any engine). Documents
+    * shorter than k tokens carry no fingerprints; when the shingle count
+    * is below w the single truncated window is winnowed whole. Returns
+    * (id, pos, fp) — pos is the 1-based shingle position of the selected
+    * hash, kept so containment hits can be anchored to spans. */
+  def winnowFingerprints(df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, k: Int = 4, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(k > 0 && w > 0, s"winnow: need k > 0 and w > 0, got k=$k w=$w")
+    val d = graft.core.Par.spread(df)
+      .select(id.as("id"), tokens(text).as("_ws"))
+    val ws = col("_ws")
+    val idxs = when(size(ws) >= k, sequence(lit(1), size(ws) - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    val hs = transform(idxs, j =>
+      md5(concat_ws(" ", (0 until k).map(o => element_at(ws, j + o)): _*)))
+    // window j covers hash positions [j, min(j+w-1, nsh)]; min over
+    // struct(h, -p) = smallest hash, rightmost position on ties
+    d.withColumn("_hs", hs)
+      .withColumn("_sel", array_distinct(transform(
+        when(size(col("_hs")) >= 1,
+          sequence(lit(1), greatest(size(col("_hs")) - (w - 1), lit(1))))
+          .otherwise(array().cast("array<int>")),
+        j => array_min(transform(
+          sequence(j, least(j + (w - 1), size(col("_hs")))),
+          p => struct(element_at(col("_hs"), p).as("fp"), (-p).as("np")))))))
+      .select(col("id"), explode(col("_sel")).as("_s"))
+      .select(col("id"), (-col("_s.np")).cast("long").as("pos"),
+        col("_s.fp").as("fp"))
+  }
+
   /** Corpus vocabulary: per-token term frequency + document frequency in
     * one pass (explode → single groupBy; both aggregates partial
     * map-side except the distinct, which Spark expands to a two-phase

@@ -54,12 +54,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (DFS/NFS on a real cluster; local fs under local[*]).
   *
   * Supported column types: the primitive/temporal/binary/string/decimal
-  * types plus arrays AND nested structs of them (structs encode as
-  * nested JSON arrays; [[SubjectLogCodec.validate]] rejects the rest —
-  * maps — loudly at record time) — matching the typed-row values the
-  * reference's Python subject `next(**kwargs)` accepts, so a typed CDC
-  * envelope (op, ts, before/after row structs) feeds through the log
-  * without flattening.
+  * types plus arrays, nested structs AND maps of them (structs encode as
+  * nested JSON arrays; maps as a [keys…][values…] array pair —
+  * positional like everything else, so key types are not restricted to
+  * strings the way a JSON-object encoding would force) — matching the
+  * typed-row values the reference's Python subject `next(**kwargs)`
+  * accepts, so a typed CDC envelope (op, ts, before/after row structs,
+  * tag maps) feeds through the log without flattening.
+  * [[SubjectLogCodec.validate]] rejects anything else loudly at record
+  * time.
   *
   * Retention: blocks are retained for replay/backfill until
   * [[vacuumBlocks]] prunes a prefix — the explicit maintenance decision
@@ -203,6 +206,7 @@ private[sources] object SubjectLogCodec {
   def validate(dt: DataType): Unit = dt match {
     case s: StructType => s.fields.foreach(f => validate(f.dataType))
     case ArrayType(et, _) => validate(et)
+    case MapType(kt, vt, _) => validate(kt); validate(vt)
     case StringType | LongType | IntegerType | ShortType | ByteType |
          DoubleType | FloatType | BooleanType | BinaryType | DateType |
          TimestampType | TimestampNTZType => ()
@@ -210,7 +214,7 @@ private[sources] object SubjectLogCodec {
     case other => throw new IllegalArgumentException(
       s"SubjectLog: unsupported column type $other — supported: " +
         "string/integral/floating/boolean/binary/date/timestamp/decimal " +
-        "plus arrays and nested structs thereof")
+        "plus arrays, maps and nested structs thereof")
   }
 
   def rowToJson(row: InternalRow, schema: StructType): String = {
@@ -259,6 +263,21 @@ private[sources] object SubjectLogCodec {
         gen.writeStartArray()
         var j = 0
         while (j < st.length) { writeValue(gen, row, j, st.fields(j).dataType); j += 1 }
+        gen.writeEndArray()
+      // map = [[keys…],[values…]] — positional, so non-string keys (a
+      // JSON-object encoding would stringify them) round-trip typed
+      case MapType(kt, vt, _) =>
+        val m = g.getMap(i)
+        val ks = m.keyArray(); val vs = m.valueArray()
+        gen.writeStartArray()
+        gen.writeStartArray()
+        var j = 0
+        while (j < ks.numElements()) { writeValue(gen, ks, j, kt); j += 1 }
+        gen.writeEndArray()
+        gen.writeStartArray()
+        j = 0
+        while (j < vs.numElements()) { writeValue(gen, vs, j, vt); j += 1 }
+        gen.writeEndArray()
         gen.writeEndArray()
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
@@ -311,6 +330,19 @@ private[sources] object SubjectLogCodec {
         require(p.nextToken() == JsonToken.END_ARRAY,
           s"SubjectLog: corrupt nested struct (missing end of array)")
         new GenericInternalRow(vals)
+      case MapType(kt, vt, _) =>
+        require(p.nextToken() == JsonToken.START_ARRAY,
+          s"SubjectLog: corrupt map (missing keys array)")
+        val ks = ArrayBuffer[Any]()
+        while (p.nextToken() != JsonToken.END_ARRAY) ks += readValue(p, kt)
+        require(p.nextToken() == JsonToken.START_ARRAY,
+          s"SubjectLog: corrupt map (missing values array)")
+        val vs = ArrayBuffer[Any]()
+        while (p.nextToken() != JsonToken.END_ARRAY) vs += readValue(p, vt)
+        require(p.nextToken() == JsonToken.END_ARRAY,
+          s"SubjectLog: corrupt map (missing end of array)")
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new GenericArrayData(ks.toArray), new GenericArrayData(vs.toArray))
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
 }

@@ -54,6 +54,54 @@ class PipelineSpec extends SparkSpec {
     assert(ids == Set((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("winnowFingerprints: detection guarantee and k-gram floor") {
+    // the winnowing guarantee (k=4, w=4): any shared run of >= w+k-1 = 7
+    // tokens shares at least one fingerprint hash...
+    val d = Seq(
+      (1L, "j1 j2 c1 c2 c3 c4 c5 c6 c7"),
+      (2L, "c1 c2 c3 c4 c5 c6 c7 k1 k2"),
+      // ...and runs shorter than k = 4 tokens can never match
+      (3L, "a b c p q r"),
+      (4L, "p q r x y z")).toDF("doc_id", "text")
+    val fp = Dedup.containmentPairs(d, col("doc_id"), col("text"),
+      k = 4, w = 4, threshold = 0.01, maxDf = 100)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fp.contains((1L, 2L)))
+    assert(!fp.contains((3L, 4L)))
+  }
+
+  test("winnowFingerprints: short docs, single-shingle docs, determinism") {
+    val d = Seq(
+      (1L, "a b c"),          // < k tokens: no shingles, no fingerprints
+      (2L, "a b c d"),        // exactly k: one shingle, one window
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.winnowFingerprints(
+      d, col("doc_id"), col("text"), k = 4, w = 4)
+    val byId = out.collect().groupBy(_.getLong(0))
+    assert(!byId.contains(1L))
+    assert(byId(2L).map(r => r.getLong(1)).toSeq == Seq(1L))
+    // density: doc 3 has 7 shingles / 4 windows -> between 1 and 4 picks
+    assert(byId(3L).length >= 1 && byId(3L).length <= 4)
+    // deterministic replay
+    assert(rowsOf(out) == rowsOf(graft.operators.TextOps.winnowFingerprints(
+      d, col("doc_id"), col("text"), k = 4, w = 4)))
+  }
+
+  test("containmentPairs: a doc pasted inside a larger one scores 1.0") {
+    // sketch(A) ⊆ sketch(B) when A's text appears verbatim inside B and
+    // every A-window is interior to the pasted run — containment is
+    // exactly 1.0 while Jaccard would be diluted by B's larger sketch
+    val run = (1 to 10).map(i => s"r$i").mkString(" ")
+    val d = Seq(
+      (1L, run),
+      (2L, s"x1 x2 x3 x4 x5 $run y1 y2 y3 y4 y5 y6 y7 y8 y9 y10"),
+      (3L, "unrelated words entirely different from anything else here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(d, col("doc_id"), col("text"),
+      k = 4, w = 4, threshold = 0.9, maxDf = 100)
+    assert(rowsOf(out) == Set(Seq(1L, 2L, 1.0)))
+  }
+
   test("duplicateSpans finds the maximal shared run with both positions") {
     val shared = (1 to 10).map(i => s"s$i").mkString(" ")
     val d = Seq(

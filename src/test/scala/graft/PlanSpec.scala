@@ -249,4 +249,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian fallback:\n$p")
     assert(p.contains("WindowGroupLimit"), s"expected rank pushdown:\n$p")
   }
+
+  test("q_text_winnow: fingerprinting is shuffle-free (pure array exprs)") {
+    val p = plan("q_text_winnow")
+    // the only exchange allowed is Par.spread's input widening; window
+    // argmin must stay inside the row — no sort, no aggregate, no join
+    assert(!p.contains("Sort ") && !p.contains("Aggregate") &&
+      !p.contains("Join"), s"winnowing must not leave the row:\n$p")
+  }
+
+  test("q_dedup_containment: candidates from a fingerprint equi-join, " +
+      "no cartesian") {
+    val p = plan("q_dedup_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"containment must equi-join on fingerprint hash:\n$p")
+  }
+
+  test("q_quality_classifier: weight table broadcasts; gradient is " +
+      "partial-aggregated; corpus never broadcast") {
+    val p = plan("q_quality_classifier")
+    // the (dim+1)-row weight array rides a broadcast nested-loop (1-row
+    // side) or broadcast exchange — the corpus side must never broadcast
+    assert(p.contains("BroadcastExchange"), s"expected broadcast weights:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian fallback:\n$p")
+    assert(p.contains("Aggregate"), s"expected aggregated weight array:\n$p")
+  }
 }

@@ -334,6 +334,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertParquetSinkVersioned: time travel to retained versions, " +
+      "retention prunes, unknown version raises") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert_ver").toString
+    val path = s"$root/state"
+    val in = MemoryStream[(Long, Long, Boolean, String)]
+    val events = in.toDF().toDF("id", "ord", "del", "v")
+    val q = Streaming.upsertParquetSinkVersioned(events, Seq("id"), "ord",
+      "del", path, s"$root/ckpt", keepVersions = 2).start()
+    try {
+      in.addData((1L, 10L, false, "a"), (2L, 10L, false, "b"))
+      q.processAllAvailable()
+      in.addData((1L, 20L, false, "a2"), (2L, 20L, true, "b"))
+      q.processAllAvailable()
+      in.addData((3L, 30L, false, "c"))
+      q.processAllAvailable()
+      // keepVersions=2: versions 2 and 3 retained, version 1 pruned
+      assert(Streaming.snapshotVersions(path) == Seq(2L, 3L))
+      // latest = committed generation
+      assert(rowsOf(Streaming.readSnapshotAsOf(spark, path, "ord", "del")) ==
+        Set(Seq(1L, "a2"), Seq(3L, "c")))
+      // as-of the middle batch: the historical state BEFORE key 3 arrived
+      assert(rowsOf(Streaming.readSnapshotAsOf(spark, path, "ord", "del",
+        Some(2L))) == Set(Seq(1L, "a2")))
+      // the pruned and never-existing versions fail loudly
+      intercept[IllegalArgumentException] {
+        Streaming.readSnapshotAsOf(spark, path, "ord", "del", Some(1L))
+      }
+      intercept[IllegalArgumentException] {
+        Streaming.readSnapshotAsOf(spark, path, "ord", "del", Some(99L))
+      }
+    } finally q.stop()
+  }
+
   test("upsertParquetSink recovers a crash between the two swap renames " +
       "without losing prior keys") {
     implicit val sqlCtx = spark.sqlContext

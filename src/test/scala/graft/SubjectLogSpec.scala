@@ -58,10 +58,30 @@ class SubjectLogSpec extends SparkSpec {
     SubjectLog.record(spark, s, dir)
     assert(new java.io.File(dir).list().count(_.startsWith("block-")) == 1)
     val bad = intercept[IllegalArgumentException] {
-      SubjectLog.record(spark, feedOf(Seq(Map("k" -> 1L))),
+      // day-time interval: a real Spark type with an encoder the codec
+      // deliberately does not cover
+      SubjectLog.record(spark, feedOf(Seq(java.time.Duration.ofSeconds(1))),
         tmp("unsupported"))
     }
     assert(bad.getMessage.contains("unsupported column type"))
+  }
+
+  test("maps round-trip through the codec, including non-string keys") {
+    val dir = tmp("maps")
+    // [keys…][values…] positional encoding: int keys stay ints (a
+    // JSON-object encoding would have stringified them)
+    val rows: Seq[(Long, Map[String, Long], Map[Int, String])] = Seq(
+      (1L, Map("a" -> 10L, "b" -> 20L), Map(7 -> "x")),
+      (2L, Map(), Map(8 -> "y", 9 -> "z")),
+      (3L, null, null))
+    SubjectLog.record(spark, feedOf(rows.take(2), rows.drop(2)), dir)
+    val back = SubjectLog.read(spark, dir)
+      .as[(Long, Map[String, Long], Map[Int, String])]
+      .collect().sortBy(_._1)
+    assert(back.length == 3)
+    assert(back(0)._2 == Map("a" -> 10L, "b" -> 20L) && back(0)._3 == Map(7 -> "x"))
+    assert(back(1)._2 == Map() && back(1)._3 == Map(8 -> "y", 9 -> "z"))
+    assert(back(2)._2 == null && back(2)._3 == null)
   }
 
   test("kill+restart: a NEW query on the same checkpoint resumes at the " +
