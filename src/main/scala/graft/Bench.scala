@@ -53,7 +53,8 @@ object Bench {
     "q_asof_now", "q_async_transformer", "q_behavior_cutoff",
     "q_behavior_keep", "q_cdc_subject_log", "q_doc_store_stream",
     "q_inactivity", "q_interval_stream", "q_io_filestream", "q_io_http",
-    "q_io_jdbc", "q_io_subject", "q_io_subject_replay", "q_recovery",
+    "q_io_jdbc", "q_io_subject", "q_io_subject_replay", "q_neardup_stream",
+    "q_recovery",
     "q_subscribe", "q_upsert_partitioned", "q_upsert_snapshot",
     "q_upsert_timetravel")
 

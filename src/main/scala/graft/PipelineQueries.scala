@@ -207,6 +207,46 @@ object PipelineQueries extends QueryModule {
       .select(col("id").as("doc_id"), r4e(col("score")).as("score"))
   }
 
+  // Streaming near-dup candidate detection (the online LSH half): the
+  // whole documents table fed through nearDupCandidatesStream in one
+  // micro-batch; per band bucket the lexicographically-smallest doc id
+  // becomes owner and every other member emits (owner, member, band) —
+  // the star decomposition the oracle derives directly from the same
+  // md5 minhash/banding recipes (no DF cap: the online path can't see
+  // document frequency). Harness-bound (MemoryStream replay).
+  q("q_neardup_stream",
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] AS s
+      |       FROM w, UNNEST(range(1, len(ws)-1)) AS t(j)),
+      |mh AS (SELECT doc_id,
+      |  min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
+      |  min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3,
+      |  min(md5('4|' || s)) AS h4, min(md5('5|' || s)) AS h5
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bk FROM mh UNION ALL
+      |  SELECT doc_id, 1, md5(h2 || h3) FROM mh UNION ALL
+      |  SELECT doc_id, 2, md5(h4 || h5) FROM mh),
+      |own AS (SELECT band, bk, min(CAST(doc_id AS VARCHAR)) AS a
+      |  FROM bands GROUP BY 1, 2)
+      |SELECT DISTINCT o.a, CAST(b.doc_id AS VARCHAR) AS b, b.band
+      |FROM bands b JOIN own o ON o.band = b.band AND o.bk = b.bk
+      |WHERE CAST(b.doc_id AS VARCHAR) <> o.a""") { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val cands = graft.streaming.Streaming.nearDupCandidatesStream(
+      stream, col("doc_id"), col("text"), n = 3, k = 6, bands = 3)
+    val qy = cands.writeStream.format("memory").queryName("neardup_oracle_out")
+      .outputMode("update").start()
+    try { in.addData(docs.toSeq); qy.processAllAvailable() } finally qy.stop()
+    s.sql("SELECT DISTINCT a, b, band FROM neardup_oracle_out")
+  }
+
   // canonicalization: minhash pair edges → connected components → keep
   // the longest member per cluster (tie: smallest doc_id)
   // Exact duplicated spans (Lee et al. 2022 substring dedup, as a

@@ -156,6 +156,93 @@ object Streaming {
     }(enc)
   }
 
+  /** Streaming NEAR-duplicate candidate detection — the online half of
+    * [[graft.operators.Dedup.minhashLshPairs]]: MinHash signatures and
+    * LSH band keys are computed IN-ROW (pure array expressions, no
+    * aggregation — the same md5 recipes as the batch path, so a doc
+    * lands in identical buckets online and offline), and per band
+    * bucket a flatMapGroupsWithState keeps the FIRST-ARRIVED owner; each
+    * later document hitting an owned bucket emits a candidate pair
+    * `(a = owner, b = newcomer, band)` in the micro-batch it arrives.
+    *
+    * Semantics vs batch: per bucket this is the STAR decomposition
+    * (owner vs each later arrival), not the full pair clique the batch
+    * self-join produces — exactly what online suppression needs (every
+    * non-first document gets flagged with a witness), at state cost of
+    * ONE owner id per occupied bucket. Within a micro-batch, ties are
+    * broken by id order, so replays are deterministic. Pairs are
+    * candidates in the LSH sense — verify survivors with an exact
+    * Jaccard/cosine pass downstream (foreachBatch), as the batch
+    * pipeline does. Docs shorter than `n` tokens have no shingles and
+    * emit nothing, matching batch behavior.
+    *
+    * State: one (bucket → owner) entry per occupied bucket for the
+    * query's lifetime; for unbounded corpora pass `idleTtl` > 0 to
+    * evict long-idle buckets (the [[deduplicateStreaming]] option, with
+    * the same reappearance caveat: an evicted bucket's next document
+    * becomes a fresh owner). Doc ids travel as strings (the state
+    * encoder's lowest common denominator) — cast back downstream.
+    * Returns streaming (a, b, band); run in update mode. */
+  def nearDupCandidatesStream(docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, k: Int = 6, bands: Int = 3,
+      idleTtl: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration.Zero): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ws = split(text, " ")
+    val base = docs.select(id.cast("string").as("_id"), ws.as("_ws"))
+    val idxs = when(size(col("_ws")) >= n,
+        sequence(lit(1), size(col("_ws")) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val sh = array_distinct(transform(idxs, j =>
+      concat_ws(" ", (0 until n).map(o => element_at(col("_ws"), j + o)): _*)))
+    // k in-row minhashes (md5("i|"+shingle) — Dedup.minhash's recipe),
+    // banded to `bands` keys of r hashes each (Dedup.bandRows' recipe)
+    val withSh = base.withColumn("_sh", sh)
+    val hs = (0 until k).map(i =>
+      array_min(transform(col("_sh"), s => md5(concat(lit(s"$i|"), s)))).as(s"h$i"))
+    val sigs = withSh.select(col("_id") +: hs: _*)
+    val bandRows = sigs.select(col("_id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat((0 until r).map(i => col(s"h${b * r + i}")): _*)).as("bk"))
+      }: _*)).as("_bb"))
+      .select(col("_bb.band").as("band"), col("_bb.bk").as("bk"), col("_id"))
+      .filter(col("bk").isNotNull) // shingle-less docs carry null hashes
+      .as[(Int, String, String)]
+    val ttlMs = if (idleTtl.isFinite) idleTtl.toMillis else 0L
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    bandRows.groupByKey { case (band, bk, _) => s"$band|$bk" }
+      .flatMapGroupsWithState[String, (String, String, Int)](
+        OutputMode.Update(), timeoutConf) {
+        (_: String, rows: Iterator[(Int, String, String)],
+            state: GroupState[String]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // id-sorted within the batch: the owner choice (and so the
+            // emitted pairs) is a pure function of batch content
+            val sorted = rows.toSeq.sortBy(_._3)
+            var owner = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer[(String, String, Int)]()
+            sorted.foreach { case (band, _, docId) =>
+              owner match {
+                case None =>
+                  owner = Some(docId); state.update(docId)
+                case Some(o) if o != docId =>
+                  out += ((o, docId, band))
+                case _ => ()
+              }
+            }
+            if (ttlMs > 0 && state.exists) state.setTimeoutDuration(ttlMs)
+            out.iterator
+          }
+      }
+      .toDF("a", "b", "band")
+  }
+
   /** As-of-now join (reference: _asof_now_join.py:176): each left
     * (stream) row joins the CURRENT right (static/slowly-changing) state
     * at arrival; later right updates do not retract. Spark's

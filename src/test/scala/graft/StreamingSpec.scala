@@ -334,6 +334,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupCandidatesStream flags later arrivals against first-arrived " +
+      "bucket owners; short docs emit nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val cands = Streaming.nearDupCandidatesStream(docs, col("doc_id"),
+      col("text"), n = 3, k = 6, bands = 3)
+    val q = cands.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("update").start()
+    try {
+      in.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (3L, "completely different content about spark engines and shuffles x y"),
+        (9L, "a b")) // < n tokens: no shingles, owns nothing
+      q.processAllAvailable()
+      // first arrivals own their buckets silently
+      assert(spark.sql("SELECT * FROM neardup_out").count() == 0)
+      in.addData(
+        (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+        (2L, "the quick brown fox jumps over the lazy cat")) // near-dup of 1
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT DISTINCT a, b FROM neardup_out").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      // the exact dup collides on every band; its witness is the owner
+      assert(pairs.contains(("1", "4")))
+      // the near-dup's colliding bucket is owned by doc 1 (same sig as 4)
+      assert(pairs.contains(("1", "2")))
+      assert(!pairs.exists(p => p._1 == "3" || p._2 == "3" ||
+        p._1 == "9" || p._2 == "9"))
+    } finally q.stop()
+  }
+
   test("upsertParquetSinkVersioned: time travel to retained versions, " +
       "retention prunes, unknown version raises") {
     implicit val sqlCtx = spark.sqlContext
