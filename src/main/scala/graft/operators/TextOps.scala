@@ -90,40 +90,24 @@ object TextOps {
     * fingerprint HASH, and no run shorter than k tokens ever matches.
     * Expected sketch density ≈ 2/(w+1) of the shingle count.
     *
-    * Pure array expressions inside the row — the hash array is built
-    * ONCE, windows index into it — so fingerprinting is shuffle-free,
-    * one scan at any corpus size. Cost per document is O(shingles·w)
-    * hash comparisons with w a small constant (the paper's O(n) ring
-    * buffer is a sequential carry; the windowed argmin is the order-free
-    * formulation that replays identically in any engine). Documents
-    * shorter than k tokens carry no fingerprints; when the shingle count
-    * is below w the single truncated window is winnowed whole. Returns
-    * (id, pos, fp) — pos is the 1-based shingle position of the selected
-    * hash, kept so containment hits can be anchored to spans. */
+    * One native plan node per row ([[graft.plans.WinnowExpr]]: split
+    * once, hash each shingle once, tight O(shingles·w) windowed-argmin
+    * loop) — so fingerprinting is shuffle-free, one scan at any corpus
+    * size. The earlier nested-HOF formulation was quadratic-plus in
+    * practice: Catalyst inlines producing projections into lambda
+    * references, so every window element re-derived the whole hash
+    * array and every hash re-split the text (see WinnowExpr's
+    * scaladoc). Documents shorter than k tokens carry no fingerprints;
+    * when the shingle count is below w the single truncated window is
+    * winnowed whole. Returns (id, pos, fp) — pos is the 1-based shingle
+    * position of the selected hash, kept so containment hits can be
+    * anchored to spans. */
   def winnowFingerprints(df: org.apache.spark.sql.DataFrame, id: Column,
-      text: Column, k: Int = 4, w: Int = 4): org.apache.spark.sql.DataFrame = {
-    require(k > 0 && w > 0, s"winnow: need k > 0 and w > 0, got k=$k w=$w")
-    val d = graft.core.Par.spread(df)
-      .select(id.as("id"), tokens(text).as("_ws"))
-    val ws = col("_ws")
-    val idxs = when(size(ws) >= k, sequence(lit(1), size(ws) - (k - 1)))
-      .otherwise(array().cast("array<int>"))
-    val hs = transform(idxs, j =>
-      md5(concat_ws(" ", (0 until k).map(o => element_at(ws, j + o)): _*)))
-    // window j covers hash positions [j, min(j+w-1, nsh)]; min over
-    // struct(h, -p) = smallest hash, rightmost position on ties
-    d.withColumn("_hs", hs)
-      .withColumn("_sel", array_distinct(transform(
-        when(size(col("_hs")) >= 1,
-          sequence(lit(1), greatest(size(col("_hs")) - (w - 1), lit(1))))
-          .otherwise(array().cast("array<int>")),
-        j => array_min(transform(
-          sequence(j, least(j + (w - 1), size(col("_hs")))),
-          p => struct(element_at(col("_hs"), p).as("fp"), (-p).as("np")))))))
-      .select(col("id"), explode(col("_sel")).as("_s"))
-      .select(col("id"), (-col("_s.np")).cast("long").as("pos"),
-        col("_s.fp").as("fp"))
-  }
+      text: Column, k: Int = 4, w: Int = 4): org.apache.spark.sql.DataFrame =
+    graft.core.Par.spread(df)
+      .select(id.as("id"),
+        explode(graft.plans.TextExprs.winnow(text, k, w)).as("_s"))
+      .select(col("id"), col("_s.pos").as("pos"), col("_s.fp").as("fp"))
 
   /** Corpus vocabulary: per-token term frequency + document frequency in
     * one pass (explode → single groupBy; both aggregates partial
