@@ -63,8 +63,16 @@ object Classify {
     * against the broadcast weight array. */
   private def score(feats: DataFrame, w: DataFrame, dim: Int): DataFrame =
     feats.crossJoin(broadcast(weightArray(w)))
-      .withColumn("zq", aggregate(sequence(lit(1), lit(dim + 1)), lit(0L),
-        (acc, i) => acc + element_at(col("_wa"), i) * element_at(col("xa"), i)))
+      // zip_with references xa/_wa ONCE each, then folds the product
+      // array — same ascending-index left-associative exact-long sum as
+      // the element_at fold it replaces. The fold-with-element_at form
+      // re-evaluated the REFERENCED projections per element (Catalyst
+      // inlines producers into lambda references — the WinnowExpr
+      // lesson), costing dim+1 hash_embed evaluations per row on the
+      // un-cached predict path.
+      .withColumn("zq", aggregate(
+        zip_with(col("_wa"), col("xa"), (wq, x) => wq * x),
+        lit(0L), (acc, p) => acc + p))
       .withColumn("s", least(greatest(
         lit(0.5) + col("zq").cast("double") / lit(Scale.toDouble) / lit(4.0),
         lit(0.0)), lit(1.0)))

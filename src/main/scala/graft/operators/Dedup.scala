@@ -46,15 +46,13 @@ object Dedup {
     * 6× slower end-to-end at sf0.1). */
   def shingles(df: DataFrame, id: Column, text: Column, n: Int = 3,
       carry: Seq[Column] = Nil): DataFrame = {
-    val base = graft.core.Par.spread(df)
-    val w = base.select((id.as("id") +: split(text, " ").as("_w") +: carry): _*)
-    val ws = col("_w")
-    val idxs = when(size(ws) >= n, sequence(lit(1), size(ws) - (n - 1)))
-      .otherwise(array().cast("array<int>"))
-    val sh = array_distinct(transform(idxs, j =>
-      concat_ws(" ", (0 until n).map(o => element_at(ws, j + o)): _*)))
-    w.select((col("id") +: explode(sh).as("s") +:
-      w.columns.drop(2).map(col).toSeq): _*)
+    // one ShinglesExpr eval per row (split once, build once) — the
+    // element_at formulation re-split the text n+1 times per shingle
+    // (Catalyst inlines producers into lambda references)
+    graft.core.Par.spread(df)
+      .select((id.as("id") +:
+        explode(graft.plans.TextExprs.shingles(text, n, distinct = true))
+          .as("s") +: carry): _*)
   }
 
   /** Stop-shingle filter: drop shingles whose document frequency within
@@ -312,16 +310,14 @@ object Dedup {
   def duplicateSpans(df: DataFrame, id: Column, text: Column,
       n: Int = 5, minSpan: Int = 10, maxDf: Int = 8): DataFrame = {
     require(n > 0 && minSpan >= n, s"duplicateSpans: need minSpan >= n")
-    val w = graft.core.Par.spread(df)
-      .select(id.as("id"), split(text, " ").as("_w"))
-    val ws = col("_w")
-    val idxs = when(size(ws) >= n, sequence(lit(1), size(ws) - (n - 1)))
-      .otherwise(array().cast("array<int>"))
-    val ps = Caches.cache(w.select(col("id"),
-      explode(transform(idxs, j => struct(j.as("p"),
-        md5(concat_ws(" ",
-          (0 until n).map(o => element_at(ws, j + o)): _*)).as("k")))).as("e"))
-      .select(col("id"), col("e.p").as("p"), col("e.k").as("k")))
+    // positional shingles: posexplode the one-pass shingle array (pos is
+    // 0-based → +1 restores the 1-based sequence positions), md5 AFTER
+    // the Generate barrier so each shingle hashes exactly once
+    val ps = Caches.cache(graft.core.Par.spread(df)
+      .select(id.as("id"),
+        posexplode(graft.plans.TextExprs.shingles(text, n, distinct = false))
+          .as(Seq("_p0", "_s")))
+      .select(col("id"), (col("_p0") + 1).as("p"), md5(col("_s")).as("k")))
     val hot = ps.groupBy("k").agg(countDistinct(col("id")).as("_df"))
       .filter(col("_df") > maxDf).select("k")
     val pc = Similarity.fanoutRepartition(

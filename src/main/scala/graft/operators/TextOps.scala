@@ -71,13 +71,11 @@ object TextOps {
 
   /** Winnowing-style min-hash fingerprint: the minimum md5 over word
     * n-gram shingles (rolling-hash family; deterministic). */
-  def minShingleFingerprint(text: Column, n: Int = 3): Column = {
-    val words = tokens(text)
-    val idxs = when(size(words) >= n, sequence(lit(1), size(words) - (n - 1)))
-      .otherwise(array().cast("array<int>"))
-    array_min(transform(idxs, j =>
-      md5(concat_ws(" ", (0 until n).map(o => element_at(words, j + o)): _*))))
-  }
+  def minShingleFingerprint(text: Column, n: Int = 3): Column =
+    // shingles() is the transform's INPUT (evaluated once), and the
+    // lambda only touches its own variable — no producer re-evaluation
+    array_min(transform(
+      graft.plans.TextExprs.shingles(text, n, distinct = false), s => md5(s)))
 
   /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken 2003 —
     * the MOSS local-fingerprinting algorithm): hash every k-token
@@ -177,17 +175,18 @@ object TextOps {
   def bigramLogProbs(df: org.apache.spark.sql.DataFrame, id: Column,
       text: Column, k: Double = 0.5,
       saltBuckets: Int = 0): org.apache.spark.sql.DataFrame = {
-    val w = df.select(id.as("id"), tokens(text).as("ws"))
-    val ws = col("ws")
-    val pairs = when(size(ws) >= 2,
-        transform(sequence(lit(1), size(ws) - 1), j => struct(
-          element_at(ws, j).as("w1"), element_at(ws, j + 1).as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val bg = w.select(col("id"), explode(pairs).as("b"))
-      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val w = df.select(id.as("id"), text.as("_t"))
+    // one-pass bigram build; tokens are space-split so a bigram string
+    // contains exactly one space — substring_index recovers the halves
+    val bg = w.select(col("id"),
+        explode(graft.plans.TextExprs.shingles(col("_t"), 2, distinct = false))
+          .as("g"))
+      .select(col("id"), substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"))
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val vs = w.select(explode(ws).as("t")).agg(countDistinct(col("t")).as("v"))
+    val vs = w.select(explode(tokens(col("_t"))).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
     val joined =
       if (saltBuckets <= 0) bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
       else {
@@ -250,15 +249,13 @@ object TextOps {
     * single-word documents carry a NULL bigram fraction. */
   def repetitionSignals(df: org.apache.spark.sql.DataFrame, id: Column,
       text: Column): org.apache.spark.sql.DataFrame = {
-    val w = df.select(id.as("id"), tokens(text).as("ws"))
-    val uni = w.select(col("id"), explode(col("ws")).as("g"))
+    val w = df.select(id.as("id"), text.as("_t"))
+    val uni = w.select(col("id"), explode(tokens(col("_t"))).as("g"))
       .groupBy("id", "g").agg(count(lit(1)).as("c"))
       .groupBy("id").agg(max(col("c")).as("c1"), sum(col("c")).as("n1"))
-    val bigrams = when(size(col("ws")) >= 2,
-        transform(sequence(lit(1), size(col("ws")) - 1), j =>
-          concat_ws(" ", element_at(col("ws"), j), element_at(col("ws"), j + 1))))
-      .otherwise(array().cast("array<string>"))
-    val bi = w.select(col("id"), explode(bigrams).as("g"))
+    val bi = w.select(col("id"),
+        explode(graft.plans.TextExprs.shingles(col("_t"), 2, distinct = false))
+          .as("g"))
       .groupBy("id", "g").agg(count(lit(1)).as("c"))
       .groupBy("id").agg(max(col("c")).as("c2"), sum(col("c")).as("n2"))
     uni.join(bi, Seq("id"), "left")
@@ -318,50 +315,22 @@ object TextOps {
     * chunk text re-joins its pieces with the separator. */
   def chunkBySeparator(df: org.apache.spark.sql.DataFrame, id: Column,
       text: Column, separator: String, maxTokens: Int,
-      keep: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
-    require(maxTokens > 0, s"chunkBySeparator: maxTokens must be > 0")
-    // Everything stays INSIDE the row: prefix sums, bucket ids, and
-    // chunk re-assembly are array expressions over the piece list, so —
-    // unlike the obvious window-function formulation (shuffle by doc id,
-    // running sum, group-by) — this is shuffle-FREE: one scan at any
-    // corpus size, and the same stateless plan runs under Structured
-    // Streaming (windows are unsupported there), which is what lets the
-    // DocStore ingest path take a splitter. Cost per row: ONE fold
-    // builds the exclusive prefix-sum array (O(pieces) interpreted
-    // steps; the per-step array append copies longs — memcpy, not
-    // expression eval), bucket ids are then O(1) lookups, and chunk
-    // re-assembly is O(pieces · chunks). The earlier formulation
-    // recomputed each piece's prefix with aggregate(slice(...)) —
-    // O(pieces²) interpreted fold steps, quadratic on a long document
-    // split on a common separator (ADVICE r10).
-    val ps = split(text, java.util.regex.Pattern.quote(separator))
-    df.select(id.as("id") +: ps.as("ps") +: keep.map(col): _*)
-      .withColumn("_tc",
-        transform(col("ps"), p => size(split(p, " ")).cast("long")))
-      .withColumn("_pfx",
-        aggregate(col("_tc"),
-          struct(lit(0L).as("s"), array().cast("array<bigint>").as("xs")),
-          (acc, t) => struct((acc.getField("s") + t).as("s"),
-            concat(acc.getField("xs"), array(acc.getField("s"))).as("xs")),
-          acc => acc.getField("xs")))
-      .withColumn("_z",
-        transform(sequence(lit(0), size(col("ps")) - 1), i => struct(
-          element_at(col("ps"), i + 1).as("p"),
-          element_at(col("_tc"), i + 1).as("t"),
-          floor(element_at(col("_pfx"), i + 1) / lit(maxTokens)).as("b"))))
-      .select(col("id") +:
-        explode(transform(array_distinct(transform(col("_z"), e => e.getField("b"))),
-          b => struct(
-            b.as("chunk_id"),
-            size(filter(col("_z"), e => e.getField("b") === b)).cast("long")
-              .as("n_pieces"),
-            aggregate(filter(col("_z"), e => e.getField("b") === b), lit(0L),
-              (a, e) => a + e.getField("t")).as("n_tokens"),
-            array_join(transform(filter(col("_z"), e => e.getField("b") === b),
-              e => e.getField("p")), separator).as("chunk")))).as("_c") +:
-        keep.map(col): _*)
+      keep: Seq[String] = Nil): org.apache.spark.sql.DataFrame =
+    // One native plan node per row ([[graft.plans.ChunkBySepExpr]]:
+    // split once, count once, one grouping pass — O(pieces + output)),
+    // then the explode is the only row expansion. Shuffle-FREE — unlike
+    // the obvious window-function formulation (shuffle by doc id,
+    // running sum, group-by) — one scan at any corpus size, and the
+    // stateless plan runs under Structured Streaming (windows are
+    // unsupported there), which is what lets the DocStore ingest path
+    // take a splitter. Two earlier array-expression formulations were
+    // both quadratic in practice: Catalyst inlines producing projections
+    // into lambda references, so per-piece bucket lookups re-ran the
+    // whole prefix fold (see ChunkBySepExpr's scaladoc).
+    df.select(id.as("id") +:
+        explode(graft.plans.TextExprs.chunkBySep(text, separator, maxTokens))
+          .as("_c") +: keep.map(col): _*)
       .select(col("id") +: col("_c.chunk_id").as("chunk_id") +:
         col("_c.n_pieces").as("n_pieces") +: col("_c.n_tokens").as("n_tokens") +:
         col("_c.chunk").as("chunk") +: keep.map(col): _*)
-  }
 }

@@ -15,6 +15,18 @@ object TextExprs {
     * fingerprint selection as ONE plan node; see [[WinnowExpr]]. */
   def winnow(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowExpr(ColumnBridge.expression(text), k, w))
+
+  /** `chunk_by_separator(text, sep, maxTokens)` — separator split +
+    * token counts + prefix-sum bucketing + chunk re-assembly as ONE
+    * plan node; see [[ChunkBySepExpr]]. */
+  def chunkBySep(text: Column, separator: String, maxTokens: Int): Column =
+    ColumnBridge.column(
+      ChunkBySepExpr(ColumnBridge.expression(text), separator, maxTokens))
+
+  /** `shingles(text, n, distinct)` — space-joined word n-grams as ONE
+    * plan node; see [[ShinglesExpr]]. */
+  def shingles(text: Column, n: Int, distinct: Boolean): Column =
+    ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(text), n, distinct))
 }
 
 /** One-pass winnowing fingerprint selection (Schleimer et al. 2003).
@@ -126,4 +138,154 @@ object WinnowExpr {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+}
+
+/** Space-joined word n-gram (shingle) construction as one plan node.
+  *
+  * Bit-identical to the `transform(sequence(…), j ⇒ concat_ws(" ",
+  * element_at(ws, j), …))` Column formulation every shingle pipeline
+  * used — tokens = split on single space with trailing empties kept,
+  * shingle i = tokens[i..i+n−1] joined with one space, document order,
+  * `distinct` = keep first occurrences only (`array_distinct`
+  * semantics) — and therefore to the DuckDB oracles that replay the
+  * same recipe. NULL text → NULL; fewer than n tokens → empty array.
+  *
+  * Why native: the lambda body's `element_at(ws, j+o)` references are
+  * inlined by Catalyst with the producing `split(text)` projection
+  * (references inside lambda functions are invisible to projection-
+  * collapse cost checks — the [[WinnowExpr]] lesson), so the Column
+  * form re-splits the text n+1 times per shingle: a constant-factor
+  * O(n·tokens) waste multiplied into every dedup scan. Here the text
+  * splits once and each shingle is built once — the irreducible work. */
+case class ShinglesExpr(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  require(n > 0, s"shingles: n must be > 0, got $n")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(t: Any): Any = {
+    val toks = t.toString.split(" ", -1)
+    val nsh = toks.length - (n - 1)
+    if (nsh <= 0) return new GenericArrayData(Array.empty[Any])
+    val sb = new java.lang.StringBuilder
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[String]
+      var j = 0
+      while (j < nsh) {
+        sb.setLength(0)
+        var o = 0
+        while (o < n) {
+          if (o > 0) sb.append(' ')
+          sb.append(toks(j + o)); o += 1
+        }
+        seen.add(sb.toString)
+        j += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Any](nsh)
+      var j = 0
+      while (j < nsh) {
+        sb.setLength(0)
+        var o = 0
+        while (o < n) {
+          if (o > 0) sb.append(' ')
+          sb.append(toks(j + o)); o += 1
+        }
+        out(j) = UTF8String.fromString(sb.toString)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
+/** One-pass separator-aware chunk packing (the
+  * [[graft.operators.TextOps.chunkBySeparator]] bucket rule as a single
+  * plan node).
+  *
+  * Bit-identical to the Column formulation it replaces: pieces = text
+  * split on the LITERAL separator with trailing empties kept, piece
+  * token count = single-space split length (an empty piece counts 1),
+  * piece p lands in chunk floor(Σ_{q<p} t_q / maxTokens) (exclusive
+  * prefix sum — monotone, so each chunk's pieces are consecutive),
+  * output = one struct per occupied chunk id in document order with
+  * (chunk_id, n_pieces, n_tokens, chunk = pieces re-joined with the
+  * separator). NULL text → NULL; callers explode.
+  *
+  * Why native: the array-expression version built the prefix-sum fold
+  * once per ROW in the plan, but Catalyst inlines producing projections
+  * into lambda references (the [[WinnowExpr]] lesson), so the per-piece
+  * bucket lookup re-ran the whole O(pieces) fold and the per-bucket
+  * assembly re-ran the O(pieces) piece/count arrays — quadratic on a
+  * long document split on a common separator, the exact regression the
+  * r10 ADVICE fix was meant to close. Here: one split, one counting
+  * pass, one grouping pass — O(pieces + output chars) per document,
+  * shuffle-free, and stateless (runs unchanged under Structured
+  * Streaming, which the DocStore ingest path requires). */
+case class ChunkBySepExpr(child: Expression, separator: String, maxTokens: Int)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  require(maxTokens > 0, s"chunk_by_separator: maxTokens must be > 0")
+  require(separator.nonEmpty, "chunk_by_separator: separator must be non-empty")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_id", LongType, nullable = false),
+    StructField("n_pieces", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("chunk", StringType, nullable = false))))
+  override def prettyName: String = "chunk_by_separator"
+  override def nullable: Boolean = true
+
+  @transient private lazy val sepPattern =
+    java.util.regex.Pattern.compile(java.util.regex.Pattern.quote(separator))
+
+  override protected def nullSafeEval(t: Any): Any = {
+    // limit -1: trailing empty pieces kept — Spark split() semantics
+    val pieces = sepPattern.split(t.toString, -1)
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var prefix = 0L
+    var i = 0
+    while (i < pieces.length) {
+      val bucket = prefix / maxTokens
+      // consume the consecutive run of pieces whose exclusive prefix
+      // sum selects this bucket
+      val start = i
+      var nTokens = 0L
+      val sb = new java.lang.StringBuilder
+      var cont = true
+      while (cont && i < pieces.length) {
+        val p = pieces(i)
+        // single-space token count with trailing empties: separators+1
+        var tc = 1L
+        var c = p.indexOf(' ')
+        while (c >= 0) { tc += 1; c = p.indexOf(' ', c + 1) }
+        if (i > start) sb.append(separator)
+        sb.append(p)
+        nTokens += tc
+        prefix += tc
+        i += 1
+        if (i < pieces.length && prefix / maxTokens != bucket) cont = false
+      }
+      out += org.apache.spark.sql.catalyst.InternalRow(
+        bucket, (i - start).toLong, nTokens,
+        UTF8String.fromString(sb.toString))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkBySepExpr =
+    copy(child = newChild)
 }

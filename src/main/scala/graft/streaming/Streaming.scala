@@ -191,16 +191,12 @@ object Streaming {
     val r = k / bands
     val spark = docs.sparkSession
     import spark.implicits._
-    val ws = split(text, " ")
-    val base = docs.select(id.cast("string").as("_id"), ws.as("_ws"))
-    val idxs = when(size(col("_ws")) >= n,
-        sequence(lit(1), size(col("_ws")) - (n - 1)))
-      .otherwise(array().cast("array<int>"))
-    val sh = array_distinct(transform(idxs, j =>
-      concat_ws(" ", (0 until n).map(o => element_at(col("_ws"), j + o)): _*)))
-    // k in-row minhashes (md5("i|"+shingle) — Dedup.minhash's recipe),
-    // banded to `bands` keys of r hashes each (Dedup.bandRows' recipe)
-    val withSh = base.withColumn("_sh", sh)
+    // k in-row minhashes (md5("i|"+shingle) — Dedup.minhash's recipe)
+    // over a one-pass native shingle build (the element_at formulation
+    // re-split the text per lambda reference), banded to `bands` keys
+    // of r hashes each (Dedup.bandRows' recipe)
+    val withSh = docs.select(id.cast("string").as("_id"),
+      graft.plans.TextExprs.shingles(text, n, distinct = true).as("_sh"))
     val hs = (0 until k).map(i =>
       array_min(transform(col("_sh"), s => md5(concat(lit(s"$i|"), s)))).as(s"h$i"))
     val sigs = withSh.select(col("_id") +: hs: _*)
