@@ -1383,4 +1383,110 @@ object PipelineQueries extends QueryModule {
       .select(col("doc_id"), col("n_tokens"), col("bucket"), col("pack"),
         col("pack_pos"))
   }
+
+  // Trained char-trigram Naive-Bayes language ID (fit on the corpus's
+  // own lang labels, predict the same corpus): add-k log-likelihoods
+  // over the bounded char-3-gram vocabulary, exact-decimal score sums
+  // (the bigram-LM recipe), argmax with lexicographic lang tie-break.
+  // The oracle replays fit AND predict.
+  q("q_langid_trained",
+    """WITH cg AS (SELECT doc_id, lang,
+      |  unnest(list_transform(range(1, length(text) - 1),
+      |    i -> text[i : i + 2])) AS g
+      |  FROM documents WHERE length(text) >= 3),
+      |cnt AS (SELECT lang, g, count(*) AS c FROM cg GROUP BY 1, 2),
+      |tot AS (SELECT lang, sum(c) AS tl FROM cnt GROUP BY 1),
+      |voc AS (SELECT DISTINCT g FROM cnt),
+      |v AS (SELECT count(*) AS v FROM voc),
+      |pri AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
+      |nall AS (SELECT count(*) AS ndall FROM documents),
+      |lmeta AS (SELECT p.lang, ln(CAST(p.nd AS DOUBLE) / nall.ndall) AS prior,
+      |  ln(0.5 / (tot.tl + 0.5 * v.v)) AS unseen
+      |  FROM pri p JOIN tot USING (lang) CROSS JOIN nall CROSS JOIN v),
+      |dense AS (SELECT t.lang, voc.g,
+      |  ln((coalesce(c.c, 0) + 0.5) / (t.tl + 0.5 * v.v)) AS lp
+      |  FROM voc CROSS JOIN tot t CROSS JOIN v
+      |  LEFT JOIN cnt c ON c.lang = t.lang AND c.g = voc.g),
+      |dg AS (SELECT doc_id, g, count(*) AS cnt FROM cg GROUP BY 1, 2),
+      |ng AS (SELECT doc_id, sum(cnt) AS ng FROM dg GROUP BY 1),
+      |s1 AS (SELECT dg.doc_id, dense.lang,
+      |  CAST(sum(CAST(dg.cnt * dense.lp AS DECIMAL(24,6))) AS DOUBLE) AS s,
+      |  sum(dg.cnt) AS seen
+      |  FROM dg JOIN dense USING (g) GROUP BY 1, 2),
+      |sc AS (SELECT ng.doc_id, lmeta.lang,
+      |  lmeta.prior + coalesce(s1.s, 0.0)
+      |    + (ng.ng - coalesce(s1.seen, 0)) * lmeta.unseen AS score
+      |  FROM ng CROSS JOIN lmeta
+      |  LEFT JOIN s1 ON s1.doc_id = ng.doc_id AND s1.lang = lmeta.lang)
+      |SELECT doc_id, lang, round(score + 1e-9, 4) AS score
+      |FROM sc QUALIFY row_number() OVER (PARTITION BY doc_id
+      |  ORDER BY score DESC, lang ASC) = 1""") { (s, dir) =>
+    val docs = load(s, dir, "documents")
+    val model = graft.operators.LangId.fit(docs, col("text"), col("lang"),
+      n = 3, k = 0.5)
+    graft.operators.LangId.predict(docs, col("doc_id"), col("text"), model,
+        n = 3)
+      .select(col("id").as("doc_id"), col("lang"), r4e(col("score")).as("score"))
+  }
+
+  // Deterministic BPE merge learning (Sennrich 2016) — 4 rounds over the
+  // documents corpus. The oracle replays the ENTIRE training run: the
+  // corpus collapses to a word-frequency vocab, then each round counts
+  // adjacent symbol pairs (weighted by word freq), picks max-count with
+  // (pair) lexicographic tie-break, and applies the merge as the same
+  // greedy left-to-right literal replace (joint doubling — see
+  // operators/Bpe.scala scaladoc) Spark runs.
+  private val bpeOracleVocab =
+    """w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM
+      |  (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  GROUP BY 1),
+      |v0 AS (SELECT word, freq, CASE WHEN length(word) = 0 THEN '</w>'
+      |  ELSE array_to_string(list_transform(range(1, length(word) + 1),
+      |    i -> word[i]), ' ') || ' </w>' END AS s FROM w)""".stripMargin
+  private def bpeOracleRound(r: Int): String = {
+    val (p, n) = (s"v${r - 1}", s"v$r")
+    s"""p$r AS (SELECT ws[i] || ' ' || ws[i+1] AS pair,
+       |  CAST(sum(freq) AS BIGINT) AS cnt FROM
+       |  (SELECT freq, string_split(s, ' ') AS ws FROM $p),
+       |  unnest(range(1, len(ws))) AS t(i)
+       |  GROUP BY 1 HAVING sum(freq) >= 2),
+       |m$r AS (SELECT split_part(pair, ' ', 1) AS a,
+       |  split_part(pair, ' ', 2) AS b, cnt FROM p$r
+       |  ORDER BY cnt DESC, pair ASC LIMIT 1),
+       |$n AS (SELECT word, freq, trim(replace(replace(
+       |  ' ' || replace(s, ' ', '  ') || ' ',
+       |  ' ' || m.a || '  ' || m.b || ' ', ' ' || m.a || m.b || ' '),
+       |  '  ', ' ')) AS s FROM $p CROSS JOIN m$r m)""".stripMargin
+  }
+
+  q("q_bpe",
+    s"""WITH $bpeOracleVocab,
+       |${(1 to 4).map(bpeOracleRound).mkString(",\n")}
+       |SELECT * FROM (
+       |  SELECT 0 AS rank, a AS first, b AS second, a || b AS merged,
+       |    cnt AS pair_count FROM m1
+       |  UNION ALL SELECT 1, a, b, a || b, cnt FROM m2
+       |  UNION ALL SELECT 2, a, b, a || b, cnt FROM m3
+       |  UNION ALL SELECT 3, a, b, a || b, cnt FROM m4)""".stripMargin) {
+    (s, dir) =>
+      graft.operators.Bpe.learnMerges(load(s, dir, "documents"),
+        col("text"), rounds = 4)
+  }
+
+  // BPE segmentation of the 20 most frequent corpus words under the
+  // 4-round merge list (deterministic top-20: freq desc, word asc)
+  q("q_bpe_segment",
+    s"""WITH $bpeOracleVocab,
+       |${(1 to 4).map(bpeOracleRound).mkString(",\n")}
+       |SELECT word, s AS seg FROM v4
+       |ORDER BY freq DESC, word ASC LIMIT 20""".stripMargin) { (s, dir) =>
+    val docs = load(s, dir, "documents")
+    val merges = graft.operators.Bpe.learnMerges(docs, col("text"), rounds = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val top = graft.operators.Bpe.wordFreqs(docs, col("text"))
+      .orderBy(col("freq").desc, col("word").asc).limit(20)
+    graft.operators.Bpe.segment(top, lit(0L), col("word"), merges)
+      .select(col("word"), concat_ws(" ", col("pieces")).as("seg"))
+  }
 }
