@@ -43,7 +43,11 @@ object Clustering {
     Similarity.spread(df)
       .select(id.as("id"), vec.cast("array<double>").as("v"))
       .withColumn("_n", greatest(sqrt(Similarity.norm2(col("v"))), lit(1e-30)))
-      .withColumn("v", transform(col("v"), x => x / col("_n")))
+      // zip_with, not `x => x / col("_n")`: the norm's dot fold would
+      // re-evaluate per element via lambda-reference inlining
+      .withColumn("v",
+        zip_with(col("v"), array_repeat(col("_n"), size(col("v"))),
+          (x, nn) => x / nn))
       .drop("_n")
 
   /** Argmin-distance assignment of every row of `d` (id, v) against the

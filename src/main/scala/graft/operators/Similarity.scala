@@ -319,9 +319,14 @@ object Similarity {
     df.withColumn(scaleCol,
         greatest(array_max(transform(vec.cast("array<double>"), x => abs(x))),
           lit(1e-30)) / lit(127.0))
+      // zip_with: the scale reaches the lambda as a lambda VARIABLE —
+      // a `x => x / col(scaleCol)` body would re-evaluate the producing
+      // array_max fold per element (Catalyst inlines producers into
+      // lambda references); values are IEEE-identical either way
       .withColumn(codesCol,
-        transform(vec.cast("array<double>"),
-          x => floor(x / col(scaleCol) + lit(0.5)).cast("tinyint")))
+        zip_with(vec.cast("array<double>"),
+          array_repeat(col(scaleCol), size(vec)),
+          (x, sc) => floor(x / sc + lit(0.5)).cast("tinyint")))
 
   /** L2-normalize an array<double> column (norm floored at 1e-30 so a
     * zero vector maps to zeros, not NaN). The norm is one [[dot]] fold —
@@ -331,7 +336,11 @@ object Similarity {
   private def l2normalize(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("_norm",
         greatest(sqrt(norm2(col(vecCol))), lit(1e-30)))
-      .withColumn(vecCol, transform(col(vecCol), x => x / col("_norm")))
+      // zip_with, not `x => x / col("_norm")`: the norm's dot fold would
+      // re-evaluate per element via lambda-reference inlining
+      .withColumn(vecCol,
+        zip_with(col(vecCol), array_repeat(col("_norm"), size(col(vecCol))),
+          (x, nn) => x / nn))
       .drop("_norm")
 
   /** Brute-force top-k over int8-quantized UNIT vectors: vectors are

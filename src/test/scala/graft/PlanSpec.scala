@@ -275,4 +275,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian fallback:\n$p")
     assert(p.contains("Aggregate"), s"expected aggregated weight array:\n$p")
   }
+
+  test("shingle pipelines generate via the one-pass native expression") {
+    // the lambda-inlining regression (WinnowExpr scaladoc) must not
+    // creep back: the dedup shingle generator is the single `shingles`
+    // plan node, and the text column is never re-split inside a
+    // higher-order transform
+    for (q <- Seq("q_dedup_minhash", "q_dedup_spans", "q_decontaminate")) {
+      val p = plan(q)
+      assert(p.contains("shingles("), s"$q must use ShinglesExpr:\n$p")
+    }
+  }
+
+  test("q_langid_trained: per-gram model broadcasts; corpus is never " +
+      "shuffled by gram") {
+    val p = plan("q_langid_trained")
+    assert(p.contains("BroadcastExchange"), s"expected broadcast model:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian fallback:\n$p")
+  }
 }
