@@ -260,6 +260,30 @@ object IoQueries extends QueryModule {
         col("o_totalprice"))
   }
 
+  // Small-file compaction over the bucketed sink (Delta OPTIMIZE
+  // analog): same change-log replay as q_upsert_partitioned, then
+  // compactBuckets rewrites every multi-file bucket to one file via the
+  // sink's atomic swap — and the read-back snapshot must STILL equal the
+  // direct batch oracle, proving compaction is byte-level maintenance
+  // with zero semantic footprint.
+  q("q_upsert_compacted",
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders WHERE o_orderkey % 7 <> 0""") { (s, dir) =>
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert_cp").toString
+    replayOrdersChangeLog(s, dir) { events =>
+      graft.streaming.Streaming.upsertParquetSinkPartitioned(events,
+        Seq("o_orderkey"), "_ord", "_del", s"$root/state", s"$root/ckpt",
+        buckets = 16)
+    }
+    graft.streaming.Streaming.compactBuckets(s, s"$root/state")
+    graft.streaming.Streaming.readSnapshotPartitioned(
+        s, s"$root/state", "_ord", "_del")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+  }
+
   // Custom-source SPI executed end-to-end: a ConnectorSubject replays
   // nation through next()/commit() (driver-side feed — the subject
   // contract, like the reference's Python connector thread) and the

@@ -1355,6 +1355,19 @@ object PipelineQueries extends QueryModule {
       .select(col("doc_id"), col("lang"))
   }
 
+  // Weighted sample without replacement (Efraimidis–Spirakis): 200 docs
+  // ∝ n_chars — deterministic uniforms from the md5-u32 recipe, key
+  // −ln(u)/w, smallest-n win; plans as TakeOrderedAndProject
+  q("q_sample_weighted",
+    """SELECT doc_id, lang, n_chars FROM documents
+      |ORDER BY -ln((CAST('0x' || substr(md5('w1' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |    AS BIGINT) + 0.5) / 4294967296.0) / n_chars, doc_id
+      |LIMIT 200""") { (s, dir) =>
+    Sampling.sampleWeighted(load(s, dir, "documents"), col("doc_id"),
+        col("n_chars"), n = 200, salt = "w1")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
   // Deterministic sequence packing (training-batch construction: whole
   // documents concatenated into fixed token-budget sequences so short
   // docs don't waste context as padding): md5-bucketed packing streams,

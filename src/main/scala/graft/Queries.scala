@@ -320,6 +320,21 @@ object Queries extends QueryModule {
         "max_price" -> r4(reducers.rmax(col("l_extendedprice"))))
   }
 
+  // exact interpolated percentiles (quantile_cont parity: index p·(n−1),
+  // linear interpolation — same definition both engines; +1e-9 nudge
+  // absorbs last-ulp interpolation-order differences at round boundaries)
+  q("q_reduce_percentile",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5) + 1e-9, 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.95) + 1e-9, 4) AS p95
+      |FROM lineitem GROUP BY l_returnflag""") { (s, dir) =>
+    table(s, dir, "lineitem", "l_orderkey", "l_linenumber")
+      .groupby(col("l_returnflag"))
+      .reduce(
+        "p50" -> r4(reducers.rmedian(col("l_extendedprice")) + lit(1e-9)),
+        "p95" -> r4(reducers.rpercentile(col("l_extendedprice"), 0.95) + lit(1e-9)))
+  }
+
   q("q_reduce_global",
     """SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE), 4) AS revenue,
       |  count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS key_sum
@@ -531,6 +546,43 @@ object Queries extends QueryModule {
       .renameColumns("o_custkey" -> "c_custkey")
     o.joinSalted(table(s, dir, "customer", "c_custkey"), Seq("c_custkey"), 8)
       .select("c_mktsegment" -> col("c_mktsegment")).df
+  }
+
+  // bloom-pruned semi-join — scale utility: probe-side rows that cannot
+  // match are dropped map-side by a codegen'd bloom probe before the
+  // shuffle; false positives die in the exact join, so semantically this
+  // IS the plain semi-join the oracle states
+  q("q_join_bloom",
+    """SELECT l_suppkey, count(*) AS n,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE), 4) AS sum_qty
+      |FROM lineitem
+      |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000)
+      |GROUP BY l_suppkey""") { (s, dir) =>
+    val allow = table(s, dir, "supplier", "s_suppkey").df
+      .filter(col("s_acctbal") > 5000)
+      .select(col("s_suppkey").as("l_suppkey"))
+    table(s, dir, "lineitem", "l_orderkey", "l_linenumber")
+      .joinBloomPruned(Table.fromDF(allow, Seq("l_suppkey")),
+        Seq("l_suppkey"), "left_semi")
+      .groupby(col("l_suppkey"))
+      .reduce("n" -> reducers.rcount(),
+        "sum_qty" -> r4(dsum(col("l_quantity"))))
+  }
+
+  // bloom-accelerated anti-join — the blocklist/decontamination shape:
+  // rows failing the bloom are provably clean and skip the shuffle; only
+  // the might-match sliver runs the exact anti join
+  q("q_join_bloom_anti",
+    """SELECT l_suppkey, count(*) AS n FROM lineitem
+      |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000)
+      |GROUP BY l_suppkey""") { (s, dir) =>
+    val block = table(s, dir, "supplier", "s_suppkey").df
+      .filter(col("s_acctbal") > 5000)
+      .select(col("s_suppkey").as("l_suppkey"))
+    table(s, dir, "lineitem", "l_orderkey", "l_linenumber")
+      .joinBloomAnti(Table.fromDF(block, Seq("l_suppkey")), Seq("l_suppkey"))
+      .groupby(col("l_suppkey"))
+      .reduce("n" -> reducers.rcount())
   }
 
   // JSON get (JsonGetItem, expression.rs:386)

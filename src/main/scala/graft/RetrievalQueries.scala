@@ -47,6 +47,39 @@ object RetrievalQueries extends QueryModule {
       .select("qid", "rank", "id", "score")
   }
 
+  // TF-IDF cosine scoring + deterministic top-5 (smoothed-idf doc
+  // weights, L2-normalized doc vectors, binary query weights; ranking
+  // over ROUNDED scores for the same cross-engine stability as q_bm25)
+  q("q_tfidf",
+    """WITH toks AS (SELECT doc_id AS id, unnest(string_split(text,' ')) AS term
+      |  FROM documents),
+      |post AS (SELECT term, id, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |nd AS (SELECT count(DISTINCT id) AS n FROM post),
+      |dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+      |w AS (SELECT term, id, tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS w
+      |  FROM post JOIN dfreq USING (term) CROSS JOIN nd),
+      |nrm AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+      |q AS (SELECT doc_id AS qid,
+      |  unnest(list_distinct(string_split(text,' ')[1:5])) AS term
+      |  FROM documents WHERE doc_id < 5),
+      |sc AS (SELECT qid, id, round(sum(w) / max(nrm) + 1e-9, 4) AS score
+      |  FROM q JOIN w USING (term) JOIN nrm USING (id) GROUP BY 1, 2),
+      |r AS (SELECT qid, id, score,
+      |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+      |  FROM sc)
+      |SELECT qid, rank, id, score FROM r WHERE rank <= 5""") { (s, dir) =>
+    val docs = load(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("qtext"))
+    val scored = Bm25.tfidfScore(docs, col("doc_id"), col("text"),
+        queries, col("qid"), col("qtext"))
+      .withColumn("score", r4e(col("score")))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select("qid", "rank", "id", "score")
+  }
+
   // RRF fusion of two retrievers (reference: hybrid_index.py:14): BM25
   // ranking fused with the same candidates re-ranked by id
   q("q_rrf_fuse",

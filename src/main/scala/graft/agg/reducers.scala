@@ -21,6 +21,22 @@ object reducers {
   def rcount(): Column = count(lit(1))
   def ravg(c: Column): Column = avg(c)
 
+  /** Exact interpolated percentile (continuous quantile): sorted group,
+    * index p·(n−1), linear interpolation between neighbors — the same
+    * definition as DuckDB's `quantile_cont` and NumPy's default, so the
+    * oracle replays it directly. Exact (sort-based) rather than sketched:
+    * the group's values are collected per-key, so use on groups that fit
+    * an executor (dimension-grained percentiles). For corpus-wide
+    * percentiles over 100 TB prefer `approx_percentile`, which is
+    * mergeable/partial-agg capable but NOT cross-engine deterministic. */
+  def rpercentile(c: Column, p: Double): Column = {
+    require(p >= 0 && p <= 1, s"percentile p must be in [0,1], got $p")
+    percentile(c, lit(p))
+  }
+
+  /** Exact median — [[rpercentile]] at 0.5. */
+  def rmedian(c: Column): Column = rpercentile(c, 0.5)
+
   /** argmin/argmax return the row id of the extremal row
     * (reference: reducers.py:360/:393, Reducer::ArgMin/ArgMax). Spark's
     * min_by/max_by are the direct partial-agg analogs; pass the key (or

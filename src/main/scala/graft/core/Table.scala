@@ -313,6 +313,61 @@ final class Table(val df: DataFrame, val key: Seq[String]) {
       salted.join(replicated, usingCols :+ "_salt", how).drop("_salt"), key)
   }
 
+  /** Bloom-pruned equi-join: build a bloom filter over `other`'s (small
+    * side) join keys, filter THIS (large) side map-side with a codegen'd
+    * probe, then run the exact join on the survivors — identical results
+    * to [[joinOn]], but only rows that might match reach the shuffle.
+    * The scale tool for sparse semi-joins over a side too big to
+    * broadcast (decontamination against a benchmark set, allowlist
+    * restriction): at 100 TB the exchange of the big side is the
+    * bottleneck, and the bloom drops all but `fpp` of non-matching rows
+    * before it. See [[graft.plans.BloomPrune]] for the contract.
+    *
+    * `inner`/`left_semi` only — a pruned row would need to resurface
+    * null-extended under outer modes. `expectedItems` ≤ 0 derives the
+    * filter size from a count of `other` (one extra small-side job). */
+  def joinBloomPruned(other: Table, usingCols: Seq[String],
+      how: String = "inner", expectedItems: Long = -1L,
+      fpp: Double = 0.01): Table = {
+    require(how == "inner" || how == "left_semi",
+      s"joinBloomPruned supports inner/left_semi only, got '$how' — " +
+        "outer modes must keep non-matching rows the filter would drop")
+    val n = if (expectedItems > 0) expectedItems else math.max(1L, other.df.count())
+    val filter = graft.plans.BloomPrune.buildFilter(
+      other.df, usingCols.map(other.df.col), n, fpp)
+    val pruned = df.filter(graft.plans.BloomPrune.mightContain(
+      filter, usingCols.map(df.col)))
+    val joined = pruned.join(other.df, usingCols, how)
+    // using-column joins surface the join keys first; for semi (left
+    // columns only) restore THIS table's column order so the pruned
+    // join is schema-identical to the unpruned table
+    val out = if (how == "left_semi")
+      joined.select(df.columns.map(joined.col).toIndexedSeq: _*)
+    else joined
+    new Table(out, key)
+  }
+
+  /** Bloom-accelerated ANTI join — the decontamination/blocklist shape
+    * at scale. The bloom's one-sided guarantee inverts here: a row that
+    * FAILS the probe is provably absent from `other` and passes the anti
+    * join directly — no shuffle, no state; only the small might-match
+    * slice (true matches + the `fpp` false-positive sliver) runs the
+    * exact anti join. Results are identical to a plain left_anti. The
+    * big side is branch-scanned twice (miss branch + maybe branch) —
+    * at 100 TB two pruned columnar scans beat one full-table exchange
+    * whenever most rows are clean, which is the entire premise of a
+    * blocklist. */
+  def joinBloomAnti(other: Table, usingCols: Seq[String],
+      expectedItems: Long = -1L, fpp: Double = 0.01): Table = {
+    val n = if (expectedItems > 0) expectedItems else math.max(1L, other.df.count())
+    val filter = graft.plans.BloomPrune.buildFilter(
+      other.df, usingCols.map(other.df.col), n, fpp)
+    val p = graft.plans.BloomPrune.mightContain(filter, usingCols.map(df.col))
+    val definiteMiss = df.filter(!p)
+    val maybe = df.filter(p).join(other.df, usingCols, "left_anti")
+    new Table(definiteMiss.unionByName(maybe), key)
+  }
+
   /** Drop rows carrying error values (reference: table.py:2491
     * remove_errors; engine graph.rs:1005). In the Spark mapping soft
     * errors are `try_*` NULLs — this drops rows where any given column

@@ -67,6 +67,44 @@ object Bm25 {
       .filter(col("rank") <= k)
   }
 
+  /** TF-IDF relevance — the classic lexical baseline beside [[score]]
+    * (smoothed idf, sklearn convention): doc term weight
+    * w(t,d) = tf · (ln((N+1)/(df+1)) + 1), doc vector L2-normalized, a
+    * query scores Σ_{t∈q} w(t,d)/‖d‖ (binary query weights — cosine
+    * against the normalized doc vector). Same distributed shape as BM25:
+    * postings as data, one equi-join on term, map-side-combined sums —
+    * the norm table is one extra aggregate over postings, nothing
+    * corpus-quadratic. */
+  def tfidfScore(corpus: DataFrame, cid: Column, ctext: Column,
+      queries: DataFrame, qid: Column, qtext: Column): DataFrame = {
+    val (postings, docLen) = buildIndex(corpus, cid, ctext)
+    val nDocs = docLen.agg(count(lit(1)).as("n"))
+    val df_ = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val weights = postings.join(df_, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w",
+        col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0))
+      .select("term", "id", "w")
+    val norms = weights.groupBy("id")
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val qTerms = queries
+      .select(qid.as("qid"), explode(array_distinct(split(qtext, " "))).as("term"))
+    qTerms.join(weights, "term").join(norms, "id")
+      .groupBy("qid", "id")
+      .agg((sum(col("w")) / max(col("nrm"))).as("score"))
+  }
+
+  /** Top-k TF-IDF retrieval per query (rank over rounded scores for
+    * cross-engine-stable ordering, like the BM25 query path). */
+  def tfidfTopK(corpus: DataFrame, cid: Column, ctext: Column,
+      queries: DataFrame, qid: Column, qtext: Column, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    tfidfScore(corpus, cid, ctext, queries, qid, qtext)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Reciprocal-rank fusion of retriever outputs (reference:
     * stdlib/indexing/hybrid_index.py:14 HybridIndex). Each input is
     * (qid, id, rank); fused score = Σ 1/(k0 + rank). */

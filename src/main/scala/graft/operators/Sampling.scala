@@ -112,6 +112,25 @@ object Sampling {
       .filter(col("_rn") <= n).drop("_rn")
   }
 
+  /** Weighted sample of exactly n rows WITHOUT replacement
+    * (Efraimidis–Spirakis A-Res): each row draws the deterministic
+    * uniform u = (hashU32(id)+0.5)/2³² and competes with key
+    * −ln(u)/weight; the n smallest keys win. Inclusion probability is
+    * proportional-to-weight (heavier rows draw systematically smaller
+    * keys), selection is a pure function of (id, weight, salt) — same
+    * rows on any engine/partitioning — and the plan is
+    * TakeOrderedAndProject: per-partition top-n + driver merge, never a
+    * global sort. The training-mix use: sample documents ∝ quality
+    * score or token count instead of uniformly. Weights must be > 0;
+    * ties (astronomically unlikely with distinct ids) break by id. */
+  def sampleWeighted(df: DataFrame, id: Column, weight: Column, n: Int,
+      salt: String = ""): DataFrame = {
+    require(n > 0, s"sampleWeighted: n must be > 0, got $n")
+    val u = (hashU32(id, salt).cast("double") + lit(0.5)) / lit(4294967296.0)
+    val k = -log(u) / weight.cast("double")
+    df.orderBy(k.asc, id.asc).limit(n)
+  }
+
   /** Deterministic sequence packing — the training-batch construction
     * step (sample packing: concatenate whole documents into fixed
     * token-budget training sequences so short documents don't waste

@@ -537,6 +537,61 @@ object Streaming {
     spark.read.parquet(path).filter(!col(deleteCol))
       .drop(orderCol, deleteCol, "b")
 
+  /** Compact the bucket dirs of an [[upsertParquetSinkPartitioned]]
+    * snapshot down to one file per bucket — the small-file maintenance
+    * job (Delta OPTIMIZE analog). Each bucket rewrite leaves up to
+    * shuffle-partitions part files holding that bucket's rows; over a
+    * long-lived 100 TB snapshot the file count (not the byte count) is
+    * what degrades scan planning and open() overhead. Compaction is pure
+    * file-count reduction: every bucket dir already IS its complete
+    * latest-per-key folded state (each touched-bucket swap rewrites the
+    * whole bucket), so no merge logic runs — rows are rewritten
+    * unchanged, and [[readSnapshotPartitioned]] is identical before and
+    * after.
+    *
+    * One Spark job for all compactable buckets (partition-pruned read →
+    * `repartition(col("b"))` so each bucket lands in one task → staged
+    * `partitionBy("b")` write), then the sink's own per-bucket atomic
+    * rename swap. Crash safety rides the sink's recovery: leftovers use
+    * the same `.old.<tag>.b<i>` / `.stage.<tag>` naming
+    * [[recoverBuckets]] already heals. Run it like [[vacuum]] — between
+    * batches, not concurrently with an active sink.
+    *
+    * Returns the number of buckets compacted (those with >1 data file). */
+  def compactBuckets(spark: SparkSession, path: String): Int = {
+    val root = new java.io.File(path)
+    require(root.isDirectory, s"compactBuckets: no snapshot at $path")
+    recoverBuckets(root)
+    def dataFiles(d: java.io.File): Int =
+      Option(d.listFiles).getOrElse(Array.empty[java.io.File])
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val todo = Option(root.listFiles).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("b=") &&
+        dataFiles(f) > 1)
+      .map(_.getName.drop(2).toInt).sorted
+    if (todo.isEmpty) return 0
+    val tag = System.currentTimeMillis()
+    val stage = new java.io.File(s"$path.stage.$tag")
+    spark.read.parquet(path)
+      .filter(col("b").isin(todo.map(Integer.valueOf): _*))
+      .repartition(todo.length, col("b"))
+      .write.mode("overwrite").partitionBy("b").parquet(stage.getPath)
+    todo.foreach { i =>
+      val cur = new java.io.File(root, s"b=$i")
+      val old = new java.io.File(s"$path.old.$tag.b$i")
+      val fresh = new java.io.File(stage, s"b=$i")
+      if (fresh.isDirectory) {
+        require(cur.renameTo(old),
+          s"compactBuckets: rename $cur -> $old failed")
+        require(fresh.renameTo(cur),
+          s"compactBuckets: rename $fresh -> $cur failed")
+        rmTree(old)
+      }
+    }
+    rmTree(stage)
+    todo.length
+  }
+
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
   }

@@ -243,4 +243,29 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(out == Seq("aa", "bb", "aa")) // tie on third → first language
   }
+
+  test("tfidf: rare matching terms outrank ubiquitous ones; norm caps " +
+      "long-doc inflation") {
+    val corpus = Seq(
+      (1L, "spark shuffle spark shuffle spark shuffle"),
+      (2L, "spark catalyst optimizer"),
+      (3L, "spark tungsten codegen")).toDF("doc_id", "text")
+    val queries = Seq((10L, "catalyst")).toDF("qid", "qtext")
+    val top = graft.operators.Bm25.tfidfTopK(corpus, col("doc_id"),
+      col("text"), queries, col("qid"), col("qtext"), k = 3)
+      .orderBy("rank").collect()
+    // only doc 2 contains 'catalyst'
+    assert(top.length == 1 && top(0).getLong(top(0).fieldIndex("id")) == 2L)
+    // 'spark' is in every doc (idf floor = 1): doc 1 repeats it 3× but is
+    // ALSO longer — cosine normalization keeps its score finite and all
+    // three docs retrieved
+    val sp = Seq((11L, "spark")).toDF("qid", "qtext")
+    val all = graft.operators.Bm25.tfidfTopK(corpus, col("doc_id"),
+      col("text"), sp, col("qid"), col("qtext"), k = 3).collect()
+    assert(all.length == 3)
+    all.foreach { r =>
+      val s = r.getDouble(r.fieldIndex("score"))
+      assert(s > 0 && s <= 1.0 + 1e-12, s"cosine score out of range: $s")
+    }
+  }
 }

@@ -45,6 +45,14 @@ class PlanSpec extends SparkSpec {
       "asof right: shared matching pass must be cache-reused")
   }
 
+  test("q_join_bloom: codegen'd bloom probe filters the big side pre-shuffle") {
+    val p = plan("q_join_bloom")
+    assert(p.contains("might_contain"), s"expected bloom probe filter:\n$p")
+    // the probe must sit on the lineitem scan side, i.e. appear in the
+    // plan at all as a Filter, not be optimized away
+    assert("Filter".r.findAllIn(p).nonEmpty, s"expected a Filter node:\n$p")
+  }
+
   test("q_select: scan reads only projected columns") {
     val p = plan("q_select")
     assert(p.contains("ReadSchema") && !p.contains("p_comment") && !p.contains("p_retailprice"))

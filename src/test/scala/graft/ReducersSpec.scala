@@ -99,4 +99,21 @@ class ReducersSpec extends SparkSpec {
       .select("t").collect()(0).getSeq[Any](0)
     assert(skipped == Seq(1L, 2L))
   }
+
+  test("rpercentile interpolates continuously; rmedian = p50") {
+    // values 10,20,30,40: p50 = 25 (midpoint), p25 = 17.5, p1=0 bound ok
+    val df = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 40.0))
+      .toDF("g", "v")
+    val r = df.groupBy("g").agg(
+      reducers.rmedian(col("v")).as("med"),
+      reducers.rpercentile(col("v"), 0.25).as("p25"),
+      reducers.rpercentile(col("v"), 1.0).as("p100"))
+      .collect()(0)
+    assert(r.getDouble(1) == 25.0)
+    assert(r.getDouble(2) == 17.5)
+    assert(r.getDouble(3) == 40.0)
+    intercept[IllegalArgumentException] {
+      reducers.rpercentile(col("v"), 1.5)
+    }
+  }
 }

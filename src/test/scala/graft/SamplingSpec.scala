@@ -115,4 +115,24 @@ class SamplingSpec extends SparkSpec {
       col("id"), col("t"), budget = 50, buckets = 4)
     assert(rowsOf(packed) == rowsOf(re))
   }
+
+  test("sampleWeighted: exact n, partition-independent, weight-biased") {
+    // 500 light rows (w=1) + 100 heavy rows (w=50)
+    val d = ((1L to 500L).map(i => (i, 1.0)) ++
+      (501L to 600L).map(i => (i, 50.0))).toDF("id", "w")
+    val picked = Sampling.sampleWeighted(d, col("id"), col("w"), 100, "s")
+    assert(picked.count() == 100)
+    // deterministic across partitioning
+    val re = Sampling.sampleWeighted(d.repartition(7, col("id")),
+      col("id"), col("w"), 100, "s")
+    assert(rowsOf(picked) == rowsOf(re))
+    // heavy rows (1/6 of the population, ~91% of the mass) must dominate
+    // the sample — with w=50 each heavy row's key is 50× smaller in
+    // expectation, so a uniform-ish outcome would be astronomically odd
+    val heavy = picked.filter(col("w") === 50.0).count()
+    assert(heavy > 50, s"expected heavy-weight dominance, got $heavy/100")
+    // different salts give different samples (independence lever)
+    val other = Sampling.sampleWeighted(d, col("id"), col("w"), 100, "t")
+    assert(rowsOf(picked) != rowsOf(other))
+  }
 }

@@ -473,6 +473,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compactBuckets: one file per bucket after, identical live view, " +
+      "idempotent no-op second run") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val path = s"$root/state"
+    val in = MemoryStream[(Long, Long, Boolean, String)]
+    // force multi-file buckets (small local batches otherwise collapse
+    // to one task → one file per bucket, defeating the precondition)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", 5)
+    val q = Streaming.upsertParquetSinkPartitioned(
+      in.toDF().toDF("id", "ord", "del", "v"), Seq("id"), "ord", "del",
+      path, s"$root/ckpt", buckets = 4).start()
+    try {
+      in.addData((1L to 64L).map(i => (i, 10L, false, s"v$i")): _*)
+      q.processAllAvailable()
+      in.addData((1L to 64L).filter(_ % 3 == 0)
+        .map(i => (i, 20L, false, s"u$i")): _*)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+    def files(): Map[String, Int] =
+      new java.io.File(path).listFiles.filter(_.getName.startsWith("b="))
+        .map(d => d.getName -> d.listFiles.count(_.getName.endsWith(".parquet")))
+        .toMap
+    val before = Streaming.readSnapshotPartitioned(spark, path, "ord", "del")
+      .collect().map(_.toSeq).toSet
+    assert(files().values.exists(_ > 1),
+      "precondition: multi-file buckets must exist before compaction")
+    val n = Streaming.compactBuckets(spark, path)
+    assert(n > 0)
+    assert(files().values.forall(_ == 1),
+      s"every bucket must hold exactly one file after compaction: ${files()}")
+    val after = Streaming.readSnapshotPartitioned(spark, path, "ord", "del")
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "compaction must not change the live view")
+    // already-compact snapshot: no-op
+    assert(Streaming.compactBuckets(spark, path) == 0)
+    // the _buckets recipe marker survives compaction (a restart depends on it)
+    assert(new java.io.File(path, "_buckets").isFile)
+  }
+
   test("upsertParquetSinkPartitioned recovers a bucket lost mid-swap " +
       "without losing its keys") {
     implicit val sqlCtx = spark.sqlContext

@@ -220,4 +220,45 @@ class TableSpec extends SparkSpec {
     assert(steps(1).size > 20 && steps(1).size < 180,
       s"value midway should flip a mid-sized slice, got ${steps(1).size}")
   }
+
+  test("joinBloomPruned equals the exact join; outer modes raise") {
+    val big = Table.fromDF((1L to 5000L).map(i => (i, i % 97))
+      .toDF("id", "k"), Seq("id"))
+    val small = Table.fromDF(Seq((3L, "a"), (7L, "b"), (11L, "c"))
+      .toDF("k", "tag"), Seq("k"))
+    val exact = big.joinOn(small, Seq("k")).df
+    val pruned = big.joinBloomPruned(small, Seq("k")).df
+    assert(rowsOf(pruned) == rowsOf(exact),
+      "bloom pruning must not change join results")
+    // semi mode keeps only left columns, same row set as exact semi
+    val semi = big.joinBloomPruned(small, Seq("k"), "left_semi").df
+    assert(semi.columns.toSeq == Seq("id", "k"))
+    assert(rowsOf(semi) == rowsOf(
+      big.df.join(small.df, Seq("k"), "left_semi").select("id", "k")))
+    // an aggressive fpp still yields exact results (false positives die
+    // in the join), only the pruning rate changes
+    val sloppy = big.joinBloomPruned(small, Seq("k"), "inner",
+      expectedItems = 3L, fpp = 0.5).df
+    assert(rowsOf(sloppy) == rowsOf(exact))
+    intercept[IllegalArgumentException] {
+      big.joinBloomPruned(small, Seq("k"), "left")
+    }
+  }
+
+  test("joinBloomAnti equals the exact anti join at any fpp") {
+    val big = Table.fromDF((1L to 5000L).map(i => (i, i % 97))
+      .toDF("id", "k"), Seq("id"))
+    val block = Table.fromDF(Seq((3L, "a"), (7L, "b"), (11L, "c"))
+      .toDF("k", "tag"), Seq("k"))
+    val exact = big.df.join(block.df.select("k"), Seq("k"), "left_anti")
+      .select("id", "k") // using-joins surface join keys first; align order
+    val fast = big.joinBloomAnti(block, Seq("k")).df
+    assert(fast.columns.toSeq == big.df.columns.toSeq)
+    assert(rowsOf(fast) == rowsOf(exact))
+    // a sloppy filter routes more rows through the exact branch but
+    // cannot change the result
+    val sloppy = big.joinBloomAnti(block, Seq("k"),
+      expectedItems = 3L, fpp = 0.5).df
+    assert(rowsOf(sloppy) == rowsOf(exact))
+  }
 }
