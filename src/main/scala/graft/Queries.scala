@@ -335,6 +335,109 @@ object Queries extends QueryModule {
         "p95" -> r4(reducers.rpercentile(col("l_extendedprice"), 0.95) + lit(1e-9)))
   }
 
+  // exact-sum second-moment statistics: every sum is taken in decimal
+  // (order-free), the moment formula is a handful of double ops on
+  // bit-identical operands — deterministic on any engine/partitioning,
+  // unlike the built-in stddev/var/corr whose double partial-agg order
+  // flips the last ulp run to run
+  q("q_reduce_stats",
+    """WITH m AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+      |  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sxx
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag,
+      |  round((n * sxx - sx * sx) / (n * (n - 1)) + 1e-9, 4) AS var_price,
+      |  round(sqrt((n * sxx - sx * sx) / (n * (n - 1))) + 1e-9, 4) AS sd_price
+      |FROM m""") { (s, dir) =>
+    table(s, dir, "lineitem", "l_orderkey", "l_linenumber")
+      .groupby(col("l_returnflag"))
+      .reduce(
+        "var_price" -> r4(reducers.rvarSamp(col("l_extendedprice")) + lit(1e-9)),
+        "sd_price" -> r4(reducers.rstddevSamp(col("l_extendedprice")) + lit(1e-9)))
+  }
+
+  q("q_reduce_corr",
+    """WITH m AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+      |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+      |  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+      |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag,
+      |  round((n * sxy - sx * sy) / sqrt(n * sxx - sx * sx)
+      |    / sqrt(n * syy - sy * sy) + 1e-9, 4) AS corr_qp,
+      |  round((n * sxy - sx * sy) / (n * (n - 1)) + 1e-9, 4) AS covar_qp
+      |FROM m""") { (s, dir) =>
+    table(s, dir, "lineitem", "l_orderkey", "l_linenumber")
+      .groupby(col("l_returnflag"))
+      .reduce(
+        "corr_qp" -> r4(reducers.rcorr(col("l_quantity"), col("l_extendedprice")) + lit(1e-9)),
+        "covar_qp" -> r4(reducers.rcovarSamp(col("l_quantity"), col("l_extendedprice")) + lit(1e-9)))
+  }
+
+  // deterministic mode (most frequent value, smallest on ties — both
+  // engines' built-in mode is tie-undefined): two map-side-combinable
+  // aggregations, the first collapsing to (key, distinct-value) rows
+  q("q_reduce_mode",
+    """WITH c AS (SELECT l_returnflag, l_quantity AS v, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT l_returnflag, v, row_number() OVER (
+      |    PARTITION BY l_returnflag ORDER BY cnt DESC, v ASC) AS rn FROM c)
+      |SELECT l_returnflag, v AS mode_qty FROM r WHERE rn = 1""") { (s, dir) =>
+    val counted = table(s, dir, "lineitem", "l_orderkey", "l_linenumber")
+      .groupby(col("l_returnflag"), col("l_quantity"))
+      .reduce("cnt" -> reducers.rcount())
+    Table.fromDF(counted, Seq("l_returnflag"))
+      .groupby(col("l_returnflag"))
+      .reduce("mode_qty" -> reducers.modeOfCounted(col("l_quantity"), col("cnt")))
+  }
+
+  // hierarchical subtotals (ANSI ROLLUP): detail → per-flag → grand
+  // total in ONE aggregation — Spark plans a single Expand feeding one
+  // hash agg (levels+1 layers, one shuffle), not a per-level rescan.
+  // grouping_id disambiguates aggregated-away NULLs from data NULLs;
+  // both engines use the same bitmask (first listed column = MSB)
+  q("q_rollup",
+    """SELECT l_returnflag, l_linestatus,
+      |  grouping_id(l_returnflag, l_linestatus) AS gid, count(*) AS n,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE), 4) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""") { (s, dir) =>
+    table(s, dir, "lineitem", "l_orderkey", "l_linenumber")
+      .groupbyRollup(col("l_returnflag"), col("l_linestatus"))
+      .reduce("gid" -> grouping_id().cast("long"),
+        "n" -> reducers.rcount(),
+        "sum_qty" -> r4(dsum(col("l_quantity"))))
+  }
+
+  // every-subset subtotals (ANSI CUBE) — same single-Expand plan, 2^k
+  // layers
+  q("q_cube",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  grouping_id(o_orderstatus, o_orderpriority) AS gid, count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE), 4) AS rev
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""") { (s, dir) =>
+    table(s, dir, "orders", "o_orderkey")
+      .groupbyCube(col("o_orderstatus"), col("o_orderpriority"))
+      .reduce("gid" -> grouping_id().cast("long"),
+        "n" -> reducers.rcount(),
+        "rev" -> r4(dsum(col("o_totalprice"))))
+  }
+
+  // explicit grouping-set list — two independent one-column summaries in
+  // one pass over the input
+  q("q_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+      |  grouping_id(l_returnflag, l_linestatus) AS gid, count(*) AS n
+      |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""") { (s, dir) =>
+    table(s, dir, "lineitem", "l_orderkey", "l_linenumber")
+      .groupbyGroupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .reduce("gid" -> grouping_id().cast("long"),
+        "n" -> reducers.rcount())
+  }
+
   q("q_reduce_global",
     """SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE), 4) AS revenue,
       |  count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS key_sum

@@ -37,6 +37,67 @@ object reducers {
   /** Exact median — [[rpercentile]] at 0.5. */
   def rmedian(c: Column): Column = rpercentile(c, 0.5)
 
+  // -- second-moment statistics -----------------------------------------
+  // Cross-engine-deterministic variants of stddev/var/covar/corr: the
+  // built-ins aggregate doubles in partition order, so partial-agg order
+  // flips the last ulp between runs AND between engines. These instead
+  // take every SUM exactly (per-row cast to decimal, exact decimal
+  // addition — order-free), cast the finished sums to double, and apply
+  // the closed-form moment formula as a handful of double ops on
+  // bit-identical operands — deterministic on any engine, any partition
+  // count. Still one pass, still map-side combinable (the sums are plain
+  // partial aggs; only the final projection differs).
+  private def dsum8(c: Column): Column =
+    sum(c.cast("decimal(28,8)")).cast("double")
+
+  /** Exact-sum sample variance: (n·Σx² − (Σx)²) / (n·(n−1)).
+    * NULL for groups of size < 2, like `var_samp`. */
+  def rvarSamp(c: Column): Column = {
+    val n = count(c).cast("double")
+    val sx = dsum8(c)
+    val sxx = dsum8(c * c)
+    when(count(c) < 2, lit(null).cast("double"))
+      .otherwise((n * sxx - sx * sx) / (n * (n - 1)))
+  }
+
+  /** Exact-sum sample standard deviation — sqrt of [[rvarSamp]];
+    * greatest(0) guards the tiny-negative cancellation case. */
+  def rstddevSamp(c: Column): Column =
+    sqrt(greatest(rvarSamp(c), lit(0.0)))
+
+  /** Exact-sum sample covariance: (n·Σxy − Σx·Σy) / (n·(n−1)). */
+  def rcovarSamp(x: Column, y: Column): Column = {
+    val n = count(lit(1)).cast("double")
+    val (sx, sy, sxy) = (dsum8(x), dsum8(y), dsum8(x * y))
+    when(count(lit(1)) < 2, lit(null).cast("double"))
+      .otherwise((n * sxy - sx * sy) / (n * (n - 1)))
+  }
+
+  /** Exact-sum Pearson correlation:
+    * (n·Σxy − Σx·Σy) / √(n·Σx² − (Σx)²) / √(n·Σy² − (Σy)²).
+    * NULL when either side has zero variance (constant column or n < 2)
+    * — the built-in raises DIVIDE_BY_ZERO under ANSI mode there. */
+  def rcorr(x: Column, y: Column): Column = {
+    val n = count(lit(1)).cast("double")
+    val (sx, sy) = (dsum8(x), dsum8(y))
+    val (sxx, syy, sxy) = (dsum8(x * x), dsum8(y * y), dsum8(x * y))
+    val (dx, dy) = (n * sxx - sx * sx, n * syy - sy * sy)
+    when(dx <= 0 || dy <= 0, lit(null).cast("double"))
+      .otherwise((n * sxy - sx * sy) / sqrt(dx) / sqrt(dy))
+  }
+
+  /** Deterministic mode as a single agg expression over PRE-COUNTED
+    * (value, cnt) rows — most frequent value, smallest value on ties
+    * (min_by over (−cnt, value) lexicographic order). Spark's built-in
+    * `mode` and DuckDB's are both tie-UNDEFINED; pinning the tie makes
+    * the result a pure function of the data. Use via the two-level
+    * shape: groupBy(key, value).count, then groupBy(key)
+    * .agg(modeOfCounted(value, cnt)) — both aggregations map-side
+    * combine, and the first collapses the data to (key, distinct-value)
+    * cardinality before anything wide happens. */
+  def modeOfCounted(value: Column, cnt: Column): Column =
+    min_by(value, struct((-cnt).as("nc"), value.as("v")))
+
   /** argmin/argmax return the row id of the extremal row
     * (reference: reducers.py:360/:393, Reducer::ArgMin/ArgMax). Spark's
     * min_by/max_by are the direct partial-agg analogs; pass the key (or

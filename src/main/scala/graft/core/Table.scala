@@ -242,6 +242,29 @@ final class Table(val df: DataFrame, val key: Seq[String]) {
     df.agg(aggs.head._2.as(aggs.head._1),
       aggs.tail.map { case (n, c) => c.as(n) }: _*)
 
+  /** Hierarchical subtotals: one reduce over every grouping PREFIX of
+    * `cols` (full detail → … → grand total), the ANSI ROLLUP. Spark
+    * plans this as a single Expand (each input row replicated once per
+    * level, map-side) feeding ONE hash aggregate — levels+1 subtotal
+    * layers for one shuffle, far cheaper at scale than unioning
+    * per-level groupbys (which would rescan the input per level).
+    * Aggregated-away key columns come back NULL; disambiguate data
+    * NULLs with `grouping_id()` in the agg list. */
+  def groupbyRollup(cols: Column*): GroupedTable =
+    new GroupedTable(df, cols, GroupedTable.Rollup)
+
+  /** Subtotals over EVERY subset of `cols` (the ANSI CUBE) — same
+    * single-Expand single-shuffle plan as [[groupbyRollup]], 2^k
+    * layers; keep k small by construction. */
+  def groupbyCube(cols: Column*): GroupedTable =
+    new GroupedTable(df, cols, GroupedTable.Cube)
+
+  /** Explicit grouping-set list (ANSI GROUPING SETS) — the general
+    * form of rollup/cube: one Expand replica per listed set, one
+    * shuffle. Columns absent from a set come back NULL in its rows. */
+  def groupbyGroupingSets(sets: Seq[Seq[Column]], cols: Column*): GroupedTable =
+    new GroupedTable(df, cols, GroupedTable.Sets(sets))
+
   // -- joins (reference: internals/joins.py:135-484) ---------------------
   def join(other: Table, cond: Column, how: String = "inner"): Table =
     new Table(df.join(other.df, cond, how), key)
@@ -428,9 +451,24 @@ object Table {
 }
 
 /** Grouped view (reference: internals/groupbys.py:71 GroupedTable). */
-final class GroupedTable(df: DataFrame, groupCols: Seq[Column]) {
-  def reduce(aggs: (String, Column)*): DataFrame =
-    df.groupBy(groupCols: _*)
-      .agg(aggs.head._2.as(aggs.head._1),
-        aggs.tail.map { case (n, c) => c.as(n) }: _*)
+final class GroupedTable(df: DataFrame, groupCols: Seq[Column],
+    mode: GroupedTable.Mode = GroupedTable.Flat) {
+  def reduce(aggs: (String, Column)*): DataFrame = {
+    val grouped = mode match {
+      case GroupedTable.Flat => df.groupBy(groupCols: _*)
+      case GroupedTable.Rollup => df.rollup(groupCols: _*)
+      case GroupedTable.Cube => df.cube(groupCols: _*)
+      case GroupedTable.Sets(sets) => df.groupingSets(sets, groupCols: _*)
+    }
+    grouped.agg(aggs.head._2.as(aggs.head._1),
+      aggs.tail.map { case (n, c) => c.as(n) }: _*)
+  }
+}
+
+object GroupedTable {
+  sealed trait Mode
+  case object Flat extends Mode
+  case object Rollup extends Mode
+  case object Cube extends Mode
+  final case class Sets(sets: Seq[Seq[Column]]) extends Mode
 }

@@ -116,4 +116,32 @@ class ReducersSpec extends SparkSpec {
       reducers.rpercentile(col("v"), 1.5)
     }
   }
+
+  test("exact-sum moments match the closed forms; n<2 gives NULL") {
+    // 1,2,3,4: var_samp = 5/3, sd = sqrt(5/3); y = 2x → corr 1, covar 10/3
+    val d = Seq(("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),
+      ("a", 4.0, 8.0), ("b", 5.0, 1.0)).toDF("g", "x", "y")
+    val r = d.groupBy("g").agg(
+      reducers.rvarSamp(col("x")).as("v"),
+      reducers.rstddevSamp(col("x")).as("sd"),
+      reducers.rcovarSamp(col("x"), col("y")).as("cv"),
+      reducers.rcorr(col("x"), col("y")).as("cr"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(r("a").getDouble(1) - 5.0 / 3) < 1e-12)
+    assert(math.abs(r("a").getDouble(2) - math.sqrt(5.0 / 3)) < 1e-12)
+    assert(math.abs(r("a").getDouble(3) - 10.0 / 3) < 1e-12)
+    assert(math.abs(r("a").getDouble(4) - 1.0) < 1e-12)
+    assert(r("b").isNullAt(1) && r("b").isNullAt(3)) // n < 2
+    assert(r("b").isNullAt(4)) // corr undefined at zero variance
+  }
+
+  test("modeOfCounted picks most frequent, smallest value on ties") {
+    val d = Seq(("a", 5L), ("a", 5L), ("a", 1L), ("a", 9L), ("a", 9L),
+      ("b", 2L)).toDF("g", "v")
+    val counted = d.groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+    val m = counted.groupBy("g")
+      .agg(reducers.modeOfCounted(col("v"), col("cnt")).as("m"))
+    // 5 and 9 both appear twice in group a — smallest (5) wins
+    assert(rowsOf(m) == Set(Seq("a", 5L), Seq("b", 2L)))
+  }
 }

@@ -261,4 +261,31 @@ class TableSpec extends SparkSpec {
       expectedItems = 3L, fpp = 0.5).df
     assert(rowsOf(sloppy) == rowsOf(exact))
   }
+
+  test("rollup/cube/grouping sets produce subtotal layers in one pass") {
+    val t = Table.fromDF(Seq(("x", "p", 1L), ("x", "q", 2L), ("y", "p", 4L))
+      .toDF("a", "b", "v"), Seq("a", "b"))
+    val roll = t.groupbyRollup(col("a"), col("b"))
+      .reduce("gid" -> grouping_id(), "s" -> sum(col("v")))
+    assert(rowsOf(roll) == Set(
+      Seq("x", "p", 0L, 1L), Seq("x", "q", 0L, 2L), Seq("y", "p", 0L, 4L),
+      Seq("x", null, 1L, 3L), Seq("y", null, 1L, 4L),
+      Seq(null, null, 3L, 7L)))
+    val cube = t.groupbyCube(col("a"), col("b"))
+      .reduce("gid" -> grouping_id(), "s" -> sum(col("v")))
+    // cube = rollup layers + the (b)-only layer (gid 2)
+    assert(rowsOf(cube) == rowsOf(roll) ++ Set(
+      Seq(null, "p", 2L, 5L), Seq(null, "q", 2L, 2L)))
+    val sets = t.groupbyGroupingSets(
+        Seq(Seq(col("a")), Seq(col("b"))), col("a"), col("b"))
+      .reduce("gid" -> grouping_id(), "s" -> sum(col("v")))
+    assert(rowsOf(sets) == Set(
+      Seq("x", null, 1L, 3L), Seq("y", null, 1L, 4L),
+      Seq(null, "p", 2L, 5L), Seq(null, "q", 2L, 2L)))
+    // ONE pass: a single Expand node feeds a single aggregate — no
+    // per-layer union rescanning the input
+    val plan = roll.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"))
+    assert(!plan.toLowerCase.contains("union"))
+  }
 }
