@@ -31,6 +31,35 @@ object FacadeQueries extends QueryModule {
       "nation" -> table(s, dir, "nation", "n_nationkey"))
   }
 
+  // graft's native kernels callable from PURE SQL (GraftSqlFunctions /
+  // spark.sql.extensions=graft.sqlapi.GraftExtensions): the registered
+  // functions build the SAME single plan nodes as the Column API — the
+  // codegen'd dot kernel, the one-pass shingle/embed expressions — so a
+  // SQL-only user (JDBC/Thrift, views) gets the identical plans. DuckDB
+  // re-derives every kernel from scratch.
+  q("q_sql_native",
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id,
+      |    count(DISTINCT ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2]) AS n_sh
+      |  FROM w, UNNEST(range(1, len(ws)-1)) AS t(j) GROUP BY 1),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT w.doc_id, CAST(sh.n_sh AS BIGINT) AS n_sh,
+      |  CAST(len(w.ws) AS BIGINT) AS n_tok,
+      |  round(list_dot_product(e.v, e.v), 4) AS dd
+      |FROM w JOIN sh ON sh.doc_id = w.doc_id
+      |JOIN e ON e.vec_id = w.doc_id""") { (s, dir) =>
+    graft.sqlapi.GraftSqlFunctions.register(s)
+    Sql.sqlDF(s,
+      """SELECT d.doc_id,
+        |  CAST(size(graft_shingles(d.text, 3)) AS BIGINT) AS n_sh,
+        |  CAST(element_at(graft_hash_embed(d.text, 8), 1) AS BIGINT) AS n_tok,
+        |  round(graft_dot(CAST(e.embedding AS ARRAY<DOUBLE>),
+        |    CAST(e.embedding AS ARRAY<DOUBLE>)), 4) AS dd
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id""".stripMargin,
+      "documents" -> load(s, dir, "documents"),
+      "embeddings" -> load(s, dir, "embeddings"))
+  }
+
   // scalar UDF via the wrapper (reference: @pw.udf, common.py:96 apply) —
   // digit sum of the order key; DuckDB mirrors it with a char-level list
   q("q_udf_apply",
