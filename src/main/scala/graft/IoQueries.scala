@@ -67,6 +67,28 @@ object IoQueries extends QueryModule {
         col("n_regionkey").cast("long").as("n_regionkey"))
   }
 
+  // z-order layout rewrite (Delta OPTIMIZE ZORDER analog): lineitem
+  // re-clustered along the (l_partkey, l_suppkey) Morton curve, then a
+  // selective two-column scan over the REWRITTEN files — the oracle
+  // reads those same files, proving the rewrite is pure layout (row
+  // content untouched) while each output file covers a tight key-space
+  // hyper-rectangle the parquet footers can prune on
+  q("q_io_zorder",
+    """SELECT l_suppkey, count(*) AS n,
+      |  CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+      |FROM read_parquet('/tmp/graft_io/sf0.01/lineitem_zorder/*.parquet')
+      |WHERE l_partkey < 200 AND l_suppkey < 40
+      |GROUP BY 1""") { (s, dir) =>
+    val out = s"${ioDir(dir)}/lineitem_zorder"
+    graft.sources.Layout.writeZOrdered(load(s, dir, "lineitem"), out,
+      Seq("l_partkey", "l_suppkey"), files = 8)
+    s.read.parquet(out)
+      .filter(col("l_partkey") < 200 && col("l_suppkey") < 40)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_orderkey")).cast("long").as("key_sum"))
+  }
+
   private val cdcRowSchema = StructType(Seq(
     StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
     StructField("o_orderstatus", StringType),
