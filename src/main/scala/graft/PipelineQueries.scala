@@ -653,6 +653,49 @@ object PipelineQueries extends QueryModule {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  // INCREMENTAL index growth (the Lucene/FAISS segment model): save over
+  // the first 300 vectors, ivfAppend the remaining 200 — only the new
+  // rows are assigned (map-side vs broadcast FROZEN centroids) and
+  // written as a second segment; the original lists are never re-read.
+  // The oracle derives centroids from the SUBSET but assigns/probes over
+  // ALL vectors — exactly the frozen-geometry contract — so a green hash
+  // proves the appended index equals a from-scratch assignment under the
+  // same centroids.
+  q("q_knn_ivf_incremental",
+    """WITH w AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT id AS cid, v AS cv FROM w WHERE id < 300
+      |  ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 16),
+      |sc AS (SELECT w.id, c.cid,
+      |  list_dot_product(w.v, c.cv)
+      |    / sqrt(list_dot_product(w.v, w.v) * list_dot_product(c.cv, c.cv)) AS cc
+      |  FROM w CROSS JOIN c),
+      |rk AS (SELECT id, cid,
+      |  row_number() OVER (PARTITION BY id ORDER BY cc DESC, cid) AS rn FROM sc),
+      |asg AS (SELECT id, cid FROM rk WHERE rn = 1),
+      |pr AS (SELECT id, cid FROM rk WHERE rn <= 4),
+      |cand AS (SELECT pr.id AS query_id, a.id AS neighbor_id,
+      |  list_dot_product(q.v, d.v)
+      |    / sqrt(list_dot_product(q.v, q.v) * list_dot_product(d.v, d.v)) AS c
+      |  FROM pr JOIN asg a ON a.cid = pr.cid AND a.id != pr.id
+      |  JOIN w q ON q.id = pr.id JOIN w d ON d.id = a.id),
+      |r AS (SELECT query_id, neighbor_id, c,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+      |  FROM cand)
+      |SELECT query_id, rank, neighbor_id, round(c, 4) AS cosine
+      |FROM r WHERE rank <= 1""") { (s, dir) =>
+    val emb = load(s, dir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    val base = emb.filter(col("vec_id") < 300)
+    Similarity.ivfSave(base, col("vec_id"), col("embedding"), idx,
+      nlist = Similarity.nlistFor(base.count()), dim = 64)
+    Similarity.ivfAppend(s, idx, emb.filter(col("vec_id") >= 300),
+      col("vec_id"), col("embedding"), dim = 64)
+    Similarity.ivfLoadRetrieve(s, idx, emb, col("vec_id"), col("embedding"),
+        nprobe = 4, k = 1, excludeSelf = true, dim = 64)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   // IVF-SQ: int8 quantization composed INSIDE the IVF inverted lists
   // (the FAISS IVF-SQ serving shape — the actual 100 TB layout: coarse
   // prune to nprobe lists, 8×-smaller integer codes rank candidates by

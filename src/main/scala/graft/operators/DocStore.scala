@@ -207,6 +207,29 @@ object DocStore {
       s"$path/index", n)
   }
 
+  /** INCREMENTAL index refresh — the between-rebuilds maintenance step
+    * for a [[buildStream]]-fed store: chunks not yet in the index
+    * (anti-join of the chunk table against the index's id column — a
+    * column-pruned scan of both, nothing re-embedded) are assigned to
+    * the EXISTING centroids and appended as one new segment
+    * ([[Similarity.ivfAppend]]): O(new chunks) compute, corpus never
+    * rewritten. Centroid geometry is frozen by appends, so keep the
+    * periodic [[rebuildIndex]] as the compaction that re-derives nlist
+    * from the grown corpus — same append-vs-compact split as every
+    * segmented index. Returns the number of newly indexed chunks. */
+  def extendIndex(spark: SparkSession, path: String): Long = {
+    val chunks = spark.read.parquet(s"$path/chunks")
+    val (_, assigned) = Similarity.ivfLoadParts(spark, s"$path/index")
+    val fresh = graft.core.Caches.eager(chunks.join(
+      assigned.select(col("neighbor_id").as("chunk_key")),
+      Seq("chunk_key"), "left_anti"))
+    val n = fresh.count()
+    if (n > 0)
+      Similarity.ivfAppend(spark, s"$path/index", fresh,
+        col("chunk_key"), col("embedding"))
+    n
+  }
+
   /** Exact row count of a parquet directory from file footers alone —
     * driver-side metadata I/O, zero Spark jobs. For [[rebuildIndex]]'s
     * nlist derivation the raw listing is the right price: a crashed
@@ -387,14 +410,13 @@ object DocStore {
     def retrieve(queries: DataFrame, qid: Column, qtext: Column, k: Int,
         filter: Option[Column] = None): DataFrame = {
       // resolve the committed index GENERATION per query batch
-      // (graft.core.IndexGen): a concurrent rebuildIndex publishes with
-      // one atomic marker rename, so this store keeps serving — each
-      // batch sees exactly one complete (centroids, assigned) pair,
-      // never new centroids over old lists
-      val idir = graft.core.IndexGen.readDir(s"$path/index")
-      val cents = spark.read.parquet(s"$idir/centroids")
-      val assigned0 = spark.read.parquet(s"$idir/assigned")
-        .withColumn("cid", col("cid").cast(cents.schema("cid").dataType))
+      // (graft.core.IndexGen): a concurrent rebuildIndex/extendIndex
+      // publishes with one atomic marker rename, so this store keeps
+      // serving — each batch sees exactly one complete
+      // (centroids, segment manifest) pair, never new centroids over
+      // old lists
+      val (cents, assigned0) =
+        Similarity.ivfLoadParts(spark, s"$path/index")
       val assigned = filter match {
         case None => assigned0
         case Some(f) =>

@@ -273,14 +273,138 @@ object Similarity {
     val (cents, assigned) = ivfBuild(data, did, dvec, nlist, dim)
     val (dir, gen) = graft.core.IndexGen.stage(path)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    // cluster by cid before the partitioned write: partitionBy opens one
-    // file per (task, cid) pair, so un-clustered input writes up to
-    // tasks×nlist near-empty files (8k at nlist=256, local[32]) — slow
-    // here, and the classic small-files problem on a real filesystem.
-    // Hash-clustered, each list lands in exactly one task → nlist files.
-    assigned.repartition(col("cid")).write.mode("overwrite")
-      .partitionBy("cid").parquet(s"$dir/assigned")
+    val seg = writeSegment(assigned, path)
+    writeManifest(dir, Seq(seg))
     graft.core.IndexGen.commit(path, gen)
+    vacuumSegments(path)
+  }
+
+  /** Incremental index refresh — the Lucene/FAISS SEGMENT model: assign
+    * ONLY `newData` to the EXISTING centroids (broadcast, map-side — no
+    * shuffle of anything corpus-sized), write the assignments as one new
+    * inverted-list segment, and commit a generation whose manifest =
+    * previous segments + the new one. Cost is O(new rows) compute and
+    * I/O; the corpus already on disk is never read or rewritten — the
+    * only way "index the day's ingest" stays affordable when the index
+    * holds 100 TB. Readers union the manifest's segments (each
+    * cid-partitioned, so probes still prune whole lists across every
+    * segment).
+    *
+    * Contract: centroids are FROZEN by append — retrieval stays exact
+    * w.r.t. "these centroids over all rows", but list balance degrades
+    * as the corpus drifts from the geometry it was sampled from; run a
+    * full [[ivfSave]] rebuild periodically (the same compact-vs-append
+    * tradeoff every segmented index has). The caller feeds only NEW
+    * ids; re-appending an id creates a duplicate entry (same as feeding
+    * a duplicate to ivfSave).
+    *
+    * A pre-segment generation (flat `assigned/` layout) is migrated by
+    * rewriting its lists as segment 0 — one-time O(corpus) I/O, after
+    * which appends are incremental. Returns the committed generation. */
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+      newData: DataFrame, did: Column, dvec: Column, dim: Int = 0): Long = {
+    val cur = graft.core.IndexGen.readDir(path)
+    val cents = spark.read.parquet(s"$cur/centroids")
+    val oldSegs = readManifest(cur).getOrElse {
+      // legacy layout: fold the flat lists into the segment store once
+      val legacy = spark.read.parquet(s"$cur/assigned")
+        .withColumn("cid", col("cid").cast(cents.schema("cid").dataType))
+      Seq(writeSegment(legacy, path))
+    }
+    val assigned = assignVectors(newData, did, dvec, cents, dim)
+    val seg = writeSegment(assigned, path)
+    val (dir, gen) = graft.core.IndexGen.stage(path)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    writeManifest(dir, oldSegs :+ seg)
+    graft.core.IndexGen.commit(path, gen)
+    vacuumSegments(path)
+    gen
+  }
+
+  /** Assign vectors to FIXED centroids — the map-side half of
+    * [[ivfBuild]] (argmax cosine, tie → smallest cid), against a
+    * broadcast centroid table. */
+  private[graft] def assignVectors(data: DataFrame, did: Column,
+      dvec: Column, cents: DataFrame, dim: Int): DataFrame = {
+    val d = spread(data)
+      .select(did.as("id"), dvec.cast("array<double>").as("v"))
+      .withColumn("n2", norm2(col("v"), dim))
+    val dScored = d.crossJoin(broadcast(cents))
+      .select(col("id"), col("cid"),
+        cosinePrenorm(col("v"), col("cv"), col("n2"), col("cn2"), dim).as("cc"))
+    dScored.groupBy("id")
+      .agg(max(struct(col("cc"), (-col("cid")).as("nc"))).as("m"))
+      .select(col("id"), (-col("m").getField("nc")).as("cid"))
+      .join(d, "id")
+      .select(col("id").as("neighbor_id"), col("cid"),
+        col("v").as("dv"), col("n2").as("dn2"))
+  }
+
+  /** One inverted-list segment under `path/segments/` — cluster by cid
+    * before the partitioned write: partitionBy opens one file per
+    * (task, cid) pair, so un-clustered input writes up to tasks×nlist
+    * near-empty files (8k at nlist=256, local[32]) — slow here, and the
+    * classic small-files problem on a real filesystem. Hash-clustered,
+    * each list lands in exactly one task → nlist files. Returns the
+    * path-relative segment name. */
+  private def writeSegment(assigned: DataFrame, path: String): String = {
+    val name = s"segments/seg-${java.util.UUID.randomUUID()}"
+    assigned.repartition(col("cid")).write.mode("overwrite")
+      .partitionBy("cid").parquet(s"$path/$name")
+    name
+  }
+
+  private def writeManifest(genDir: String, segs: Seq[String]): Unit =
+    java.nio.file.Files.writeString(
+      new java.io.File(genDir, "segments.txt").toPath, segs.mkString("\n"))
+
+  private def readManifest(genDir: String): Option[Seq[String]] = {
+    val f = new java.io.File(genDir, "segments.txt")
+    if (f.isFile)
+      Some(java.nio.file.Files.readString(f.toPath).split("\n").toSeq
+        .map(_.trim).filter(_.nonEmpty))
+    else None
+  }
+
+  /** Drop segment dirs no surviving generation references (commit
+    * already pruned old generation dirs; their exclusive segments are
+    * dead weight). Single-writer discipline, same as the sink vacuums. */
+  private def vacuumSegments(path: String): Unit = {
+    val segRoot = new java.io.File(path, "segments")
+    if (!segRoot.isDirectory) return
+    val root = new java.io.File(path)
+    val referenced = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .flatMap(g => readManifest(g.getPath).getOrElse(Nil))
+      .map(rel => new java.io.File(path, rel).getCanonicalPath).toSet
+    Option(segRoot.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !referenced.contains(f.getCanonicalPath))
+      .foreach(rmTreeSim)
+  }
+
+  private def rmTreeSim(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmTreeSim)); f.delete(); ()
+  }
+
+  /** Load the committed generation's (centroids, inverted lists) pair —
+    * lists unioned across the manifest's segments (or the legacy flat
+    * dir), cid re-cast to the centroid table's type (partition discovery
+    * re-infers small longs as int). */
+  private[graft] def ivfLoadParts(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame) = {
+    val dir = graft.core.IndexGen.readDir(path)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val raw = readManifest(dir) match {
+      // one scan per segment, unioned: a multi-path read would try to
+      // infer ONE partition scheme across segment roots and reject the
+      // layout; per-segment discovery keeps each seg's cid= pruning.
+      // Segment counts stay small by policy (periodic rebuild compacts
+      // to one), so the union width is bounded.
+      case Some(segs) =>
+        segs.map(s => spark.read.parquet(s"$path/$s")).reduce(_.unionByName(_))
+      case None => spark.read.parquet(s"$dir/assigned")
+    }
+    (cents, raw.withColumn("cid", col("cid").cast(cents.schema("cid").dataType)))
   }
 
   /** Retrieve against an [[ivfSave]]d index without rebuilding it —
@@ -289,13 +413,7 @@ object Similarity {
       queries: DataFrame, qid: Column, qvec: Column,
       nprobe: Int, k: Int, excludeSelf: Boolean = false,
       dim: Int = 0): DataFrame = {
-    val dir = graft.core.IndexGen.readDir(path)
-    val cents = spark.read.parquet(s"$dir/centroids")
-    // partition discovery re-infers the cid dir names' type (small longs
-    // read back as int) — cast back to the centroid table's type so the
-    // probe equi-join needs no implicit cast
-    val assigned = spark.read.parquet(s"$dir/assigned")
-      .withColumn("cid", col("cid").cast(cents.schema("cid").dataType))
+    val (cents, assigned) = ivfLoadParts(spark, path)
     ivfSearch(cents, assigned, queries, qid, qvec, nprobe, k, excludeSelf, dim)
   }
 

@@ -190,13 +190,17 @@ class DataIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(loaded == direct)
     // the persisted layout: one committed GENERATION dir (atomic
-    // marker-flip publish) holding broadcastable centroids +
-    // cid-partitioned lists
+    // marker-flip publish) holding broadcastable centroids + a segment
+    // MANIFEST; the cid-partitioned lists live in the shared segment
+    // store (so appends can reference them without rewriting)
     val gdir = graft.core.IndexGen.readDir(idx)
     assert(gdir != idx, "ivfSave must publish a committed generation")
     assert(new java.io.File(s"$gdir/centroids").isDirectory)
-    val cidDirs = new java.io.File(s"$gdir/assigned").listFiles
-      .filter(_.getName.startsWith("cid="))
+    assert(new java.io.File(s"$gdir/segments.txt").isFile)
+    val segDirs = new java.io.File(s"$idx/segments").listFiles
+      .filter(_.getName.startsWith("seg-"))
+    assert(segDirs.length == 1)
+    val cidDirs = segDirs(0).listFiles.filter(_.getName.startsWith("cid="))
     assert(cidDirs.nonEmpty)
     // lists are CLUSTERED before the partitioned write: each inverted
     // list is exactly one parquet file, not one per (task, cid) pair —
@@ -206,6 +210,67 @@ class DataIndexSpec extends SparkSpec {
       assert(parts.length == 1,
         s"${d.getName}: expected one clustered file, got ${parts.length}")
     }
+  }
+
+  test("ivfAppend: frozen centroids, new segment only, vacuum on rebuild") {
+    import graft.operators.Similarity
+    val all = (1L to 60).map { i =>
+      (i, Seq.tabulate(4)(j => (math.sin(i * 5.1 + j) * 10).toFloat))
+    }.toDF("id", "v")
+    val base = all.filter(col("id") <= 40)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    Similarity.ivfSave(base, col("id"), col("v"), idx, nlist = 8)
+    def segs() = new java.io.File(s"$idx/segments").listFiles
+      .filter(_.getName.startsWith("seg-")).map(_.getName).toSet
+    val origSegs = segs()
+    Similarity.ivfAppend(spark, idx, all.filter(col("id") > 40),
+      col("id"), col("v"))
+    // the original segment is REFERENCED, not rewritten; one new segment
+    assert(segs().size == 2 && origSegs.subsetOf(segs()))
+    // the appended index ≡ a from-scratch assignment of ALL rows under
+    // the SAME (subset-sampled) centroids — the frozen-geometry contract
+    val loaded = Similarity.ivfLoadRetrieve(spark, idx, all,
+        col("id"), col("v"), nprobe = 2, k = 3, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val (cents, _) = Similarity.ivfBuild(base, col("id"), col("v"),
+      nlist = 8, dim = 0)
+    val refAssigned = Similarity.assignVectors(all, col("id"), col("v"),
+      cents, dim = 0)
+    val direct = Similarity.ivfSearch(cents, refAssigned, all,
+        col("id"), col("v"), nprobe = 2, k = 3, excludeSelf = true, dim = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(loaded == direct)
+    // two full rebuilds later, the pre-append segments are unreferenced
+    // by every surviving generation and vacuumed from disk
+    Similarity.ivfSave(all, col("id"), col("v"), idx, nlist = 8)
+    Similarity.ivfSave(all, col("id"), col("v"), idx, nlist = 8)
+    assert(segs().intersect(origSegs).isEmpty,
+      "segments referenced only by pruned generations must be vacuumed")
+  }
+
+  test("ivfAppend migrates a legacy flat layout into segments once") {
+    import graft.operators.Similarity
+    val all = (1L to 30).map { i =>
+      (i, Seq.tabulate(4)(j => (math.cos(i * 2.9 + j) * 10).toFloat))
+    }.toDF("id", "v")
+    val base = all.filter(col("id") <= 20)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_mig").toString
+    val (cents, assigned) = Similarity.ivfBuild(base, col("id"), col("v"),
+      nlist = 4, dim = 0)
+    cents.write.parquet(s"$idx/centroids")
+    assigned.repartition(col("cid")).write.partitionBy("cid")
+      .parquet(s"$idx/assigned")
+    Similarity.ivfAppend(spark, idx, all.filter(col("id") > 20),
+      col("id"), col("v"))
+    val loaded = Similarity.ivfLoadRetrieve(spark, idx, all,
+        col("id"), col("v"), nprobe = 2, k = 2, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val refAssigned = Similarity.assignVectors(all, col("id"), col("v"),
+      cents, dim = 0)
+    val direct = Similarity.ivfSearch(cents, refAssigned, all,
+        col("id"), col("v"), nprobe = 2, k = 2, excludeSelf = true, dim = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(loaded == direct)
   }
 
   test("pre-r11 flat index layout (no generation marker) stays readable") {

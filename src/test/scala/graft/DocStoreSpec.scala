@@ -238,6 +238,27 @@ class DocStoreSpec extends SparkSpec {
     assert(hits() == before)
   }
 
+  test("extendIndex appends only unindexed chunks; idempotent at zero") {
+    val root = java.nio.file.Files.createTempDirectory("docstore_ext").toString
+    // index only the first two documents, then land the rest in the
+    // chunk table (the buildStream-between-refreshes state)
+    val firstTwo = docsDf.filter(col("doc_id") <= 2)
+    DocStore.build(firstTwo, col("doc_id"), col("data"),
+      metadata = Seq("lang"), chunkSize = 3, overlap = 1,
+      embedder = DocStore.hashEmbedder(8)).save(root, nlist = 2)
+    store.chunks.filter(col("doc_id") > 2)
+      .write.mode("append").parquet(s"$root/chunks")
+    val added = DocStore.extendIndex(spark, root)
+    assert(added > 0, "the new documents' chunks must be indexed")
+    // second run: everything is indexed, nothing to do
+    assert(DocStore.extendIndex(spark, root) == 0)
+    // the extended index serves the NEW content (query doc 3's words)
+    val ps = DocStore.open(spark, root, DocStore.hashEmbedder(8), nprobe = 2)
+    val hits = ps.retrieve(q("uno dos tres"), col("qid"), col("qtext"), 2)
+      .collect()
+    assert(hits.nonEmpty && hits.exists(_.getAs[Long]("doc_id") == 3L))
+  }
+
   test("parquetRowCount matches the scan count from footers alone") {
     val root = java.nio.file.Files.createTempDirectory("ds_cnt").toString
     store.save(root, nlist = 4)
