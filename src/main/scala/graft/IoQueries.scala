@@ -256,6 +256,35 @@ object IoQueries extends QueryModule {
         col("o_totalprice"))
   }
 
+  // Change data feed between two retained snapshot versions (Delta
+  // `table_changes` analog, derived from the states themselves): the
+  // same 3-batch replay, then diff(v1 → v3) must emit exactly the
+  // updates (pre+post image pairs for %3 keys that survived) and the
+  // deletes (%7 keys, from-side image) the log applied in between —
+  // nothing for untouched keys
+  q("q_upsert_diff",
+    """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    o_totalprice FROM orders)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  'delete' AS _change_type FROM base WHERE o_orderkey % 7 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  'update_preimage' FROM base
+      |WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1.0,
+      |  'update_postimage' FROM base
+      |WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0""") { (s, dir) =>
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert_cdf").toString
+    replayOrdersChangeLog(s, dir) { events =>
+      graft.streaming.Streaming.upsertParquetSinkVersioned(events,
+        Seq("o_orderkey"), "_ord", "_del", s"$root/state", s"$root/ckpt",
+        keepVersions = 3)
+    }
+    graft.streaming.Streaming.snapshotDiff(s, s"$root/state",
+      Seq("o_orderkey"), "_ord", "_del", fromVersion = 1L, toVersion = 3L)
+  }
+
   // Bucket-partitioned upsert sink (the fact-sized-state variant: a
   // batch rewrites only the key-hash buckets it touches, not the whole
   // snapshot) replaying the exact q_upsert_snapshot change log — same

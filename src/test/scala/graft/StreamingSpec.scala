@@ -400,6 +400,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("snapshotDiff classifies insert/delete/update; unchanged keys silent") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert_cdf").toString
+    val path = s"$root/state"
+    val in = MemoryStream[(Long, Long, Boolean, String)]
+    val events = in.toDF().toDF("id", "ord", "del", "v")
+    val q = Streaming.upsertParquetSinkVersioned(events, Seq("id"), "ord",
+      "del", path, s"$root/ckpt", keepVersions = 4).start()
+    try {
+      in.addData((1L, 10L, false, "a"), (2L, 10L, false, "b"),
+        (4L, 10L, false, "d"))
+      q.processAllAvailable()
+      in.addData((1L, 20L, false, "a2"), (2L, 20L, true, "b"),
+        (3L, 20L, false, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val diff = Streaming.snapshotDiff(spark, path, Seq("id"), "ord", "del",
+      fromVersion = 1L, toVersion = 2L)
+    assert(diff.columns.toSeq == Seq("id", "v", "_change_type"))
+    // key 4 untouched → silent; 3 inserted; 2 deleted (from-side image);
+    // 1 updated (pre + post)
+    assert(rowsOf(diff) == Set(
+      Seq(3L, "c", "insert"),
+      Seq(2L, "b", "delete"),
+      Seq(1L, "a", "update_preimage"),
+      Seq(1L, "a2", "update_postimage")))
+    // the reverse diff is the inverse feed
+    val rev = Streaming.snapshotDiff(spark, path, Seq("id"), "ord", "del",
+      fromVersion = 2L, toVersion = 1L)
+    assert(rowsOf(rev) == Set(
+      Seq(3L, "c", "delete"),
+      Seq(2L, "b", "insert"),
+      Seq(1L, "a2", "update_preimage"),
+      Seq(1L, "a", "update_postimage")))
+    intercept[IllegalArgumentException] {
+      Streaming.snapshotDiff(spark, path, Seq("id"), "ord", "del", 1L, 1L)
+    }
+  }
+
   test("upsertParquetSink recovers a crash between the two swap renames " +
       "without losing prior keys") {
     implicit val sqlCtx = spark.sqlContext
