@@ -167,6 +167,60 @@ object Graphs {
     labels.select(col("node"), col("comm"))
   }
 
+  /** Per-node triangle counts + local clustering coefficient over an
+    * undirected graph (`edges` needs src/dst; direction, duplicates and
+    * self-loops are normalized away). Returns
+    * (node, degree, triangles, coeff) for every node with an edge,
+    * coeff = 2·triangles / (degree·(degree−1)) (0 when degree < 2).
+    *
+    * Scale shape — DEGREE-ORIENTED compact-forward: every undirected
+    * edge is directed from its lower-(degree, id) endpoint, which turns
+    * the graph acyclic with per-node out-degree O(√m) even around hubs,
+    * so the wedge self-join materializes O(m^1.5) candidate pairs
+    * instead of Σ deg² (a single celebrity node would otherwise square
+    * its degree through the shuffle — the classic triangle-count
+    * blowup). Each triangle is found exactly once (its rank-lowest
+    * vertex owns it), then credited to all three corners by one
+    * explode + count. Three shuffles total: degree agg, wedge join,
+    * closing-edge semi-join. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val canon = graft.core.Caches.eager(edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    val deg = graft.core.Caches.eager(
+      canon.select(col("a").as("n")).union(canon.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("degree")))
+    val withDeg = canon
+      .join(deg.select(col("n").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("degree").as("db")), "b")
+    def rank(d: Column, n: Column) = struct(d.as("d"), n.as("i"))
+    val aFirst = rank(col("da"), col("a")) < rank(col("db"), col("b"))
+    // oriented edge (u → v) with v's rank struct carried for wedge order
+    val o = graft.core.Caches.eager(withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, rank(col("db"), col("b")))
+        .otherwise(rank(col("da"), col("a"))).as("rv")))
+    val e1 = o.select(col("u"), col("v").as("x"), col("rv").as("rx"))
+    val e2 = o.select(col("u"), col("v").as("y"), col("rv").as("ry"))
+    // wedges (x ← u → y) with rank(x) < rank(y); the closing edge, if
+    // present, is oriented x → y by construction
+    val wedges = e1.join(e2, "u").filter(col("rx") < col("ry"))
+      .select(col("u"), col("x"), col("y"))
+    val tri = wedges.join(
+      o.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"), "left_semi")
+    val perNode = tri
+      .select(explode(array(col("u"), col("x"), col("y"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") < 2, lit(0.0))
+          .otherwise(coalesce(col("triangles"), lit(0L)) * 2.0 /
+            (col("degree") * (col("degree") - 1))).as("coeff"))
+  }
+
   /** Single-source shortest paths by iterative relaxation
     * (reference: stdlib/graphs/bellman_ford/impl.py:42). `edges` needs
     * src/dst/weight; returns (node, dist) for reachable nodes only. */

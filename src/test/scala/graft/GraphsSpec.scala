@@ -82,4 +82,30 @@ class GraphsSpec extends SparkSpec {
     val edges = Seq(("a", "b")).toDF("src", "dst")
     intercept[IllegalArgumentException] { Graphs.louvain(edges) }
   }
+
+  test("triangleCounts: per-node counts + coefficient, input normalized") {
+    // triangle {1,2,3} plus a pendant 4; duplicates, reversed direction
+    // and a self-loop must all normalize away
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (3L, 3L), (1L, 2L)).toDF("src", "dst")
+    val out = Graphs.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 1.0)))
+    assert(out(2L) == ((2L, 1L, 1.0)))
+    assert(out(3L)._1 == 3L && out(3L)._2 == 1L &&
+      math.abs(out(3L)._3 - 1.0 / 3) < 1e-12)
+    assert(out(4L) == ((1L, 0L, 0.0)))
+  }
+
+  test("triangleCounts on K4: every node in 3 triangles, coeff 1") {
+    val nodes = (1L to 4L)
+    val edges = (for { a <- nodes; b <- nodes if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val out = Graphs.triangleCounts(edges).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getLong(1) == 3L && r.getLong(2) == 3L && r.getDouble(3) == 1.0)
+    }
+  }
 }
