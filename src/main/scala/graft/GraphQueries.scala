@@ -234,15 +234,15 @@ object GraphQueries extends QueryModule {
   }
 
   // per-node triangle counts + local clustering coefficient over the
-  // co-supplier graph (suppliers sharing an order). The implementation
+  // co-purchase graph (parts sharing an order — sparse and it STAYS sparse as part count scales with the corpus, unlike the near-complete co-supplier graph). The implementation
   // is DEGREE-ORIENTED compact-forward — wedge join bounded O(m^1.5),
   // no hub-degree² blowup — but any correct enumeration yields the same
   // per-node counts, so the oracle's simple a<b<c three-way join is a
   // valid independent derivation.
   q("q_triangles",
-    """WITH e0 AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+    """WITH e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
       |  FROM lineitem x JOIN lineitem y
-      |  ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+      |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
       |deg AS (SELECT n, count(*) AS degree FROM
       |  (SELECT a AS n FROM e0 UNION ALL SELECT b AS n FROM e0) GROUP BY 1),
       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
@@ -257,10 +257,10 @@ object GraphQueries extends QueryModule {
       |    ELSE coalesce(pn.triangles, 0) * 2.0
       |      / (deg.degree * (deg.degree - 1)) END + 1e-9, 4) AS coeff
       |FROM deg LEFT JOIN pn ON pn.n = deg.n""") { (s, dir) =>
-    val li = load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val pairs = li.join(li.withColumnRenamed("l_suppkey", "s2"), "l_orderkey")
-      .filter(col("l_suppkey") < col("s2"))
-      .select(col("l_suppkey").as("src"), col("s2").as("dst"))
+    val li = load(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.join(li.withColumnRenamed("l_partkey", "p2"), "l_orderkey")
+      .filter(col("l_partkey") < col("p2"))
+      .select(col("l_partkey").as("src"), col("p2").as("dst"))
     Graphs.triangleCounts(pairs)
       .select(col("node"), col("degree"), col("triangles"),
         round(col("coeff") + lit(1e-9), 4).as("coeff"))
