@@ -1085,6 +1085,21 @@ object PipelineQueries extends QueryModule {
         col("n_tokens"), col("chunk"))
   }
 
+  // corpus profiling histogram (one map-side-combinable scan → bins
+  // rows; empty bins emitted — a distribution's gaps are information;
+  // tails clamp into edge bins so Σn = row count)
+  q("q_histogram",
+    """WITH b AS (SELECT least(greatest(
+      |    CAST(floor(CAST(n_chars AS DOUBLE) / 50.0) AS BIGINT), 0), 11) AS bin
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      |c AS (SELECT bin, count(*) AS n FROM b GROUP BY 1)
+      |SELECT s.bin, s.bin * 50.0 AS bin_lo, (s.bin + 1) * 50.0 AS bin_hi,
+      |  CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      |FROM range(0, 12) AS s(bin) LEFT JOIN c ON c.bin = s.bin""") { (s, dir) =>
+    graft.operators.Stats.histogram(load(s, dir, "documents"),
+      col("n_chars"), lo = 0.0, hi = 600.0, bins = 12)
+  }
+
   q("q_text_stats",
     """SELECT doc_id,
       |  len(string_split(text, ' ')) AS n_tok,

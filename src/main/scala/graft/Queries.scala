@@ -438,6 +438,37 @@ object Queries extends QueryModule {
         "n" -> reducers.rcount())
   }
 
+  // long→wide pivot with an EXPLICIT value list: schema stays static
+  // (no distinct-discovery job) and the plan is one ordinary hash
+  // aggregate with a conditional branch per value — the same single
+  // shuffle as the groupby
+  q("q_pivot",
+    """SELECT l_linestatus,
+      |  round(CAST(sum(CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity END
+      |    AS DECIMAL(24,6))) AS DOUBLE), 4) AS A,
+      |  round(CAST(sum(CAST(CASE WHEN l_returnflag = 'N' THEN l_quantity END
+      |    AS DECIMAL(24,6))) AS DOUBLE), 4) AS N,
+      |  round(CAST(sum(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity END
+      |    AS DECIMAL(24,6))) AS DOUBLE), 4) AS R
+      |FROM lineitem GROUP BY l_linestatus""") { (s, dir) =>
+    table(s, dir, "lineitem", "l_orderkey", "l_linenumber")
+      .pivot(Seq(col("l_linestatus")), col("l_returnflag"),
+        Seq("A", "N", "R"), r4(dsum(col("l_quantity"))))
+  }
+
+  // wide→long unpivot: pure map-side Expand, zero shuffles
+  q("q_unpivot",
+    """SELECT o_orderkey, 'price' AS metric, o_totalprice AS value FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, 'cust' AS metric, CAST(o_custkey AS DOUBLE) AS value
+      |FROM orders""") { (s, dir) =>
+    table(s, dir, "orders", "o_orderkey")
+      .unpivot(Seq(col("o_orderkey")),
+        Seq(col("o_totalprice").as("price"),
+          col("o_custkey").cast("double").as("cust")),
+        "metric", "value")
+  }
+
   q("q_reduce_global",
     """SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE), 4) AS revenue,
       |  count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS key_sum

@@ -265,6 +265,23 @@ final class Table(val df: DataFrame, val key: Seq[String]) {
   def groupbyGroupingSets(sets: Seq[Seq[Column]], cols: Column*): GroupedTable =
     new GroupedTable(df, cols, GroupedTable.Sets(sets))
 
+  /** Long → wide: one output column per `values` entry, cells from
+    * `agg` over the matching rows. `values` is REQUIRED (not
+    * discovered): an explicit list keeps the schema static — no extra
+    * distinct-scan job, no schema dependent on data — and pivoting
+    * stays ONE ordinary hash aggregate (each value a conditional
+    * branch), same single shuffle as the groupby. Unlisted pivot
+    * values are dropped, like SQL PIVOT ... IN (...). */
+  def pivot(groupCols: Seq[Column], pivotCol: Column, values: Seq[Any],
+      agg: Column): DataFrame =
+    df.groupBy(groupCols: _*).pivot(pivotCol, values).agg(agg)
+
+  /** Wide → long: id columns replicated, each (name, value) of `valueCols`
+    * emitted as one row. Pure map-side Expand — no shuffle at all. */
+  def unpivot(ids: Seq[Column], valueCols: Seq[Column],
+      varName: String, valName: String): DataFrame =
+    df.unpivot(ids.toArray, valueCols.toArray, varName, valName)
+
   // -- joins (reference: internals/joins.py:135-484) ---------------------
   def join(other: Table, cond: Column, how: String = "inner"): Table =
     new Table(df.join(other.df, cond, how), key)

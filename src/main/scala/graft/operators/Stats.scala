@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution diagnostics over huge columns — the profiling step a
+  * training-data pipeline runs before deciding filters/mixes (length
+  * histograms, quality-score distributions, per-source token counts).
+  * Everything here is a single map-side-combinable aggregation: at
+  * 100 TB a histogram is one scan producing `bins` rows, never a sort,
+  * never a collect of data rows.
+  */
+object Stats {
+
+  /** Equi-width histogram of `c` over [lo, hi): `bins` rows
+    * (bin, bin_lo, bin_hi, n). Out-of-range values clamp into the edge
+    * bins (so Σn = row count — a histogram that silently drops tails
+    * misreports the distribution); NULLs are excluded. Bin assignment
+    * is double arithmetic on both engines' identical operands, so the
+    * oracle replays it bit-exactly. Empty bins are emitted with n = 0
+    * (a distribution's gaps are information), via a broadcast
+    * bin-spine outer join — `bins` rows, driver-free. */
+  def histogram(df: DataFrame, c: Column, lo: Double, hi: Double,
+      bins: Int): DataFrame = {
+    require(bins >= 1, s"histogram: bins must be >= 1, got $bins")
+    require(lo < hi, s"histogram: need lo < hi, got [$lo, $hi)")
+    val spark = df.sparkSession
+    val width = (hi - lo) / bins
+    val bin = least(greatest(
+      floor((c.cast("double") - lit(lo)) / lit(width)).cast("long"),
+      lit(0L)), lit(bins - 1L))
+    val counts = df.filter(c.isNotNull)
+      .groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+    import spark.implicits._
+    val spine = (0L until bins.toLong).toDF("bin")
+      .select(col("bin"),
+        (lit(lo) + col("bin") * lit(width)).as("bin_lo"),
+        (lit(lo) + (col("bin") + 1) * lit(width)).as("bin_hi"))
+    broadcast(spine).join(counts, Seq("bin"), "left")
+      .select(col("bin"), col("bin_lo"), col("bin_hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** [[histogram]] with bounds taken from the column itself — one extra
+    * tiny min/max aggregate, then the same single-scan histogram. */
+  def histogramAuto(df: DataFrame, c: Column, bins: Int): DataFrame = {
+    val r = df.agg(min(c.cast("double")).as("lo"), max(c.cast("double")).as("hi"))
+      .collect()(0)
+    require(!r.isNullAt(0), "histogramAuto: column is all-NULL")
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    // degenerate constant column: one bin covering the point
+    histogram(df, c, lo, if (hi > lo) hi else lo + 1.0, bins)
+  }
+}

@@ -262,6 +262,27 @@ class TableSpec extends SparkSpec {
     assert(rowsOf(sloppy) == rowsOf(exact))
   }
 
+  test("pivot widens over a static value list; unpivot inverts it") {
+    val t = Table.fromDF(Seq(("x", "A", 1.0), ("x", "N", 2.0), ("y", "A", 3.0))
+      .toDF("g", "k", "v"), Seq("g"))
+    val wide = t.pivot(Seq(col("g")), col("k"), Seq("A", "N"), sum(col("v")))
+    assert(wide.columns.toSeq == Seq("g", "A", "N"))
+    assert(rowsOf(wide) == Set(Seq("x", 1.0, 2.0), Seq("y", 3.0, null)))
+    // unlisted pivot values are dropped (SQL PIVOT ... IN semantics)
+    val only = t.pivot(Seq(col("g")), col("k"), Seq("A"), sum(col("v")))
+    assert(only.columns.toSeq == Seq("g", "A"))
+    // unpivot round-trips the present cells
+    val back = Table.fromDF(wide, Seq("g"))
+      .unpivot(Seq(col("g")), Seq(col("A"), col("N")), "k", "v")
+      .filter(col("v").isNotNull)
+    assert(rowsOf(back) == rowsOf(t.df))
+    // unpivot alone plans as a map-side Expand — zero exchanges (the
+    // `back` chain above inherits the pivot's aggregate shuffle)
+    val solo = t.unpivot(Seq(col("g")), Seq(col("v")), "k2", "v2")
+    assert(!solo.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(solo.queryExecution.executedPlan.toString.contains("Expand"))
+  }
+
   test("rollup/cube/grouping sets produce subtotal layers in one pass") {
     val t = Table.fromDF(Seq(("x", "p", 1L), ("x", "q", 2L), ("y", "p", 4L))
       .toDF("a", "b", "v"), Seq("a", "b"))
