@@ -617,6 +617,70 @@ object TemporalQueries extends QueryModule {
   // by end-of-input, so each emits exactly once with its last-seen time.
   // Two far-future sentinels advance the event-time watermark in stages
   // (old keys time out after the first, the rest after the second) —
+  // Running z-score anomaly detection: each event scored against the
+  // mean/stddev of its key's PRIOR events only (leakage-free online
+  // shape). Running Σ/Σ² in decimal (exact, order-free), moment formula
+  // in double on bit-identical operands — the rvarSamp determinism
+  // recipe applied to a window frame.
+  q("q_anomaly",
+    """WITH w AS (SELECT event_id, user_id, value,
+      |  count(value) OVER win AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(28,8))) OVER win AS DOUBLE) AS sx,
+      |  CAST(sum(CAST(value * value AS DECIMAL(28,8))) OVER win AS DOUBLE) AS sxx
+      |  FROM events
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, user_id, CAST(coalesce(n, 0) AS BIGINT) AS n_prior,
+      |  round(CASE WHEN n >= 20 AND (n * sxx - sx * sx) / (n * (n - 1)) > 0
+      |    THEN (value - sx / n) / sqrt((n * sxx - sx * sx) / (n * (n - 1)))
+      |    ELSE NULL END + 1e-9, 4) AS z
+      |FROM w""") { (s, dir) =>
+    graft.operators.Stats.runningZScore(loadEvents(s, dir),
+        col("user_id"), col("event_id"), col("value"), minPrior = 20)
+      .select(col("event_id"), col("user_id"), col("n_prior"),
+        round(col("z") + lit(1e-9), 4).as("z"))
+  }
+
+  // The STREAMING twin — per-key (n, Σ, Σ²) as flatMapGroupsWithState
+  // state, scores computed before the state update. Replayed in two
+  // micro-batches split at the order midpoint (in-order arrival), the
+  // emitted scores must be bit-identical to the batch window above —
+  // the exact-decimal state is what makes stream ≡ batch.
+  q("q_anomaly_stream",
+    """WITH w AS (SELECT event_id, user_id, value,
+      |  count(value) OVER win AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(28,8))) OVER win AS DOUBLE) AS sx,
+      |  CAST(sum(CAST(value * value AS DECIMAL(28,8))) OVER win AS DOUBLE) AS sxx
+      |  FROM events
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, user_id, CAST(coalesce(n, 0) AS BIGINT) AS n_prior,
+      |  round(CASE WHEN n >= 20 AND (n * sxx - sx * sx) / (n * (n - 1)) > 0
+      |    THEN (value - sx / n) / sqrt((n * sxx - sx * sx) / (n * (n - 1)))
+      |    ELSE NULL END + 1e-9, 4) AS z
+      |FROM w""") { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = loadEvents(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    val mid = rows(rows.length / 2)._2
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double)]
+    val events = in.toDF().toDF("user_id", "event_id", "value")
+    val out = graft.streaming.Streaming.anomalyStream(events,
+      col("user_id"), col("event_id"), col("value"), minPrior = 20)
+    val q = out.writeStream.format("memory").queryName("anomaly_out")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.filter(_._2 < mid).toSeq); q.processAllAvailable()
+      in.addData(rows.filter(_._2 >= mid).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    s.table("anomaly_out")
+      .select(col("o").as("event_id"), col("k").as("user_id"),
+        col("n_prior"), round(col("z") + lit(1e-9), 4).as("z"))
+  }
+
   // WHICH batch fires a key varies with watermark arithmetic, but the
   // emitted (key, last_seen_ms) set is invariant, which is what the
   // oracle pins: per-user max event time, ms-floored.

@@ -41,6 +41,40 @@ object Stats {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Running z-score per key: each row scored against the mean/stddev
+    * of its PRIOR rows only (ordered by `order` — pass a unique,
+    * monotone column; event_id in the events table), the leakage-free
+    * online-anomaly shape: a spike is judged by what was known BEFORE
+    * it. NULL until `minPrior` prior rows exist or while prior variance
+    * is 0. One window pass — running Σ and Σ² are taken in decimal
+    * (order-free, exact) and the moment formula runs in double on
+    * bit-identical operands, so the score is deterministic across
+    * engines and partitionings (same recipe as
+    * [[graft.agg.reducers.rvarSamp]]). Output: input columns +
+    * (n_prior, z).
+    *
+    * Scale: one shuffle on `key`, per-key frames evaluated by one
+    * running-window pass — no self-join, no per-row re-aggregation. The
+    * streaming twin ([[graft.streaming.Streaming.anomalyStream]]) keeps
+    * (n, Σ, Σ²) as keyed state and must score identically. */
+  def runningZScore(df: DataFrame, key: Column, order: Column,
+      value: Column, minPrior: Int = 5): DataFrame = {
+    require(minPrior >= 2, s"runningZScore: minPrior must be >= 2, got $minPrior")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(order)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val v = value.cast("double")
+    val n = count(v).over(w)
+    val sx = sum(v.cast("decimal(28,8)")).over(w).cast("double")
+    val sxx = sum((v * v).cast("decimal(28,8)")).over(w).cast("double")
+    val nd = n.cast("double")
+    val varP = (nd * sxx - sx * sx) / (nd * (nd - 1))
+    df.withColumn("n_prior", n)
+      .withColumn("z",
+        when(n < minPrior || !(varP > 0), lit(null).cast("double"))
+          .otherwise((v - sx / nd) / sqrt(varP)))
+  }
+
   /** [[histogram]] with bounds taken from the column itself — one extra
     * tiny min/max aggregate, then the same single-scan histogram. */
   def histogramAuto(df: DataFrame, c: Column, bins: Int): DataFrame = {

@@ -274,6 +274,55 @@ object Streaming {
     l.join(r, cond, how)
   }
 
+  /** Streaming twin of [[graft.operators.Stats.runningZScore]]: per-key
+    * (n, Σ, Σ²) as flatMapGroupsWithState state, each arriving row
+    * scored against the state BEFORE it updates it — bit-identical to
+    * the batch window when rows arrive in order (each Σ-increment is
+    * the same decimal(28,8) per-row cast the batch recipe takes, kept
+    * exact across micro-batches by the string-decimal state). Rows
+    * inside a micro-batch are sorted by `order` per key; a row arriving
+    * AFTER a later-ordered row has already updated the state is scored
+    * against that newer state — arrival-order semantics, the same
+    * contract as the reference's streaming operators. NULL values are
+    * dropped (they carry no signal and the batch twin's count skips
+    * them too). Emits (k, o, n_prior, z). */
+  def anomalyStream(events: DataFrame, key: Column, order: Column,
+      value: Column, minPrior: Int = 5): DataFrame = {
+    require(minPrior >= 2, s"anomalyStream: minPrior must be >= 2, got $minPrior")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .filter(value.isNotNull)
+      .select(key.cast("long").as("k"), order.cast("long").as("o"),
+        value.cast("double").as("v"))
+      .as[(Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[ZState, (Long, Long, Long, Option[Double])](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (k, rows, st) =>
+          def dec8(d: Double): BigDecimal =
+            BigDecimal(d).setScale(8, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          var (n, sx, sxx) = st.getOption
+            .map(s => (s.n, BigDecimal(s.sx), BigDecimal(s.sxx)))
+            .getOrElse((0L, BigDecimal(0), BigDecimal(0)))
+          val out = rows.toSeq.sortBy(_._2).map { case (_, o, v) =>
+            val z = if (n >= minPrior) {
+              val nd = n.toDouble
+              val (sxd, sxxd) = (sx.toDouble, sxx.toDouble)
+              val varP = (nd * sxxd - sxd * sxd) / (nd * (nd - 1))
+              if (varP > 0) Some((v - sxd / nd) / math.sqrt(varP)) else None
+            } else None
+            val nPrior = n
+            n += 1; sx += dec8(v); sxx += dec8(v * v)
+            (k, o, nPrior, z)
+          }
+          st.update(ZState(n, sx.toString, sxx.toString))
+          out.iterator
+      }
+      .toDF("k", "o", "n_prior", "z")
+  }
+
   /** Callback sink (reference: pw.io.subscribe io/_subscribe.py): the
     * callback sees each micro-batch as a DataFrame + batch id. */
   def subscribe(df: DataFrame, onChange: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
@@ -804,3 +853,11 @@ object Streaming {
       }
   }
 }
+
+/** Keyed state carried by [[Streaming.anomalyStream]]: the exact running
+  * sums. Σ and Σ² ride as STRINGS — a plain-string decimal round-trips
+  * exactly through any encoder, where a decimal column would pin a
+  * (precision, scale) and a double would re-round. Top-level so the
+  * encoder's generated accessors resolve (a private nested class broke
+  * whole-stage codegen). */
+case class ZState(n: Long, sx: String, sxx: String)

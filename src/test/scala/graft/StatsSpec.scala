@@ -22,6 +22,43 @@ class StatsSpec extends SparkSpec {
     assert(bounds.head == ((0.0, 10.0)) && bounds.last == ((40.0, 50.0)))
   }
 
+  test("runningZScore scores against PRIOR rows only; stream twin agrees") {
+    implicit val sqlCtx = spark.sqlContext
+    // key 1: 1,2,3,1,2,10 — the 10 is an outlier vs its 5 priors;
+    // key 2: too few rows, all NULL z
+    val rows = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0),
+      (1L, 4L, 1.0), (1L, 5L, 2.0), (1L, 6L, 10.0),
+      (2L, 7L, 5.0), (2L, 8L, 6.0))
+    val df = rows.toDF("k", "o", "v")
+    val out = Stats.runningZScore(df, col("k"), col("o"), col("v"),
+      minPrior = 5).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out(1L) == ((0L, None)))           // no priors
+    assert(out(5L) == ((4L, None)))           // below minPrior
+    assert(out(6L)._1 == 5L && out(6L)._2.get > 3.0) // the outlier fires
+    assert(out(8L) == ((1L, None)))
+    // streaming twin over a two-batch in-order replay: identical output
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double)]
+    val q = graft.streaming.Streaming.anomalyStream(
+        in.toDF().toDF("k", "o", "v"), col("k"), col("o"), col("v"),
+        minPrior = 5)
+      .writeStream.format("memory").queryName("zspec_out")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.filter(_._2 <= 4)); q.processAllAvailable()
+      in.addData(rows.filter(_._2 > 4)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("zspec_out").collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(streamed == out)
+    intercept[IllegalArgumentException] {
+      Stats.runningZScore(df, col("k"), col("o"), col("v"), minPrior = 1)
+    }
+  }
+
   test("histogramAuto derives bounds; constant column degenerates to one bin") {
     val d = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
     val h = Stats.histogramAuto(d, col("x"), bins = 3)
