@@ -469,6 +469,33 @@ object Queries extends QueryModule {
         "metric", "value")
   }
 
+  // data-quality expectations (Delta CHECK / dbt-test shape): N rules =
+  // ONE aggregation pass (each rule a conditional sum), report exploded
+  // to one row per rule; NULL predicate counts as a violation (the SQL
+  // CHECK trap, inverted deliberately)
+  q("q_expectations",
+    """SELECT 'qty_positive' AS rule,
+      |  CAST(sum(CASE WHEN NOT coalesce(l_quantity > 0, FALSE)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+      |  CAST(count(*) AS BIGINT) AS n_rows FROM lineitem
+      |UNION ALL
+      |SELECT 'price_under_60k',
+      |  CAST(sum(CASE WHEN NOT coalesce(l_extendedprice < 60000, FALSE)
+      |    THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(count(*) AS BIGINT) FROM lineitem
+      |UNION ALL
+      |SELECT 'flag_domain',
+      |  CAST(sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), FALSE)
+      |    THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(count(*) AS BIGINT) FROM lineitem""") { (s, dir) =>
+    graft.core.Expect.check(
+      table(s, dir, "lineitem", "l_orderkey", "l_linenumber").df,
+      Seq(
+        "qty_positive" -> (col("l_quantity") > 0),
+        "price_under_60k" -> (col("l_extendedprice") < 60000),
+        "flag_domain" -> col("l_returnflag").isin("A", "N", "R")))
+  }
+
   q("q_reduce_global",
     """SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE), 4) AS revenue,
       |  count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS key_sum

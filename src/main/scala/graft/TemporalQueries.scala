@@ -617,6 +617,23 @@ object TemporalQueries extends QueryModule {
   // by end-of-input, so each emits exactly once with its last-seen time.
   // Two far-future sentinels advance the event-time watermark in stages
   // (old keys time out after the first, the rest after the second) —
+  // Exponential moving average — the inherently sequential time-series
+  // reduction no commutative aggregate expresses: secondary sort (one
+  // repartition + in-partition sort + linear scan, unbounded group
+  // size), fold replayed bit-identically by DuckDB's list_reduce over
+  // the same order
+  q("q_ema",
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |  round(list_reduce(list(value ORDER BY event_id),
+      |    (acc, x) -> 0.2::DOUBLE * x + (1 - 0.2::DOUBLE) * acc) + 1e-9, 4)
+      |    AS ema
+      |FROM events WHERE value IS NOT NULL GROUP BY user_id""") { (s, dir) =>
+    graft.operators.Stats.ema(loadEvents(s, dir), Seq("user_id"),
+        "event_id", "value", alpha = 0.2)
+      .select(col("user_id"), col("n"),
+        round(col("ema") + lit(1e-9), 4).as("ema"))
+  }
+
   // Running z-score anomaly detection: each event scored against the
   // mean/stddev of its key's PRIOR events only (leakage-free online
   // shape). Running Σ/Σ² in decimal (exact, order-free), moment formula

@@ -75,6 +75,56 @@ object Stats {
           .otherwise((v - sx / nd) / sqrt(varP)))
   }
 
+  /** Exponential moving average per key — the inherently SEQUENTIAL
+    * time-series reduction (EMA₁ = x₁; EMAₜ = α·xₜ + (1−α)·EMAₜ₋₁),
+    * which no commutative aggregate expresses. Distributed shape:
+    * secondary sort — one repartition on `keys`, an in-partition sort
+    * on (keys, order), then a single linear scan per partition folding
+    * each group — no per-group materialization, so group size is
+    * unbounded (the same pattern as the batch acceptor-deduplicate).
+    * The fold is plain left-to-right double arithmetic, bit-identical
+    * to DuckDB's `list_reduce` over the same order, which is what the
+    * oracle replays. Returns one row per key: (keys…, n, ema).
+    * NULL values are skipped (they would poison the recursion). */
+  def ema(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"ema: alpha must be in (0,1], got $alpha")
+    require(keys.nonEmpty, "ema: need at least one key column")
+    val prepared = df
+      .filter(col(valueCol).isNotNull)
+      .select(keys.map(col) :+ col(orderCol).as("_o") :+
+        col(valueCol).cast("double").as("_v"): _*)
+      .repartition(keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col) :+ col("_o"): _*)
+    val schema = prepared.schema
+    val keyIdx = keys.map(schema.fieldIndex)
+    val vIdx = schema.fieldIndex("_v")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      keys.map(schema(_)) :+
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false) :+
+        org.apache.spark.sql.types.StructField("ema",
+          org.apache.spark.sql.types.DoubleType, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    prepared.mapPartitions { it =>
+      new Iterator[org.apache.spark.sql.Row] {
+        private val buf = it.buffered
+        def hasNext: Boolean = buf.hasNext
+        def next(): org.apache.spark.sql.Row = {
+          val k = keyIdx.map(buf.head.get)
+          var n = 0L
+          var acc = 0.0
+          while (buf.hasNext && keyIdx.map(buf.head.get) == k) {
+            val v = buf.next().getDouble(vIdx)
+            acc = if (n == 0) v else alpha * v + (1 - alpha) * acc
+            n += 1
+          }
+          org.apache.spark.sql.Row.fromSeq(k :+ n :+ acc)
+        }
+      }
+    }(enc)
+  }
+
   /** [[histogram]] with bounds taken from the column itself — one extra
     * tiny min/max aggregate, then the same single-scan histogram. */
   def histogramAuto(df: DataFrame, c: Column, bins: Int): DataFrame = {

@@ -59,6 +59,26 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("ema folds in order per key, skips NULLs, handles big groups") {
+    val d = Seq((1L, 3L, 10.0), (1L, 1L, 1.0), (1L, 2L, 2.0),
+      (2L, 1L, 5.0)).toDF("k", "o", "v")
+    val out = Stats.ema(d, Seq("k"), "o", "v", alpha = 0.2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // key 1 ordered 1,2,10: e=1; 0.2*2+0.8*1=1.2; 0.2*10+0.8*1.2=2.96
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - 2.96) < 1e-12)
+    assert(out(2L) == ((1L, 5.0)))
+    // NULL values are skipped, not folded as zero
+    val withNull = Seq((1L, 1L, java.lang.Double.valueOf(4.0)),
+      (1L, 2L, null.asInstanceOf[java.lang.Double])).toDF("k", "o", "v")
+    val nOut = Stats.ema(withNull, Seq("k"), "o", "v", 0.5).collect()(0)
+    assert(nOut.getLong(1) == 1L && nOut.getDouble(2) == 4.0)
+    // a group larger than any buffer still folds linearly
+    val big = (1L to 50000L).map(i => (9L, i, 1.0)).toDF("k", "o", "v")
+    val bOut = Stats.ema(big, Seq("k"), "o", "v", 0.3).collect()(0)
+    assert(bOut.getLong(1) == 50000L && math.abs(bOut.getDouble(2) - 1.0) < 1e-12)
+    intercept[IllegalArgumentException] { Stats.ema(d, Seq("k"), "o", "v", 0.0) }
+  }
+
   test("histogramAuto derives bounds; constant column degenerates to one bin") {
     val d = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
     val h = Stats.histogramAuto(d, col("x"), bins = 3)
