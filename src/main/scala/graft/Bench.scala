@@ -37,7 +37,8 @@ object Bench {
     "q_knn_classify",
     "q_bm25", "q_pagerank", "q_connected_components", "q_louvain", "q_hmm",
     "q_retract_reduce", "q_text_stats", "q_sql", "q_doc_store",
-    "q_knn_pq", "q_knn_ivf_pq", "q_kmeans", "q_dedup_semantic")
+    "q_knn_pq", "q_knn_ivf_pq", "q_kmeans", "q_dedup_semantic",
+    "q_triangles", "q_join_bloom")
 
   /** Queries whose wall-clock is dominated by a streaming-replay or
     * external-service HARNESS (multi-micro-batch MemoryStream feeds,
@@ -50,12 +51,14 @@ object Bench {
     * bench output reports `total_plan` / `total_harness` subtotals so
     * round-over-round comparisons track the right number. */
   private val harness = Set(
-    "q_asof_now", "q_async_transformer", "q_behavior_cutoff",
+    "q_anomaly_stream", "q_asof_now", "q_async_transformer",
+    "q_behavior_cutoff",
     "q_behavior_keep", "q_cdc_subject_log", "q_doc_store_stream",
     "q_inactivity", "q_interval_stream", "q_io_filestream", "q_io_http",
     "q_io_jdbc", "q_io_subject", "q_io_subject_replay", "q_neardup_stream",
     "q_recovery",
-    "q_subscribe", "q_upsert_partitioned", "q_upsert_snapshot",
+    "q_subscribe", "q_upsert_compacted", "q_upsert_diff",
+    "q_upsert_partitioned", "q_upsert_snapshot",
     "q_upsert_timetravel")
 
   def main(args: Array[String]): Unit = {
