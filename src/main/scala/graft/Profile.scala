@@ -30,6 +30,10 @@ object Profile {
             f"deser=${m.executorDeserializeTime / 1e3}%5.1f cpu=${m.executorCpuTime / 1e9}%6.1f " +
             f"in=${m.inputMetrics.recordsRead}%8d sh=${m.shuffleReadMetrics.recordsRead}%8d] " +
             si.details.linesIterator.take(3).mkString(" | ").take(160))
+        // deep-dive mode: full graft-frame stack for the expensive stages
+        if (sys.env.contains("PROFILE_DEEP") && ms.exists(_ > 5000))
+          println(si.details.linesIterator
+            .filter(l => l.contains("graft.")).take(12).mkString("\n"))
       }
     })
     for (pass <- 1 to 2; n <- names) {

@@ -196,8 +196,8 @@ object Similarity {
     * the inverted-list assignment (neighbor_id, cid, dv, dn2). */
   private[graft] def ivfBuild(data: DataFrame, did: Column, dvec: Column,
       nlist: Int, dim: Int): (DataFrame, DataFrame) = {
-    // eager: d is referenced by the centroid sample, both assignment
-    // sides and the candidate join — see Caches.eager for the lock story
+    // eager: d is referenced by the centroid sample, the assignment
+    // scan and the candidate join — see Caches.eager for the lock story
     val d = graft.core.Caches.eager(
       spread(data).select(did.as("id"), dvec.cast("array<double>").as("v"))
         .withColumn("n2", norm2(col("v"), dim)))
@@ -205,18 +205,46 @@ object Similarity {
       d.select(col("id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
         .orderBy(md5(col("cid").cast("string"))).limit(nlist))
     // data side: each vector lands in exactly one list (argmax cosine,
-    // tie -> smallest cid via max(struct(cc, -cid)) — no sort needed);
-    // the centroid table is broadcast, so assignment is map-side
-    val dScored = d.crossJoin(broadcast(cents))
-      .select(col("id"), col("cid"),
-        cosinePrenorm(col("v"), col("cv"), col("n2"), col("cn2"), dim).as("cc"))
-    val assigned = dScored.groupBy("id")
-      .agg(max(struct(col("cc"), (-col("cid")).as("nc"))).as("m"))
-      .select(col("id"), (-col("m").getField("nc")).as("cid"))
-      .join(d, "id")
-      .select(col("id").as("neighbor_id"), col("cid"),
-        col("v").as("dv"), col("n2").as("dn2"))
-    (cents, assigned)
+    // tie -> smallest cid) — one native one-pass expression per row
+    // against the collected centroid matrix (NearestCentroidExpr: the
+    // crossJoin+struct-max formulation planned a SortAggregate over
+    // |corpus|·nlist pair rows — corpus^1.5 with nlist ~ √corpus)
+    (cents, assignToCents(d, cents))
+  }
+
+  /** Assignment scan shared by every coarse quantizer: collect the
+    * (small by construction — nlist ≤ [[nlistFor]] of the corpus)
+    * centroid table, ship it inside [[graft.plans.NearestCentroidExpr]],
+    * and tag each d row with its argmax-cosine cid in one pass.
+    * `keep` = extra d columns to carry onto the lists. Empty centroid
+    * table (empty corpus) → empty assignment, matching the old join. */
+  private[graft] def assignToCents(d: DataFrame, cents: DataFrame,
+      keep: Seq[String] = Nil): DataFrame = {
+    val cidType = cents.schema("cid").dataType
+    val rows = cents.select(col("cid").cast("long"), col("cv"), col("cn2"))
+      .collect().sortBy(_.getLong(0))
+    val out = (r: DataFrame) => r.select(
+      Seq(col("id").as("neighbor_id"), col("_cid").cast(cidType).as("cid")) ++
+        keep.map(col) ++ Seq(col("v").as("dv"), col("n2").as("dn2")): _*)
+    if (rows.isEmpty)
+      return out(d.withColumn("_cid", lit(null).cast("long")).filter(lit(false)))
+    val dim = rows.head.getSeq[Double](1).length
+    val cids = new Array[Long](rows.length)
+    val flat = new Array[Double](rows.length * dim)
+    val cn2s = new Array[Double](rows.length)
+    var i = 0
+    rows.foreach { r =>
+      cids(i) = r.getLong(0)
+      val cv = r.getSeq[Double](1)
+      require(cv.length == dim,
+        s"ivf: centroid dim ${cv.length} != $dim — one embedder must produce all vectors")
+      var j = 0
+      while (j < dim) { flat(i * dim + j) = cv(j); j += 1 }
+      cn2s(i) = r.getDouble(2)
+      i += 1
+    }
+    out(d.withColumn("_cid",
+      graft.plans.VecExprs.nearestCentroid(col("v"), cids, flat, cn2s, dim)))
   }
 
   /** Query-side half of IVF retrieval over pre-built structures. */
@@ -322,23 +350,15 @@ object Similarity {
   }
 
   /** Assign vectors to FIXED centroids — the map-side half of
-    * [[ivfBuild]] (argmax cosine, tie → smallest cid), against a
-    * broadcast centroid table. */
+    * [[ivfBuild]] (argmax cosine, tie → smallest cid), one
+    * [[assignToCents]] pass per row. */
   private[graft] def assignVectors(data: DataFrame, did: Column,
-      dvec: Column, cents: DataFrame, dim: Int): DataFrame = {
-    val d = spread(data)
-      .select(did.as("id"), dvec.cast("array<double>").as("v"))
-      .withColumn("n2", norm2(col("v"), dim))
-    val dScored = d.crossJoin(broadcast(cents))
-      .select(col("id"), col("cid"),
-        cosinePrenorm(col("v"), col("cv"), col("n2"), col("cn2"), dim).as("cc"))
-    dScored.groupBy("id")
-      .agg(max(struct(col("cc"), (-col("cid")).as("nc"))).as("m"))
-      .select(col("id"), (-col("m").getField("nc")).as("cid"))
-      .join(d, "id")
-      .select(col("id").as("neighbor_id"), col("cid"),
-        col("v").as("dv"), col("n2").as("dn2"))
-  }
+      dvec: Column, cents: DataFrame, dim: Int): DataFrame =
+    assignToCents(
+      spread(data)
+        .select(did.as("id"), dvec.cast("array<double>").as("v"))
+        .withColumn("n2", norm2(col("v"), dim)),
+      cents)
 
   /** One inverted-list segment under `path/segments/` — cluster by cid
     * before the partitioned write: partitionBy opens one file per
@@ -524,16 +544,8 @@ object Similarity {
     val cents = graft.core.Caches.eager(
       d.select(col("id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
         .orderBy(md5(col("cid").cast("string"))).limit(nlist))
-    val dScored = d.crossJoin(broadcast(cents))
-      .select(col("id"), col("cid"),
-        cosinePrenorm(col("v"), col("cv"), col("n2"), col("cn2"), dim).as("cc"))
-    val assigned = dScored.groupBy("id")
-      .agg(max(struct(col("cc"), (-col("cid")).as("nc"))).as("m"))
-      .select(col("id"), (-col("m").getField("nc")).as("cid"))
-      .join(d, "id")
-      .select(col("id").as("neighbor_id"), col("cid"), col("ds"), col("dc"),
-        col("v").as("dv"), col("n2").as("dn2"))
-    (cents, assigned)
+    // same one-pass assignment as ivfBuild, int8 codes riding along
+    (cents, assignToCents(d, cents, keep = Seq("ds", "dc")))
   }
 
   /** IVF-SQ retrieval: probe `nprobe` lists by float-centroid cosine,
@@ -750,12 +762,8 @@ object Similarity {
     val cents = graft.core.Caches.eager(
       d.select(col("id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
         .orderBy(md5(col("cid").cast("string"))).limit(nlist))
-    val coarse = d.crossJoin(broadcast(cents))
-      .select(col("id"), col("cid"),
-        cosinePrenorm(col("v"), col("cv"), col("n2"), col("cn2"), dim).as("cc"))
-      .groupBy("id")
-      .agg(max(struct(col("cc"), (-col("cid")).as("nc"))).as("m"))
-      .select(col("id"), (-col("m").getField("nc")).as("cid"))
+    val coarse = assignToCents(d, cents)
+      .select(col("neighbor_id").as("id"), col("cid"))
     // PQ codes + decode, carrying the coarse list id and the float
     // vector (refine side reads it for shortlist rows only)
     val dsub = dim / m

@@ -54,6 +54,98 @@ object VecExprs {
     * pass — see [[HashEmbedExpr]]. */
   def hashEmbed(text: Column, dim: Int): Column =
     ColumnBridge.column(HashEmbedExpr(ColumnBridge.expression(text), dim))
+
+  /** `nearest_centroid(v)` against a plan-time constant centroid set —
+    * see [[NearestCentroidExpr]]. `cids` must be ascending. */
+  def nearestCentroid(v: Column, cids: Array[Long], flat: Array[Double],
+      cn2: Array[Double], dim: Int): Column =
+    ColumnBridge.column(NearestCentroidExpr(
+      ColumnBridge.expression(v), cids, flat, cn2, dim))
+}
+
+/** One-pass argmax-cosine centroid assignment — the IVF/coarse-quantizer
+  * build step as a single plan node.
+  *
+  * The relational formulation (`d crossJoin broadcast(cents)` scored by
+  * [[DotProductExpr]], then `max(struct(cc, -cid))` per id) materializes
+  * |corpus|·nlist pair rows, and `Max` over a STRUCT buffer is not
+  * hash-aggregable, so Spark plans SortAggregate — a full sort of the
+  * pair set. nlist grows as √corpus ([[graft.operators.Similarity.nlistFor]]),
+  * so index-build cost grew as corpus^1.5 with a sort on top: measured
+  * 114 s in ONE stage of q_doc_store_persisted at sf1 (531k chunks ×
+  * 1024 centroids = 544M sorted rows) vs ~4 s through this expression.
+  * Here each row scans the centroid matrix once in a tight loop —
+  * O(nlist·dim) flops per row, zero intermediate rows, zero shuffles,
+  * and the downstream `(neighbor_id, cid, dv, dn2)` projection needs no
+  * join-back because d's columns never left the row.
+  *
+  * Bit-parity with the recipe it replaces (and with the DuckDB oracle
+  * replays): cc = dot(v,c)/sqrt(n2·cn2) with the same ascending-index
+  * dot folds ([[DotProductExpr]]; n2 recomputed here IS the same fold),
+  * ties broken to the smallest cid by iterating cids ASCENDING and
+  * replacing only on strictly-greater, and double comparison mirroring
+  * Spark's SQLOrderingUtil (−0.0 == 0.0, NaN greatest) — the order
+  * `max(struct(cc, -cid))` induced.
+  *
+  * The centroid matrix rides in the expression (task binary → one copy
+  * per executor, like a broadcast build side): nlist·dim doubles, e.g.
+  * 2^15 lists × 768 dims = 200 MB — the same ceiling the broadcast
+  * formulation had. Scale past that by sharding the centroid set, not
+  * by reverting to the sort-agg.
+  *
+  * Null/shape semantics: NULL vector → NULL cid (standard propagation);
+  * a vector whose length ≠ `dim` → NULL cid (soft error, the
+  * [[DotProductExpr]] mismatched-length convention; the old path's
+  * all-null-cc degenerate assigned such rows to the smallest cid —
+  * silently junk — and no caller feeds mixed dims: one embedder
+  * produces both sides). CodegenFallback: one virtual dispatch per row
+  * amortized over O(nlist·dim) arithmetic, the [[MatMulExpr]] contract. */
+case class NearestCentroidExpr(child: Expression, cids: Array[Long],
+    flat: Array[Double], cn2: Array[Double], dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(cids.nonEmpty, "nearest_centroid: empty centroid set")
+  require(dim > 0 && flat.length == cids.length * dim && cn2.length == cids.length,
+    "nearest_centroid: centroid arrays disagree with dim")
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "nearest_centroid"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != dim) return null
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { v(i) = x.getDouble(i); i += 1 }
+    var n2 = 0.0
+    i = 0
+    while (i < dim) { n2 += v(i) * v(i); i += 1 }
+    var best = 0.0
+    var bestCid = 0L
+    var first = true
+    var c = 0
+    while (c < cids.length) {
+      var dot = 0.0
+      val off = c * dim
+      i = 0
+      while (i < dim) { dot += v(i) * flat(off + i); i += 1 }
+      val cc = dot / math.sqrt(n2 * cn2(c))
+      // SQLOrderingUtil.compareDoubles: a == b short-circuit makes
+      // -0.0 == 0.0; Double.compare puts NaN above +Inf — the same
+      // total order Spark's struct-max used
+      val cmp = if (cc == best) 0 else java.lang.Double.compare(cc, best)
+      if (first || cmp > 0) { best = cc; bestCid = cids(c); first = false }
+      c += 1
+    }
+    bestCid
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidExpr =
+    copy(child = newChild)
 }
 
 /** One-pass md5 hashing-trick text embedding (the [[graft.operators.DocStore]]

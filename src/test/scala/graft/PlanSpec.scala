@@ -80,6 +80,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), s"centroids must broadcast:\n$p")
     assert(p.contains("WindowGroupLimit"),
       s"top-k row_number filter must push down as WindowGroupLimit:\n$p")
+    // corpus-side list assignment is ONE NearestCentroidExpr pass per
+    // row — the crossJoin + max(struct) formulation planned a
+    // SortAggregate over |corpus|·nlist pair rows (corpus^1.5 growth
+    // with nlist ~ √corpus; measured 114 s of one sf1 stage)
+    assert(p.contains("nearest_centroid"),
+      s"assignment must be the native one-pass expression:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"no sort-based aggregation anywhere in the IVF path:\n$p")
   }
 
   test("q_argmax_rows: one shuffle via struct-min aggregate, no window sort") {

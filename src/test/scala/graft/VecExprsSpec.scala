@@ -79,4 +79,38 @@ class VecExprsSpec extends SparkSpec {
       .select(graft.plans.VecExprs.hashEmbed(col("t"), dim)).collect()
     assert(n(0).isNullAt(0))
   }
+
+  test("nearestCentroid: matches the crossJoin + max(struct) recipe it replaced") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus, incl. exact-duplicate vectors
+    // (tie must go to the smallest cid)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.tabulate(6)(j => ((i * 31 + j * 17) % 13 - 6).toDouble))
+    } :+ (200L, Seq.tabulate(6)(j => ((5 * 31 + j * 17) % 13 - 6).toDouble))
+    val d = rows.toDF("id", "v")
+      .withColumn("n2", VecExprs.dotProduct(col("v"), col("v")))
+    val cents = d.select(col("id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+      .orderBy(md5(col("cid").cast("string"))).limit(16).cache()
+    // legacy formulation, verbatim
+    val legacy = d.crossJoin(broadcast(cents))
+      .select(col("id"), col("cid"),
+        (VecExprs.dotProduct(col("v"), col("cv")) /
+          sqrt(col("n2") * col("cn2"))).as("cc"))
+      .groupBy("id")
+      .agg(max(struct(col("cc"), (-col("cid")).as("nc"))).as("m"))
+      .select(col("id"), (-col("m").getField("nc")).as("cid"))
+    val cr = cents.collect().sortBy(_.getLong(0))
+    val cids = cr.map(_.getLong(0))
+    val flat = cr.flatMap(_.getSeq[Double](1))
+    val cn2 = cr.map(_.getDouble(2))
+    val native = d.select(col("id"),
+      VecExprs.nearestCentroid(col("v"), cids, flat, cn2, 6).as("cid"))
+    assert(rowsOf(native) == rowsOf(legacy))
+    // null vector → null cid; mismatched length → null cid (soft error)
+    val bad = Seq((1L, Some(Seq(1.0, 2.0))), (2L, None))
+      .toDF("id", "v")
+      .select(VecExprs.nearestCentroid(col("v"), cids, flat, cn2, 6))
+      .collect()
+    assert(bad.forall(_.isNullAt(0)))
+  }
 }
