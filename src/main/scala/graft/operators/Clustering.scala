@@ -29,10 +29,11 @@ import org.apache.spark.sql.functions._
   *    longer the exact mean. Clusters that lose all members drop out
   *    (standard Lloyd behavior), deterministically.
   *
-  * Scale shape: each round is one broadcast of k centroids + a map-side
-  * argmin (no shuffle grows with k) + one (k·dim)-group aggregate —
-  * the classic distributed Lloyd round. `rounds` is a fixed constant,
-  * as in every production k-means at corpus scale.
+  * Scale shape: each round ships the k-row centroid model inside one
+  * native argmin expression (a pure scan — no pair rows, no shuffle
+  * grows with k) + one (k·dim)-group aggregate — the classic
+  * distributed Lloyd round. `rounds` is a fixed constant, as in every
+  * production k-means at corpus scale.
   */
 object Clustering {
 
@@ -51,16 +52,22 @@ object Clustering {
       .drop("_n")
 
   /** Argmin-distance assignment of every row of `d` (id, v) against the
-    * broadcast centroid table (cid, cv, cvn2): returns (id, v, cluster). */
+    * centroid table (cid, cv, cvn2): returns (id, v, cluster). One
+    * native [[graft.plans.NearestCentroidExpr]] pass per row (byL2:
+    * argmin of cvn2 − 2·x·c, tie → smallest cid) against the collected
+    * k-row model — the crossJoin + max(struct(-dist, -cid)) formulation
+    * planned a SortAggregate over |corpus|·k pair rows and a join-back;
+    * collecting k rows per round is the k-means playbook (one winner row
+    * per round is already the BPE/louvain discipline). */
   private def assign(d: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = d.crossJoin(broadcast(cents))
-      .select(col("id"), col("cid"),
-        (col("cvn2") - lit(2.0) * Similarity.dot(col("v"), col("cv"))).as("dist"))
-    scored.groupBy("id")
-      .agg(max(struct((-col("dist")).as("nd"), (-col("cid")).as("nc"))).as("m"))
-      .select(col("id"), (-col("m").getField("nc")).cast("int").as("cluster"))
-      .join(d, "id")
-      .select(col("id"), col("v"), col("cluster"))
+    val rows = cents.select(col("cid").cast("long"), col("cv"), col("cvn2"))
+      .collect()
+    if (rows.isEmpty)
+      return d.select(col("id"), col("v"),
+        lit(null).cast("int").as("cluster")).filter(lit(false))
+    d.select(col("id"), col("v"),
+      graft.plans.VecExprs.nearestCentroidOf(col("v"), rows.toSeq, byL2 = true)
+        .cast("int").as("cluster"))
   }
 
   /** Recompute centroids as exact-integer means of their members. */
@@ -97,11 +104,11 @@ object Clustering {
     cents
   }
 
-  /** Assign rows to a trained centroid table — one k-row broadcast + an
-    * argmin aggregate whose map-side partial collapses the k candidate
-    * scores per row before the exchange, so shuffled volume is one row
-    * per input row, independent of k: the 100 TB-corpus half of the
-    * fit/assign split. Returns (node, cluster). */
+  /** Assign rows to a trained centroid table — the k-row model rides in
+    * one native argmin expression (no pair rows, no aggregate, no
+    * shuffle at all), so assignment is a pure scan whatever k is: the
+    * 100 TB-corpus half of the fit/assign split. Returns
+    * (node, cluster). */
   def kmeansAssign(df: DataFrame, id: Column, vec: Column,
       cents: DataFrame): DataFrame =
     assign(normed(df, id, vec), cents)

@@ -228,23 +228,8 @@ object Similarity {
         keep.map(col) ++ Seq(col("v").as("dv"), col("n2").as("dn2")): _*)
     if (rows.isEmpty)
       return out(d.withColumn("_cid", lit(null).cast("long")).filter(lit(false)))
-    val dim = rows.head.getSeq[Double](1).length
-    val cids = new Array[Long](rows.length)
-    val flat = new Array[Double](rows.length * dim)
-    val cn2s = new Array[Double](rows.length)
-    var i = 0
-    rows.foreach { r =>
-      cids(i) = r.getLong(0)
-      val cv = r.getSeq[Double](1)
-      require(cv.length == dim,
-        s"ivf: centroid dim ${cv.length} != $dim — one embedder must produce all vectors")
-      var j = 0
-      while (j < dim) { flat(i * dim + j) = cv(j); j += 1 }
-      cn2s(i) = r.getDouble(2)
-      i += 1
-    }
     out(d.withColumn("_cid",
-      graft.plans.VecExprs.nearestCentroid(col("v"), cids, flat, cn2s, dim)))
+      graft.plans.VecExprs.nearestCentroidOf(col("v"), rows.toSeq)))
   }
 
   /** Query-side half of IVF retrieval over pre-built structures. */

@@ -58,13 +58,43 @@ object VecExprs {
   /** `nearest_centroid(v)` against a plan-time constant centroid set —
     * see [[NearestCentroidExpr]]. `cids` must be ascending. */
   def nearestCentroid(v: Column, cids: Array[Long], flat: Array[Double],
-      cn2: Array[Double], dim: Int): Column =
+      cn2: Array[Double], dim: Int, byL2: Boolean = false): Column =
     ColumnBridge.column(NearestCentroidExpr(
-      ColumnBridge.expression(v), cids, flat, cn2, dim))
+      ColumnBridge.expression(v), cids, flat, cn2, dim, byL2))
+
+  /** [[nearestCentroid]] from a collected `(cid: long, cv, cn2)` row
+    * set (any order — sorted ascending here, which is what pins the
+    * tie-to-smallest-cid rule). All centroids must share one
+    * dimensionality: one embedder produces every vector by contract. */
+  def nearestCentroidOf(v: Column, rows: Seq[org.apache.spark.sql.Row],
+      byL2: Boolean = false): Column = {
+    val sorted = rows.sortBy(_.getLong(0))
+    require(sorted.nonEmpty, "nearest_centroid: empty centroid set")
+    val dim = sorted.head.getSeq[Double](1).length
+    val cids = new Array[Long](sorted.length)
+    val flat = new Array[Double](sorted.length * dim)
+    val cn2 = new Array[Double](sorted.length)
+    var i = 0
+    sorted.foreach { r =>
+      cids(i) = r.getLong(0)
+      val cv = r.getSeq[Double](1)
+      require(cv.length == dim,
+        s"nearest_centroid: centroid dim ${cv.length} != $dim — " +
+          "one embedder must produce all vectors")
+      var j = 0
+      while (j < dim) { flat(i * dim + j) = cv(j); j += 1 }
+      cn2(i) = r.getDouble(2)
+      i += 1
+    }
+    nearestCentroid(v, cids, flat, cn2, dim, byL2)
+  }
 }
 
-/** One-pass argmax-cosine centroid assignment — the IVF/coarse-quantizer
-  * build step as a single plan node.
+/** One-pass nearest-centroid assignment — the IVF/coarse-quantizer and
+  * k-means assignment steps as a single plan node. Two metrics: argmax
+  * cosine (`byL2 = false`, the IVF recipe) and argmin L2 via
+  * cn2 − 2·dot with |v|² constant per row (`byL2 = true`, the k-means /
+  * SemDeDup recipe).
   *
   * The relational formulation (`d crossJoin broadcast(cents)` scored by
   * [[DotProductExpr]], then `max(struct(cc, -cid))` per id) materializes
@@ -101,7 +131,8 @@ object VecExprs {
   * produces both sides). CodegenFallback: one virtual dispatch per row
   * amortized over O(nlist·dim) arithmetic, the [[MatMulExpr]] contract. */
 case class NearestCentroidExpr(child: Expression, cids: Array[Long],
-    flat: Array[Double], cn2: Array[Double], dim: Int)
+    flat: Array[Double], cn2: Array[Double], dim: Int,
+    byL2: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with ImplicitCastInputTypes
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
@@ -122,8 +153,10 @@ case class NearestCentroidExpr(child: Expression, cids: Array[Long],
     var i = 0
     while (i < dim) { v(i) = x.getDouble(i); i += 1 }
     var n2 = 0.0
-    i = 0
-    while (i < dim) { n2 += v(i) * v(i); i += 1 }
+    if (!byL2) {
+      i = 0
+      while (i < dim) { n2 += v(i) * v(i); i += 1 }
+    }
     var best = 0.0
     var bestCid = 0L
     var first = true
@@ -133,7 +166,11 @@ case class NearestCentroidExpr(child: Expression, cids: Array[Long],
       val off = c * dim
       i = 0
       while (i < dim) { dot += v(i) * flat(off + i); i += 1 }
-      val cc = dot / math.sqrt(n2 * cn2(c))
+      // byL2: argmin of dist = cn2 − 2·dot as the argmax of its exact
+      // IEEE negation — mirrors max(struct(-dist, -cid)); cosine:
+      // argmax of dot/sqrt(n2·cn2) — mirrors max(struct(cc, -cid))
+      val cc = if (byL2) -(cn2(c) - 2.0 * dot)
+        else dot / math.sqrt(n2 * cn2(c))
       // SQLOrderingUtil.compareDoubles: a == b short-circuit makes
       // -0.0 == 0.0; Double.compare puts NaN above +Inf — the same
       // total order Spark's struct-max used

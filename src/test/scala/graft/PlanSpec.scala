@@ -233,17 +233,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window function expected:\n$p")
   }
 
-  test("q_kmeans_model: centroid model broadcasts; assignment argmin is " +
-      "map-side partial-aggregated") {
+  test("q_kmeans_model: assignment is one native argmin scan — no pair " +
+      "rows, no join, no aggregate") {
     val p = plan("q_kmeans_model")
-    // the k-row model is the broadcast side of the scoring join; the
-    // corpus is never broadcast, and the per-row argmin collapses the k
-    // candidate scores in the partial aggregate before the exchange
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"expected corpus x broadcast(centroids):\n$p")
-    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
-      s"expected partial+final argmin aggregate:\n$p")
+    // the k-row model rides inside NearestCentroidExpr: assignment must
+    // be a pure projection over the corpus scan — the old
+    // crossJoin(broadcast) + max(struct) shape planned a SortAggregate
+    // over |corpus|·k pair rows
+    assert(p.contains("nearest_centroid"),
+      s"expected the native argmin expression:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian fallback:\n$p")
+    assert(!p.contains("SortAggregate"), s"no sort-based aggregation:\n$p")
   }
 
   test("q_dedup_spans: candidates come from a shingle equi-join, islands " +

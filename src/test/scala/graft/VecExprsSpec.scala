@@ -112,5 +112,19 @@ class VecExprsSpec extends SparkSpec {
       .select(VecExprs.nearestCentroid(col("v"), cids, flat, cn2, 6))
       .collect()
     assert(bad.forall(_.isNullAt(0)))
+
+    // byL2: matches the k-means argmin recipe (max(struct(-dist, -cid)),
+    // dist = cn2 − 2·dot) verbatim
+    val legacyL2 = d.crossJoin(broadcast(cents))
+      .select(col("id"), col("cid"),
+        (col("cn2") - lit(2.0) * VecExprs.dotProduct(col("v"), col("cv")))
+          .as("dist"))
+      .groupBy("id")
+      .agg(max(struct((-col("dist")).as("nd"), (-col("cid")).as("nc"))).as("m"))
+      .select(col("id"), (-col("m").getField("nc")).as("cid"))
+    val nativeL2 = d.select(col("id"),
+      VecExprs.nearestCentroid(col("v"), cids, flat, cn2, 6, byL2 = true)
+        .as("cid"))
+    assert(rowsOf(nativeL2) == rowsOf(legacyL2))
   }
 }
