@@ -1060,6 +1060,27 @@ object PipelineQueries extends QueryModule {
       .select(col("id").as("doc_id"), col("chunk_id"), col("chunk"))
   }
 
+  // Corpus-frequency boilerplate removal (MassiveText/C4 repeated-line
+  // rule): segments appearing in >= 3 distinct documents are excised
+  // everywhere, survivors re-join in original order — distinct doc-freq
+  // count, broadcast boilerplate set, one reassembly aggregate.
+  q("q_text_boilerplate",
+    """WITH ps AS (SELECT doc_id, string_split(text, ' the ') AS ps FROM documents),
+      |px AS (SELECT doc_id, ps[pos] AS seg, pos
+      |  FROM ps, unnest(range(1, len(ps) + 1)) AS t(pos)),
+      |f AS (SELECT seg, count(DISTINCT doc_id) AS df FROM px GROUP BY 1),
+      |m AS (SELECT px.doc_id, px.pos, px.seg, f.df >= 3 AS b
+      |  FROM px JOIN f USING (seg))
+      |SELECT doc_id,
+      |  coalesce(string_agg(CASE WHEN NOT b THEN seg END, ' the '
+      |    ORDER BY pos), '') AS text,
+      |  CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+      |FROM m GROUP BY doc_id""") { (s, dir) =>
+    TextOps.dropBoilerplate(load(s, dir, "documents"), col("doc_id"),
+        col("text"), " the ", minDocs = 3)
+      .select(col("id").as("doc_id"), col("text"), col("n_dropped"))
+  }
+
   // Separator-aware chunking (the reference xpack's RecursiveSplitter
   // family): split on a structural boundary, pack whole pieces under a
   // 40-token budget by the deterministic prefix-sum bucket rule — one

@@ -204,6 +204,44 @@ object TextOps {
         log((col("c2") + lit(k)) / (col("c1") + lit(k) * col("v"))).as("lp"))
   }
 
+  /** Corpus-frequency boilerplate removal (the MassiveText/C4 repeated-
+    * line rule: a line occurring across many documents is template
+    * boilerplate — nav bars, cookie banners, license headers — and is
+    * excised from EVERY document, complementing [[graft.operators.Dedup]]'s
+    * span excision which only cuts within candidate pairs). A segment
+    * (split by the literal `separator`) whose exact text appears in
+    * `minDocs` or more DISTINCT documents is dropped; survivors re-join
+    * in original order. Returns (id, text, n_dropped).
+    *
+    * Scale shape: one explode → one distinct + count per segment text
+    * (both map-side combinable, linear in corpus tokens) → the
+    * boilerplate set is broadcast by construction (segments above a
+    * many-documents threshold are FEW — that's what makes them
+    * boilerplate) into a left anti-ish mark join → one groupBy(id)
+    * reassembly. Nothing pairwise, nothing corpus-quadratic; hot
+    * segments concentrate only into the count aggregate, where the
+    * partial combine absorbs them. */
+  def dropBoilerplate(df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, separator: String,
+      minDocs: Long): org.apache.spark.sql.DataFrame = {
+    require(minDocs >= 2, s"dropBoilerplate: minDocs must be >= 2, got $minDocs")
+    val quoted = java.util.regex.Pattern.quote(separator)
+    val segs = df.select(id.as("id"), posexplode(split(text, quoted))
+      .as(Seq("pos", "seg")))
+    val boiler = broadcast(
+      segs.select(col("id"), col("seg")).distinct()
+        .groupBy("seg").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") >= minDocs).select(col("seg")))
+    segs.join(boiler.withColumn("_b", lit(true)), Seq("seg"), "left")
+      .groupBy("id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("_b").isNull,
+            struct(col("pos"), col("seg"))))),
+          e => e.getField("seg")), separator).as("text"),
+        sum(when(col("_b").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   // -- cleaning / PII masking ---------------------------------------------
   // Patterns are restricted to syntax RE2 and java.util.regex agree on
   // (character classes, \s/\S, bounded quantifiers — no lookaround, no

@@ -268,4 +268,32 @@ class PipelineSpec extends SparkSpec {
       assert(s > 0 && s <= 1.0 + 1e-12, s"cosine score out of range: $s")
     }
   }
+
+  test("dropBoilerplate excises corpus-frequent segments, keeps order, " +
+      "empties fully-boilerplate docs") {
+    val corpus = Seq(
+      (1L, "intro | cookie banner | body one"),
+      (2L, "cookie banner | body two"),
+      (3L, "body three | cookie banner | outro"),
+      (4L, "all original here"),
+      (5L, "cookie banner")) // nothing survives
+      .toDF("doc_id", "text")
+    val out = TextOps.dropBoilerplate(corpus, col("doc_id"), col("text"),
+      " | ", minDocs = 3)
+    val m = out.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // "cookie banner" is in 4 distinct docs -> boilerplate everywhere;
+    // everything else is df=1 and survives in original order
+    assert(m(1L) == (("intro | body one", 1L)))
+    assert(m(2L) == (("body two", 1L)))
+    assert(m(3L) == (("body three | outro", 1L)))
+    assert(m(4L) == (("all original here", 0L)))
+    assert(m(5L) == (("", 1L))) // doc survives as empty, not dropped
+    // a repeat WITHIN one doc is df=1 — within-doc repetition is
+    // repetitionSignals' business, not corpus boilerplate
+    val within = TextOps.dropBoilerplate(
+      Seq((1L, "x | x | x"), (2L, "y")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), " | ", minDocs = 2)
+    assert(within.filter(col("id") === 1L).head.getString(1) == "x | x | x")
+  }
 }
