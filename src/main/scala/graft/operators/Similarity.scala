@@ -638,25 +638,49 @@ object Similarity {
           s => slice(col("v"), s * lit(dsub) + lit(1), lit(dsub))))
         .as(Seq("s", "cw")))
         .withColumn("cwn2", norm2(col("cw"))))
-    // encode: subspace-explode the corpus, score against the broadcast
-    // codebook, keep the argmin codeword per (row, subspace); the
-    // |corpus|·m·ksub expansion is the one-time build cost (FAISS pays
-    // the same), map-side only — no shuffle grows with ksub
-    val dExp = d.select(col("id"), posexplode(transform(
-        sequence(lit(0), lit(m - 1)),
-        s => slice(col("v"), s * lit(dsub) + lit(1), lit(dsub))))
-      .as(Seq("s", "xv")))
-    val scored = dExp.join(broadcast(cb), "s")
-      .select(col("id"), col("s"), col("j"),
-        (col("cwn2") - lit(2.0) * dot(col("xv"), col("cw"))).as("dist"))
-    val codes = scored.groupBy("id", "s")
-      .agg(max(struct((-col("dist")).as("nd"), (-col("j")).as("nj"))).as("mx"))
-      .groupBy("id")
-      .agg(transform(array_sort(collect_list(struct(col("s"),
-          (-col("mx").getField("nj")).as("j")))),
-        e => e.getField("j").cast("int")).as("codes"))
-      .select(col("id").as("neighbor_id"), col("codes"))
+    // encode: one native argmin pass per row against the collected
+    // codebook (PqEncodeExpr — the m·ksub·dsub flops per row are the
+    // one-time build cost FAISS pays too, but as a pure scan: the
+    // subspace-explode + broadcast-join formulation materialized
+    // |corpus|·m·ksub pair rows through a sort-based argmin)
+    val (flatCb, cwn2s, _, ksubA, _) = cbArrays(cb)
+    val codes = d.select(col("id").as("neighbor_id"),
+      graft.plans.VecExprs.pqEncode(col("v"), flatCb, cwn2s, m, ksubA, dsub)
+        .as("codes"))
     (cb, codes)
+  }
+
+  /** Collect a (s, j, cw, cwn2) codebook table driver-side into the flat
+    * row-major arrays the PQ expressions ride ([[graft.plans.PqEncodeExpr]]
+    * layout: `cb[((s·ksub)+(j−1))·dsub + i]`). Derives (m, ksub, dsub)
+    * from the grid and validates it is exactly [0, m) × [1, ksub] —
+    * row_number guarantees contiguous j, and a gap would silently
+    * mis-index the flat layout. Codebooks are dim·ksub doubles (~1.5 MB
+    * at dim 768 / ksub 256), always driver-sized. */
+  private def cbArrays(cb: DataFrame)
+      : (Array[Double], Array[Double], Int, Int, Int) = {
+    val rows = cb.select(col("s").cast("int"), col("j").cast("int"),
+        col("cw"), col("cwn2"))
+      .collect().sortBy(r => (r.getInt(0), r.getInt(1)))
+    require(rows.nonEmpty, "pq: empty codebook")
+    val m = rows.last.getInt(0) + 1
+    require(rows.length % m == 0, s"pq: ragged codebook (${rows.length} rows, m=$m)")
+    val ksub = rows.length / m
+    val dsub = rows.head.getSeq[Double](2).length
+    val flat = new Array[Double](m * ksub * dsub)
+    val n2 = new Array[Double](m * ksub)
+    var i = 0
+    rows.foreach { r =>
+      require(r.getInt(0) == i / ksub && r.getInt(1) == i % ksub + 1,
+        s"pq: codebook grid has gaps at row $i")
+      val cw = r.getSeq[Double](2)
+      require(cw.length == dsub, "pq: codeword dims disagree")
+      var t = 0
+      while (t < dsub) { flat(i * dsub + t) = cw(t); t += 1 }
+      n2(i) = r.getDouble(3)
+      i += 1
+    }
+    (flat, n2, m, ksub, dsub)
   }
 
   /** PQ top-k by asymmetric distance: rank every corpus row against each
@@ -683,12 +707,11 @@ object Similarity {
       excludeSelf: Boolean = true): DataFrame = {
     val (cb, codes) = pqBuild(data, did, dvec, m, ksub, dim)
     // decode once per CORPUS row (not per pair): codes explode to
-    // (id, s, j), join the broadcast codebook, concatenate in s order
-    val rv = codes.select(col("neighbor_id"), posexplode(col("codes")).as(Seq("s", "j")))
-      .join(broadcast(cb.select(col("s"), col("j"), col("cw"))), Seq("s", "j"))
-      .groupBy("neighbor_id")
-      .agg(flatten(transform(array_sort(collect_list(struct(col("s"), col("cw")))),
-        e => e.getField("cw"))).as("rv"))
+    // decode: one native memcpy-per-subspace pass (PqDecodeExpr)
+    val (flatCb, _, mA, ksubA, dsubA) = cbArrays(cb)
+    val rv = codes.select(col("neighbor_id"),
+      graft.plans.VecExprs.pqDecode(col("codes"), flatCb, mA, ksubA, dsubA)
+        .as("rv"))
     val q = fanoutRepartition(
       l2normalize(queries.select(qid.as("query_id"),
         qvec.cast("array<double>").as("qv")), "qv"), col("query_id"))
@@ -762,20 +785,14 @@ object Similarity {
           s => slice(col("v"), s * lit(dsub) + lit(1), lit(dsub))))
         .as(Seq("s", "cw")))
         .withColumn("cwn2", norm2(col("cw"))))
-    val dExp = d.select(col("id"), posexplode(transform(
-        sequence(lit(0), lit(m - 1)),
-        s => slice(col("v"), s * lit(dsub) + lit(1), lit(dsub))))
-      .as(Seq("s", "xv")))
-    val enc = dExp.join(broadcast(cb), "s")
-      .select(col("id"), col("s"), col("j"),
-        (col("cwn2") - lit(2.0) * dot(col("xv"), col("cw"))).as("dist"))
-      .groupBy("id", "s")
-      .agg(max(struct((-col("dist")).as("nd"), (-col("j")).as("nj"))).as("mx"))
-      .select(col("id"), col("s"), (-col("mx").getField("nj")).cast("int").as("j"))
-    val rv = enc.join(broadcast(cb.select(col("s"), col("j"), col("cw"))), Seq("s", "j"))
-      .groupBy("id")
-      .agg(flatten(transform(array_sort(collect_list(struct(col("s"), col("cw")))),
-        e => e.getField("cw"))).as("rv"))
+    // encode + decode composed in one native pass per row (PqEncodeExpr
+    // → PqDecodeExpr — codes never materialize here; the reconstructed
+    // vector is what the in-list rank dots against)
+    val (flatCb, cwn2s, _, ksubA, _) = cbArrays(cb)
+    val rv = d.select(col("id"),
+      graft.plans.VecExprs.pqDecode(
+        graft.plans.VecExprs.pqEncode(col("v"), flatCb, cwn2s, m, ksubA, dsub),
+        flatCb, m, ksubA, dsub).as("rv"))
     val lists = coarse.join(rv, "id")
       .select(col("id").as("neighbor_id"), col("cid"), col("rv"))
     // query side: probe nprobe lists, rank in-list by decoded dot
@@ -849,12 +866,10 @@ object Similarity {
     val dir = graft.core.IndexGen.readDir(path)
     val cb = spark.read.parquet(s"$dir/codebook")
     val codes = spark.read.parquet(s"$dir/codes")
+    val (flatCb, _, mA, ksubA, dsubA) = cbArrays(cb)
     val rv = codes.select(col("neighbor_id"),
-        posexplode(col("codes")).as(Seq("s", "j")))
-      .join(broadcast(cb.select(col("s"), col("j"), col("cw"))), Seq("s", "j"))
-      .groupBy("neighbor_id")
-      .agg(flatten(transform(array_sort(collect_list(struct(col("s"), col("cw")))),
-        e => e.getField("cw"))).as("rv"))
+      graft.plans.VecExprs.pqDecode(col("codes"), flatCb, mA, ksubA, dsubA)
+        .as("rv"))
     val q = fanoutRepartition(
       l2normalize(queries.select(qid.as("query_id"),
         qvec.cast("array<double>").as("qv")), "qv"), col("query_id"))

@@ -88,6 +88,129 @@ object VecExprs {
     }
     nearestCentroid(v, cids, flat, cn2, dim, byL2)
   }
+
+  /** `pq_encode(v)` against a plan-time constant codebook — see
+    * [[PqEncodeExpr]]. `cb` is row-major `[s][j][i]`, `cwn2` `[s][j]`. */
+  def pqEncode(v: Column, cb: Array[Double], cwn2: Array[Double],
+      m: Int, ksub: Int, dsub: Int): Column =
+    ColumnBridge.column(PqEncodeExpr(
+      ColumnBridge.expression(v), cb, cwn2, m, ksub, dsub))
+
+  /** `pq_decode(codes)` — see [[PqDecodeExpr]]. */
+  def pqDecode(codes: Column, cb: Array[Double],
+      m: Int, ksub: Int, dsub: Int): Column =
+    ColumnBridge.column(PqDecodeExpr(
+      ColumnBridge.expression(codes), cb, m, ksub, dsub))
+}
+
+/** One-pass product-quantization encode: per subspace s, the argmin-L2
+  * codeword index (1-based, the codebook's row_number j) via
+  * cwn2 − 2·x·c with the row's |x|² constant — the [[NearestCentroidExpr]]
+  * byL2 recipe applied m times per row.
+  *
+  * Replaces the relational encode (subspace posexplode → broadcast
+  * codebook join → |corpus|·m·ksub scored rows → struct-max argmin →
+  * collect_list reassembly): two aggregations of which the argmin was
+  * sort-based (struct buffers don't hash-aggregate), all gone — one
+  * scan, no pair rows, no shuffle. Bit-parity: same ascending-index
+  * dots over the slice ranges, same SQLOrderingUtil double order, ties
+  * to the smallest j by ascending iteration.
+  *
+  * NULL vector → NULL; length ≠ m·dsub → NULL (soft error). Codebook
+  * rides in the expression: m·ksub·dsub doubles = dim·ksub — ~1.5 MB
+  * even at dim 768 / ksub 256, always task-binary-sized. */
+case class PqEncodeExpr(child: Expression, cb: Array[Double],
+    cwn2: Array[Double], m: Int, ksub: Int, dsub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(m > 0 && ksub > 0 && dsub > 0 &&
+    cb.length == m * ksub * dsub && cwn2.length == m * ksub,
+    "pq_encode: codebook arrays disagree with (m, ksub, dsub)")
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType)
+  override def prettyName: String = "pq_encode"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != m * dsub) return null
+    val v = new Array[Double](m * dsub)
+    var i = 0
+    while (i < v.length) { v(i) = x.getDouble(i); i += 1 }
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0.0
+      var bestJ = 0
+      var first = true
+      var j = 0
+      while (j < ksub) {
+        var dot = 0.0
+        val off = (s * ksub + j) * dsub
+        val voff = s * dsub
+        i = 0
+        while (i < dsub) { dot += v(voff + i) * cb(off + i); i += 1 }
+        // argmin dist as argmax of its exact negation — mirrors
+        // max(struct(-dist, -j)); see NearestCentroidExpr on the order
+        val key = -(cwn2(s * ksub + j) - 2.0 * dot)
+        val cmp = if (key == best) 0 else java.lang.Double.compare(key, best)
+        if (first || cmp > 0) { best = key; bestJ = j + 1; first = false }
+        j += 1
+      }
+      out(s) = bestJ
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** One-pass PQ decode: concatenate the m selected codewords in subspace
+  * order — the reconstructed vector the asymmetric-distance rank dots
+  * against. Replaces codes-posexplode → broadcast codebook join →
+  * collect_list/array_sort/flatten reassembly with a memcpy per
+  * subspace. NULL codes → NULL; a code outside [1, ksub] or a length ≠
+  * m → NULL (soft error — the old inner join silently dropped the
+  * subspace and produced a short vector, which downstream dots then
+  * nulled anyway). */
+case class PqDecodeExpr(child: Expression, cb: Array[Double],
+    m: Int, ksub: Int, dsub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(m > 0 && ksub > 0 && dsub > 0 && cb.length == m * ksub * dsub,
+    "pq_decode: codebook arrays disagree with (m, ksub, dsub)")
+
+  override def inputTypes =
+    Seq(ArrayType(org.apache.spark.sql.types.IntegerType))
+  override def dataType: DataType = ArrayType(DoubleType)
+  override def prettyName: String = "pq_decode"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != m) return null
+    val out = new Array[Double](m * dsub)
+    var s = 0
+    while (s < m) {
+      if (x.isNullAt(s)) return null
+      val j = x.getInt(s)
+      if (j < 1 || j > ksub) return null
+      System.arraycopy(cb, (s * ksub + j - 1) * dsub, out, s * dsub, dsub)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqDecodeExpr =
+    copy(child = newChild)
 }
 
 /** One-pass nearest-centroid assignment — the IVF/coarse-quantizer and

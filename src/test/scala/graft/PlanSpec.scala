@@ -256,12 +256,15 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size >= 1, s"expected the island window:\n$p")
   }
 
-  test("q_knn_pq: codebook joins broadcast; corpus decode is partial-aggregated") {
+  test("q_knn_pq: encode/decode are native one-pass kernels, no pair rows") {
     val p = plan("q_knn_pq")
-    // encode (corpus-subspace x codebook) and decode (codes x codebook)
-    // must both broadcast the m·ksub codebook, never the corpus
-    assert(p.contains("BroadcastHashJoin"),
-      s"expected broadcast codebook joins:\n$p")
+    // encode (argmin codeword per subspace) and decode (codeword
+    // concatenation) ride the codebook inside single plan nodes — the
+    // subspace-explode + broadcast-join formulation materialized
+    // |corpus|·m·ksub rows through a sort-based argmin
+    assert(p.contains("pq_encode"), s"expected native PQ encode:\n$p")
+    assert(p.contains("pq_decode"), s"expected native PQ decode:\n$p")
+    assert(!p.contains("SortAggregate"), s"no sort-based aggregation:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian fallback:\n$p")
     assert(p.contains("WindowGroupLimit"), s"expected rank pushdown:\n$p")
   }
