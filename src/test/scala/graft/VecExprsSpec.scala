@@ -113,6 +113,16 @@ class VecExprsSpec extends SparkSpec {
       .collect()
     assert(bad.forall(_.isNullAt(0)))
 
+    // zero-norm vector: every cosine is 0/0 = NaN — the native path
+    // assigns deterministically (NaN compares equal everywhere, tie →
+    // smallest cid), where the legacy Column division THREW
+    // DIVIDE_BY_ZERO under ANSI mode (and DuckDB yields NaN) — the
+    // native expression is the graceful, oracle-compatible behavior
+    val z = Seq((9L, Seq.fill(6)(0.0))).toDF("id", "v")
+      .select(VecExprs.nearestCentroid(col("v"), cids, flat, cn2, 6).as("cid"))
+      .head
+    assert(z.getLong(0) == cids.min)
+
     // byL2: matches the k-means argmin recipe (max(struct(-dist, -cid)),
     // dist = cn2 − 2·dot) verbatim
     val legacyL2 = d.crossJoin(broadcast(cents))
