@@ -41,7 +41,7 @@ object Similarity {
   /** cosine(a, b) = dot / sqrt(|a|²·|b|²) — formula shape matters for
     * bit-parity with the oracle; keep one sqrt. */
   def cosine(a: Column, b: Column, dim: Int = 0): Column =
-    dot(a, b, dim) / sqrt(dot(a, a, dim) * dot(b, b, dim))
+    nanDiv(dot(a, b, dim), sqrt(dot(a, a, dim) * dot(b, b, dim)))
 
   /** cosine from a pre-computed squared-norm pair — at scale the |v|²
     * must be computed once per ROW, not once per PAIR (cuts 2/3 of the
@@ -49,7 +49,21 @@ object Similarity {
     * because dot(v,v) is the same fold either way. */
   def cosinePrenorm(a: Column, b: Column, na2: Column, nb2: Column,
       dim: Int = 0): Column =
-    dot(a, b, dim) / sqrt(na2 * nb2)
+    nanDiv(dot(a, b, dim), sqrt(na2 * nb2))
+
+  /** IEEE division for the cosine denominators: Spark 4's ANSI mode
+    * RAISES on x/0 even for doubles, so ONE zero-norm vector anywhere
+    * in a corpus would crash the whole retrieval job (DuckDB and the
+    * native kernels yield NaN instead). The guard changes no value —
+    * when |a|²·|b|² = 0 the dot is necessarily 0 too, and 0.0/0.0 IS
+    * NaN — it only swaps the exception for the honest IEEE result,
+    * which then ranks deterministically (NaN greatest, id tiebreak)
+    * exactly as [[graft.plans.NearestCentroidExpr]] and the DuckDB
+    * oracles already order it. Guard shape matters: `den === 0.0` is
+    * NULL when den is NULL, falling through to num/NULL = NULL — the
+    * mismatched-dim soft error stays a NULL, never a NaN. */
+  private def nanDiv(num: Column, den: Column): Column =
+    when(den === 0.0, lit(Double.NaN)).otherwise(num / den)
 
   /** Squared L2 norm. */
   def norm2(v: Column, dim: Int = 0): Column = dot(v, v, dim)

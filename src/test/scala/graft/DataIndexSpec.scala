@@ -18,6 +18,22 @@ class DataIndexSpec extends SparkSpec {
     assert(got == Seq(2L, 3L))
   }
 
+  test("a zero-norm corpus vector must not crash retrieval (ANSI x/0)") {
+    // Spark 4 ANSI mode raises on double x/0 — one all-zero embedding
+    // in a corpus would abort the whole job without the cosine guard;
+    // the honest IEEE result is NaN, which ranks first (NaN greatest)
+    // with the usual id tiebreak, same as DuckDB orders it
+    val corpus = vecs.unionByName(
+      Seq((4L, Seq(0.0f, 0.0f))).toDF("id", "v"))
+    val r = DataIndex.bruteForce(corpus, col("id"), col("v"))
+    val out = r.retrieve(corpus.filter(col("id") === 1), col("id"), col("v"), 3)
+      .orderBy("rank").collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(2) == 4L) // NaN cosine ranks first
+    assert(out(0).getDouble(3).isNaN)
+    assert(out.map(_.getLong(2)).toSeq == Seq(4L, 2L, 3L))
+  }
+
   test("pq and ivfPq retrievers answer through the façade with refine") {
     // 16-dim fixture (pq needs m | dim); 4 near-axis groups of 3
     val d = (for (g <- 0 until 4; j <- 0 until 3) yield {
