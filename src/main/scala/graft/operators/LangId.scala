@@ -50,13 +50,19 @@ object LangId {
   def fit(df: DataFrame, text: Column, lang: Column, n: Int = 3,
       k: Double = 0.5): Model = {
     require(n > 0 && k > 0, s"langid: need n > 0, k > 0, got $n/$k")
-    val g = df.select(lang.as("lang"), explode(charGrams(text, n)).as("g"))
-    val cnt = g.groupBy("lang", "g").agg(count(lit(1)).as("c"))
+    // spread: a one-split corpus would run every char-gram explode
+    // single-threaded (measured: six 2.5 s one-task stages at sf0.1);
+    // eager cnt: tot/vocab/v/grams all consume it, and un-cached each
+    // one re-paid the corpus-sized explode+aggregate
+    val d = Similarity.spread(df)
+    val g = d.select(lang.as("lang"), explode(charGrams(text, n)).as("g"))
+    val cnt = graft.core.Caches.eager(
+      g.groupBy("lang", "g").agg(count(lit(1)).as("c")))
     val tot = cnt.groupBy("lang").agg(sum(col("c")).as("tl"))
     val vocab = cnt.select("g").distinct()
     val v = vocab.agg(count(lit(1)).as("v"))
-    val priors = df.groupBy(lang.as("lang")).agg(count(lit(1)).as("nd"))
-    val ndall = df.agg(count(lit(1)).as("ndall"))
+    val priors = d.groupBy(lang.as("lang")).agg(count(lit(1)).as("nd"))
+    val ndall = d.agg(count(lit(1)).as("ndall"))
     val langs = priors.crossJoin(broadcast(ndall))
       .join(tot, "lang").crossJoin(broadcast(v))
       .select(col("lang"),
@@ -92,7 +98,8 @@ object LangId {
     val perG = model.grams.groupBy("g").agg(
       transform(array_sort(collect_list(struct(col("lang"), col("lp")))),
         e => e.getField("lp")).as("lps"))
-    val dg = df.select(id.as("id"), explode(charGrams(text, n)).as("g"))
+    val dg = Similarity.spread(df)
+      .select(id.as("id"), explode(charGrams(text, n)).as("g"))
       .groupBy("id", "g").agg(count(lit(1)).as("cnt"))
     val joined = dg.join(broadcast(perG), Seq("g"), "left")
     val sCols = langCodes.indices.map(i =>
