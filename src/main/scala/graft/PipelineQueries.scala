@@ -1370,6 +1370,26 @@ object PipelineQueries extends QueryModule {
     train.join(contaminated, Seq("doc_id"), "left_anti").select(col("doc_id"))
   }
 
+  // SEMANTIC decontamination: the embedding-space twin of the n-gram
+  // rule — train vectors within cosine >= 0.4 of ANY held-out vector
+  // are dropped; held-out side broadcast, one corpus scan (BNLJ anti).
+  q("q_decontaminate_semantic",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |h AS (SELECT v AS hv FROM e WHERE vec_id % 13 = 0),
+      |t AS (SELECT vec_id, v FROM e WHERE vec_id % 13 <> 0)
+      |SELECT t.vec_id FROM t WHERE NOT EXISTS (
+      |  SELECT 1 FROM h WHERE
+      |    list_dot_product(t.v, h.hv)
+      |      / sqrt(list_dot_product(t.v, t.v) * list_dot_product(h.hv, h.hv))
+      |      >= 0.4)""") { (s, dir) =>
+    val e = load(s, dir, "embeddings")
+    Dedup.decontaminateSemantic(
+        e.filter(col("vec_id") % 13 =!= 0),
+        e.filter(col("vec_id") % 13 === 0),
+        col("vec_id"), col("embedding"), tau = 0.4, dim = 64)
+      .select(col("id").as("vec_id"))
+  }
+
   // ~25% hash sample: pure per-row predicate of md5(salt‖id) — same rows
   // on any engine/partitioning. 0.25·2³² = 1073741824.
   q("q_sample_hash",

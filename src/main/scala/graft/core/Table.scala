@@ -325,8 +325,13 @@ final class Table(val df: DataFrame, val key: Seq[String]) {
     val h = conv(substring(md5(org.apache.spark.sql.functions.concat(
       lit("gb") +: key.map(k => df.col(k).cast("string")): _*)),
       1, 8), 16, 10).cast("long")
-    val threshold = floor((col("_gb_va") - col("_gb_lo")) /
-      (col("_gb_up") - col("_gb_lo")) * lit(4294967296.0)).cast("long")
+    // degenerate triplet (upper == lower): the walk has zero width, so
+    // nothing flips — threshold 0 gives every row the lower bound (the
+    // value IS both bounds). Unguarded, ANSI mode would abort the job
+    // on the x/0 (Spark 4 raises even for doubles).
+    val threshold = when(col("_gb_up") === col("_gb_lo"), lit(0L))
+      .otherwise(floor((col("_gb_va") - col("_gb_lo")) /
+        (col("_gb_up") - col("_gb_lo")) * lit(4294967296.0)).cast("long"))
     new Table(
       df.join(t)
         .withColumn(apxName, when(h < threshold, col("_gb_up")).otherwise(col("_gb_lo")))

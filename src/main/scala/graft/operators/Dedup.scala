@@ -393,4 +393,30 @@ object Dedup {
           col("x._n2"), col("y._n2"), dim).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** SEMANTIC benchmark decontamination — the embedding-space twin of
+    * [[decontaminate]]'s exact n-gram rule (the paraphrase leak n-grams
+    * can't see: an eval item reworded into the training set shares no
+    * 5-gram but sits next to it in embedding space). A train row is
+    * dropped when ANY held-out vector has cosine ≥ `tau` with it.
+    *
+    * Scale shape: held-out benchmark sets are SMALL by construction
+    * (thousands of rows against a corpus of billions), so the held-out
+    * side broadcasts and the whole filter is one corpus scan — a
+    * broadcast nested-loop ANTI join whose inner loop is |heldout|
+    * cosines per row, no shuffle, no pairwise corpus expansion. Returns
+    * the surviving train rows (id column only — join back for payload). */
+  def decontaminateSemantic(train: DataFrame, heldout: DataFrame,
+      id: Column, vec: Column, tau: Double, dim: Int = 0): DataFrame = {
+    val t = Similarity.spread(train)
+      .select(id.as("id"), vec.cast("array<double>").as("v"))
+      .withColumn("_n2", Similarity.norm2(col("v"), dim))
+    val h = heldout.select(vec.cast("array<double>").as("_hv"))
+      .withColumn("_hn2", Similarity.norm2(col("_hv"), dim))
+    t.join(broadcast(h),
+        Similarity.cosinePrenorm(col("v"), col("_hv"),
+          col("_n2"), col("_hn2"), dim) >= tau,
+        "left_anti")
+      .select(col("id"))
+  }
 }

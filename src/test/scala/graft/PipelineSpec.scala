@@ -269,6 +269,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("decontaminateSemantic drops train rows near any held-out vector") {
+    val train = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // aligned with heldout -> dropped
+      (2L, Seq(0.95f, 0.05f)), // near heldout -> dropped
+      (3L, Seq(0.0f, 1.0f)),   // orthogonal -> kept
+      (4L, Seq(-1.0f, 0.0f)))  // opposite -> kept
+      .toDF("vec_id", "embedding")
+    val heldout = Seq((100L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val kept = Dedup.decontaminateSemantic(train, heldout,
+      col("vec_id"), col("embedding"), tau = 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L))
+    // empty heldout: everything survives (anti join against nothing)
+    val all = Dedup.decontaminateSemantic(train, heldout.filter(lit(false)),
+      col("vec_id"), col("embedding"), tau = 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L, 3L, 4L))
+  }
+
   test("dropBoilerplate excises corpus-frequent segments, keeps order, " +
       "empties fully-boilerplate docs") {
     val corpus = Seq(
