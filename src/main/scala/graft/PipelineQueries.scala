@@ -550,6 +550,66 @@ object PipelineQueries extends QueryModule {
         round(col("score") + lit(1e-9), 6).as("score"))
   }
 
+  // binary (1-bit sign) quantized top-3 by Hamming distance — the
+  // extreme end of the SQ8→PQ memory ladder: 64 doubles pack into ONE
+  // long (64× in flight), XOR-popcount ranks candidates with exact
+  // integers. The oracle replays the SEMANTICS (count of sign
+  // disagreements) — the packing is representation, pinned by
+  // VecExprsSpec round-trips.
+  q("q_knn_binary",
+    """WITH w AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |sc AS (SELECT q.id AS query_id, d.id AS neighbor_id,
+      |  CAST(list_sum(list_transform(range(len(q.v)), i ->
+      |    CASE WHEN (q.v[i+1] > 0) <> (d.v[i+1] > 0) THEN 1 ELSE 0 END))
+      |    AS INT) AS hamming
+      |  FROM w q JOIN w d ON q.id % 50 = 0 AND q.id != d.id),
+      |r AS (SELECT query_id, neighbor_id, hamming,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id)
+      |    AS rank FROM sc)
+      |SELECT query_id, rank, neighbor_id, hamming
+      |FROM r WHERE rank <= 3""") { (s, dir) =>
+    val e = load(s, dir, "embeddings")
+    Similarity.binaryTopK(
+      e.filter(col("vec_id") % 50 === 0), e,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+      k = 3, dim = 64)
+  }
+
+  // binary ANN with the float refine stage: Hamming prunes to a top-10
+  // shortlist on 16-byte codes, exact cosine re-ranks — floats join
+  // back by id on the shortlist ONLY (the pair expansion never ships a
+  // float), the same refine discipline as PQ.
+  q("q_knn_binary_rescore",
+    """WITH w AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |sc AS (SELECT q.id AS query_id, d.id AS neighbor_id,
+      |  CAST(list_sum(list_transform(range(len(q.v)), i ->
+      |    CASE WHEN (q.v[i+1] > 0) <> (d.v[i+1] > 0) THEN 1 ELSE 0 END))
+      |    AS INT) AS hamming
+      |  FROM w q JOIN w d ON q.id % 50 = 0 AND q.id != d.id),
+      |r AS (SELECT query_id, neighbor_id, hamming,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id)
+      |    AS rank FROM sc),
+      |resc AS (SELECT r.query_id, r.neighbor_id,
+      |  list_dot_product(q.v, d.v)
+      |    / sqrt(list_dot_product(q.v, q.v) * list_dot_product(d.v, d.v)) AS c
+      |  FROM r JOIN w q ON q.id = r.query_id JOIN w d ON d.id = r.neighbor_id
+      |  WHERE r.rank <= 10),
+      |r2 AS (SELECT query_id, neighbor_id, c,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id)
+      |    AS rank FROM resc)
+      |SELECT query_id, rank, neighbor_id, round(c, 4) AS cosine
+      |FROM r2 WHERE rank <= 3""") { (s, dir) =>
+    val e = load(s, dir, "embeddings")
+    Similarity.binaryTopK(
+        e.filter(col("vec_id") % 50 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 3, rescore = 10, dim = 64)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   // LSH-bucketed ANN: top-1 within the random-hyperplane bucket
   q("q_knn_lsh",
     """WITH w AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

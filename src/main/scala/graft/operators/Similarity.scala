@@ -612,6 +612,76 @@ object Similarity {
     }
   }
 
+  /** 1-bit sign quantization of an embedding column (beyond the
+    * reference — the extreme end of the SQ8 → PQ memory ladder: dim
+    * doubles pack into ceil(dim/64) longs via
+    * [[graft.plans.SignPackExpr]], 64× smaller in flight than the
+    * array<double> Spark otherwise ships, 32× vs float32 at rest — the
+    * binary-embedding serving shape). Bit j of word w = (x[64w+j] > 0):
+    * a pure sign test needs no scale, no normalization, and replays
+    * bit-identically on any engine. Hamming distance over the codes
+    * ranks candidates: for L2-normalized real-world embeddings,
+    * sign-agreement correlates with cosine — recall is recovered by an
+    * exact float re-score of the Hamming shortlist ([[binaryTopK]]'s
+    * `rescore`), the same refine discipline as PQ. */
+  def binarySignQuantize(df: DataFrame, vec: Column,
+      codesCol: String = "bcodes"): DataFrame =
+    df.withColumn(codesCol,
+      graft.plans.VecExprs.signPack(vec.cast("array<double>")))
+
+  /** Brute-force top-k by Hamming distance over [[binarySignQuantize]]d
+    * codes. The pair rows carry ONLY the packed codes (8·ceil(dim/64)
+    * bytes — 16 B at dim 64) and the score is one codegen'd XOR-popcount
+    * pass ([[graft.plans.HammingExpr]]) — exact integers, so the ranking
+    * has zero float-summation ambiguity. With `rescore > 0` the top
+    * max(rescore, k) Hamming candidates are re-scored by exact float
+    * cosine, with the floats JOINED BACK by id on the shortlist only —
+    * the full pair expansion never touches a float vector, which is the
+    * entire memory argument for binary codes. Emits
+    * (query_id, rank, neighbor_id, hamming) without rescore,
+    * (query_id, rank, neighbor_id, cosine) with. */
+  def binaryTopK(queries: DataFrame, data: DataFrame,
+      qid: Column, qvec: Column, did: Column, dvec: Column,
+      k: Int, rescore: Int = 0, dim: Int = 0): DataFrame = {
+    val qf = queries.select(qid.as("query_id"),
+      qvec.cast("array<double>").as("qv"))
+    val df0 = data.select(did.as("neighbor_id"),
+      dvec.cast("array<double>").as("dv"))
+    val q = fanoutRepartition(
+      binarySignQuantize(qf, col("qv"), "qb").drop("qv"), col("query_id"))
+    val d = binarySignQuantize(df0, col("dv"), "db").drop("dv")
+    val scored = q.join(d, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.plans.VecExprs.hamming(col("qb"), col("db")).as("hamming"))
+    val wh = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("hamming").asc, col("neighbor_id").asc)
+    if (rescore <= 0)
+      scored.withColumn("rank", row_number().over(wh))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
+    else {
+      val short = scored.withColumn("_qr", row_number().over(wh))
+        .filter(col("_qr") <= math.max(rescore, k))
+        .select(col("query_id"), col("neighbor_id"))
+      // floats only for |q|·max(rescore,k) shortlist rows: the query
+      // side broadcasts (|q| rows), the corpus side is an equi-join
+      // that touches only matched ids
+      val resc = short
+        .join(broadcast(qf.withColumn("qn2", norm2(col("qv"), dim))),
+          Seq("query_id"))
+        .join(df0.withColumn("dn2", norm2(col("dv"), dim)), Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosinePrenorm(col("qv"), col("dv"), col("qn2"), col("dn2"), dim)
+            .as("cosine"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      resc.withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    }
+  }
+
   // -------------------------------------------------------------------
   // PQ: product quantization (the FAISS memory end-game — beyond IVF-SQ's
   // 8× the corpus representation shrinks to m BYTES per vector plus one

@@ -101,6 +101,119 @@ object VecExprs {
       m: Int, ksub: Int, dsub: Int): Column =
     ColumnBridge.column(PqDecodeExpr(
       ColumnBridge.expression(codes), cb, m, ksub, dsub))
+
+  /** `sign_pack(v)`: 1-bit sign quantization — see [[SignPackExpr]]. */
+  def signPack(v: Column): Column =
+    ColumnBridge.column(SignPackExpr(ColumnBridge.expression(v)))
+
+  /** `hamming(a, b)` over packed sign codes — see [[HammingExpr]]. */
+  def hamming(a: Column, b: Column): Column =
+    ColumnBridge.column(HammingExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** 1-bit sign quantization: bit j of output word w is set iff
+  * v[64w + j] > 0 — dim doubles pack into ceil(dim/64) longs, 64×
+  * smaller than the array<double> Spark otherwise ships (32× vs float32
+  * at rest). Strictly-positive test, so a zero vector packs to zero
+  * words, and tail bits of the last word (dim not a multiple of 64)
+  * stay 0 on both sides of any comparison — they cancel in XOR.
+  *
+  * One codegen'd pass; the fold/transform formulation would be
+  * CodegenFallback per element (the [[DotProductExpr]] story). NULL
+  * vector → NULL. Null elements read as 0.0 (primitive accessor — the
+  * file-wide convention). */
+case class SignPackExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType)
+  override def prettyName: String = "sign_pack"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val words = new Array[Long]((n + 63) >>> 6)
+    var i = 0
+    while (i < n) {
+      if (x.getDouble(i) > 0) words(i >>> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(words)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val words = ctx.freshName("words")
+      s"""
+         |final int $n = $a.numElements();
+         |final long[] $words = new long[($n + 63) >>> 6];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getDouble($i) > 0) $words[$i >>> 6] |= (1L << ($i & 63));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($words);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignPackExpr =
+    copy(child = newChild)
+}
+
+/** Hamming distance between two [[SignPackExpr]] code arrays:
+  * Σ_w bitCount(a_w XOR b_w) — the pairwise ANN hot loop over binary
+  * codes, one codegen'd popcount pass per pair (exact integer, so the
+  * ranking has zero float ambiguity). Mismatched word counts → NULL
+  * (the malformed-input soft-error convention). */
+case class HammingExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  private val codesType = ArrayType(org.apache.spark.sql.types.LongType)
+  override def inputTypes = Seq(codesType, codesType)
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "hamming"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $acc = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** One-pass product-quantization encode: per subspace s, the argmin-L2

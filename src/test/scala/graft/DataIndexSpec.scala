@@ -155,6 +155,39 @@ class DataIndexSpec extends SparkSpec {
     assert(z.select("qcodes").collect()(0).getSeq[Byte](0).forall(_ == 0))
   }
 
+  test("binaryTopK: hamming self-distance 0; rescore ≥ corpus ≡ brute force") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(13)
+    val corpus = (0 until 120).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat))).toDF("id", "v")
+    val queries = corpus.filter(col("id") % 20 === 0)
+    // a duplicated vector is hamming-0 from its copy and ranks first
+    // (smallest id at the tie)
+    val q0v = corpus.filter(col("id") === 0).collect()(0).getSeq[Float](1)
+    val withDup = corpus.union(Seq((999L, q0v)).toDF("id", "v"))
+    val ham = Similarity.binaryTopK(withDup.filter(col("id") === 999),
+      withDup, col("id"), col("v"), col("id"), col("v"), k = 1)
+    val top = ham.collect()(0)
+    assert(top.getLong(2) == 0L && top.getInt(3) == 0)
+    // rescore covering the whole corpus: hamming prune keeps everything,
+    // the float refine IS brute force — outputs must be identical
+    val exact = Similarity.bruteForceTopK(queries, corpus,
+        col("id"), col("v"), col("id"), col("v"), k = 3)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaBinary = Similarity.binaryTopK(queries, corpus,
+        col("id"), col("v"), col("id"), col("v"), k = 3, rescore = 200)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaBinary == exact)
+    // codes are genuinely packed: 16 dims → one long word
+    val codes = Similarity.binarySignQuantize(corpus, col("v"))
+    assert(codes.schema("bcodes").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false) ||
+      codes.select("bcodes").collect()(0).getSeq[Long](0).length == 1)
+  }
+
   test("ivfQuantized: integer-dot rank inside lists, exact re-score " +
       "recovers brute-force top-k at nprobe = nlist") {
     import graft.operators.Similarity

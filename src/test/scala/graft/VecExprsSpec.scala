@@ -35,6 +35,41 @@ class VecExprsSpec extends SparkSpec {
       .eval(null) == 11.0)
   }
 
+  test("signPack: bit layout, tail word, zero/negative → 0-bit, null") {
+    // 3 dims in word 0: bits 0 (1.5 > 0), not 1 (-2), not 2 (0) → 1L
+    val df = Seq(
+      (1L, Seq(1.5, -2.0, 0.0)),
+      (2L, Seq.tabulate(70)(i => if (i == 0 || i == 64) 1.0 else -1.0)))
+      .toDF("id", "v")
+    val out = df.select(col("id"), VecExprs.signPack(col("v")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L) == Seq(1L))
+    // 70 dims → 2 words; bit 0 of each word set
+    assert(out(2L) == Seq(1L, 1L))
+    // null vector propagates
+    assert(df.select(VecExprs.signPack(when(col("id") === 99, col("v"))))
+      .collect().forall(_.isNullAt(0)))
+  }
+
+  test("hamming: XOR popcount vs naive sign count; mismatch → NULL") {
+    val rnd = new scala.util.Random(3)
+    val vs = Seq.fill(6)(Seq.fill(70)(rnd.nextGaussian()))
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val pairs = df.select(col("id").as("i"), VecExprs.signPack(col("v")).as("a"), col("v").as("va"))
+      .crossJoin(df.select(col("id").as("j"), VecExprs.signPack(col("v")).as("b"), col("v").as("vb")))
+      .select(col("i"), col("j"), VecExprs.hamming(col("a"), col("b")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    for (i <- vs.indices; j <- vs.indices) {
+      val naive = vs(i).zip(vs(j)).count { case (x, y) => (x > 0) != (y > 0) }
+      assert(pairs((i.toLong, j.toLong)) == naive, s"pair ($i,$j)")
+    }
+    // word-count mismatch → NULL (soft error)
+    val bad = Seq((Seq(1.0), Seq.fill(70)(1.0))).toDF("a", "b")
+      .select(VecExprs.hamming(
+        VecExprs.signPack(col("a")), VecExprs.signPack(col("b"))))
+    assert(bad.head.isNullAt(0))
+  }
+
   test("matMul: known product, identity, shape mismatch → NULL") {
     val a = Seq(Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))          // 2×2
     val i2 = Seq(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
