@@ -1181,6 +1181,88 @@ object PipelineQueries extends QueryModule {
       col("n_chars"), lo = 0.0, hi = 600.0, bins = 12)
   }
 
+  // deterministic HyperLogLog distinct estimate (md5 geometry, exact
+  // 2^-30-unit Z accounting — both engines replay the identical sketch
+  // and take the identical correction branch; sf0.01 cardinalities sit
+  // in the linear-counting regime at b=10, exercising that branch)
+  q("q_hll_distinct",
+    """WITH x AS (SELECT DISTINCT o_orderstatus AS g, o_custkey AS v FROM orders),
+      |h AS (SELECT g, md5('hll' || CAST(v AS VARCHAR)) AS hx FROM x),
+      |br AS (SELECT g, CAST('0x' || substr(hx, 1, 4) AS INTEGER) % 1024 AS bucket,
+      |  substr(hx, 5, 28) AS rest FROM h),
+      |zd AS (SELECT g, bucket, length(regexp_extract(rest, '^0*', 0)) AS z, rest
+      |  FROM br),
+      |rh AS (SELECT g, bucket, LEAST(CASE WHEN z = 28 THEN 30
+      |    ELSE 4*z + CASE WHEN d >= 8 THEN 0 WHEN d >= 4 THEN 1
+      |                     WHEN d >= 2 THEN 2 ELSE 3 END + 1 END, 30) AS rho
+      |  FROM (SELECT g, bucket, z, CASE WHEN z = 28 THEN 0
+      |      ELSE CAST('0x' || substr(rest, z + 1, 1) AS INTEGER) END AS d
+      |    FROM zd) s),
+      |reg AS (SELECT g, bucket, MAX(rho) AS rho FROM rh GROUP BY g, bucket),
+      |agg AS (SELECT g, count(*) AS np,
+      |  CAST(sum(CAST(power(2, 30 - rho) AS BIGINT)) AS BIGINT) AS zup
+      |  FROM reg GROUP BY g),
+      |e AS (SELECT g, 1024 - np AS v0,
+      |  (0.7213::DOUBLE) / (1.0::DOUBLE + (1.079::DOUBLE) / (1024.0::DOUBLE))
+      |    * 1024.0 * 1024.0 * 1073741824.0
+      |    / CAST(zup + (1024 - np) * 1073741824 AS DOUBLE) AS raw FROM agg)
+      |SELECT g AS o_orderstatus,
+      |  round(CASE WHEN raw <= 2560.0 AND v0 > 0
+      |    THEN 1024.0 * ln(1024.0 / CAST(v0 AS DOUBLE)) ELSE raw END
+      |    + 1e-9, 4) AS estimate
+      |FROM e""") { (s, dir) =>
+    val regs = graft.operators.Stats.hllRegisters(
+      load(s, dir, "orders"), Seq("o_orderstatus"), col("o_custkey"), b = 10)
+    graft.operators.Stats.hllEstimate(regs, Seq("o_orderstatus"), b = 10)
+      .select(col("o_orderstatus"),
+        round(col("estimate") + lit(1e-9), 4).as("estimate"))
+  }
+
+  // HLL mergeability pinned cross-engine: Spark sketches two DISJOINT
+  // halves (o_orderkey parity) and merges registers (max per bucket);
+  // the oracle sketches the WHOLE table directly — equality IS the
+  // merge proof. b=6 puts sf0.01 cardinalities in the raw-HLL regime,
+  // exercising the other correction branch.
+  q("q_hll_merge",
+    """WITH x AS (SELECT DISTINCT o_orderstatus AS g, o_custkey AS v FROM orders),
+      |h AS (SELECT g, md5('hll' || CAST(v AS VARCHAR)) AS hx FROM x),
+      |br AS (SELECT g, CAST('0x' || substr(hx, 1, 4) AS INTEGER) % 64 AS bucket,
+      |  substr(hx, 5, 28) AS rest FROM h),
+      |zd AS (SELECT g, bucket, length(regexp_extract(rest, '^0*', 0)) AS z, rest
+      |  FROM br),
+      |rh AS (SELECT g, bucket, LEAST(CASE WHEN z = 28 THEN 30
+      |    ELSE 4*z + CASE WHEN d >= 8 THEN 0 WHEN d >= 4 THEN 1
+      |                     WHEN d >= 2 THEN 2 ELSE 3 END + 1 END, 30) AS rho
+      |  FROM (SELECT g, bucket, z, CASE WHEN z = 28 THEN 0
+      |      ELSE CAST('0x' || substr(rest, z + 1, 1) AS INTEGER) END AS d
+      |    FROM zd) s),
+      |reg AS (SELECT g, bucket, MAX(rho) AS rho FROM rh GROUP BY g, bucket),
+      |agg AS (SELECT g, count(*) AS np,
+      |  CAST(sum(CAST(power(2, 30 - rho) AS BIGINT)) AS BIGINT) AS zup
+      |  FROM reg GROUP BY g),
+      |e AS (SELECT g, 64 - np AS v0,
+      |  (0.709::DOUBLE) * 64.0 * 64.0 * 1073741824.0
+      |    / CAST(zup + (64 - np) * 1073741824 AS DOUBLE) AS raw FROM agg)
+      |SELECT g AS o_orderstatus,
+      |  round(CASE WHEN raw <= 160.0 AND v0 > 0
+      |    THEN 64.0 * ln(64.0 / CAST(v0 AS DOUBLE)) ELSE raw END
+      |    + 1e-9, 4) AS estimate
+      |FROM e""") { (s, dir) =>
+    val o = load(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_custkey"))
+    val ra = graft.operators.Stats.hllRegisters(
+      o.filter(col("o_orderkey") % 2 === 0), Seq("o_orderstatus"),
+      col("o_custkey"), b = 6)
+    val rb = graft.operators.Stats.hllRegisters(
+      o.filter(col("o_orderkey") % 2 === 1), Seq("o_orderstatus"),
+      col("o_custkey"), b = 6)
+    graft.operators.Stats.hllEstimate(
+        graft.operators.Stats.hllMerge(ra, rb, Seq("o_orderstatus")),
+        Seq("o_orderstatus"), b = 6)
+      .select(col("o_orderstatus"),
+        round(col("estimate") + lit(1e-9), 4).as("estimate"))
+  }
+
   q("q_text_stats",
     """SELECT doc_id,
       |  len(string_split(text, ' ')) AS n_tok,

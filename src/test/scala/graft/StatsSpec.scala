@@ -79,6 +79,72 @@ class StatsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Stats.ema(d, Seq("k"), "o", "v", 0.0) }
   }
 
+  test("hll: estimate tracks exact distinct, dup-invariant, NULL excluded") {
+    val n = 5000
+    // 3 copies of every value + nulls: the sketch is a pure function of
+    // the distinct SET
+    val vals = (0 until n).flatMap(i => Seq.fill(3)(i.toLong))
+    val df = (vals.map(v => ("a", Option(v))) :+ (("a", None: Option[Long])))
+      .toDF("g", "v")
+    val regs = Stats.hllRegisters(df, Seq("g"), col("v"), b = 10)
+    val distinctRegs = Stats.hllRegisters(
+      (0 until n).map(i => ("a", i.toLong)).toDF("g", "v"),
+      Seq("g"), col("v"), b = 10)
+    assert(rowsOf(regs) == rowsOf(distinctRegs))
+    // sparse: at most m = 1024 register rows, rho in [1, 30]
+    val rr = regs.collect()
+    assert(rr.length <= 1024)
+    assert(rr.forall { r => val x = r.getInt(2); x >= 1 && x <= 30 })
+    // 5000 distinct at b = 10 (σ ≈ 3.3%): within 15% is a safe pin
+    val est = Stats.hllEstimate(regs, Seq("g"), b = 10)
+      .collect()(0).getDouble(1)
+    assert(math.abs(est / n - 1.0) < 0.15, s"estimate $est vs exact $n")
+  }
+
+  test("hll: registers match the md5 geometry reference bit-for-bit") {
+    // reference implementation of the documented hash recipe — any
+    // drift in the column-expression formulation (bucket mod, zero-run
+    // length, first-nonzero-nibble class, cap) fails here before it
+    // fails cross-engine
+    def ref(v: Long, m: Int): (Int, Int) = {
+      val hx = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"hll$v".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val bucket = Integer.parseInt(hx.substring(0, 4), 16) % m
+      val rest = hx.substring(4, 32)
+      val z = rest.takeWhile(_ == '0').length
+      val rho = if (z == 28) 30 else {
+        val d = Integer.parseInt(rest.substring(z, z + 1), 16)
+        val extra = if (d >= 8) 0 else if (d >= 4) 1 else if (d >= 2) 2 else 3
+        math.min(4 * z + extra + 1, 30)
+      }
+      (bucket, rho)
+    }
+    val vals = (0L until 400L)
+    val expected = vals.map(v => ref(v, 64)).groupBy(_._1)
+      .map { case (b, xs) => (b, xs.map(_._2).max) }
+    val got = Stats.hllRegisters(vals.map(("a", _)).toDF("g", "v"),
+        Seq("g"), col("v"), b = 6)
+      .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+    assert(got == expected)
+  }
+
+  test("hll: merged disjoint-half sketches equal the direct sketch") {
+    val df = (0 until 3000).map(i => (if (i % 3 == 0) "x" else "y", i.toLong))
+      .toDF("g", "v")
+    val a = Stats.hllRegisters(df.filter(col("v") % 2 === 0), Seq("g"), col("v"), b = 8)
+    val b = Stats.hllRegisters(df.filter(col("v") % 2 === 1), Seq("g"), col("v"), b = 8)
+    val merged = Stats.hllMerge(a, b, Seq("g"))
+    val direct = Stats.hllRegisters(df, Seq("g"), col("v"), b = 8)
+    assert(rowsOf(merged) == rowsOf(direct))
+    // merge is idempotent: re-merging the direct sketch changes nothing
+    assert(rowsOf(Stats.hllMerge(direct, direct, Seq("g"))) == rowsOf(direct))
+    // small group in the linear-counting branch still sane: "x" has 1000
+    val ests = Stats.hllEstimate(direct, Seq("g"), b = 8).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ests("x") / 1000.0 - 1.0) < 0.2, s"x: ${ests("x")}")
+    assert(math.abs(ests("y") / 2000.0 - 1.0) < 0.2, s"y: ${ests("y")}")
+  }
+
   test("histogramAuto derives bounds; constant column degenerates to one bin") {
     val d = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
     val h = Stats.histogramAuto(d, col("x"), bins = 3)
