@@ -610,6 +610,65 @@ object PipelineQueries extends QueryModule {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  // MMR-diversified retrieval: exact top-10 shortlist by cosine, then
+  // greedy maximal-marginal-relevance picks 3 (λ=0.75 — exact double
+  // complement) trading relevance against redundancy. The greedy loop
+  // is ONE native expression pass per query (plans.MmrSelectExpr); the
+  // oracle unrolls the same three steps as CTEs.
+  q("q_knn_mmr",
+    """WITH w AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |sc AS (SELECT q.id AS query_id, d.id AS nid, d.v,
+      |  list_dot_product(q.v, d.v)
+      |    / sqrt(list_dot_product(q.v, q.v) * list_dot_product(d.v, d.v)) AS s
+      |  FROM w q JOIN w d ON q.id % 50 = 0 AND q.id != d.id),
+      |cv AS (SELECT query_id, nid, v, s FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, nid)
+      |    AS rk FROM sc) x WHERE rk <= 10),
+      |m1 AS (SELECT query_id, nid AS id1, v AS v1, mmr AS mmr1 FROM (
+      |  SELECT query_id, nid, v, (0.75::DOUBLE) * s AS mmr,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY (0.75::DOUBLE) * s DESC, nid) AS rn
+      |  FROM cv) x WHERE rn = 1),
+      |s2 AS (SELECT cv.query_id, cv.nid, cv.v, cv.s,
+      |  (0.75::DOUBLE) * cv.s - (0.25::DOUBLE) * (list_dot_product(cv.v, m1.v1)
+      |    / sqrt(list_dot_product(cv.v, cv.v) * list_dot_product(m1.v1, m1.v1)))
+      |    AS mmr
+      |  FROM cv JOIN m1 ON cv.query_id = m1.query_id AND cv.nid != m1.id1),
+      |m2 AS (SELECT query_id, nid AS id2, v AS v2, mmr AS mmr2 FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, nid)
+      |    AS rn FROM s2) x WHERE rn = 1),
+      |s3 AS (SELECT c.query_id, c.nid,
+      |  (0.75::DOUBLE) * c.s - (0.25::DOUBLE) * greatest(
+      |    list_dot_product(c.v, m1.v1)
+      |      / sqrt(list_dot_product(c.v, c.v) * list_dot_product(m1.v1, m1.v1)),
+      |    list_dot_product(c.v, m2.v2)
+      |      / sqrt(list_dot_product(c.v, c.v) * list_dot_product(m2.v2, m2.v2)))
+      |    AS mmr
+      |  FROM cv c JOIN m1 ON c.query_id = m1.query_id
+      |    JOIN m2 ON c.query_id = m2.query_id
+      |  WHERE c.nid != m1.id1 AND c.nid != m2.id2),
+      |m3 AS (SELECT query_id, nid AS id3, mmr AS mmr3 FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, nid)
+      |    AS rn FROM s3) x WHERE rn = 1)
+      |SELECT query_id, 1 AS rank, id1 AS neighbor_id,
+      |  round(mmr1 + 1e-9, 4) AS mmr FROM m1
+      |UNION ALL SELECT query_id, 2, id2, round(mmr2 + 1e-9, 4) FROM m2
+      |UNION ALL SELECT query_id, 3, id3, round(mmr3 + 1e-9, 4) FROM m3""") {
+      (s, dir) =>
+    val e = load(s, dir, "embeddings")
+    val cands = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") % 50 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 10, dim = 64)
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("v")), Seq("neighbor_id"))
+    Similarity.mmrTopK(cands, col("query_id"), col("neighbor_id"),
+        col("cosine"), col("v"), n = 3, lam = 0.75)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("mmr") + lit(1e-9), 4).as("mmr"))
+  }
+
   // LSH-bucketed ANN: top-1 within the random-hyperplane bucket
   q("q_knn_lsh",
     """WITH w AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -682,6 +682,35 @@ object Similarity {
     }
   }
 
+  /** Maximal-marginal-relevance re-selection over a retrieval shortlist
+    * (Carbonell & Goldstein 1998) — the RAG diversity stage: pure
+    * relevance ranking returns n near-duplicates of the same best
+    * chunk; MMR greedily picks `n` of the candidates maximizing
+    * λ·score − (1−λ)·(max cosine to anything already picked), so each
+    * pick adds information, not repetition.
+    *
+    * `candidates` is a per-query SHORTLIST (an ANN top-k — (query_id,
+    * candidate id, relevance score, vector)); by contract k is small,
+    * so collecting one query's candidates into a single row (k·dim
+    * doubles) is bounded and the greedy loop runs as ONE native
+    * expression pass per query ([[graft.plans.MmrSelectExpr]]) —
+    * queries parallelize perfectly, the corpus is never touched. Pick
+    * λ with an exact complement (0.75/0.5/0.25) for cross-engine
+    * parity of 1−λ. Returns (query_id, rank, neighbor_id, mmr) in
+    * selection order, ties to the smallest id. */
+  def mmrTopK(candidates: DataFrame, qid: Column, cid: Column,
+      score: Column, vec: Column, n: Int, lam: Double): DataFrame = {
+    val g = candidates
+      .select(qid.as("query_id"), struct(
+        cid.cast("long").as("id"), score.cast("double").as("s"),
+        vec.cast("array<double>").as("v")).as("c"))
+      .groupBy("query_id").agg(collect_list(col("c")).as("_cands"))
+    g.select(col("query_id"),
+        explode(graft.plans.VecExprs.mmrSelect(col("_cands"), n, lam)).as("r"))
+      .select(col("query_id"), col("r.rank").as("rank"),
+        col("r.id").as("neighbor_id"), col("r.mmr").as("mmr"))
+  }
+
   // -------------------------------------------------------------------
   // PQ: product quantization (the FAISS memory end-game — beyond IVF-SQ's
   // 8× the corpus representation shrinks to m BYTES per vector plus one

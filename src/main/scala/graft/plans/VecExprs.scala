@@ -106,6 +106,12 @@ object VecExprs {
   def signPack(v: Column): Column =
     ColumnBridge.column(SignPackExpr(ColumnBridge.expression(v)))
 
+  /** `mmr_select(cands)`: greedy maximal-marginal-relevance selection
+    * over a per-query candidate array — see [[MmrSelectExpr]]. */
+  def mmrSelect(cands: Column, n: Int, lam: Double): Column =
+    ColumnBridge.column(MmrSelectExpr(
+      ColumnBridge.expression(cands), n, lam))
+
   /** `hamming(a, b)` over packed sign codes — see [[HammingExpr]]. */
   def hamming(a: Column, b: Column): Column =
     ColumnBridge.column(HammingExpr(
@@ -161,6 +167,135 @@ case class SignPackExpr(child: Expression)
     })
 
   override protected def withNewChildInternal(newChild: Expression): SignPackExpr =
+    copy(child = newChild)
+}
+
+/** Greedy maximal-marginal-relevance selection (Carbonell & Goldstein
+  * 1998) over one query's candidate shortlist — the RAG diversity
+  * stage: after ANN ranks by pure relevance, MMR picks `n` results
+  * trading relevance against redundancy,
+  * mmr(c) = λ·score(c) − (1−λ)·max_{s ∈ selected} cos(c, s)
+  * (first pick: λ·score, no penalty term). Input is the collected
+  * array<struct<id, s, v>> of ONE query's candidates (k·dim doubles — a
+  * top-k shortlist by contract, never a corpus); the greedy loop is
+  * inherently sequential in n but O(n·k·dim) per query row, and queries
+  * parallelize perfectly.
+  *
+  * Determinism (the oracle unrolls the same steps as SQL CTEs):
+  * candidate ARRAY ORDER is irrelevant — every step scans all remaining
+  * candidates, argmax with ties to the smallest id by explicit id
+  * comparison (collect_list order never leaks into the result); cosine
+  * uses the ascending-index dot ([[DotProductExpr]] order) with
+  * candidate-norm-first sqrt; max-over-selected is order-free; λ and
+  * 1−λ are both computed from the same double (pick λ with an exact
+  * complement — 0.75/0.5/0.25 — for cross-engine literal parity).
+  *
+  * NULL array → NULL; candidates with a NULL field are skipped; ragged
+  * vector dims → NULL (soft error). Fewer than n candidates → all of
+  * them. Output: array<struct<id, rank, mmr>> in selection order. */
+case class MmrSelectExpr(child: Expression, n: Int, lam: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(n > 0, s"mmr_select: n must be > 0, got $n")
+  require(lam >= 0 && lam <= 1, s"mmr_select: lambda must be in [0,1], got $lam")
+
+  private val candType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("s", DoubleType),
+    org.apache.spark.sql.types.StructField("v", ArrayType(DoubleType))))
+
+  override def inputTypes = Seq(ArrayType(candType))
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("mmr", DoubleType,
+        nullable = false))))
+  override def prettyName: String = "mmr_select"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val k = arr.numElements()
+    val ids = new Array[Long](k)
+    val ss = new Array[Double](k)
+    val vs = new Array[Array[Double]](k)
+    val n2 = new Array[Double](k)
+    var dim = -1
+    var m = 0
+    var i = 0
+    while (i < k) {
+      if (!arr.isNullAt(i)) {
+        val row = arr.getStruct(i, 3)
+        if (!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2)) {
+          val va = row.getArray(2)
+          val d = va.numElements()
+          if (dim == -1) dim = d
+          if (d != dim) return null
+          val v = new Array[Double](d)
+          var t = 0
+          var acc = 0.0
+          while (t < d) { v(t) = va.getDouble(t); acc += v(t) * v(t); t += 1 }
+          ids(m) = row.getLong(0); ss(m) = row.getDouble(1)
+          vs(m) = v; n2(m) = acc
+          m += 1
+        }
+      }
+      i += 1
+    }
+    val oneMinus = 1.0 - lam
+    val picks = math.min(n, m)
+    val out = new Array[Any](picks)
+    val taken = new Array[Boolean](m)
+    // max cosine to any selected candidate so far; meaningless until
+    // one pick exists (step-0 mmr has no penalty term)
+    val maxsim = new Array[Double](m)
+    var step = 0
+    while (step < picks) {
+      var best = 0.0
+      var bestI = -1
+      var j = 0
+      while (j < m) {
+        if (!taken(j)) {
+          val mmr = if (step == 0) lam * ss(j)
+            else lam * ss(j) - oneMinus * maxsim(j)
+          // SQLOrderingUtil double order, ties to the smallest id —
+          // explicit comparison, so collect_list order can't leak in
+          val cmp = if (bestI < 0) 1
+            else if (mmr == best) java.lang.Long.compare(ids(bestI), ids(j))
+            else java.lang.Double.compare(mmr, best)
+          if (cmp > 0) { best = mmr; bestI = j }
+        }
+        j += 1
+      }
+      taken(bestI) = true
+      out(step) = org.apache.spark.sql.catalyst.InternalRow(
+        ids(bestI), step + 1, best)
+      // fold the new pick into every remaining candidate's penalty
+      var j2 = 0
+      while (j2 < m) {
+        if (!taken(j2)) {
+          var dp = 0.0
+          var t = 0
+          val vSel = vs(bestI)
+          val vC = vs(j2)
+          while (t < dim) { dp += vC(t) * vSel(t); t += 1 }
+          val sim = dp / math.sqrt(n2(j2) * n2(bestI))
+          if (step == 0 || sim > maxsim(j2)) maxsim(j2) = sim
+        }
+        j2 += 1
+      }
+      step += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MmrSelectExpr =
     copy(child = newChild)
 }
 

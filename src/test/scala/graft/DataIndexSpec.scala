@@ -188,6 +188,36 @@ class DataIndexSpec extends SparkSpec {
       codes.select("bcodes").collect()(0).getSeq[Long](0).length == 1)
   }
 
+  test("mmrTopK: diversity beats redundancy; ties to smallest id; " +
+      "short candidate lists truncate") {
+    import graft.operators.Similarity
+    // query-relevance scores: two near-duplicates of the best hit (ids
+    // 1, 2 — cosine ≈ 1 to each other) and an orthogonal mid-score hit
+    // (id 3). Pure relevance would rank (1, 2, 3); MMR at λ=0.75 must
+    // pick the orthogonal 3 second: mmr(2|1) = .75·.98 − .25·cos(2,1)
+    // ≈ .49 < mmr(3|1) = .75·.80 − .25·0 = .60.
+    val cands = Seq(
+      (7L, 1L, 0.99, Seq(1.0, 0.0, 0.0)),
+      (7L, 2L, 0.98, Seq(0.999, 0.04, 0.0)),
+      (7L, 3L, 0.80, Seq(0.0, 1.0, 0.0)))
+      .toDF("query_id", "nid", "s", "v")
+    val picked = Similarity.mmrTopK(cands, col("query_id"), col("nid"),
+        col("s"), col("v"), n = 3, lam = 0.75)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(picked.toSeq == Seq((1, 1L), (2, 3L), (3, 2L)))
+    // exact tie on mmr: the smaller id wins regardless of row order
+    val tied = Seq(
+      (7L, 9L, 0.5, Seq(1.0, 0.0)),
+      (7L, 4L, 0.5, Seq(1.0, 0.0)))
+      .toDF("query_id", "nid", "s", "v")
+    val t = Similarity.mmrTopK(tied, col("query_id"), col("nid"),
+      col("s"), col("v"), n = 1, lam = 0.75).collect()(0)
+    assert(t.getLong(2) == 4L)
+    // fewer candidates than n: all of them come back, in greedy order
+    assert(Similarity.mmrTopK(tied, col("query_id"), col("nid"),
+      col("s"), col("v"), n = 5, lam = 0.75).count() == 2)
+  }
+
   test("ivfQuantized: integer-dot rank inside lists, exact re-score " +
       "recovers brute-force top-k at nprobe = nlist") {
     import graft.operators.Similarity
