@@ -91,6 +91,44 @@ object DocStoreQueries extends QueryModule {
         r4e(col("score")).as("score"))
   }
 
+  // Diversity retrieval: fetch-5 by cosine then greedy MMR keeps 2
+  // (λ=0.75), penalizing cosine-to-already-picked — the store's chunk
+  // embeddings feed both the relevance and the redundancy term. The
+  // oracle unrolls the two greedy steps as CTEs over the same pipeline.
+  q("q_doc_store_mmr",
+    s"""WITH $pipeCte,
+      |sc AS (SELECT q.qid, ce.doc_id, ce.chunk_id, ce.chunk_key, ce.v,
+      |  list_dot_product(q.qv, ce.v)
+      |    / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(ce.v, ce.v)) AS c
+      |  FROM q CROSS JOIN ce WHERE ce.lang = 'en'),
+      |cv AS (SELECT qid, doc_id, chunk_id, chunk_key, v, c FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY c DESC, chunk_key)
+      |    AS rk FROM sc) x WHERE rk <= 5),
+      |m1 AS (SELECT qid, doc_id AS d1, chunk_id AS c1, chunk_key AS k1,
+      |  v AS v1, mmr AS mmr1 FROM (
+      |  SELECT *, (0.75::DOUBLE) * c AS mmr,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY (0.75::DOUBLE) * c DESC, chunk_key) AS rn
+      |  FROM cv) x WHERE rn = 1),
+      |s2 AS (SELECT cv.qid, cv.doc_id, cv.chunk_id, cv.chunk_key,
+      |  (0.75::DOUBLE) * cv.c - (0.25::DOUBLE) * (list_dot_product(cv.v, m1.v1)
+      |    / sqrt(list_dot_product(cv.v, cv.v) * list_dot_product(m1.v1, m1.v1)))
+      |    AS mmr
+      |  FROM cv JOIN m1 ON cv.qid = m1.qid AND cv.chunk_key != m1.k1),
+      |m2 AS (SELECT qid, doc_id AS d2, chunk_id AS c2, mmr AS mmr2 FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, chunk_key)
+      |    AS rn FROM s2) x WHERE rn = 1)
+      |SELECT qid, 1 AS rank, d1 AS doc_id, c1 AS chunk_id,
+      |  round(mmr1 + 1e-9, 4) AS score FROM m1
+      |UNION ALL SELECT qid, 2, d2, c2, round(mmr2 + 1e-9, 4) FROM m2""") {
+      (s, dir) =>
+    storeOf(s, dir).retrieveDiverse(queriesOf(s, dir), col("qid"),
+        col("qtext"), k = 2, fetch = 5, lam = 0.75,
+        filter = Some(col("lang") === "en"))
+      .select(col("qid"), col("rank"), col("doc_id"), col("chunk_id"),
+        r4e(col("score")).as("score"))
+  }
+
   // The same full chain under the SEPARATOR splitter (the reference
   // DocumentStore's pluggable `splitter` arg): pieces split on ' the ',
   // packed under a 20-token budget by the prefix-sum bucket rule

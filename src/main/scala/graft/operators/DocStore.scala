@@ -286,15 +286,25 @@ object DocStore {
       * (qid, rank, doc_id, chunk_id, text, metadata…, score). */
     def retrieve(queries: DataFrame, qid: Column, qtext: Column, k: Int,
         filter: Option[Column] = None): DataFrame = {
+      val (top, corpus) = fetchNarrow(queries, qid, qtext, k, filter)
+      widen(top, corpus, metadata)
+    }
+
+    /** The narrow fetch stage shared by [[retrieve]] and
+      * [[retrieveDiverse]]: (qid, chunk_key, score, rank ≤ k) hits plus
+      * the filtered corpus for join-backs.
+      *
+      * Score and rank over NARROW rows — (qid, chunk_key, score) is 24
+      * bytes; the candidate expansion is |queries|×|chunks| rows, and
+      * carrying text+metadata through the pairwise projection and the
+      * rank window's sort multiplied the bytes materialized/sorted ~10×
+      * (measured ~11 s → ~3 s at sf0.1). The wide columns join back
+      * over only the |queries|·k winners — both branches read the
+      * chunk frame [[build]] materialized once, so neither re-parses,
+      * re-chunks, nor re-embeds (PlanSpec pins the cache scan). */
+    private def fetchNarrow(queries: DataFrame, qid: Column, qtext: Column,
+        k: Int, filter: Option[Column]): (DataFrame, DataFrame) = {
       val corpus = chunks.filter(filter.getOrElse(lit(true)))
-      // Score and rank over NARROW rows — (qid, chunk_key, score) is 24
-      // bytes; the candidate expansion is |queries|×|chunks| rows, and
-      // carrying text+metadata through the pairwise projection and the
-      // rank window's sort multiplied the bytes materialized/sorted ~10×
-      // (measured ~11 s → ~3 s at sf0.1). The wide columns join back
-      // over only the |queries|·k winners — both branches read the
-      // chunk frame [[build]] materialized once, so neither re-parses,
-      // re-chunks, nor re-embeds (PlanSpec pins the cache scan).
       val d = corpus.select(col("chunk_key"), col("embedding"))
         .withColumn("_dn", Similarity.norm2(col("embedding")))
       val q = queries.select(qid.as("qid"), embedder(qtext).as("_qv"))
@@ -305,12 +315,34 @@ object DocStore {
             col("_qn"), col("_dn")).as("score"))
       val w = Window.partitionBy("qid")
         .orderBy(col("score").desc, col("chunk_key").asc)
-      val top = scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-      broadcast(top).join(corpus.drop("embedding"), "chunk_key")
-        .select(col("qid") +: col("rank") +: col("doc_id") +: col("chunk_id") +:
-          col("text") +: metadata.map(col) :+ col("score"): _*)
+      (scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k), corpus)
     }
+
+    /** Diversity retrieval — fetch the `fetch` nearest chunks by cosine,
+      * then keep `k` by greedy maximal marginal relevance
+      * ([[Similarity.mmrTopK]]): each kept chunk trades relevance
+      * against max-cosine redundancy to chunks already kept, so a RAG
+      * context stops being n copies of the same best paragraph. The
+      * greedy pass touches only the |queries|·fetch shortlist. Returns
+      * (qid, rank, doc_id, chunk_id, text, metadata…, score) with
+      * score = the MMR objective at selection time. */
+    def retrieveDiverse(queries: DataFrame, qid: Column, qtext: Column,
+        k: Int, fetch: Int, lam: Double = 0.75,
+        filter: Option[Column] = None): DataFrame = {
+      require(fetch >= k, s"retrieveDiverse: fetch ($fetch) must be >= k ($k)")
+      val (top, corpus) = fetchNarrow(queries, qid, qtext, fetch, filter)
+      diverseStage(top, corpus, metadata, k, lam)
+    }
+
+    /** Diversified RAG context — [[retrieveDiverse]] feeding the context
+      * assembler: top-k MMR-selected chunks concatenated in selection
+      * order. Returns (qid, n_chunks, context). */
+    def retrieveDiverseContext(queries: DataFrame, qid: Column,
+        qtext: Column, k: Int, fetch: Int, lam: Double = 0.75,
+        filter: Option[Column] = None, sep: String = "\n\n"): DataFrame =
+      contextOf(retrieveDiverse(queries, qid, qtext, k, fetch, lam, filter),
+        sep)
 
     /** Two-stage retrieval (reference rerankers.py + the
       * `rerank_topk_filter` pattern): stage 1 fetches the `fetch`
@@ -408,13 +440,19 @@ object DocStore {
       * semi-joined against the filtered chunk keys BEFORE candidate
       * ranking, so k survivors come from matching chunks only. */
     def retrieve(queries: DataFrame, qid: Column, qtext: Column, k: Int,
-        filter: Option[Column] = None): DataFrame = {
-      // resolve the committed index GENERATION per query batch
-      // (graft.core.IndexGen): a concurrent rebuildIndex/extendIndex
-      // publishes with one atomic marker rename, so this store keeps
-      // serving — each batch sees exactly one complete
-      // (centroids, segment manifest) pair, never new centroids over
-      // old lists
+        filter: Option[Column] = None): DataFrame =
+      widen(probeNarrow(queries, qid, qtext, k, filter), chunks, metadata)
+
+    /** The narrow IVF-probe stage shared by [[retrieve]] and
+      * [[retrieveDiverse]]: (qid, chunk_key, score, rank ≤ k). Resolves
+      * the committed index GENERATION per query batch
+      * (graft.core.IndexGen): a concurrent rebuildIndex/extendIndex
+      * publishes with one atomic marker rename, so this store keeps
+      * serving — each batch sees exactly one complete
+      * (centroids, segment manifest) pair, never new centroids over
+      * old lists. */
+    private def probeNarrow(queries: DataFrame, qid: Column, qtext: Column,
+        k: Int, filter: Option[Column]): DataFrame = {
       val (cents, assigned0) =
         Similarity.ivfLoadParts(spark, s"$path/index")
       val assigned = filter match {
@@ -425,14 +463,30 @@ object DocStore {
             Seq("neighbor_id"), "left_semi")
       }
       val q = queries.select(qid.as("qid"), embedder(qtext).as("qv"))
-      val hits = Similarity.ivfSearch(cents, assigned, q, col("qid"),
-        col("qv"), nprobe, k, excludeSelf = false, dim = 0)
-      hits.join(chunks.withColumnRenamed("chunk_key", "neighbor_id"),
-          "neighbor_id")
-        .select(col("query_id").as("qid") +: col("rank") +: col("doc_id") +:
-          col("chunk_id") +: col("text") +: metadata.map(col) :+
-          col("cosine").as("score"): _*)
+      Similarity.ivfSearch(cents, assigned, q, col("qid"),
+          col("qv"), nprobe, k, excludeSelf = false, dim = 0)
+        .select(col("query_id").as("qid"), col("rank"),
+          col("neighbor_id").as("chunk_key"), col("cosine").as("score"))
     }
+
+    /** Diversity retrieval over the persisted index — see
+      * [[Store.retrieveDiverse]]; stage 1 is the IVF probe, the greedy
+      * MMR pass touches only the |queries|·fetch shortlist. */
+    def retrieveDiverse(queries: DataFrame, qid: Column, qtext: Column,
+        k: Int, fetch: Int, lam: Double = 0.75,
+        filter: Option[Column] = None): DataFrame = {
+      require(fetch >= k, s"retrieveDiverse: fetch ($fetch) must be >= k ($k)")
+      diverseStage(probeNarrow(queries, qid, qtext, fetch, filter),
+        chunks, metadata, k, lam)
+    }
+
+    /** Diversified RAG context over the persisted index — see
+      * [[Store.retrieveDiverseContext]]. */
+    def retrieveDiverseContext(queries: DataFrame, qid: Column,
+        qtext: Column, k: Int, fetch: Int, lam: Double = 0.75,
+        filter: Option[Column] = None, sep: String = "\n\n"): DataFrame =
+      contextOf(retrieveDiverse(queries, qid, qtext, k, fetch, lam, filter),
+        sep)
 
     def stats(modified: Option[Column] = None): DataFrame =
       DocStore.statsOf(chunks, modified)
@@ -464,6 +518,32 @@ object DocStore {
         filter: Option[Column] = None, sep: String = "\n\n"): DataFrame =
       contextOf(retrieveRerank(queries, qid, qtext, k, fetch, scorer, filter),
         sep)
+  }
+
+  /** Wide join-back shared by both store flavors: narrow
+    * (qid, rank, chunk_key, score) hits pick up text/metadata from the
+    * chunk table — only |queries|·k winner rows ever carry the wide
+    * columns. */
+  private def widen(top: DataFrame, corpus: DataFrame,
+      metadata: Seq[String]): DataFrame =
+    broadcast(top).join(corpus.drop("embedding"), "chunk_key")
+      .select(col("qid") +: col("rank") +: col("doc_id") +: col("chunk_id") +:
+        col("text") +: metadata.map(col) :+ col("score"): _*)
+
+  /** The greedy MMR stage shared by both store flavors: join embeddings
+    * back onto the narrow fetch shortlist (|queries|·fetch rows — the
+    * corpus is never re-scored), run [[Similarity.mmrTopK]], and widen
+    * the k winners. The MMR objective value replaces the cosine in the
+    * `score` column; `rank` is selection order. */
+  private def diverseStage(top: DataFrame, corpus: DataFrame,
+      metadata: Seq[String], k: Int, lam: Double): DataFrame = {
+    val withVec = broadcast(top.drop("rank"))
+      .join(corpus.select(col("chunk_key"), col("embedding")), "chunk_key")
+    val picked = Similarity.mmrTopK(withVec, col("qid"), col("chunk_key"),
+        col("score"), col("embedding"), k, lam)
+      .select(col("query_id").as("qid"), col("rank"),
+        col("neighbor_id").as("chunk_key"), col("mmr").as("score"))
+    widen(picked, corpus, metadata)
   }
 
   /** Rank-ordered context assembly shared by the exact, persisted and

@@ -133,6 +133,40 @@ class DocStoreSpec extends SparkSpec {
     }.getMessage.contains("fetch"))
   }
 
+  test("retrieveDiverse: MMR demotes duplicate chunks; persisted path agrees") {
+    // "alpha beta gamma zeta" ranks the three IDENTICAL "alpha beta
+    // gamma" chunks (docs 1, 2, 4) on top by pure relevance. After MMR
+    // picks one, a second identical copy carries penalty cosine = 1 —
+    // at λ=0.5 any partially-relevant DIFFERENT chunk beats it. (The
+    // query must not be a chunk verbatim: a query equal to the dup
+    // chunk makes penalty ≡ relevance and MMR degenerates to scaling.)
+    val qt = "alpha beta gamma zeta"
+    val plain = store.retrieve(q(qt), col("qid"),
+      col("qtext"), 2).collect().map(_.getAs[String]("text")).toSeq
+    assert(plain == Seq("alpha beta gamma", "alpha beta gamma"))
+    val div = store.retrieveDiverse(q(qt), col("qid"),
+      col("qtext"), k = 2, fetch = 6, lam = 0.5).orderBy("rank").collect()
+    assert(div.length == 2)
+    assert(div(0).getAs[String]("text") == "alpha beta gamma")
+    assert(div(1).getAs[String]("text") != "alpha beta gamma")
+    // persisted store, full probe: identical picks through the IVF path
+    val path = java.nio.file.Files.createTempDirectory("docstore_mmr").toString
+    store.save(path, nlist = 4)
+    val ps = DocStore.open(spark, path, DocStore.hashEmbedder(8), nprobe = 4)
+    val pdiv = ps.retrieveDiverse(q(qt), col("qid"),
+      col("qtext"), k = 2, fetch = 6, lam = 0.5).orderBy("rank").collect()
+    assert(pdiv.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"))).toSeq
+      == div.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"))).toSeq)
+    // context assembles in MMR selection order
+    val ctx = store.retrieveDiverseContext(q(qt), col("qid"),
+      col("qtext"), k = 2, fetch = 6, lam = 0.5, sep = " | ").collect()(0)
+    assert(ctx.getAs[Long]("n_chunks") == 2L)
+    assert(ctx.getAs[String]("context").startsWith("alpha beta gamma | "))
+    assert(intercept[IllegalArgumentException] {
+      store.retrieveDiverse(q("x"), col("qid"), col("qtext"), k = 5, fetch = 2)
+    }.getMessage.contains("fetch"))
+  }
+
   test("streaming ingest appends chunks incrementally and converges to the batch store") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rows = Seq(
