@@ -1322,6 +1322,65 @@ object PipelineQueries extends QueryModule {
         round(col("estimate") + lit(1e-9), 4).as("estimate"))
   }
 
+  // count-min frequency estimation: 3×256 cells, probe every 50th
+  // customer — exact md5 replay on both engines, estimates only
+  // overcount
+  q("q_cm_freq",
+    """WITH cells AS (SELECT t.r,
+      |  CAST('0x' || substr(md5('cm' || CAST(t.r AS VARCHAR) || '|'
+      |    || CAST(o_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 256 AS b,
+      |  count(*) AS cnt
+      |  FROM orders, unnest(range(3)) AS t(r) GROUP BY 1, 2),
+      |probes AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS item
+      |  FROM orders WHERE o_custkey % 50 = 0),
+      |pr AS (SELECT p.item, t.r,
+      |  CAST('0x' || substr(md5('cm' || CAST(t.r AS VARCHAR) || '|' || p.item),
+      |    1, 8) AS BIGINT) % 256 AS b
+      |  FROM probes p, unnest(range(3)) AS t(r))
+      |SELECT pr.item, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est
+      |FROM pr LEFT JOIN cells ON cells.r = pr.r AND cells.b = pr.b
+      |GROUP BY pr.item""") { (s, dir) =>
+    val o = load(s, dir, "orders")
+    val sketch = graft.operators.Stats.cmSketch(o, Seq(), col("o_custkey"),
+      w = 256, d = 3)
+    graft.operators.Stats.cmLookup(sketch,
+      o.filter(col("o_custkey") % 50 === 0)
+        .select(col("o_custkey")).distinct(),
+      Seq(), col("o_custkey"), w = 256, d = 3)
+  }
+
+  // CM mergeability pinned cross-engine (the q_hll_merge pattern):
+  // Spark sketches disjoint orderkey-parity halves and merges by cell
+  // ADDITION; the oracle sketches the whole table directly
+  q("q_cm_merge",
+    """WITH cells AS (SELECT t.r,
+      |  CAST('0x' || substr(md5('cm' || CAST(t.r AS VARCHAR) || '|'
+      |    || CAST(o_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 128 AS b,
+      |  count(*) AS cnt
+      |  FROM orders, unnest(range(2)) AS t(r) GROUP BY 1, 2),
+      |probes AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS item
+      |  FROM orders WHERE o_custkey % 50 = 0),
+      |pr AS (SELECT p.item, t.r,
+      |  CAST('0x' || substr(md5('cm' || CAST(t.r AS VARCHAR) || '|' || p.item),
+      |    1, 8) AS BIGINT) % 128 AS b
+      |  FROM probes p, unnest(range(2)) AS t(r))
+      |SELECT pr.item, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est
+      |FROM pr LEFT JOIN cells ON cells.r = pr.r AND cells.b = pr.b
+      |GROUP BY pr.item""") { (s, dir) =>
+    val o = load(s, dir, "orders")
+    val sa = graft.operators.Stats.cmSketch(
+      o.filter(col("o_orderkey") % 2 === 0), Seq(), col("o_custkey"),
+      w = 128, d = 2)
+    val sb = graft.operators.Stats.cmSketch(
+      o.filter(col("o_orderkey") % 2 === 1), Seq(), col("o_custkey"),
+      w = 128, d = 2)
+    graft.operators.Stats.cmLookup(
+      graft.operators.Stats.cmMerge(sa, sb, Seq()),
+      o.filter(col("o_custkey") % 50 === 0)
+        .select(col("o_custkey")).distinct(),
+      Seq(), col("o_custkey"), w = 128, d = 2)
+  }
+
   q("q_text_stats",
     """SELECT doc_id,
       |  len(string_split(text, ' ')) AS n_tok,

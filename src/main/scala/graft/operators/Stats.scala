@@ -208,6 +208,61 @@ object Stats {
         .otherwise(raw).as("estimate"): _*)
   }
 
+  // -------------------------------------------------------------------
+  // Deterministic count-min sketch (Cormode & Muthukrishnan 2005): the
+  // frequency twin of the HLL sketch above — item-frequency upper
+  // bounds in d·w fixed cells per key, one map-side-combinable scan,
+  // and per-day/per-source sketches MERGE by cell addition. At 100 TB
+  // an exact per-item count shuffles every item once; the sketch
+  // shuffles ≤ tasks·keys·d·w partial-count rows, and a later frequency
+  // probe is a d-row join, never a rescan. Estimates only OVERCOUNT
+  // (est ≥ true frequency, within ≈ rows/w with probability 1−2^−d) —
+  // the right shape for heavy-hitter cutoffs and frequency-capped
+  // sampling. Every hash is md5 arithmetic an oracle replays exactly.
+
+  /** Sparse CM cells of `item` per `keys`: (keys…, r, b, cnt) for the
+    * d hash rows, only touched buckets present (absent ≡ 0). Bucket of
+    * row r = first 32 md5 bits of (salt ‖ r ‖ '|' ‖ item) mod w. NULL
+    * items are excluded. */
+  def cmSketch(df: DataFrame, keys: Seq[String], item: Column,
+      w: Int, d: Int, salt: String = "cm"): DataFrame = {
+    require(w >= 2, s"cmSketch: w must be >= 2, got $w")
+    require(d >= 1, s"cmSketch: d must be >= 1, got $d")
+    df.filter(item.isNotNull)
+      .select(keys.map(col) :+ item.cast("string").as("_it"): _*)
+      .withColumn("r", explode(sequence(lit(0), lit(d - 1))))
+      .withColumn("b", cmBucket(col("r"), col("_it"), w, salt))
+      .groupBy(keys.map(col) :+ col("r") :+ col("b"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  private def cmBucket(r: Column, it: Column, w: Int, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), r.cast("string"), lit("|"), it)),
+      1, 8), 16, 10).cast("long") % w
+
+  /** Merge two cell tables (same keys, w, d, salt): counts ADD per
+    * cell — the sketch of a union is exactly the cell-wise sum, so
+    * per-partition/per-day sketches combine in any order. */
+  def cmMerge(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.union(b).groupBy((keys :+ "r" :+ "b").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Frequency upper bound per probe item: min over the d rows of that
+    * item's cell counts (missing cell = 0). `items` carries the same
+    * key columns plus the probe item; d rows join per probe — the
+    * corpus is never rescanned. Returns (keys…, item, est). */
+  def cmLookup(sketch: DataFrame, items: DataFrame, keys: Seq[String],
+      item: Column, w: Int, d: Int, salt: String = "cm"): DataFrame = {
+    require(w >= 2 && d >= 1, s"cmLookup: bad geometry (w=$w, d=$d)")
+    val probes = items
+      .select(keys.map(col) :+ item.cast("string").as("item"): _*)
+      .withColumn("r", explode(sequence(lit(0), lit(d - 1))))
+      .withColumn("b", cmBucket(col("r"), col("item"), w, salt))
+    probes.join(sketch, keys :+ "r" :+ "b", "left")
+      .groupBy((keys :+ "item").map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** [[histogram]] with bounds taken from the column itself — one extra
     * tiny min/max aggregate, then the same single-scan histogram. */
   def histogramAuto(df: DataFrame, c: Column, bins: Int): DataFrame = {

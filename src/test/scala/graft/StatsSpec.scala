@@ -145,6 +145,39 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(ests("y") / 2000.0 - 1.0) < 0.2, s"y: ${ests("y")}")
   }
 
+  test("cm sketch: estimates only overcount, exact when collision-free, " +
+      "merge ≡ direct, NULL excluded") {
+    // skewed multiplicities: item i appears i+1 times; plus nulls
+    val rows = (0 until 40).flatMap(i => Seq.fill(i + 1)(Option(i.toLong))) :+
+      (None: Option[Long])
+    val df = rows.map(("a", _)).toDF("g", "v")
+    val exact = (0 until 40).map(i => i.toString -> (i + 1L)).toMap
+    // wide sketch: 40 items into w=4096 → almost surely collision-free,
+    // estimates are EXACT counts
+    val wide = Stats.cmSketch(df, Seq("g"), col("v"), w = 4096, d = 3)
+    val estWide = Stats.cmLookup(wide,
+        (0 until 40).map(i => ("a", i.toLong)).toDF("g", "v"),
+        Seq("g"), col("v"), w = 4096, d = 3)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(estWide == exact)
+    // tight sketch: collisions possible, but NEVER an undercount
+    val tight = Stats.cmSketch(df, Seq("g"), col("v"), w = 8, d = 2)
+    val estTight = Stats.cmLookup(tight,
+        (0 until 40).map(i => ("a", i.toLong)).toDF("g", "v"),
+        Seq("g"), col("v"), w = 8, d = 2)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(estTight.forall { case (k, e) => e >= exact(k) })
+    // merged disjoint halves ≡ direct sketch (cell-wise addition)
+    val a = Stats.cmSketch(df.filter(col("v") % 2 === 0), Seq("g"), col("v"), 64, 2)
+    val b = Stats.cmSketch(df.filter(col("v") % 2 === 1), Seq("g"), col("v"), 64, 2)
+    val direct = Stats.cmSketch(df, Seq("g"), col("v"), 64, 2)
+    assert(rowsOf(Stats.cmMerge(a, b, Seq("g"))) == rowsOf(direct))
+    // sketch size is bounded by geometry, nulls contribute nothing
+    assert(direct.count() <= 2 * 64)
+    assert(direct.agg(sum("cnt")).collect()(0).getLong(0) ==
+      2L * rows.count(_.isDefined))
+  }
+
   test("histogramAuto derives bounds; constant column degenerates to one bin") {
     val d = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
     val h = Stats.histogramAuto(d, col("x"), bins = 3)
