@@ -38,7 +38,8 @@ object Bench {
     "q_bm25", "q_pagerank", "q_connected_components", "q_louvain", "q_hmm",
     "q_retract_reduce", "q_text_stats", "q_sql", "q_doc_store",
     "q_knn_pq", "q_knn_ivf_pq", "q_kmeans", "q_dedup_semantic",
-    "q_triangles", "q_join_bloom")
+    "q_triangles", "q_join_bloom", "q_knn_binary", "q_hll_merge",
+    "q_knn_mmr")
 
   /** Queries whose wall-clock is dominated by a streaming-replay or
     * external-service HARNESS (multi-micro-batch MemoryStream feeds,

@@ -1600,6 +1600,34 @@ object PipelineQueries extends QueryModule {
       .select(col("doc_id"), col("source"))
   }
 
+  // frequency-capped sampling: hot customers throttled to ≈ 5 orders in
+  // expectation via count-min frequency estimates (d broadcast cell
+  // joins, no exact per-item count table) + the md5 keep predicate —
+  // the full sketch-driven pipeline decision replayed in DuckDB
+  q("q_sample_freqcap",
+    """WITH cells AS (SELECT t.r,
+      |  CAST('0x' || substr(md5('fcap' || CAST(t.r AS VARCHAR) || '|'
+      |    || CAST(o_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 256 AS b,
+      |  count(*) AS cnt
+      |  FROM orders, unnest(range(2)) AS t(r) GROUP BY 1, 2),
+      |est AS (SELECT o.o_orderkey, least(coalesce(c0.cnt, 0),
+      |    coalesce(c1.cnt, 0)) AS est
+      |  FROM orders o
+      |  LEFT JOIN cells c0 ON c0.r = 0 AND c0.b =
+      |    CAST('0x' || substr(md5('fcap0|' || CAST(o.o_custkey AS VARCHAR)),
+      |      1, 8) AS BIGINT) % 256
+      |  LEFT JOIN cells c1 ON c1.r = 1 AND c1.b =
+      |    CAST('0x' || substr(md5('fcap1|' || CAST(o.o_custkey AS VARCHAR)),
+      |      1, 8) AS BIGINT) % 256)
+      |SELECT o_orderkey FROM est
+      |WHERE CAST('0x' || substr(md5('fcap' || CAST(o_orderkey AS VARCHAR)),
+      |    1, 8) AS BIGINT)
+      |  < least(1.0, 5.0 / CAST(est AS DOUBLE)) * 4294967296.0""") { (s, dir) =>
+    Sampling.frequencyCapSample(load(s, dir, "orders"), col("o_orderkey"),
+        col("o_custkey"), cap = 5, w = 256, d = 2)
+      .select(col("o_orderkey"))
+  }
+
   // decontamination (the published exact n-gram collision method): drop
   // training docs sharing ANY 5-gram with the benchmark set. Shingle +
   // semi-join — at 100 TB the same bucketed equi-join shape as dedup

@@ -48,6 +48,43 @@ object Sampling {
       salt: String = ""): DataFrame =
     df.filter(hashU32(id, salt) < rate * lit((1L << 32).toDouble))
 
+  /** Frequency-capped sampling — throttle items whose corpus frequency
+    * exceeds `cap` so each distinct item contributes ≈ cap rows in
+    * expectation (the hot-item leveler: domain/URL capping, template
+    * throttling before training). Frequencies come from a count-min
+    * sketch ([[Stats.cmSketch]] — d·w fixed cells, mergeable across
+    * days/sources), so no exact per-item count table is ever
+    * materialized; the CM estimate only OVERcounts, so a hot item is
+    * never under-throttled and a rare item colliding with a hot one is
+    * throttled conservatively. Keep decision = the [[mixtureSample]]
+    * md5 predicate on `id` — deterministic on any partitioning.
+    *
+    * Scale shape: one map-side-combinable scan builds the sketch; the
+    * per-row estimate is d BROADCAST joins against the ≤ w-row cell
+    * table of each hash row (no explode, no per-row regroup, no
+    * corpus-sized count table); the keep filter is shuffle-free. Rows
+    * with a NULL item are dropped (they have no frequency). */
+  def frequencyCapSample(df: DataFrame, id: Column, item: Column,
+      cap: Long, w: Int, d: Int, salt: String = "fcap"): DataFrame = {
+    require(cap >= 1, s"frequencyCapSample: cap must be >= 1, got $cap")
+    val cells = Stats.cmSketch(df, Seq(), item, w, d, salt)
+    val base = df.filter(item.isNotNull)
+    val withCells = (0 until d).foldLeft(base) { (acc, r) =>
+      val cr = cells.filter(col("r") === r)
+        .select(col("b").as(s"_b$r"), col("cnt").as(s"_c$r"))
+      acc.withColumn(s"_pb$r", Stats.cmBucket(lit(r), item, w, salt))
+        .join(broadcast(cr), col(s"_pb$r") === col(s"_b$r"), "left")
+    }
+    // every surviving row's own occurrence is in the sketch ⇒ est ≥ 1,
+    // so the rate division can't hit zero
+    val ests = (0 until d).map(r => coalesce(col(s"_c$r"), lit(0L)))
+    val est = if (d == 1) ests.head else least(ests: _*)
+    val rate = least(lit(1.0), lit(cap.toDouble) / est.cast("double"))
+    withCells
+      .filter(hashU32(id, salt) < rate * lit((1L << 32).toDouble))
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
   /** Assign each row a fold label by hash-range split of the unit
     * interval — the deterministic train/val/test split. `weights` need
     * not sum to 1; they are normalized. Returns the frame plus a

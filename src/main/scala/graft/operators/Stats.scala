@@ -236,7 +236,8 @@ object Stats {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  private def cmBucket(r: Column, it: Column, w: Int, salt: String): Column =
+  private[operators] def cmBucket(r: Column, it: Column, w: Int,
+      salt: String): Column =
     conv(substring(md5(concat(lit(salt), r.cast("string"), lit("|"), it)),
       1, 8), 16, 10).cast("long") % w
 

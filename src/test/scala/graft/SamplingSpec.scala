@@ -62,6 +62,26 @@ class SamplingSpec extends SparkSpec {
       Sampling.mixtureSample(docs.repartition(7), col("id"), rate, "mx")))
   }
 
+  test("frequencyCapSample throttles hot items, keeps rare ones whole") {
+    // item "hot" appears 400 times, items r0..r19 five times each; with a
+    // wide sketch (no collisions) est is exact: rare items rate 1.0 (all
+    // kept), hot rate 10/400
+    val rows = (0 until 400).map(i => (i.toLong, "hot")) ++
+      (0 until 20).flatMap(j => (0 until 5).map(k =>
+        ((1000 + j * 5 + k).toLong, s"r$j"))) :+ ((9999L, null: String))
+    val df = rows.toDF("id", "item")
+    val kept = Sampling.frequencyCapSample(df, col("id"), col("item"),
+      cap = 10, w = 4096, d = 3)
+    val hot = kept.filter(col("item") === "hot").count()
+    assert(hot > 0 && hot < 40, s"~10 of 400 hot rows expected, got $hot")
+    assert(kept.filter(col("item").startsWith("r")).count() == 100)
+    // NULL items are dropped, schema unchanged, fully deterministic
+    assert(kept.filter(col("item").isNull).count() == 0)
+    assert(kept.columns.toSeq == df.columns.toSeq)
+    assert(rowsOf(kept) == rowsOf(Sampling.frequencyCapSample(
+      df.repartition(5), col("id"), col("item"), 10, 4096, 3)))
+  }
+
   test("sampleExact returns exactly n rows via TakeOrderedAndProject") {
     val s = Sampling.sampleExact(docs, col("id"), 37)
     assert(s.count() == 37)
