@@ -16,6 +16,33 @@ import graft.SparkEntry.loadEvents
   */
 object TemporalQueries extends QueryModule {
 
+  /** DuckDB replay of the b=6 HLL register+raw-estimate pipeline over a
+    * (user_id, it) source CTE — shared by q_hll_stream's two batch
+    * prefixes (same recipe as q_hll_distinct/q_hll_merge, grouped by
+    * user). Produces `est$sfx(user_id, v0, raw)`. */
+  private def hllUserRegsSql(src: String, sfx: String): String =
+    s"""h$sfx AS (SELECT user_id, md5('hll' || it) AS hx FROM $src),
+      |br$sfx AS (SELECT user_id,
+      |  CAST('0x' || substr(hx, 1, 4) AS INTEGER) % 64 AS bucket,
+      |  substr(hx, 5, 28) AS rest FROM h$sfx),
+      |zd$sfx AS (SELECT user_id, bucket,
+      |  length(regexp_extract(rest, '^0*', 0)) AS z, rest FROM br$sfx),
+      |rh$sfx AS (SELECT user_id, bucket, LEAST(CASE WHEN z = 28 THEN 30
+      |    ELSE 4*z + CASE WHEN d >= 8 THEN 0 WHEN d >= 4 THEN 1
+      |                     WHEN d >= 2 THEN 2 ELSE 3 END + 1 END, 30) AS rho
+      |  FROM (SELECT user_id, bucket, z, CASE WHEN z = 28 THEN 0
+      |      ELSE CAST('0x' || substr(rest, z + 1, 1) AS INTEGER) END AS d
+      |    FROM zd$sfx) s),
+      |reg$sfx AS (SELECT user_id, bucket, MAX(rho) AS rho FROM rh$sfx
+      |  GROUP BY 1, 2),
+      |agg$sfx AS (SELECT user_id, count(*) AS np,
+      |  CAST(sum(CAST(power(2, 30 - rho) AS BIGINT)) AS BIGINT) AS zup
+      |  FROM reg$sfx GROUP BY 1),
+      |est$sfx AS (SELECT user_id, 64 - np AS v0,
+      |  (0.709::DOUBLE) * 64.0 * 64.0 * 1073741824.0
+      |    / CAST(zup + (64 - np) * 1073741824 AS DOUBLE) AS raw
+      |  FROM agg$sfx)""".stripMargin
+
   private val DAY_US = 86400000000L
 
   // tumbling window (reference: _window.py:737) — 1-day windows
@@ -696,6 +723,56 @@ object TemporalQueries extends QueryModule {
     s.table("anomaly_out")
       .select(col("o").as("event_id"), col("k").as("user_id"),
         col("n_prior"), round(col("z") + lit(1e-9), 4).as("z"))
+  }
+
+  // Streaming HLL: a running distinct-count estimate per user with
+  // fixed-size keyed state (the m-byte register array), emitting
+  // (user, n_seen, estimate) per touched micro-batch. The oracle
+  // replays BOTH batch prefixes with the full md5 register arithmetic —
+  // the stream's state fold must land on the identical sketch.
+  q("q_hll_stream",
+    ("""WITH mid AS (SELECT event_id AS m FROM events ORDER BY event_id
+      |  OFFSET (SELECT count(*) // 2 FROM events) LIMIT 1),
+      |pts AS (SELECT user_id, event_id, CAST(event_id % 50 AS VARCHAR) AS it,
+      |  event_id < (SELECT m FROM mid) AS is1 FROM events),
+      |p1 AS (SELECT * FROM pts WHERE is1),
+      |pA AS (SELECT * FROM pts WHERE user_id IN
+      |  (SELECT DISTINCT user_id FROM pts WHERE NOT is1)),
+      |REGS1,
+      |REGSA,
+      |n1 AS (SELECT user_id, count(*) AS n FROM p1 GROUP BY 1),
+      |nA AS (SELECT user_id, count(*) AS n FROM pA GROUP BY 1)
+      |SELECT e.user_id, n1.n AS n_seen,
+      |  round(CASE WHEN raw <= 160.0 AND v0 > 0
+      |    THEN 64.0 * ln(64.0 / CAST(v0 AS DOUBLE)) ELSE raw END
+      |    + 1e-9, 4) AS estimate
+      |FROM est1 e JOIN n1 ON n1.user_id = e.user_id
+      |UNION ALL
+      |SELECT e.user_id, nA.n AS n_seen,
+      |  round(CASE WHEN raw <= 160.0 AND v0 > 0
+      |    THEN 64.0 * ln(64.0 / CAST(v0 AS DOUBLE)) ELSE raw END
+      |    + 1e-9, 4) AS estimate
+      |FROM estA e JOIN nA ON nA.user_id = e.user_id""")
+      .replace("REGS1", hllUserRegsSql("p1", "1"))
+      .replace("REGSA", hllUserRegsSql("pA", "A"))) { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = loadEvents(s, dir).select(col("user_id"), col("event_id"))
+      .as[(Long, Long)].collect().sortBy(_._2)
+    val mid = rows(rows.length / 2)._2
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val events = in.toDF().toDF("user_id", "event_id")
+    val out = graft.streaming.Streaming.hllStream(events,
+      col("user_id"), col("event_id") % 50, b = 6)
+    val q = out.writeStream.format("memory").queryName("hll_stream_out")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.filter(_._2 < mid).toSeq); q.processAllAvailable()
+      in.addData(rows.filter(_._2 >= mid).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    s.table("hll_stream_out").select(col("k").as("user_id"), col("n_seen"),
+      round(col("estimate") + lit(1e-9), 4).as("estimate"))
   }
 
   // WHICH batch fires a key varies with watermark arithmetic, but the

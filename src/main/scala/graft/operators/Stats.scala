@@ -170,6 +170,46 @@ object Stats {
       .agg(max(rho).as("rho"))
   }
 
+  /** Scala twin of the [[hllRegisters]] column recipe — ONE hash
+    * geometry shared with [[graft.streaming.Streaming.hllStream]]'s
+    * keyed state (StatsSpec pins column ≡ scalar bit-for-bit, so the
+    * stream and the batch sketch can never drift apart). */
+  def hllBucketRho(value: String, b: Int, salt: String = "hll"): (Int, Int) = {
+    val md = Stats.md5Digest.get()
+    md.reset()
+    val hx = md.digest((salt + value).getBytes(
+      java.nio.charset.StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
+    val bucket = Integer.parseInt(hx.substring(0, 4), 16) % (1 << b)
+    val rest = hx.substring(4, 32)
+    val z = rest.takeWhile(_ == '0').length
+    val rho = if (z == 28) HllRhoCap else {
+      val d = Integer.parseInt(rest.substring(z, z + 1), 16)
+      val extra = if (d >= 8) 0 else if (d >= 4) 1 else if (d >= 2) 2 else 3
+      math.min(4 * z + extra + 1, HllRhoCap)
+    }
+    (bucket, rho)
+  }
+
+  /** Scala twin of the [[hllEstimate]] arithmetic from (present-bucket
+    * count, present-bucket Σ2^(30−rho)) — the same IEEE operation
+    * sequence as the column expressions, so a streaming state estimate
+    * equals the batch estimate EXACTLY (StatsSpec pins it). */
+  def hllEstimateScalar(np: Long, zup: Long, b: Int): Double = {
+    val m = 1 << b
+    val alpha = if (m == 16) 0.673 else if (m == 32) 0.697
+      else if (m == 64) 0.709 else 0.7213 / (1.0 + 1.079 / m)
+    val v0 = m - np
+    val zu = (zup + v0 * (1L << HllRhoCap)).toDouble
+    val raw = alpha * m.toDouble * m.toDouble * math.pow(2.0, HllRhoCap) / zu
+    if (raw <= 2.5 * m && v0 > 0) m.toDouble * math.log(m.toDouble / v0.toDouble)
+    else raw
+  }
+
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Merge two register tables (same keys, same b): max rho per bucket —
     * associative/commutative/idempotent, so per-partition, per-day, or
     * per-source sketches combine in any order into exactly the sketch

@@ -323,6 +323,57 @@ object Streaming {
       .toDF("k", "o", "n_prior", "z")
   }
 
+  /** Streaming twin of the batch HLL sketch
+    * ([[graft.operators.Stats.hllRegisters]]/hllEstimate): a RUNNING
+    * distinct-count estimate per key, emitting one
+    * (key, n_seen, estimate) row per key per micro-batch that touches
+    * it. Keyed state = the dense m-byte register array — fixed size
+    * per key forever, the whole point of sketching a stream: exact
+    * streaming distinct would grow state with the distinct set.
+    *
+    * The hash geometry and the estimate arithmetic are the SAME scalar
+    * functions the batch sketch is pinned to
+    * ([[graft.operators.Stats.hllBucketRho]]/hllEstimateScalar), so a
+    * stream replay's final estimate equals the batch estimate
+    * BIT-IDENTICALLY (StatsSpec pins it; the q_hll_stream oracle replays
+    * both batch prefixes in DuckDB). NULL items are excluded, matching
+    * the batch sketch. */
+  def hllStream(events: DataFrame, key: Column, item: Column, b: Int,
+      salt: String = "hll"): DataFrame = {
+    require(b >= 4 && b <= 12, s"hllStream: b must be in [4,12], got $b")
+    val m = 1 << b
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.filter(item.isNotNull)
+      .select(key.cast("long").as("k"), item.cast("string").as("it"))
+      .as[(Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[HllState, (Long, Long, Double)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (k, rows, st) =>
+          val prev = st.getOption.getOrElse(HllState(0L, new Array[Byte](m)))
+          val regs = prev.regs.clone()
+          var n = prev.n
+          rows.foreach { case (_, it) =>
+            val (bk, rho) = graft.operators.Stats.hllBucketRho(it, b, salt)
+            if (rho > regs(bk)) regs(bk) = rho.toByte
+            n += 1
+          }
+          var np = 0L
+          var zup = 0L
+          var i = 0
+          while (i < m) {
+            if (regs(i) > 0) { np += 1; zup += 1L << (30 - regs(i)) }
+            i += 1
+          }
+          st.update(HllState(n, regs))
+          Iterator.single(
+            (k, n, graft.operators.Stats.hllEstimateScalar(np, zup, b)))
+      }
+      .toDF("k", "n_seen", "estimate")
+  }
+
   /** Callback sink (reference: pw.io.subscribe io/_subscribe.py): the
     * callback sees each micro-batch as a DataFrame + batch id. */
   def subscribe(df: DataFrame, onChange: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
@@ -861,3 +912,8 @@ object Streaming {
   * encoder's generated accessors resolve (a private nested class broke
   * whole-stage codegen). */
 case class ZState(n: Long, sx: String, sxx: String)
+
+/** Keyed state carried by [[Streaming.hllStream]]: arrival count + the
+  * dense m-byte HLL register array (rho ≤ 30 fits a byte). Top-level
+  * for the same encoder reason as [[ZState]]. */
+case class HllState(n: Long, regs: Array[Byte])

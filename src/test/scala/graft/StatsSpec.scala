@@ -101,31 +101,40 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(est / n - 1.0) < 0.15, s"estimate $est vs exact $n")
   }
 
-  test("hll: registers match the md5 geometry reference bit-for-bit") {
-    // reference implementation of the documented hash recipe — any
-    // drift in the column-expression formulation (bucket mod, zero-run
-    // length, first-nonzero-nibble class, cap) fails here before it
-    // fails cross-engine
-    def ref(v: Long, m: Int): (Int, Int) = {
-      val hx = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"hll$v".getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val bucket = Integer.parseInt(hx.substring(0, 4), 16) % m
-      val rest = hx.substring(4, 32)
-      val z = rest.takeWhile(_ == '0').length
-      val rho = if (z == 28) 30 else {
-        val d = Integer.parseInt(rest.substring(z, z + 1), 16)
-        val extra = if (d >= 8) 0 else if (d >= 4) 1 else if (d >= 2) 2 else 3
-        math.min(4 * z + extra + 1, 30)
-      }
-      (bucket, rho)
-    }
+  test("hll: column registers ≡ the shared scalar geometry bit-for-bit") {
+    // hllBucketRho is the SAME function hllStream's keyed state uses —
+    // this pin is what keeps the stream and the batch sketch from
+    // drifting (bucket mod, zero-run length, nibble class, cap)
     val vals = (0L until 400L)
-    val expected = vals.map(v => ref(v, 64)).groupBy(_._1)
-      .map { case (b, xs) => (b, xs.map(_._2).max) }
+    val expected = vals.map(v => Stats.hllBucketRho(v.toString, b = 6))
+      .groupBy(_._1).map { case (b, xs) => (b, xs.map(_._2).max) }
     val got = Stats.hllRegisters(vals.map(("a", _)).toDF("g", "v"),
         Seq("g"), col("v"), b = 6)
       .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
     assert(got == expected)
+  }
+
+  test("hll: stream replay's final estimate equals the batch estimate exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0 until 600).map(i => ((i % 3).toLong, (i * 7 % 211).toLong))
+    val batch = Stats.hllEstimate(
+        Stats.hllRegisters(rows.toDF("k", "v"), Seq("k"), col("v"), b = 6),
+        Seq("k"), b = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val out = graft.streaming.Streaming.hllStream(
+      in.toDF().toDF("k", "v"), col("k"), col("v"), b = 6)
+    val q = out.writeStream.format("memory").queryName("hll_stream_spec")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.take(300)); q.processAllAvailable()
+      in.addData(rows.drop(300)); q.processAllAvailable()
+    } finally q.stop()
+    // last emission per key (n_seen = 200 rows each) — BIT-equal doubles
+    val fin = spark.table("hll_stream_spec").filter(col("n_seen") === 200)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(fin == batch)
   }
 
   test("hll: merged disjoint-half sketches equal the direct sketch") {
