@@ -106,6 +106,25 @@ object DataIndex {
             col("neighbor_id").as("id"), col("score"))
     }
 
+  /** Brute-force KNN over 1-bit sign codes — the extreme memory end of
+    * the quantization ladder (64× smaller in flight, XOR-popcount
+    * ranking; see [[Similarity.binaryTopK]]). `rescore > 0` refines the
+    * Hamming shortlist by exact float cosine (score = cosine); without
+    * it the integer Hamming distance is emitted negated as the score so
+    * "larger = closer" matches every other retriever. */
+  def binary(data: DataFrame, id: Column, vec: Column,
+      rescore: Int = 0): Retriever =
+    new Retriever {
+      def retrieve(queries: DataFrame, qid: Column, query: Column, k: Int): DataFrame = {
+        val out = Similarity.binaryTopK(queries, data, qid, query, id, vec,
+          k, rescore)
+        val score = if (rescore > 0) col("cosine")
+          else -col("hamming").cast("double")
+        out.select(col("query_id").as("qid"), col("rank"),
+          col("neighbor_id").as("id"), score.as("score"))
+      }
+    }
+
   /** ANN via IVF lists with int8-quantized codes inside each list — the
     * FAISS IVF-SQ serving shape ([[Similarity.ivfQuantizedRetrieve]]):
     * coarse prune to `nprobe` lists, integer-dot candidate rank, exact

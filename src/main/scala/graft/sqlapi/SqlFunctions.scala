@@ -3,7 +3,7 @@ package graft.sqlapi
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.plans.{ChunkBySepExpr, DotProductExpr, HashEmbedExpr, MatMulExpr, ShinglesExpr, WinnowExpr}
+import graft.plans.{ChunkBySepExpr, DotProductExpr, HammingExpr, HashEmbedExpr, MatMulExpr, ShinglesExpr, SignPackExpr, WinnowExpr}
 
 /** Pure-SQL surface for graft's native Catalyst expressions.
   *
@@ -31,6 +31,8 @@ import graft.plans.{ChunkBySepExpr, DotProductExpr, HashEmbedExpr, MatMulExpr, S
   * | `graft_shingles(text, n[, distinct])` | [[graft.plans.ShinglesExpr]] |
   * | `graft_winnow(text, k, w)` | [[graft.plans.WinnowExpr]] |
   * | `graft_chunks(text, sep, max_tokens)` | [[graft.plans.ChunkBySepExpr]] |
+  * | `graft_sign_pack(v)` | [[graft.plans.SignPackExpr]] (1-bit codes) |
+  * | `graft_hamming(a, b)` | [[graft.plans.HammingExpr]] (XOR popcount) |
   *
   * Geometry/config arguments (dim, n, k, w, sep, max_tokens) must be
   * foldable literals — they parameterize the plan node itself, exactly
@@ -106,6 +108,14 @@ object GraftSqlFunctions {
         arity("graft_chunks", args, 3)
         ChunkBySepExpr(args(0), strArg("graft_chunks", "sep")(args(1)),
           intArg("graft_chunks", "max_tokens")(args(2)))
+      }),
+    ("graft_sign_pack", "1-bit sign quantization: dim doubles -> ceil(dim/64) longs",
+      (args: Seq[Expression]) => {
+        arity("graft_sign_pack", args, 1); SignPackExpr(args(0))
+      }),
+    ("graft_hamming", "Hamming distance over sign-packed codes (codegen'd XOR popcount)",
+      (args: Seq[Expression]) => {
+        arity("graft_hamming", args, 2); HammingExpr(args(0), args(1))
       })
   ).map { case (name, _, builder) =>
     (FunctionIdentifier(name),

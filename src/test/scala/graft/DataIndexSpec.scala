@@ -180,6 +180,14 @@ class DataIndexSpec extends SparkSpec {
       .select("query_id", "rank", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(viaBinary == exact)
+    // the facade delegates: rescore ≥ corpus through DataIndex.binary
+    // returns the same pairs as brute force
+    val viaFacade = graft.operators.DataIndex.binary(corpus, col("id"),
+        col("v"), rescore = 200)
+      .retrieve(queries, col("id"), col("v"), 3)
+      .select("qid", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaFacade == exact)
     // codes are genuinely packed: 16 dims → one long word
     val codes = Similarity.binarySignQuantize(corpus, col("v"))
     assert(codes.schema("bcodes").dataType ==

@@ -46,6 +46,26 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(rowsOf(viaSql) == rowsOf(viaCols))
   }
 
+  test("sign_pack/hamming via SQL match the Column API") {
+    val vecs = Seq((1L, Seq(1.0, -1.0, 2.0)), (2L, Seq(-1.0, 1.0, 0.0)))
+      .toDF("id", "v")
+    vecs.createOrReplaceTempView("sqlfn_vecs")
+    val viaSql = spark.sql(
+      """SELECT a.id AS i, b.id AS j,
+        |  graft_hamming(graft_sign_pack(a.v), graft_sign_pack(b.v)) AS h
+        |FROM sqlfn_vecs a JOIN sqlfn_vecs b""".stripMargin)
+    val viaCols = vecs.select(col("id").as("i"),
+        graft.plans.VecExprs.signPack(col("v")).as("pa"))
+      .crossJoin(vecs.select(col("id").as("j"),
+        graft.plans.VecExprs.signPack(col("v")).as("pb")))
+      .select(col("i"), col("j"),
+        graft.plans.VecExprs.hamming(col("pa"), col("pb")).as("h"))
+    assert(rowsOf(viaSql) == rowsOf(viaCols))
+    // signs differ in dims 1 and 2 (0.0 packs as 0-bit like -1)
+    assert(viaSql.filter(col("i") === 1 && col("j") === 2)
+      .collect()(0).getInt(2) == 3)
+  }
+
   test("geometry arguments must be literals; arity is enforced") {
     docs.createOrReplaceTempView("sqlfn_docs")
     intercept[Exception] { // non-literal dim
