@@ -266,9 +266,12 @@ case class MmrSelectExpr(child: Expression, n: Int, lam: Double)
             else lam * ss(j) - oneMinus * maxsim(j)
           // SQLOrderingUtil double order, ties to the smallest id —
           // explicit comparison, so collect_list order can't leak in
+          // (the id tie-break also covers compare-equal NaNs, which
+          // `mmr == best` alone would miss)
+          val dc = if (mmr == best) 0 else java.lang.Double.compare(mmr, best)
           val cmp = if (bestI < 0) 1
-            else if (mmr == best) java.lang.Long.compare(ids(bestI), ids(j))
-            else java.lang.Double.compare(mmr, best)
+            else if (dc != 0) dc
+            else java.lang.Long.compare(ids(bestI), ids(j))
           if (cmp > 0) { best = mmr; bestI = j }
         }
         j += 1
