@@ -52,7 +52,8 @@ object Bench {
     * bench output reports `total_plan` / `total_harness` subtotals so
     * round-over-round comparisons track the right number. */
   private val harness = Set(
-    "q_anomaly_stream", "q_asof_now", "q_async_transformer", "q_hll_stream",
+    "q_anomaly_stream", "q_asof_now", "q_async_transformer",
+    "q_ema_stream", "q_hll_stream",
     "q_behavior_cutoff",
     "q_behavior_keep", "q_cdc_subject_log", "q_doc_store_stream",
     "q_inactivity", "q_interval_stream", "q_io_filestream", "q_io_http",

@@ -661,6 +661,50 @@ object TemporalQueries extends QueryModule {
         round(col("ema") + lit(1e-9), 4).as("ema"))
   }
 
+  // Streaming EMA: the sequential fold continued across micro-batches
+  // with (n, ema) as the whole keyed state, emitting per touched batch.
+  // The oracle replays both batch prefixes as DuckDB list_reduce folds —
+  // the stream's per-row arithmetic is the identical IEEE expression.
+  q("q_ema_stream",
+    """WITH mid AS (SELECT event_id AS m FROM events ORDER BY event_id
+      |  OFFSET (SELECT count(*) // 2 FROM events) LIMIT 1),
+      |pts AS (SELECT user_id, event_id, value,
+      |  event_id < (SELECT m FROM mid) AS is1
+      |  FROM events WHERE value IS NOT NULL),
+      |e1 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |  list_reduce(list(value ORDER BY event_id),
+      |    (acc, x) -> 0.2::DOUBLE * x + (1 - 0.2::DOUBLE) * acc) AS ema
+      |  FROM pts WHERE is1 GROUP BY user_id),
+      |eA AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |  list_reduce(list(value ORDER BY event_id),
+      |    (acc, x) -> 0.2::DOUBLE * x + (1 - 0.2::DOUBLE) * acc) AS ema
+      |  FROM pts WHERE user_id IN
+      |    (SELECT DISTINCT user_id FROM pts WHERE NOT is1)
+      |  GROUP BY user_id)
+      |SELECT user_id, n, round(ema + 1e-9, 4) AS ema FROM e1
+      |UNION ALL
+      |SELECT user_id, n, round(ema + 1e-9, 4) AS ema FROM eA""") { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = loadEvents(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    val mid = rows(rows.length / 2)._2
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double)]
+    val events = in.toDF().toDF("user_id", "event_id", "value")
+    val out = graft.streaming.Streaming.emaStream(events,
+      col("user_id"), col("event_id"), col("value"), alpha = 0.2)
+    val q = out.writeStream.format("memory").queryName("ema_stream_out")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.filter(_._2 < mid).toSeq); q.processAllAvailable()
+      in.addData(rows.filter(_._2 >= mid).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    s.table("ema_stream_out").select(col("k").as("user_id"), col("n"),
+      round(col("ema") + lit(1e-9), 4).as("ema"))
+  }
+
   // Running z-score anomaly detection: each event scored against the
   // mean/stddev of its key's PRIOR events only (leakage-free online
   // shape). Running Σ/Σ² in decimal (exact, order-free), moment formula

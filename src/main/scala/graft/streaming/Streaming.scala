@@ -323,6 +323,42 @@ object Streaming {
       .toDF("k", "o", "n_prior", "z")
   }
 
+  /** Streaming twin of [[graft.operators.Stats.ema]]: the exponential
+    * moving average continued across micro-batches with (n, ema) as the
+    * entire keyed state. Rows within a batch fold in `order`; the feed
+    * must be in order ACROSS batches (the same in-order replay contract
+    * as [[anomalyStream]] — replaying a log through this operator in
+    * offset order reproduces the batch fold EXACTLY, because the
+    * per-row arithmetic is the identical IEEE expression). Emits one
+    * (key, n, ema) row per key per touched micro-batch; NULL values are
+    * skipped like the batch fold. */
+  def emaStream(events: DataFrame, key: Column, order: Column,
+      value: Column, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"emaStream: alpha must be in (0,1], got $alpha")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.filter(value.isNotNull)
+      .select(key.cast("long").as("k"), order.cast("long").as("o"),
+        value.cast("double").as("v"))
+      .as[(Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[EmaState, (Long, Long, Double)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (k, rows, st) =>
+          var (n, ema) = st.getOption.map(s => (s.n, s.ema))
+            .getOrElse((0L, 0.0))
+          rows.toSeq.sortBy(_._2).foreach { case (_, _, v) =>
+            // the exact per-row expression Stats.ema folds with
+            ema = if (n == 0) v else alpha * v + (1 - alpha) * ema
+            n += 1
+          }
+          st.update(EmaState(n, ema))
+          Iterator.single((k, n, ema))
+      }
+      .toDF("k", "n", "ema")
+  }
+
   /** Streaming twin of the batch HLL sketch
     * ([[graft.operators.Stats.hllRegisters]]/hllEstimate): a RUNNING
     * distinct-count estimate per key, emitting one
@@ -912,6 +948,10 @@ object Streaming {
   * encoder's generated accessors resolve (a private nested class broke
   * whole-stage codegen). */
 case class ZState(n: Long, sx: String, sxx: String)
+
+/** Keyed state carried by [[Streaming.emaStream]]: the whole EMA state
+  * is two numbers (a double round-trips any encoder bit-exactly). */
+case class EmaState(n: Long, ema: Double)
 
 /** Keyed state carried by [[Streaming.hllStream]]: arrival count + the
   * dense m-byte HLL register array (rho ≤ 30 fits a byte). Top-level

@@ -154,6 +154,28 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(ests("y") / 2000.0 - 1.0) < 0.2, s"y: ${ests("y")}")
   }
 
+  test("ema: stream replay's final fold equals the batch fold exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0 until 300).map(i =>
+      ((i % 2).toLong, i.toLong, math.sin(i) * 10))
+    val batch = Stats.ema(rows.toDF("k", "o", "v"), Seq("k"), "o", "v",
+        alpha = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double)]
+    val out = graft.streaming.Streaming.emaStream(
+      in.toDF().toDF("k", "o", "v"), col("k"), col("o"), col("v"), 0.3)
+    val q = out.writeStream.format("memory").queryName("ema_stream_spec")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.take(100)); q.processAllAvailable()
+      in.addData(rows.slice(100, 300)); q.processAllAvailable()
+    } finally q.stop()
+    val fin = spark.table("ema_stream_spec").filter(col("n") === 150)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(fin == batch) // BIT-equal doubles across the batch boundary
+  }
+
   test("cm sketch: estimates only overcount, exact when collision-free, " +
       "merge ≡ direct, NULL excluded") {
     // skewed multiplicities: item i appears i+1 times; plus nulls
