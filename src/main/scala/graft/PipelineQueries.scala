@@ -1381,6 +1381,23 @@ object PipelineQueries extends QueryModule {
       Seq(), col("o_custkey"), w = 128, d = 2)
   }
 
+  // blocklist scan: one Aho-Corasick pass per row against a constant
+  // term list (incl. overlapping terms and a never-matching one) — the
+  // oracle replays the semantics as list_filter/contains
+  q("q_text_blocklist",
+    """SELECT doc_id,
+      |  coalesce(array_to_string(list_filter(['table part', 'part', 'data',
+      |    'spark', 'zzqq'], t -> contains(text, t)), ','), '') AS hits,
+      |  len(list_filter(['table part', 'part', 'data', 'spark', 'zzqq'],
+      |    t -> contains(text, t))) = 0 AS kept
+      |FROM documents""") { (s, dir) =>
+    val terms = Seq("table part", "part", "data", "spark", "zzqq")
+    load(s, dir, "documents")
+      .withColumn("_h", TextOps.matchTerms(col("text"), terms))
+      .select(col("doc_id"), array_join(col("_h"), ",").as("hits"),
+        (size(col("_h")) === 0).as("kept"))
+  }
+
   q("q_text_stats",
     """SELECT doc_id,
       |  len(string_split(text, ' ')) AS n_tok,

@@ -274,6 +274,23 @@ object TextOps {
   def cleanText(text: Column): Column =
     normalizeWhitespace(maskIpv4(maskEmails(stripUrls(text))))
 
+  /** Blocklist term matching — the bad-word/license-string/marker scan
+    * of a training-data filter: the DISTINCT `terms` occurring as
+    * substrings of `text`, in term-list order
+    * ([[graft.plans.MultiMatchExpr]] — ONE Aho–Corasick pass per row,
+    * O(|text| + hits) however long the list, where a `LIKE any` /
+    * regex-alternation formulation scales O(|text|·|terms|)). Exact-
+    * case substring semantics; normalize upstream for word boundaries
+    * or case folding. */
+  def matchTerms(text: Column, terms: Seq[String]): Column =
+    graft.plans.TextExprs.matchTerms(text, terms)
+
+  /** Keep only rows whose `text` matches NO blocklist term — the filter
+    * composition of [[matchTerms]]; a pure scan at any corpus size. */
+  def blocklistFilter(df: org.apache.spark.sql.DataFrame, text: Column,
+      terms: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.filter(size(matchTerms(text, terms)) === 0)
+
   /** Gopher/MassiveText-style repetition signals (the published
     * "repetitive content" filter family): per document, the fraction of
     * all tokens taken by the single most frequent unigram and bigram —

@@ -27,6 +27,133 @@ object TextExprs {
     * plan node; see [[ShinglesExpr]]. */
   def shingles(text: Column, n: Int, distinct: Boolean): Column =
     ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(text), n, distinct))
+
+  /** `match_terms(text)` against a plan-time constant term list — see
+    * [[MultiMatchExpr]]. */
+  def matchTerms(text: Column, terms: Seq[String]): Column =
+    ColumnBridge.column(
+      MultiMatchExpr(ColumnBridge.expression(text), terms.toArray))
+}
+
+/** Multi-pattern substring matching against a constant term list — the
+  * blocklist/allowlist scan of a training-data filter (bad-word lists,
+  * contamination markers, license strings). Returns the DISTINCT terms
+  * that occur as substrings, in TERM-LIST order — a pure function of
+  * (text, terms) the oracle replays as
+  * `list_filter(terms, t -> contains(text, t))`.
+  *
+  * One Aho–Corasick pass: the automaton (goto trie + BFS failure links
+  * + dictionary suffix links) is built ONCE per executor from the term
+  * list riding in the expression (a transient lazy val, like the
+  * PQ codebooks) and every row costs O(|text| + hits) regardless of
+  * list size — where the `LIKE any`/regex-alternation formulations
+  * scale O(|text|·|terms|) and made 10k-term blocklists corpus-scan
+  * bottlenecks. Matching is exact-case substring containment;
+  * normalize both sides upstream for case-insensitive or
+  * word-boundary semantics. NULL text → NULL; terms must be non-empty
+  * strings (an empty pattern matches everywhere and means a broken
+  * list). CodegenFallback: one dispatch per row amortized over the
+  * whole scan. */
+case class MultiMatchExpr(child: Expression, terms: Array[String])
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  require(terms.nonEmpty, "match_terms: empty term list")
+  require(terms.forall(t => t != null && t.nonEmpty),
+    "match_terms: terms must be non-empty strings")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "match_terms"
+  override def nullable: Boolean = true
+
+  // Aho–Corasick automaton: per-node char→child maps, BFS failure
+  // links, and per-node aggregated term-id hit lists (dictionary links
+  // collapsed into the node at build time so the scan never walks them)
+  @transient private lazy val automaton: MultiMatchExpr.Automaton =
+    MultiMatchExpr.build(terms)
+
+  override protected def nullSafeEval(t: Any): Any = {
+    val a = automaton
+    val s = t.toString
+    val found = new Array[Boolean](terms.length)
+    var remaining = terms.length
+    var node = 0
+    var i = 0
+    val n = s.length
+    while (i < n && remaining > 0) {
+      val c = s.charAt(i)
+      var nxt = a.children(node).getOrElse(c, -1)
+      while (nxt < 0 && node != 0) {
+        node = a.fail(node)
+        nxt = a.children(node).getOrElse(c, -1)
+      }
+      node = if (nxt >= 0) nxt else 0
+      val hits = a.hits(node)
+      var h = 0
+      while (h < hits.length) {
+        if (!found(hits(h))) { found(hits(h)) = true; remaining -= 1 }
+        h += 1
+      }
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var ti = 0
+    while (ti < terms.length) {
+      if (found(ti)) out += UTF8String.fromString(terms(ti))
+      ti += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiMatchExpr =
+    copy(child = newChild)
+}
+
+object MultiMatchExpr {
+  private[plans] final class Automaton(
+      val children: Array[scala.collection.immutable.Map[Char, Int]],
+      val fail: Array[Int],
+      val hits: Array[Array[Int]])
+
+  private[plans] def build(terms: Array[String]): Automaton = {
+    val children = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.Map[Char, Int]())
+    val ends = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+    terms.zipWithIndex.foreach { case (t, ti) =>
+      var node = 0
+      t.foreach { c =>
+        node = children(node).getOrElseUpdate(c, {
+          children += scala.collection.mutable.Map[Char, Int]()
+          ends += Nil
+          children.length - 1
+        })
+      }
+      ends(node) = ti :: ends(node)
+    }
+    val n = children.length
+    val fail = new Array[Int](n)
+    val hits = new Array[List[Int]](n)
+    var i = 0
+    while (i < n) { hits(i) = ends(i); i += 1 }
+    val queue = scala.collection.mutable.Queue[Int]()
+    children(0).values.foreach { c => fail(c) = 0; queue += c }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      // dictionary links collapsed: a node inherits its fail target's
+      // hit list, so the scan reports every suffix-term in O(hits)
+      hits(u) = hits(u) ::: hits(fail(u))
+      children(u).foreach { case (c, v) =>
+        // fail(u) is strictly shallower than u, so the node found here
+        // can never be v itself
+        var f = fail(u)
+        while (f != 0 && !children(f).contains(c)) f = fail(f)
+        fail(v) = children(f).getOrElse(c, 0)
+        queue += v
+      }
+    }
+    new Automaton(children.map(_.toMap).toArray, fail,
+      hits.map(_.distinct.sorted.toArray))
+  }
 }
 
 /** One-pass winnowing fingerprint selection (Schleimer et al. 2003).

@@ -109,6 +109,20 @@ object GraftSqlFunctions {
         ChunkBySepExpr(args(0), strArg("graft_chunks", "sep")(args(1)),
           intArg("graft_chunks", "max_tokens")(args(2)))
       }),
+    ("graft_match_terms", "Aho-Corasick blocklist scan vs a literal term array",
+      (args: Seq[Expression]) => {
+        arity("graft_match_terms", args, 2)
+        val t = args(1)
+        require(t.foldable, "graft_match_terms: terms must be a literal array")
+        val terms = t.eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toObjectArray(org.apache.spark.sql.types.StringType)
+              .map(x => if (x == null) null else x.toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_match_terms: terms must be a literal string array, got $other")
+        }
+        graft.plans.MultiMatchExpr(args(0), terms)
+      }),
     ("graft_sign_pack", "1-bit sign quantization: dim doubles -> ceil(dim/64) longs",
       (args: Seq[Expression]) => {
         arity("graft_sign_pack", args, 1); SignPackExpr(args(0))

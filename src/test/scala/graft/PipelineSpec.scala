@@ -269,6 +269,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("matchTerms: Aho-Corasick ≡ naive contains, term order, dict links") {
+    import graft.operators.TextOps
+    // overlapping and suffix-nested terms exercise failure + dictionary
+    // links: in "xabcd", "bcd"/"cd"/"d" must ALL be reported
+    val terms = Seq("abc", "bcd", "cd", "d", "xx", "never-here")
+    val rnd = new scala.util.Random(17)
+    val texts = Seq("xabcd", "", "abc", "ddd", "xxabcxx") ++
+      Seq.fill(40)(Seq.fill(30)("abcdx".charAt(rnd.nextInt(5))).mkString)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val got = df.select(col("id"),
+        TextOps.matchTerms(col("t"), terms).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val naive = terms.filter(t.contains(_)) // term-list order
+      assert(got(i.toLong) == naive, s"text '$t'")
+    }
+    // null text propagates; blocklistFilter keeps only clean rows
+    assert(df.select(TextOps.matchTerms(when(col("id") === -1, col("t")),
+      terms)).collect().forall(_.isNullAt(0)))
+    val kept = TextOps.blocklistFilter(
+      Seq((1L, "clean row"), (2L, "has abc inside")).toDF("id", "t"),
+      col("t"), Seq("abc")).collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L))
+  }
+
   test("decontaminateSemantic drops train rows near any held-out vector") {
     val train = Seq(
       (1L, Seq(1.0f, 0.0f)),   // aligned with heldout -> dropped

@@ -66,6 +66,21 @@ class SqlFunctionsSpec extends SparkSpec {
       .collect()(0).getInt(2) == 3)
   }
 
+  test("match_terms via SQL matches the Column API") {
+    docs.createOrReplaceTempView("sqlfn_docs")
+    val viaSql = spark.sql(
+      "SELECT id, graft_match_terms(text, array('a b', 'x', 'q')) AS h " +
+        "FROM sqlfn_docs")
+    val viaCols = docs.select(col("id"),
+      graft.plans.TextExprs.matchTerms(col("text"), Seq("a b", "x", "q")).as("h"))
+    assert(rowsOf(viaSql) == rowsOf(viaCols))
+    // non-literal term array fails loudly
+    intercept[Exception] {
+      spark.sql("SELECT graft_match_terms(text, array(text)) FROM sqlfn_docs")
+        .collect()
+    }
+  }
+
   test("geometry arguments must be literals; arity is enforced") {
     docs.createOrReplaceTempView("sqlfn_docs")
     intercept[Exception] { // non-literal dim
