@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Sampling, Similarity, TextOps}
-import graft.SparkEntry.load
+import graft.SparkEntry.{load, loadEvents}
 
 /** Oracle-checked queries for the training-data pipeline operators:
   * deduplication, similarity search, text analysis (over the `documents`
@@ -667,6 +667,32 @@ object PipelineQueries extends QueryModule {
         col("cosine"), col("v"), n = 3, lam = 0.75)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("mmr") + lit(1e-9), 4).as("mmr"))
+  }
+
+  // contrastive hard-negative mining: per anchor, top-5 most-similar
+  // rows inside the cosine band [0.1, 0.5) — above is a near-dup false
+  // negative, below teaches nothing; the band filter runs BEFORE the
+  // rank window
+  q("q_hard_negatives",
+    """WITH w AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |sc AS (SELECT q.id AS anchor_id, d.id AS negative_id,
+      |  list_dot_product(q.v, d.v)
+      |    / sqrt(list_dot_product(q.v, q.v) * list_dot_product(d.v, d.v)) AS c
+      |  FROM w q JOIN w d ON q.id % 50 = 0 AND q.id != d.id),
+      |b AS (SELECT * FROM sc WHERE c >= 0.1 AND c < 0.5),
+      |r AS (SELECT anchor_id, negative_id, c,
+      |  row_number() OVER (PARTITION BY anchor_id ORDER BY c DESC, negative_id)
+      |    AS rank FROM b)
+      |SELECT anchor_id, rank, negative_id, round(c + 1e-9, 4) AS cosine
+      |FROM r WHERE rank <= 5""") { (s, dir) =>
+    val e = load(s, dir, "embeddings")
+    Similarity.hardNegatives(
+        e.filter(col("vec_id") % 50 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 5, loSim = 0.1, hiSim = 0.5, dim = 64)
+      .select(col("anchor_id"), col("rank"), col("negative_id"),
+        round(col("cosine") + lit(1e-9), 4).as("cosine"))
   }
 
   // LSH-bucketed ANN: top-1 within the random-hyperplane bucket
@@ -1396,6 +1422,60 @@ object PipelineQueries extends QueryModule {
       .withColumn("_h", TextOps.matchTerms(col("text"), terms))
       .select(col("doc_id"), array_join(col("_h"), ",").as("hits"),
         (size(col("_h")) === 0).as("kept"))
+  }
+
+  // percentile normalization: n_chars → per-lang percent rank, doc_id
+  // tie-break — heterogeneous scores become mixable [0,1] quantiles
+  q("q_rank_normalize",
+    """WITH nn AS (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS v
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      |p AS (SELECT doc_id,
+      |  percent_rank() OVER (PARTITION BY lang ORDER BY v, doc_id) AS pct
+      |  FROM nn)
+      |SELECT d.doc_id, d.lang, round(p.pct + 1e-9, 4) AS pct
+      |FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id""") { (s, dir) =>
+    graft.operators.Stats.rankNormalize(load(s, dir, "documents"),
+        Seq("lang"), col("n_chars"), col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        round(col("pct") + lit(1e-9), 4).as("pct"))
+  }
+
+  // data-drift monitor: per-user two-sample z between two corpus
+  // versions (event_id mod-3 split) — decimal-exact moments, the
+  // rvarSamp determinism recipe on both engines
+  q("q_drift",
+    """WITH o AS (SELECT user_id, count(*) AS n_old,
+      |  CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+      |  CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS sxx
+      |  FROM events WHERE value IS NOT NULL AND event_id % 3 <> 0 GROUP BY 1),
+      |n AS (SELECT user_id, count(*) AS n_new,
+      |  CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+      |  CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS sxx
+      |  FROM events WHERE value IS NOT NULL AND event_id % 3 = 0 GROUP BY 1),
+      |j AS (SELECT o.user_id, n_old, n_new,
+      |  o.sx / CAST(n_old AS DOUBLE) AS mo, n.sx / CAST(n_new AS DOUBLE) AS mn,
+      |  (CAST(n_old AS DOUBLE) * o.sxx - o.sx * o.sx)
+      |    / (CAST(n_old AS DOUBLE) * (CAST(n_old AS DOUBLE) - 1)) AS vo,
+      |  (CAST(n_new AS DOUBLE) * n.sxx - n.sx * n.sx)
+      |    / (CAST(n_new AS DOUBLE) * (CAST(n_new AS DOUBLE) - 1)) AS vn
+      |  FROM o JOIN n ON o.user_id = n.user_id)
+      |SELECT user_id, n_old, n_new,
+      |  round(mo + 1e-9, 4) AS mean_old, round(mn + 1e-9, 4) AS mean_new,
+      |  round(CASE WHEN n_old < 5 OR n_new < 5
+      |      OR NOT (sqrt(vo / CAST(n_old AS DOUBLE)
+      |        + vn / CAST(n_new AS DOUBLE)) > 0) THEN NULL
+      |    ELSE (mn - mo) / sqrt(vo / CAST(n_old AS DOUBLE)
+      |      + vn / CAST(n_new AS DOUBLE)) END + 1e-9, 4) AS z
+      |FROM j""") { (s, dir) =>
+    val ev = loadEvents(s, dir)
+    graft.operators.Stats.drift(
+        ev.filter(col("event_id") % 3 =!= 0),
+        ev.filter(col("event_id") % 3 === 0),
+        Seq("user_id"), col("value"))
+      .select(col("user_id"), col("n_old"), col("n_new"),
+        round(col("mean_old") + lit(1e-9), 4).as("mean_old"),
+        round(col("mean_new") + lit(1e-9), 4).as("mean_new"),
+        round(col("z") + lit(1e-9), 4).as("z"))
   }
 
   q("q_text_stats",

@@ -682,6 +682,42 @@ object Similarity {
     }
   }
 
+  /** Contrastive hard-negative mining — the embedding-training pair
+    * miner: for every anchor, the top-k most-similar OTHER rows whose
+    * cosine lies in [loSim, hiSim): above `hiSim` is a near-duplicate
+    * (a false negative that would poison the loss), below `loSim` is an
+    * easy negative that teaches nothing. Returns
+    * (anchor_id, rank, negative_id, cosine), rank by cosine desc with
+    * id ties.
+    *
+    * This is the exact (brute-force) semantics reference — the band
+    * filter runs BEFORE the rank window, so the window sorts only
+    * in-band pairs. At corpus scale, feed `anchors` from a sample (hard
+    * negatives are mined per training batch, not per corpus row) and/or
+    * swap the pairwise stage for an ANN shortlist (ivfRetrieve top-R →
+    * band-filter → rank) — the banding rule is unchanged. */
+  def hardNegatives(anchors: DataFrame, data: DataFrame,
+      aid: Column, avec: Column, did: Column, dvec: Column,
+      k: Int, loSim: Double, hiSim: Double, dim: Int = 0): DataFrame = {
+    require(loSim < hiSim, s"hardNegatives: need loSim < hiSim, got [$loSim, $hiSim)")
+    val a = fanoutRepartition(
+      anchors.select(aid.as("anchor_id"), avec.cast("array<double>").as("av"))
+        .withColumn("an", norm2(col("av"), dim)), col("anchor_id"))
+    val d = data.select(did.as("negative_id"), dvec.cast("array<double>").as("dv"))
+      .withColumn("dn", norm2(col("dv"), dim))
+    val scored = a.join(d, col("anchor_id") =!= col("negative_id"))
+      .select(col("anchor_id"), col("negative_id"),
+        cosinePrenorm(col("av"), col("dv"), col("an"), col("dn"), dim)
+          .as("cosine"))
+      .filter(col("cosine") >= loSim && col("cosine") < hiSim)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("anchor_id")
+      .orderBy(col("cosine").desc, col("negative_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("negative_id"), col("cosine"))
+  }
+
   /** Maximal-marginal-relevance re-selection over a retrieval shortlist
     * (Carbonell & Goldstein 1998) — the RAG diversity stage: pure
     * relevance ranking returns n near-duplicates of the same best

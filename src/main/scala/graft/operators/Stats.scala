@@ -304,6 +304,69 @@ object Stats {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Percentile (rank) normalization of a score column per key — the
+    * step that makes heterogeneous quality scores mixable: each row
+    * gets its percent rank pct = (rank − 1)/(n − 1) within its key
+    * (0 for a single-row key), ordered by (value, `id`) so exact score
+    * ties normalize deterministically. One window pass = one shuffle +
+    * per-key sort; for a corpus where even one sort is too much, bin
+    * with [[histogram]] and map scores through the cumulative bin
+    * fractions instead (a broadcast lookup, no sort) — this exact path
+    * is for the usual per-source/per-domain normalization where keys
+    * bound the sort. Output: input columns + `pct`. NULL values get
+    * NULL pct and don't consume ranks — the window runs on the non-null
+    * subset and joins back by `id` (unique by contract): engines
+    * disagree on where NULLs sort (Spark NULLS FIRST asc, DuckDB NULLS
+    * LAST), so letting them into the window would shift every rank. */
+  def rankNormalize(df: DataFrame, keys: Seq[String], value: Column,
+      id: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_rn_v").asc, col("_rn_id").asc)
+    val pcts = df.filter(value.isNotNull)
+      .select(keys.map(col) :+ id.as("_rn_id") :+
+        value.cast("double").as("_rn_v"): _*)
+      .withColumn("pct", percent_rank().over(w))
+      .select(col("_rn_id"), col("pct"))
+    df.join(pcts, id === col("_rn_id"), "left").drop("_rn_id")
+  }
+
+  /** Two-sample drift check between two corpus versions per key (the
+    * data-drift monitor a pipeline runs before swapping in a new crawl):
+    * per key, both sides' count/mean/sample-variance from decimal-exact
+    * Σ/Σ² (the [[runningZScore]] determinism recipe — order-free, so
+    * any partitioning produces identical doubles) and the two-sample
+    * z statistic (m_new − m_old)/√(v_old/n_old + v_new/n_new). NULL z
+    * while either side has < `minN` rows or both variances are 0.
+    * Two map-side-combinable aggregates + one join of key-sized tables.
+    * Output: (keys…, n_old, n_new, mean_old, mean_new, z). */
+  def drift(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      value: Column, minN: Int = 5): DataFrame = {
+    require(minN >= 2, s"drift: minN must be >= 2, got $minN")
+    def side(df: DataFrame, sfx: String): DataFrame = {
+      val v = value.cast("double")
+      df.filter(v.isNotNull)
+        .groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as(s"n_$sfx"),
+          sum(v.cast("decimal(28,8)")).cast("double").as(s"_sx$sfx"),
+          sum((v * v).cast("decimal(28,8)")).cast("double").as(s"_sxx$sfx"))
+    }
+    def meanOf(sfx: String) = col(s"_sx$sfx") / col(s"n_$sfx").cast("double")
+    def varOf(sfx: String) = {
+      val nd = col(s"n_$sfx").cast("double")
+      (nd * col(s"_sxx$sfx") - col(s"_sx$sfx") * col(s"_sx$sfx")) /
+        (nd * (nd - 1))
+    }
+    val se = sqrt(varOf("old") / col("n_old").cast("double") +
+      varOf("new") / col("n_new").cast("double"))
+    side(oldDf, "old").join(side(newDf, "new"), keys)
+      .select(keys.map(col) :+ col("n_old") :+ col("n_new") :+
+        meanOf("old").as("mean_old") :+ meanOf("new").as("mean_new") :+
+        when(col("n_old") < minN || col("n_new") < minN || !(se > 0),
+          lit(null).cast("double"))
+          .otherwise((meanOf("new") - meanOf("old")) / se).as("z"): _*)
+  }
+
   /** [[histogram]] with bounds taken from the column itself — one extra
     * tiny min/max aggregate, then the same single-scan histogram. */
   def histogramAuto(df: DataFrame, c: Column, bins: Int): DataFrame = {

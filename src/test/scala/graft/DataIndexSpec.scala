@@ -196,6 +196,28 @@ class DataIndexSpec extends SparkSpec {
       codes.select("bcodes").collect()(0).getSeq[Long](0).length == 1)
   }
 
+  test("hardNegatives: band excludes near-dups and easy negatives") {
+    import graft.operators.Similarity
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)),        // anchor
+      (2L, Seq(1.0, 0.001)),      // near-dup (cos ≈ 1) — excluded above
+      (3L, Seq(1.0, 1.0)),        // cos ≈ 0.707 — in band
+      (4L, Seq(0.2, 1.0)),        // cos ≈ 0.196 — below band
+      (5L, Seq(-1.0, 0.0)))       // cos = -1 — far below
+      .toDF("id", "v")
+    val out = Similarity.hardNegatives(
+        corpus.filter(col("id") === 1), corpus,
+        col("id"), col("v"), col("id"), col("v"),
+        k = 5, loSim = 0.3, hiSim = 0.9)
+      .collect().map(_.getLong(2)).toSet
+    assert(out == Set(3L))
+    // degenerate band rejected loudly
+    assertThrows[IllegalArgumentException] {
+      Similarity.hardNegatives(corpus, corpus, col("id"), col("v"),
+        col("id"), col("v"), k = 1, loSim = 0.5, hiSim = 0.5)
+    }
+  }
+
   test("mmrTopK: diversity beats redundancy; ties to smallest id; " +
       "short candidate lists truncate") {
     import graft.operators.Similarity

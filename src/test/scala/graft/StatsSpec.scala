@@ -209,6 +209,40 @@ class StatsSpec extends SparkSpec {
       2L * rows.count(_.isDefined))
   }
 
+  test("rankNormalize: per-key percent rank, deterministic ties, NULL inert") {
+    val df = Seq(
+      ("a", 1L, Option(10.0)), ("a", 2L, Option(20.0)), ("a", 3L, Option(20.0)),
+      ("a", 4L, Option(30.0)), ("a", 5L, None),
+      ("b", 6L, Option(7.0))).toDF("g", "id", "v")
+    val out = Stats.rankNormalize(df, Seq("g"), col("v"), col("id"))
+      .collect().map(r => r.getLong(1) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    // key a non-null ranks over 4 rows: 10 → 0, two 20s id-tie-broken
+    // to 1/3 and 2/3, 30 → 1; NULL row gets NULL without shifting ranks
+    assert(out(1L).contains(0.0))
+    assert(out(2L).contains(1.0 / 3) && out(3L).contains(2.0 / 3))
+    assert(out(4L).contains(1.0))
+    assert(out(5L).isEmpty)
+    // single-row key: percent_rank 0 on both engines
+    assert(out(6L).contains(0.0))
+  }
+
+  test("drift: exact moments, two-sample z fires on a shifted mean") {
+    val oldDf = (0 until 40).map(i => (1L, 10.0 + (i % 5))).toDF("k", "v")
+    val newDf = (0 until 40).map(i => (1L, 30.0 + (i % 5))).toDF("k", "v")
+    val r = Stats.drift(oldDf, newDf, Seq("k"), col("v")).collect()(0)
+    assert(r.getLong(1) == 40 && r.getLong(2) == 40)
+    assert(r.getDouble(3) == 12.0 && r.getDouble(4) == 32.0)
+    assert(r.getDouble(5) > 10.0) // unmistakable shift
+    // identical sides: z ≈ 0, never NULL while variance > 0
+    val same = Stats.drift(oldDf, oldDf, Seq("k"), col("v")).collect()(0)
+    assert(math.abs(same.getDouble(5)) < 1e-12)
+    // below minN: z NULL
+    val tiny = Stats.drift(oldDf.limit(3), newDf, Seq("k"), col("v"))
+      .collect()(0)
+    assert(tiny.isNullAt(5))
+  }
+
   test("histogramAuto derives bounds; constant column degenerates to one bin") {
     val d = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
     val h = Stats.histogramAuto(d, col("x"), bins = 3)
