@@ -53,6 +53,30 @@ class PlanSpec extends SparkSpec {
     assert("Filter".r.findAllIn(p).nonEmpty, s"expected a Filter node:\n$p")
   }
 
+  test("q_text_blocklist: one shuffle-free codegen'd scan with the AC kernel") {
+    val p = plan("q_text_blocklist")
+    assert(p.contains("match_terms"), s"expected the native AC node:\n$p")
+    assert(!p.contains("Exchange"), s"blocklist scan must not shuffle:\n$p")
+  }
+
+  test("q_sample_freqcap: CM cells broadcast-joined, corpus never shuffled wide") {
+    val p = plan("q_sample_freqcap")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected d broadcast cell joins:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"cell lookups must not shuffle the corpus:\n$p")
+  }
+
+  test("q_knn_binary: packed codes + hamming kernel score the pairs; " +
+      "rank pushdown limits the window") {
+    val p = plan("q_knn_binary")
+    assert(p.contains("sign_pack") && p.contains("hamming"),
+      s"expected the native binary kernels:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected rank-k pushdown before the full window sort:\n$p")
+    assert(!p.contains("SortAggregate"), s"no sort-based aggregation:\n$p")
+  }
+
   test("q_select: scan reads only projected columns") {
     val p = plan("q_select")
     assert(p.contains("ReadSchema") && !p.contains("p_comment") && !p.contains("p_retailprice"))
