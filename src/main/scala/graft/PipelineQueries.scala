@@ -1424,6 +1424,81 @@ object PipelineQueries extends QueryModule {
         (size(col("_h")) === 0).as("kept"))
   }
 
+  // THE COMPOSED PIPELINE: langid-keep → quality floor → exact dedup →
+  // n-gram decontamination → hash sample → sequence packing, as ONE
+  // operator chain (Pipelines.pretrainCorpus) — and the ENTIRE chain
+  // replayed stage by stage in DuckDB, pinning that the library's
+  // operators compose, not just pass in isolation.
+  q("q_pretrain_pipeline",
+    """WITH lw AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+      |  FROM documents WHERE doc_id % 17 <> 0),
+      |lid AS (SELECT doc_id, text, ws,
+      |  CASE WHEN s_zh > greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+      |       WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+      |       WHEN s_es > greatest(s_de, s_en) THEN 'es'
+      |       WHEN s_en > s_de THEN 'en'
+      |       ELSE 'de' END AS lp
+      |  FROM (SELECT doc_id, text, ws,
+      |    len(list_filter(ws, w -> w IN ('window','group','sort'))) * 1.0 / len(ws) AS s_de,
+      |    len(list_filter(ws, w -> w IN ('the','a','fast','slow'))) * 1.0 / len(ws) AS s_en,
+      |    len(list_filter(ws, w -> w IN ('data','row','query'))) * 1.0 / len(ws) AS s_es,
+      |    len(list_filter(ws, w -> w IN ('table','batch','merge'))) * 1.0 / len(ws) AS s_fr,
+      |    len(list_filter(ws, w -> w IN ('spark','hash','scan'))) * 1.0 / len(ws) AS s_zh
+      |    FROM lw) x),
+      |qk AS (SELECT doc_id, text, ws FROM lid WHERE lp = 'en' AND (
+      |  least(length(text) / 500.0, 1.0) +
+      |  least((len(list_filter(ws, w -> w IN ('the', 'a'))) * 1.0
+      |    / len(ws)) * 5.0, 1.0) +
+      |  len(list_distinct(ws)) * 1.0 / len(ws)) / 3.0 >= 0.5),
+      |dd AS (SELECT doc_id, text, ws FROM qk
+      |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+      |be AS (SELECT string_split(text, ' ') AS ws FROM documents
+      |  WHERE doc_id % 17 = 0),
+      |st AS (SELECT DISTINCT dd.doc_id,
+      |  ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] || ' ' || ws[j+3]
+      |    || ' ' || ws[j+4] AS s
+      |  FROM dd, UNNEST(range(1, len(ws) - 3)) AS t(j)),
+      |sb AS (SELECT DISTINCT
+      |  ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] || ' ' || ws[j+3]
+      |    || ' ' || ws[j+4] AS s
+      |  FROM be, UNNEST(range(1, len(ws) - 3)) AS t(j)),
+      |bad AS (SELECT DISTINCT doc_id FROM st JOIN sb USING (s)),
+      |samp AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM dd
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+      |  AND CAST('0x' || substr(md5('pt' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |    AS BIGINT) < 2576980377),
+      |d2 AS (SELECT doc_id, n_tokens,
+      |  CAST('0x' || substr(md5('pt' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |    AS BIGINT) % 4 AS bucket,
+      |  md5('pt' || CAST(doc_id AS VARCHAR)) AS h FROM samp),
+      |p AS (SELECT doc_id, n_tokens, bucket, h,
+      |  coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+      |  FROM d2),
+      |k AS (SELECT doc_id, n_tokens, bucket,
+      |  CAST(floor(pfx / 256.0) AS BIGINT) AS pack, h FROM p)
+      |SELECT doc_id, n_tokens, bucket, pack,
+      |  row_number() OVER (PARTITION BY bucket, pack ORDER BY h, doc_id)
+      |    AS pack_pos
+      |FROM k""") { (s, dir) =>
+    val docs = load(s, dir, "documents")
+    val markers = Map(
+      "de" -> Seq("window", "group", "sort"),
+      "en" -> Seq("the", "a", "fast", "slow"),
+      "es" -> Seq("data", "row", "query"),
+      "fr" -> Seq("table", "batch", "merge"),
+      "zh" -> Seq("spark", "hash", "scan"))
+    graft.operators.Pipelines.pretrainCorpus(
+        docs.filter(col("doc_id") % 17 =!= 0), col("doc_id"), col("text"),
+        markers, keepLang = "en", stopwords = Seq("the", "a"),
+        minQuality = 0.5,
+        heldout = docs.filter(col("doc_id") % 17 === 0),
+        heldoutText = col("text"), ngram = 5,
+        sampleRate = 0.6, salt = "pt", packBudget = 256, packBuckets = 4)
+      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("pack"),
+        col("pack_pos"))
+  }
+
   // percentile normalization: n_chars → per-lang percent rank, doc_id
   // tie-break — heterogeneous scores become mixable [0,1] quantiles
   q("q_rank_normalize",

@@ -269,6 +269,36 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pretrainCorpus: each stage eliminates its doc, survivor packs") {
+    import graft.operators.Pipelines
+    val markers = Map("en" -> Seq("the", "a", "fast", "slow"),
+      "de" -> Seq("window", "group", "sort"),
+      "es" -> Seq("data", "row", "query"),
+      "fr" -> Seq("table", "batch", "merge"),
+      "zh" -> Seq("spark", "hash", "scan"))
+    val good = "the a fast slow the a fast slow unique1 unique2 unique3 unique4"
+    val docs = Seq(
+      (1L, good),                                            // survives
+      (2L, "window group sort window group sort"),           // langid: de
+      (3L, "the the the the the the the the the the the the"), // low quality
+      (4L, good),                                            // exact dup of 1
+      (5L, "the a fast slow zz1 zz2 zz3 zz4 zz5 the a fast")) // contaminated
+      .toDF("doc_id", "text")
+    val heldout = Seq((100L, "zz1 zz2 zz3 zz4 zz5")).toDF("doc_id", "text")
+    val out = Pipelines.pretrainCorpus(docs, col("doc_id"), col("text"),
+      markers, keepLang = "en", stopwords = Seq("the", "a"),
+      minQuality = 0.5, heldout = heldout, heldoutText = col("text"),
+      ngram = 5, sampleRate = 1.0, salt = "spec",
+      packBudget = 100, packBuckets = 2)
+    val rows = out.collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L))
+    val r = rows(0)
+    assert(r.getAs[Long]("n_tokens") == 12L)
+    assert(r.getAs[Long]("pack") == 0L && r.getAs[Int]("pack_pos") == 1)
+    // the surviving text rides through the whole chain
+    assert(r.getAs[String]("text") == good)
+  }
+
   test("matchTerms: Aho-Corasick ≡ naive contains, term order, dict links") {
     import graft.operators.TextOps
     // overlapping and suffix-nested terms exercise failure + dictionary
