@@ -892,6 +892,51 @@ object PipelineQueries extends QueryModule {
         round(col("cosine") + lit(1e-9), 4).as("cosine"))
   }
 
+  // IVF-binary: coarse centroid prune, in-list candidates ranked by
+  // exact-integer Hamming over 1-bit sign codes (64× smaller lists),
+  // float refine of the top-8 — the last cell of the quantization
+  // matrix (flat/IVF × float/SQ8/PQ/binary)
+  q("q_knn_ivf_binary",
+    """WITH w AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |cent AS (SELECT id AS cid, v AS cv FROM w
+      |  ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 16),
+      |sc AS (SELECT w.id, cent.cid,
+      |  list_dot_product(w.v, cent.cv)
+      |    / sqrt(list_dot_product(w.v, w.v) * list_dot_product(cent.cv, cent.cv))
+      |    AS cc
+      |  FROM w CROSS JOIN cent),
+      |rk AS (SELECT id, cid,
+      |  row_number() OVER (PARTITION BY id ORDER BY cc DESC, cid) AS rn FROM sc),
+      |asg AS (SELECT id, cid FROM rk WHERE rn = 1),
+      |pr AS (SELECT id, cid FROM rk WHERE rn <= 4 AND id % 50 = 0),
+      |cand AS (SELECT pr.id AS query_id, a.id AS neighbor_id,
+      |  CAST(list_sum(list_transform(range(len(q.v)), i ->
+      |    CASE WHEN (q.v[i+1] > 0) <> (d.v[i+1] > 0) THEN 1 ELSE 0 END))
+      |    AS INT) AS hamming,
+      |  list_dot_product(q.v, d.v)
+      |    / sqrt(list_dot_product(q.v, q.v) * list_dot_product(d.v, d.v))
+      |    AS cexact
+      |  FROM pr JOIN asg a ON a.cid = pr.cid AND a.id != pr.id
+      |  JOIN w q ON q.id = pr.id JOIN w d ON d.id = a.id),
+      |r1 AS (SELECT query_id, neighbor_id, cexact,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id)
+      |    AS qrank FROM cand),
+      |r2 AS (SELECT query_id, neighbor_id, cexact,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cexact DESC, neighbor_id)
+      |    AS rank FROM r1 WHERE qrank <= 8)
+      |SELECT query_id, rank, neighbor_id, round(cexact + 1e-9, 4) AS cosine
+      |FROM r2 WHERE rank <= 2""") { (s, dir) =>
+    val e = load(s, dir, "embeddings")
+    Similarity.ivfBinaryRetrieve(
+        e.filter(col("vec_id") % 50 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        nlist = Similarity.nlistFor(e.count()), nprobe = 4, k = 2,
+        rescore = 8, excludeSelf = true, dim = 64)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine") + lit(1e-9), 4).as("cosine"))
+  }
+
   // PQ: product-quantization ANN (the FAISS memory end-game — m=8 one-byte
   // codes + a shared broadcast codebook replace 512 bytes of doubles per
   // vector: 64×). Deterministic twin of k-means codebooks: per-subspace

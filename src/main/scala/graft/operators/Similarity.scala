@@ -747,6 +747,66 @@ object Similarity {
         col("r.id").as("neighbor_id"), col("r.mmr").as("mmr"))
   }
 
+  /** IVF-binary retrieval — the last cell of the quantization matrix
+    * (flat/IVF × float/SQ8/PQ/binary): coarse centroid prune to
+    * `nprobe` lists, in-list candidates ranked by Hamming distance over
+    * 1-bit sign codes ([[binarySignQuantize]] — 64× smaller candidate
+    * payload than the float lists, exact-integer ranking), and with
+    * `rescore > 0` an exact float cosine refine of the top
+    * max(rescore, k) — the same compose-the-prune-with-the-memory-win
+    * shape as [[ivfQuantizedRetrieve]]/[[ivfPqRetrieve]]. Emits
+    * (query_id, rank, neighbor_id, hamming) without rescore,
+    * (query_id, rank, neighbor_id, cosine) with. */
+  def ivfBinaryRetrieve(queries: DataFrame, data: DataFrame,
+      qid: Column, qvec: Column, did: Column, dvec: Column,
+      nlist: Int, nprobe: Int, k: Int, rescore: Int = 0,
+      excludeSelf: Boolean = false, dim: Int = 0): DataFrame = {
+    val (cents, assigned0) = ivfBuild(data, did, dvec, nlist, dim)
+    val assigned = assigned0.withColumn("db",
+      graft.plans.VecExprs.signPack(col("dv")))
+    val q = queries.select(qid.as("query_id"),
+        qvec.cast("array<double>").as("qv"))
+      .withColumn("qn2", norm2(col("qv"), dim))
+      .withColumn("qb", graft.plans.VecExprs.signPack(col("qv")))
+    val qScored = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("qn2"), col("qb"), col("cid"),
+        cosinePrenorm(col("qv"), col("cv"), col("qn2"), col("cn2"), dim).as("cc"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cc").desc, col("cid").asc)
+    val probes = fanoutRepartition(
+      qScored.withColumn("_pr", row_number().over(wp))
+        .filter(col("_pr") <= nprobe)
+        .select(col("query_id"), col("qv"), col("qn2"), col("qb"), col("cid")),
+      col("query_id"), col("cid"))
+    val cand0 = probes.join(assigned, Seq("cid"))
+    val cand = (if (excludeSelf) cand0.filter(col("query_id") =!= col("neighbor_id"))
+      else cand0)
+      .select(col("query_id"), col("neighbor_id"),
+        graft.plans.VecExprs.hamming(col("qb"), col("db")).as("hamming"),
+        col("qv"), col("qn2"), col("dv"), col("dn2"))
+    val wh = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    if (rescore <= 0)
+      cand.withColumn("rank", row_number().over(wh))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
+    else {
+      // exact float cosine only on the short Hamming-ranked list
+      val short = cand.withColumn("_qr", row_number().over(wh))
+        .filter(col("_qr") <= math.max(rescore, k))
+        .select(col("query_id"), col("neighbor_id"),
+          cosinePrenorm(col("qv"), col("dv"), col("qn2"), col("dn2"), dim)
+            .as("cosine"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      short.withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    }
+  }
+
   // -------------------------------------------------------------------
   // PQ: product quantization (the FAISS memory end-game — beyond IVF-SQ's
   // 8× the corpus representation shrinks to m BYTES per vector plus one

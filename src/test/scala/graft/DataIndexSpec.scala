@@ -196,6 +196,33 @@ class DataIndexSpec extends SparkSpec {
       codes.select("bcodes").collect()(0).getSeq[Long](0).length == 1)
   }
 
+  test("ivfBinary: hamming rank inside lists, full probe + rescore ≡ brute force") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(19)
+    val corpus = (0 until 120).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat))).toDF("id", "v")
+    val queries = corpus.filter(col("id") % 20 === 0)
+    val exact = Similarity.bruteForceTopK(queries, corpus,
+        col("id"), col("v"), col("id"), col("v"), k = 3)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // nprobe = nlist probes every list; rescore ≥ corpus makes the
+    // float refine a full re-rank — must equal brute force exactly
+    val viaIvf = Similarity.ivfBinaryRetrieve(queries, corpus,
+        col("id"), col("v"), col("id"), col("v"),
+        nlist = 4, nprobe = 4, k = 3, rescore = 200, excludeSelf = true)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaIvf == exact)
+    // without rescore the integer hamming is the emitted score
+    val ham = Similarity.ivfBinaryRetrieve(queries, corpus,
+      col("id"), col("v"), col("id"), col("v"),
+      nlist = 4, nprobe = 4, k = 1, excludeSelf = true)
+    assert(ham.columns.toSeq ==
+      Seq("query_id", "rank", "neighbor_id", "hamming"))
+    assert(ham.collect().forall(_.getInt(3) >= 0))
+  }
+
   test("hardNegatives: band excludes near-dups and easy negatives") {
     import graft.operators.Similarity
     val corpus = Seq(
