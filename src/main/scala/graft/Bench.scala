@@ -39,7 +39,7 @@ object Bench {
     "q_retract_reduce", "q_text_stats", "q_sql", "q_doc_store",
     "q_knn_pq", "q_knn_ivf_pq", "q_kmeans", "q_dedup_semantic",
     "q_triangles", "q_join_bloom", "q_knn_binary", "q_hll_merge",
-    "q_knn_mmr")
+    "q_knn_mmr", "q_pretrain_pipeline")
 
   /** Queries whose wall-clock is dominated by a streaming-replay or
     * external-service HARNESS (multi-micro-batch MemoryStream feeds,
