@@ -686,10 +686,15 @@ object TemporalQueries extends QueryModule {
       |SELECT user_id, n, round(ema + 1e-9, 4) AS ema FROM eA""") { (s, dir) =>
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val rows = loadEvents(s, dir)
-      .select(col("user_id"), col("event_id"), col("value"))
-      .as[(Long, Long, Double)].collect().sortBy(_._2)
-    val mid = rows(rows.length / 2)._2
+    // mid is derived over ALL events (the oracle's count(*)//2 offset
+    // counts NULL-value rows too); the feed then carries only non-null
+    // values — a NULL would crash the (Long, Long, Double) encoder, and
+    // both emaStream and the oracle ignore such rows anyway
+    val all = loadEvents(s, dir)
+      .select(col("user_id"), col("event_id"), col("value")).collect()
+    val mid = all.map(_.getLong(1)).sorted.apply(all.length / 2)
+    val rows = all.filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._2)
     val in = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Long, Double)]
     val events = in.toDF().toDF("user_id", "event_id", "value")

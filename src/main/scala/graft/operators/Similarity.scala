@@ -653,6 +653,11 @@ object Similarity {
     val scored = q.join(d, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.plans.VecExprs.hamming(col("qb"), col("db")).as("hamming"))
+      // a NULL hamming (NULL embedding, ragged packing) must not enter
+      // the ASCENDING rank window: Spark sorts NULLS FIRST there, which
+      // would hand the malformed row rank 1 of every query (and DuckDB
+      // sorts NULLS LAST — the cross-engine trap CLAUDE.md pins)
+      .filter(col("hamming").isNotNull)
     val wh = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("hamming").asc, col("neighbor_id").asc)
     if (rescore <= 0)
@@ -769,21 +774,26 @@ object Similarity {
       .withColumn("qn2", norm2(col("qv"), dim))
       .withColumn("qb", graft.plans.VecExprs.signPack(col("qv")))
     val qScored = q.crossJoin(broadcast(cents))
-      .select(col("query_id"), col("qv"), col("qn2"), col("qb"), col("cid"),
+      .select(col("query_id"), col("qb"), col("cid"),
         cosinePrenorm(col("qv"), col("cv"), col("qn2"), col("cn2"), dim).as("cc"))
     val wp = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cc").desc, col("cid").asc)
     val probes = fanoutRepartition(
       qScored.withColumn("_pr", row_number().over(wp))
         .filter(col("_pr") <= nprobe)
-        .select(col("query_id"), col("qv"), col("qn2"), col("qb"), col("cid")),
+        .select(col("query_id"), col("qb"), col("cid")),
       col("query_id"), col("cid"))
+    // candidate pair rows carry ONLY the packed codes' hamming — the
+    // 64×-smaller payload claim must hold through the rank window's
+    // exchange and sort, exactly like binaryTopK; floats join back on
+    // the shortlist alone. NULL hamming rows are dropped before the
+    // ascending window (Spark NULLS FIRST would rank them first).
     val cand0 = probes.join(assigned, Seq("cid"))
     val cand = (if (excludeSelf) cand0.filter(col("query_id") =!= col("neighbor_id"))
       else cand0)
       .select(col("query_id"), col("neighbor_id"),
-        graft.plans.VecExprs.hamming(col("qb"), col("db")).as("hamming"),
-        col("qv"), col("qn2"), col("dv"), col("dn2"))
+        graft.plans.VecExprs.hamming(col("qb"), col("db")).as("hamming"))
+      .filter(col("hamming").isNotNull)
     val wh = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("hamming").asc, col("neighbor_id").asc)
@@ -792,16 +802,24 @@ object Similarity {
         .filter(col("rank") <= k)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
     else {
-      // exact float cosine only on the short Hamming-ranked list
+      // exact float cosine only on the short Hamming-ranked list; the
+      // query side broadcasts (|q| rows), the corpus side is an
+      // equi-join touching only shortlisted ids
       val short = cand.withColumn("_qr", row_number().over(wh))
         .filter(col("_qr") <= math.max(rescore, k))
+        .select(col("query_id"), col("neighbor_id"))
+      val resc = short
+        .join(broadcast(q.select(col("query_id"), col("qv"), col("qn2"))),
+          Seq("query_id"))
+        .join(assigned.select(col("neighbor_id"), col("dv"), col("dn2")),
+          Seq("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
           cosinePrenorm(col("qv"), col("dv"), col("qn2"), col("dn2"), dim)
             .as("cosine"))
       val wr = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id")
         .orderBy(col("cosine").desc, col("neighbor_id").asc)
-      short.withColumn("rank", row_number().over(wr))
+      resc.withColumn("rank", row_number().over(wr))
         .filter(col("rank") <= k)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
     }

@@ -135,9 +135,11 @@ object Stats {
   // Unlike Spark's approx_count_distinct (HLL++, engine-private), every
   // step here is md5 + integer arithmetic an oracle replays exactly.
 
-  /** md5 leading-zero geometry shared by sketch and scaladoc: rho is
-    * capped so Σ 2^(cap−rho) stays an exact BIGINT. */
-  private val HllRhoCap = 30
+  /** md5 leading-zero geometry shared by the sketch, the estimate, AND
+    * [[graft.streaming.Streaming.hllStream]]'s state fold: rho is
+    * capped so Σ 2^(cap−rho) stays an exact BIGINT. Package-visible so
+    * the streaming twin can't drift on a re-tuned cap. */
+  private[graft] val HllRhoCap = 30
 
   /** Sparse HLL registers of `c` per `keys`: (keys…, bucket, rho) with
     * only NON-EMPTY buckets present (absent bucket ≡ rho 0) — the shape

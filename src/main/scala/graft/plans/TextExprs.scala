@@ -32,7 +32,7 @@ object TextExprs {
     * [[MultiMatchExpr]]. */
   def matchTerms(text: Column, terms: Seq[String]): Column =
     ColumnBridge.column(
-      MultiMatchExpr(ColumnBridge.expression(text), terms.toArray))
+      MultiMatchExpr(ColumnBridge.expression(text), terms.toVector))
 }
 
 /** Multi-pattern substring matching against a constant term list — the
@@ -53,8 +53,11 @@ object TextExprs {
   * word-boundary semantics. NULL text → NULL; terms must be non-empty
   * strings (an empty pattern matches everywhere and means a broken
   * list). CodegenFallback: one dispatch per row amortized over the
-  * whole scan. */
-case class MultiMatchExpr(child: Expression, terms: Array[String])
+  * whole scan. `terms` is a Seq, NOT an Array: case-class equality on
+  * an Array is reference-based, which would break Catalyst
+  * canonicalization/subexpression elimination — two identical
+  * match_terms calls in one query would each run their own scan. */
+case class MultiMatchExpr(child: Expression, terms: Seq[String])
     extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
 
   require(terms.nonEmpty, "match_terms: empty term list")
@@ -115,7 +118,7 @@ object MultiMatchExpr {
       val fail: Array[Int],
       val hits: Array[Array[Int]])
 
-  private[plans] def build(terms: Array[String]): Automaton = {
+  private[plans] def build(terms: Seq[String]): Automaton = {
     val children = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.Map[Char, Int]())
     val ends = scala.collection.mutable.ArrayBuffer(List.empty[Int])

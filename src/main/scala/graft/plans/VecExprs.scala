@@ -289,7 +289,12 @@ case class MmrSelectExpr(child: Expression, n: Int, lam: Double)
           val vC = vs(j2)
           while (t < dim) { dp += vC(t) * vSel(t); t += 1 }
           val sim = dp / math.sqrt(n2(j2) * n2(bestI))
-          if (step == 0 || sim > maxsim(j2)) maxsim(j2) = sim
+          // Double.compare order, not `>`: a NaN cosine (zero-norm
+          // vector) must PROPAGATE like DuckDB's greatest(), not be
+          // silently dropped — `sim > maxsim` is false for NaN and
+          // would make the penalty depend on selection order
+          if (step == 0 ||
+            java.lang.Double.compare(sim, maxsim(j2)) > 0) maxsim(j2) = sim
         }
         j2 += 1
       }
@@ -306,7 +311,12 @@ case class MmrSelectExpr(child: Expression, n: Int, lam: Double)
   * Σ_w bitCount(a_w XOR b_w) — the pairwise ANN hot loop over binary
   * codes, one codegen'd popcount pass per pair (exact integer, so the
   * ranking has zero float ambiguity). Mismatched word counts → NULL
-  * (the malformed-input soft-error convention). */
+  * (the malformed-input soft-error convention). Codes do NOT carry the
+  * source dim: vectors of different dims that pack into the same word
+  * count (e.g. 60 vs 64) compare bit-wise with zero tail bits — mixed-
+  * dim corpora are out of contract everywhere in this library (one
+  * embedder produces all vectors; the float kernels NULL such pairs
+  * only because their arrays happen to expose the length). */
 case class HammingExpr(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 

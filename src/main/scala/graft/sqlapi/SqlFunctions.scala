@@ -121,7 +121,7 @@ object GraftSqlFunctions {
           case other => throw new IllegalArgumentException(
             s"graft_match_terms: terms must be a literal string array, got $other")
         }
-        graft.plans.MultiMatchExpr(args(0), terms)
+        graft.plans.MultiMatchExpr(args(0), terms.toVector)
       }),
     ("graft_sign_pack", "1-bit sign quantization: dim doubles -> ceil(dim/64) longs",
       (args: Seq[Expression]) => {

@@ -400,7 +400,10 @@ object Streaming {
           var zup = 0L
           var i = 0
           while (i < m) {
-            if (regs(i) > 0) { np += 1; zup += 1L << (30 - regs(i)) }
+            if (regs(i) > 0) {
+              np += 1
+              zup += 1L << (graft.operators.Stats.HllRhoCap - regs(i))
+            }
             i += 1
           }
           st.update(HllState(n, regs))

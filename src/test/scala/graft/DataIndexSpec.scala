@@ -180,6 +180,15 @@ class DataIndexSpec extends SparkSpec {
       .select("query_id", "rank", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(viaBinary == exact)
+    // a NULL-embedding corpus row must never reach the ranking: Spark's
+    // ascending window sorts NULLS FIRST, which would hand it rank 1
+    val withNull = corpus.union(
+      Seq((998L, null.asInstanceOf[Seq[Float]])).toDF("id", "v"))
+    val hamTop = Similarity.binaryTopK(queries, withNull,
+        col("id"), col("v"), col("id"), col("v"), k = 3)
+      .collect()
+    assert(hamTop.forall(_.getLong(2) != 998L))
+    assert(hamTop.forall(!_.isNullAt(3)))
     // the facade delegates: rescore ≥ corpus through DataIndex.binary
     // returns the same pairs as brute force
     val viaFacade = graft.operators.DataIndex.binary(corpus, col("id"),
