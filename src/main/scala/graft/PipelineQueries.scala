@@ -610,6 +610,42 @@ object PipelineQueries extends QueryModule {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  // persisted binary index: codes-only at rest (64× smaller), save →
+  // load ≡ the ad-hoc rescore path — the SAME oracle as
+  // q_knn_binary_rescore proves the round-trip
+  q("q_knn_binary_persisted",
+    """WITH w AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |sc AS (SELECT q.id AS query_id, d.id AS neighbor_id,
+      |  CAST(list_sum(list_transform(range(len(q.v)), i ->
+      |    CASE WHEN (q.v[i+1] > 0) <> (d.v[i+1] > 0) THEN 1 ELSE 0 END))
+      |    AS INT) AS hamming
+      |  FROM w q JOIN w d ON q.id % 50 = 0 AND q.id != d.id),
+      |r AS (SELECT query_id, neighbor_id, hamming,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id)
+      |    AS rank FROM sc),
+      |resc AS (SELECT r.query_id, r.neighbor_id,
+      |  list_dot_product(q.v, d.v)
+      |    / sqrt(list_dot_product(q.v, q.v) * list_dot_product(d.v, d.v)) AS c
+      |  FROM r JOIN w q ON q.id = r.query_id JOIN w d ON d.id = r.neighbor_id
+      |  WHERE r.rank <= 10),
+      |r2 AS (SELECT query_id, neighbor_id, c,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id)
+      |    AS rank FROM resc)
+      |SELECT query_id, rank, neighbor_id, round(c + 1e-9, 4) AS cosine
+      |FROM r2 WHERE rank <= 3""") { (s, dir) =>
+    val e = load(s, dir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("graft_bin_idx").toString
+    Similarity.binarySave(e, col("vec_id"), col("embedding"), idx)
+    Similarity.binaryLoadTopK(s, idx,
+        e.filter(col("vec_id") % 50 === 0), col("vec_id"), col("embedding"),
+        k = 3, rescore = 10,
+        rescoreAgainst = Some((e, col("vec_id"), col("embedding"))),
+        excludeSelf = true, dim = 64)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine") + lit(1e-9), 4).as("cosine"))
+  }
+
   // MMR-diversified retrieval: exact top-10 shortlist by cosine, then
   // greedy maximal-marginal-relevance picks 3 (λ=0.75 — exact double
   // complement) trading relevance against redundancy. The greedy loop

@@ -752,6 +752,80 @@ object Similarity {
         col("r.id").as("neighbor_id"), col("r.mmr").as("mmr"))
   }
 
+  /** Persist a binary sign-code index: the packed codes ONLY —
+    * ceil(dim/64) longs per vector at rest, 64× less than the doubles
+    * (100 TB of float64 embeddings → ~1.6 TB of codes); the float
+    * corpus is NOT persisted — the refine stage rescans only shortlist
+    * rows from the source table via `rescoreAgainst`, the [[pqSave]]
+    * contract. Atomically versioned through [[graft.core.IndexGen]]
+    * like every index save. */
+  def binarySave(data: DataFrame, did: Column, dvec: Column,
+      path: String): Unit = {
+    val codes = binarySignQuantize(
+      spread(data).select(did.as("neighbor_id"),
+        dvec.cast("array<double>").as("_v")),
+      col("_v"), "bcodes").select(col("neighbor_id"), col("bcodes"))
+    val (dir, gen) = graft.core.IndexGen.stage(path)
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    graft.core.IndexGen.commit(path, gen)
+  }
+
+  /** Query a [[binarySave]]d index: Hamming rank over the persisted
+    * codes (narrow pair rows, NULL-hamming dropped before the ascending
+    * window — the [[binaryTopK]] discipline); `rescoreAgainst` supplies
+    * the float corpus for the exact refine and is REQUIRED when
+    * `rescore > 0` (the [[pqLoadTopK]] fail-loudly contract). Answers
+    * from the committed index generation, so queries keep serving
+    * through a rebuild. */
+  def binaryLoadTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qid: Column, qvec: Column, k: Int,
+      rescore: Int = 0,
+      rescoreAgainst: Option[(DataFrame, Column, Column)] = None,
+      excludeSelf: Boolean = true, dim: Int = 0): DataFrame = {
+    require(rescore <= 0 || rescoreAgainst.isDefined,
+      s"binaryLoadTopK: rescore = $rescore needs rescoreAgainst — the index " +
+        "persists codes only, the refine stage must be given the float corpus")
+    val dir = graft.core.IndexGen.readDir(path)
+    val codes = spark.read.parquet(s"$dir/codes")
+    val qf = queries.select(qid.as("query_id"),
+      qvec.cast("array<double>").as("qv"))
+    val q = fanoutRepartition(
+      binarySignQuantize(qf, col("qv"), "qb").drop("qv"), col("query_id"))
+    val scored = q.join(codes,
+        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.plans.VecExprs.hamming(col("qb"), col("bcodes")).as("hamming"))
+      .filter(col("hamming").isNotNull)
+    val wh = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("hamming").asc, col("neighbor_id").asc)
+    (rescore, rescoreAgainst) match {
+      case (r, Some((data, did, dvec))) if r > 0 =>
+        val short = scored.withColumn("_qr", row_number().over(wh))
+          .filter(col("_qr") <= math.max(r, k))
+          .select(col("query_id"), col("neighbor_id"))
+        val dfull = data.select(did.as("neighbor_id"),
+          dvec.cast("array<double>").as("dv"))
+          .withColumn("dn2", norm2(col("dv"), dim))
+        val resc = short
+          .join(broadcast(qf.withColumn("qn2", norm2(col("qv"), dim))),
+            Seq("query_id"))
+          .join(dfull, Seq("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            cosinePrenorm(col("qv"), col("dv"), col("qn2"), col("dn2"), dim)
+              .as("cosine"))
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)
+        resc.withColumn("rank", row_number().over(wr))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      case _ =>
+        scored.withColumn("rank", row_number().over(wh))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
+    }
+  }
+
   /** IVF-binary retrieval — the last cell of the quantization matrix
     * (flat/IVF × float/SQ8/PQ/binary): coarse centroid prune to
     * `nprobe` lists, in-list candidates ranked by Hamming distance over

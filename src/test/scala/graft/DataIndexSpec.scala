@@ -205,6 +205,42 @@ class DataIndexSpec extends SparkSpec {
       codes.select("bcodes").collect()(0).getSeq[Long](0).length == 1)
   }
 
+  test("binary index: save → load ≡ ad-hoc; codes-only at rest; refine guard") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(23)
+    val corpus = (0 until 120).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat))).toDF("id", "v")
+    val queries = corpus.filter(col("id") % 20 === 0)
+    val path = java.nio.file.Files.createTempDirectory("binidx").toString
+    Similarity.binarySave(corpus, col("id"), col("v"), path)
+    // persisted layout holds ONLY packed codes (the 64x-at-rest claim)
+    val dir = graft.core.IndexGen.readDir(path)
+    val persisted = spark.read.parquet(s"$dir/codes")
+    assert(persisted.columns.toSeq == Seq("neighbor_id", "bcodes"))
+    // loaded hamming path ≡ ad-hoc binaryTopK
+    val adhoc = Similarity.binaryTopK(queries, corpus,
+        col("id"), col("v"), col("id"), col("v"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val loaded = Similarity.binaryLoadTopK(spark, path, queries,
+        col("id"), col("v"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(loaded == adhoc)
+    // loaded refine ≡ ad-hoc rescore path
+    val adhocR = Similarity.binaryTopK(queries, corpus,
+        col("id"), col("v"), col("id"), col("v"), k = 3, rescore = 12)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val loadedR = Similarity.binaryLoadTopK(spark, path, queries,
+        col("id"), col("v"), k = 3, rescore = 12,
+        rescoreAgainst = Some((corpus, col("id"), col("v"))))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(loadedR == adhocR)
+    // refine without a float corpus fails loudly
+    assert(intercept[IllegalArgumentException] {
+      Similarity.binaryLoadTopK(spark, path, queries,
+        col("id"), col("v"), k = 3, rescore = 12)
+    }.getMessage.contains("rescoreAgainst"))
+  }
+
   test("ivfBinary: hamming rank inside lists, full probe + rescore ≡ brute force") {
     import graft.operators.Similarity
     val rnd = new scala.util.Random(19)
