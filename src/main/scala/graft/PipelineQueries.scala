@@ -1916,10 +1916,11 @@ object PipelineQueries extends QueryModule {
   // are dropped; held-out side broadcast, one corpus scan (BNLJ anti).
   q("q_decontaminate_semantic",
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |h AS (SELECT v AS hv FROM e WHERE vec_id % 13 = 0),
+      |h AS (SELECT v AS hv FROM e WHERE vec_id % 13 = 0
+      |  AND list_dot_product(v, v) > 0),
       |t AS (SELECT vec_id, v FROM e WHERE vec_id % 13 <> 0)
       |SELECT t.vec_id FROM t WHERE NOT EXISTS (
-      |  SELECT 1 FROM h WHERE
+      |  SELECT 1 FROM h WHERE list_dot_product(t.v, t.v) > 0 AND
       |    list_dot_product(t.v, h.hv)
       |      / sqrt(list_dot_product(t.v, t.v) * list_dot_product(h.hv, h.hv))
       |      >= 0.4)""") { (s, dir) =>

@@ -92,7 +92,11 @@ object Clustering {
       rounds: Int): DataFrame = {
     require(k > 0 && rounds >= 0, s"kmeans: need k > 0, rounds >= 0")
     val d = graft.core.Caches.eager(normed(df, id, vec))
-    val seed = d.orderBy(md5(col("id").cast("string"))).limit(k)
+    // v.isNotNull: a NULL embedding sampled into the seed would NPE the
+    // driver-side collect in assign (NULL rows themselves just get a
+    // NULL cluster — see assign's expression null propagation)
+    val seed = d.filter(col("v").isNotNull)
+      .orderBy(md5(col("id").cast("string"))).limit(k)
       .withColumn("cid", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(md5(col("id").cast("string")))))

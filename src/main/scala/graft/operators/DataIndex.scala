@@ -111,13 +111,16 @@ object DataIndex {
     * ranking; see [[Similarity.binaryTopK]]). `rescore > 0` refines the
     * Hamming shortlist by exact float cosine (score = cosine); without
     * it the integer Hamming distance is emitted negated as the score so
-    * "larger = closer" matches every other retriever. */
+    * "larger = closer" matches every other retriever. `excludeSelf`
+    * (default true — the self-ANN convention shared by every retriever
+    * here): pass false for disjoint query/corpus id spaces where an
+    * accidental id collision is a real neighbor. */
   def binary(data: DataFrame, id: Column, vec: Column,
-      rescore: Int = 0): Retriever =
+      rescore: Int = 0, excludeSelf: Boolean = true): Retriever =
     new Retriever {
       def retrieve(queries: DataFrame, qid: Column, query: Column, k: Int): DataFrame = {
         val out = Similarity.binaryTopK(queries, data, qid, query, id, vec,
-          k, rescore)
+          k, rescore, excludeSelf = excludeSelf)
         val score = if (rescore > 0) col("cosine")
           else -col("hamming").cast("double")
         out.select(col("query_id").as("qid"), col("rank"),

@@ -411,11 +411,21 @@ object Dedup {
     val t = Similarity.spread(train)
       .select(id.as("id"), vec.cast("array<double>").as("v"))
       .withColumn("_n2", Similarity.norm2(col("v"), dim))
+    // _hn2 > 0: a degenerate (zero-norm or NULL) held-out vector yields
+    // cosine NaN against EVERY train row, and NaN >= tau is TRUE under
+    // Spark's NaN-greatest ordering — one such row would silently empty
+    // the whole training corpus through the anti join. Cosine to a
+    // zero vector is undefined, so it contaminates nothing.
     val h = heldout.select(vec.cast("array<double>").as("_hv"))
       .withColumn("_hn2", Similarity.norm2(col("_hv"), dim))
+      .filter(col("_hn2") > 0)
+    // symmetrically, `_n2 > 0` in the condition: a zero-norm TRAIN row's
+    // NaN cosine must not count as a contamination match (it survives —
+    // degenerate vectors are a quality-filter concern, not a leak)
     t.join(broadcast(h),
-        Similarity.cosinePrenorm(col("v"), col("_hv"),
-          col("_n2"), col("_hn2"), dim) >= tau,
+        col("_n2") > 0 &&
+          Similarity.cosinePrenorm(col("v"), col("_hv"),
+            col("_n2"), col("_hn2"), dim) >= tau,
         "left_anti")
       .select(col("id"))
   }

@@ -215,8 +215,12 @@ object Similarity {
     val d = graft.core.Caches.eager(
       spread(data).select(did.as("id"), dvec.cast("array<double>").as("v"))
         .withColumn("n2", norm2(col("v"), dim)))
+    // v.isNotNull: a NULL embedding sampled into the centroid set would
+    // reach the driver-side collect in assignToCents and NPE the job
+    // (NULL corpus rows themselves are fine — they assign to no list)
     val cents = graft.core.Caches.eager(
-      d.select(col("id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+      d.filter(col("v").isNotNull)
+        .select(col("id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
         .orderBy(md5(col("cid").cast("string"))).limit(nlist))
     // data side: each vector lands in exactly one list (argmax cosine,
     // tie -> smallest cid) — one native one-pass expression per row
@@ -544,8 +548,10 @@ object Similarity {
     val d = graft.core.Caches.eager(
       quantizeInt8(d0, col("v"), "ds", "dc")
         .withColumn("n2", norm2(col("v"), dim)))
+    // see ivfBuild on the isNotNull guard
     val cents = graft.core.Caches.eager(
-      d.select(col("id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+      d.filter(col("v").isNotNull)
+        .select(col("id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
         .orderBy(md5(col("cid").cast("string"))).limit(nlist))
     // same one-pass assignment as ivfBuild, int8 codes riding along
     (cents, assignToCents(d, cents, keep = Seq("ds", "dc")))
@@ -642,7 +648,8 @@ object Similarity {
     * (query_id, rank, neighbor_id, cosine) with. */
   def binaryTopK(queries: DataFrame, data: DataFrame,
       qid: Column, qvec: Column, did: Column, dvec: Column,
-      k: Int, rescore: Int = 0, dim: Int = 0): DataFrame = {
+      k: Int, rescore: Int = 0, dim: Int = 0,
+      excludeSelf: Boolean = true): DataFrame = {
     val qf = queries.select(qid.as("query_id"),
       qvec.cast("array<double>").as("qv"))
     val df0 = data.select(did.as("neighbor_id"),
@@ -650,7 +657,12 @@ object Similarity {
     val q = fanoutRepartition(
       binarySignQuantize(qf, col("qv"), "qb").drop("qv"), col("query_id"))
     val d = binarySignQuantize(df0, col("dv"), "db").drop("dv")
-    val scored = q.join(d, col("query_id") =!= col("neighbor_id"))
+    // excludeSelf mirrors binaryLoadTopK/ivfBinaryRetrieve: pass false
+    // when queries and corpus are different tables whose id spaces can
+    // coincide — a hard-coded self-exclusion there silently dropped a
+    // true nearest neighbor on an accidental id collision
+    val scored = q.join(d,
+        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         graft.plans.VecExprs.hamming(col("qb"), col("db")).as("hamming"))
       // a NULL hamming (NULL embedding, ragged packing) must not enter
@@ -932,8 +944,11 @@ object Similarity {
     val d = graft.core.Caches.eager(l2normalize(
       spread(data).select(did.as("id"), dvec.cast("array<double>").as("v")), "v"))
     // codeword sample: md5-smallest ksub rows, j = row_number in md5
-    // order (single-partition window over ksub rows only)
-    val samp = d.orderBy(md5(col("id").cast("string"))).limit(ksub)
+    // order (single-partition window over ksub rows only). isNotNull: a
+    // NULL embedding in the sample would NPE the driver-side cbArrays
+    // collect (NULL corpus rows themselves encode to NULL codes)
+    val samp = d.filter(col("v").isNotNull)
+      .orderBy(md5(col("id").cast("string"))).limit(ksub)
       .withColumn("j", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(md5(col("id").cast("string")))))
@@ -1072,15 +1087,18 @@ object Similarity {
       spread(data).select(did.as("id"), dvec.cast("array<double>").as("v")), "v")
       .withColumn("n2", norm2(col("v"))))
     // coarse quantizer: same recipe as ivfBuild, over normalized vectors
+    // (isNotNull — see ivfBuild: NULL samples NPE the driver collect)
     val cents = graft.core.Caches.eager(
-      d.select(col("id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+      d.filter(col("v").isNotNull)
+        .select(col("id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
         .orderBy(md5(col("cid").cast("string"))).limit(nlist))
     val coarse = assignToCents(d, cents)
       .select(col("neighbor_id").as("id"), col("cid"))
     // PQ codes + decode, carrying the coarse list id and the float
     // vector (refine side reads it for shortlist rows only)
     val dsub = dim / m
-    val samp = d.orderBy(md5(col("id").cast("string"))).limit(ksub)
+    val samp = d.filter(col("v").isNotNull)
+      .orderBy(md5(col("id").cast("string"))).limit(ksub)
       .withColumn("j", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(md5(col("id").cast("string")))))

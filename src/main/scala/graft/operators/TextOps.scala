@@ -226,8 +226,14 @@ object TextOps {
       minDocs: Long): org.apache.spark.sql.DataFrame = {
     require(minDocs >= 2, s"dropBoilerplate: minDocs must be >= 2, got $minDocs")
     val quoted = java.util.regex.Pattern.quote(separator)
-    val segs = df.select(id.as("id"), posexplode(split(text, quoted))
-      .as(Seq("pos", "seg")))
+    // coalesce: split(NULL) explodes to ZERO rows, so a NULL-text doc
+    // would silently vanish from the output (it never reaches the
+    // groupBy) — every input id must survive; NULL text reads as the
+    // empty document and comes back as text = '' (or is excised like
+    // any segment if '' itself crosses the boilerplate threshold)
+    val segs = df.select(id.as("id"),
+      posexplode(split(coalesce(text, lit("")), quoted))
+        .as(Seq("pos", "seg")))
     val boiler = broadcast(
       segs.select(col("id"), col("seg")).distinct()
         .groupBy("seg").agg(count(lit(1)).as("_df"))

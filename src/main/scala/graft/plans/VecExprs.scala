@@ -65,11 +65,19 @@ object VecExprs {
   /** [[nearestCentroid]] from a collected `(cid: long, cv, cn2)` row
     * set (any order — sorted ascending here, which is what pins the
     * tie-to-smallest-cid rule). All centroids must share one
-    * dimensionality: one embedder produces every vector by contract. */
+    * dimensionality: one embedder produces every vector by contract.
+    * NULL or ragged centroid rows FAIL LOUDLY by that contract (a
+    * centroid table is a model, not data — a hole in it is caller
+    * error, and silently skipping would renumber nothing but still
+    * serve a model the caller didn't supply); library-internal centroid
+    * samples filter NULL embeddings before reaching here. */
   def nearestCentroidOf(v: Column, rows: Seq[org.apache.spark.sql.Row],
       byL2: Boolean = false): Column = {
     val sorted = rows.sortBy(_.getLong(0))
     require(sorted.nonEmpty, "nearest_centroid: empty centroid set")
+    require(!sorted.head.isNullAt(1),
+      s"nearest_centroid: NULL centroid vector (cid=${sorted.head.getLong(0)})" +
+        " — filter NULL embeddings before fitting/assigning")
     val dim = sorted.head.getSeq[Double](1).length
     val cids = new Array[Long](sorted.length)
     val flat = new Array[Double](sorted.length * dim)
@@ -77,9 +85,12 @@ object VecExprs {
     var i = 0
     sorted.foreach { r =>
       cids(i) = r.getLong(0)
+      require(!r.isNullAt(1) && !r.isNullAt(2),
+        s"nearest_centroid: NULL centroid vector/norm (cid=${r.getLong(0)})" +
+          " — filter NULL embeddings before fitting/assigning")
       val cv = r.getSeq[Double](1)
       require(cv.length == dim,
-        s"nearest_centroid: centroid dim ${cv.length} != $dim — " +
+        s"nearest_centroid: centroid dim ${cv.length} != $dim (cid=${r.getLong(0)}) — " +
           "one embedder must produce all vectors")
       var j = 0
       while (j < dim) { flat(i * dim + j) = cv(j); j += 1 }

@@ -203,6 +203,45 @@ class DataIndexSpec extends SparkSpec {
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.LongType, containsNull = false) ||
       codes.select("bcodes").collect()(0).getSeq[Long](0).length == 1)
+    // excludeSelf = false: disjoint query/corpus tables whose id spaces
+    // coincide must NOT drop the id-colliding true neighbor (999 is a
+    // copy of 0's vector — hamming 0 from query id 999 in the corpus)
+    val inc = Similarity.binaryTopK(withDup.filter(col("id") === 999),
+        withDup.filter(col("id") =!= 0), col("id"), col("v"),
+        col("id"), col("v"), k = 1, excludeSelf = false)
+      .collect()(0)
+    assert(inc.getLong(2) == 999L && inc.getInt(3) == 0)
+    val incF = graft.operators.DataIndex.binary(
+        withDup.filter(col("id") =!= 0), col("id"), col("v"),
+        excludeSelf = false)
+      .retrieve(withDup.filter(col("id") === 999), col("id"), col("v"), 1)
+      .collect()(0)
+    assert(incF.getLong(2) == 999L)
+  }
+
+  test("NULL embeddings never NPE the coarse-quantizer builds") {
+    import graft.operators.{Similarity, Clustering}
+    // 3 real rows + 1 NULL row, nlist covering the corpus: without the
+    // isNotNull sample filter the NULL row lands in the centroid set and
+    // the driver-side collect NPEs before any task runs
+    val corpus = vecs.union(
+      Seq((99L, null.asInstanceOf[Seq[Float]])).toDF("id", "v"))
+    val out = Similarity.ivfTopK(corpus, col("id"), col("v"),
+      nlist = 8, nprobe = 8, k = 2)
+    assert(out.filter(col("neighbor_id") === 99L).count() == 0 &&
+      out.count() > 0)
+    // k-means: NULL row excluded from the seed, assigned NULL cluster
+    val fit = Clustering.kmeansFit(corpus, col("id"), col("v"),
+      k = 4, rounds = 1)
+    assert(fit.collect().forall(!_.isNullAt(1)))
+    // a user-supplied NULL centroid fails LOUDLY (model hole = caller
+    // error), not with a bare NullPointerException
+    val badCents = Seq((1, Seq(1.0, 0.0)), (2, null.asInstanceOf[Seq[Double]]))
+      .toDF("cid", "cv").withColumn("cvn2", lit(1.0))
+    val e = intercept[IllegalArgumentException] {
+      Clustering.kmeansAssign(vecs, col("id"), col("v"), badCents).collect()
+    }
+    assert(e.getMessage.contains("NULL centroid"))
   }
 
   test("binary index: save → load ≡ ad-hoc; codes-only at rest; refine guard") {

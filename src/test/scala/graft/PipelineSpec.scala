@@ -342,6 +342,21 @@ class PipelineSpec extends SparkSpec {
       col("vec_id"), col("embedding"), tau = 0.8)
       .collect().map(_.getLong(0)).toSet
     assert(all == Set(1L, 2L, 3L, 4L))
+    // a zero-norm held-out vector must contaminate NOTHING: its cosine is
+    // NaN against every train row, and NaN >= tau is TRUE under Spark's
+    // NaN-greatest ordering — ungated it would silently empty the corpus
+    val degenerate = Seq((101L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val survived = Dedup.decontaminateSemantic(train, degenerate,
+      col("vec_id"), col("embedding"), tau = 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(survived == Set(1L, 2L, 3L, 4L))
+    // and a zero-norm TRAIN row survives a real heldout set (NaN cosine
+    // is not a contamination match)
+    val withZero = train.union(Seq((5L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val keptZ = Dedup.decontaminateSemantic(withZero, heldout,
+      col("vec_id"), col("embedding"), tau = 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptZ == Set(3L, 4L, 5L))
   }
 
   test("dropBoilerplate excises corpus-frequent segments, keeps order, " +
@@ -370,5 +385,13 @@ class PipelineSpec extends SparkSpec {
       Seq((1L, "x | x | x"), (2L, "y")).toDF("doc_id", "text"),
       col("doc_id"), col("text"), " | ", minDocs = 2)
     assert(within.filter(col("id") === 1L).head.getString(1) == "x | x | x")
+    // a NULL-text doc must SURVIVE (as the empty document, n_dropped 0) —
+    // split(NULL) explodes to zero rows, which silently dropped the id
+    val withNull = TextOps.dropBoilerplate(
+      Seq((1L, "a | b"), (2L, null), (3L, "c")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), " | ", minDocs = 2)
+    val nm = withNull.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(nm.keySet == Set(1L, 2L, 3L) && nm(2L) == (("", 0L)))
   }
 }
