@@ -2143,4 +2143,58 @@ object PipelineQueries extends QueryModule {
     graft.operators.Bpe.segment(top, lit(0L), col("word"), merges)
       .select(col("word"), concat_ws(" ", col("pieces")).as("seg"))
   }
+
+  // BATCHED BPE learning (the scale trainer: job count ~ merges /
+  // maxPerRound, not merges): each round ranks pairs once by
+  // (cnt desc, pair asc), over-fetches 4·maxPerRound, and greedily keeps
+  // up to maxPerRound SYMBOL-DISJOINT pairs (a kept pair shares no
+  // symbol with an earlier keep or its merged form — which makes every
+  // keep's count exactly what the sequential trainer would have seen).
+  // The oracle replays the full batched rule: rank → pick 1 → pick the
+  // lowest-ranked disjoint survivor → apply both merges in pick order.
+  private def bpeBatchedRound(r: Int): String = {
+    val (p, n) = (s"v${r - 1}", s"v$r")
+    s"""p$r AS (SELECT ws[i] || ' ' || ws[i+1] AS pair,
+       |  CAST(sum(freq) AS BIGINT) AS cnt FROM
+       |  (SELECT freq, string_split(s, ' ') AS ws FROM $p),
+       |  unnest(range(1, len(ws))) AS t(i)
+       |  GROUP BY 1 HAVING sum(freq) >= 2),
+       |pr$r AS (SELECT split_part(pair, ' ', 1) AS a,
+       |  split_part(pair, ' ', 2) AS b, cnt,
+       |  row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rn
+       |  FROM p$r QUALIFY rn <= 8),
+       |ma$r AS (SELECT a, b, cnt FROM pr$r WHERE rn = 1),
+       |mb$r AS (SELECT p.a, p.b, p.cnt FROM pr$r p, ma$r m
+       |  WHERE p.rn > 1
+       |  AND p.a <> m.a AND p.a <> m.b AND p.a <> m.a || m.b
+       |  AND p.b <> m.a AND p.b <> m.b AND p.b <> m.a || m.b
+       |  AND p.a || p.b <> m.a AND p.a || p.b <> m.b
+       |  AND p.a || p.b <> m.a || m.b
+       |  ORDER BY p.rn LIMIT 1),
+       |$n AS (SELECT word, freq, trim(replace(replace(
+       |  ' ' || replace(s1.t, ' ', '  ') || ' ',
+       |  ' ' || mb.a || '  ' || mb.b || ' ', ' ' || mb.a || mb.b || ' '),
+       |  '  ', ' ')) AS s
+       |  FROM (SELECT word, freq, trim(replace(replace(
+       |    ' ' || replace(s, ' ', '  ') || ' ',
+       |    ' ' || ma.a || '  ' || ma.b || ' ', ' ' || ma.a || ma.b || ' '),
+       |    '  ', ' ')) AS t FROM $p CROSS JOIN ma$r ma) s1
+       |  CROSS JOIN mb$r mb)""".stripMargin
+  }
+
+  q("q_bpe_batched",
+    s"""WITH $bpeOracleVocab,
+       |${(1 to 2).map(bpeBatchedRound).mkString(",\n")}
+       |SELECT CAST(row_number() OVER (ORDER BY rnd, pos) - 1 AS INT)
+       |  AS rank, a AS first, b AS second, a || b AS merged,
+       |  cnt AS pair_count
+       |FROM (
+       |  SELECT 1 AS rnd, 0 AS pos, a, b, cnt FROM ma1
+       |  UNION ALL SELECT 1, 1, a, b, cnt FROM mb1
+       |  UNION ALL SELECT 2, 0, a, b, cnt FROM ma2
+       |  UNION ALL SELECT 2, 1, a, b, cnt FROM mb2)""".stripMargin) {
+    (s, dir) =>
+      graft.operators.Bpe.learnMerges(load(s, dir, "documents"),
+        col("text"), rounds = 4, maxPerRound = 2)
+  }
 }

@@ -121,16 +121,11 @@ object Graphs {
     * labels are eager-cached per round so the plan stays bounded.
     * Returns (node, comm). */
   def louvain(edges: DataFrame, rounds: Int = 3): DataFrame = {
-    // the smallest-community tie-break negates the community id
-    // (max(struct(score, -comm))) — meaningless for non-numeric ids,
-    // where the implicit cast would yield all-NULL communities silently.
-    // Fail loudly; hash or dense-rank string ids first.
     require(edges.schema("src").dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType] &&
       edges.schema("dst").dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      "louvain requires numeric node ids (the -comm tie-break has no " +
-        "ordering negation for other types) — hash or dense-rank ids first")
+      "louvain requires numeric node ids — hash or dense-rank ids first")
     val sym = graft.core.Caches.eager(edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
     val deg = graft.core.Caches.cache(
@@ -152,17 +147,32 @@ object Graphs {
       val cand = kic
         .unionByName(labels.select(col("node"), col("comm"), lit(0L).as("k")))
         .groupBy("node", "comm").agg(max("k").as("k"))
-      val scored = cand
+      val scored = graft.core.Caches.eager(cand
         .join(deg, "node")
         .join(labels.select(col("node"), col("comm").as("own")), "node")
         .join(tot, "comm")
         // remove the node from its own community before comparing
         .withColumn("tadj", when(col("comm") === col("own"),
           col("tot") - col("deg")).otherwise(col("tot")))
-        .withColumn("score", col("k") * lit(m2) - col("deg") * col("tadj"))
-      labels = graft.core.Caches.eager(scored.groupBy("node")
-        .agg(max(struct(col("score"), (-col("comm")).as("nc"))).as("m"))
-        .select(col("node"), (-col("m.nc")).as("comm")))
+        .select(col("node"), col("comm"),
+          (col("k") * lit(m2) - col("deg") * col("tadj")).as("score")))
+      // argmax as max-then-join-back-then-min: both aggregates are plain
+      // scalar max/min over exact BIGINTs, so every round's label update
+      // HASH-aggregates — the max(struct(score, -comm)) formulation
+      // planned a SortAggregate each round (struct buffers aren't
+      // hash-aggregable; the CLAUDE.md trap) in the hot loop of the
+      // second-slowest bench query. Semantics identical: max score,
+      // ties to the smallest community id. `scored` is eager-cached, so
+      // the two consumers read one materialization. localCheckpoint, not
+      // eager-cache, for the round result: labels now references scored
+      // TWICE, so a cache (which keeps the full logical plan) doubles
+      // the analyzed tree every round — 2^rounds driver-side analysis,
+      // measured 118 s at sf0.001 where the checkpointed loop runs in
+      // seconds (the [[Iterate]] discipline).
+      labels = scored.groupBy("node").agg(max("score").as("score"))
+        .join(scored, Seq("node", "score"))
+        .groupBy("node").agg(min("comm").as("comm"))
+        .localCheckpoint(true)
     }
     labels.select(col("node"), col("comm"))
   }

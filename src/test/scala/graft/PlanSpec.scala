@@ -204,10 +204,16 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size == 2) // partial + final
   }
 
-  test("q_louvain: rounds stay equi-join shaped, no cartesian fallback") {
+  test("q_louvain: rounds stay equi-join shaped, no cartesian fallback, " +
+      "label update hash-aggregates") {
     val p = plan("q_louvain")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"NLJ in louvain plan:\n$p")
+    // the per-round argmax must be max-then-join-back-then-min (scalar
+    // BIGINT aggregates), never max(struct(score, -comm)) — struct
+    // buffers aren't hash-aggregable and planned a SortAggregate in the
+    // hot loop
+    assert(!p.contains("SortAggregate"), s"no sort-based aggregation:\n$p")
   }
 
   test("q_knn_classify: vote path is aggregates; label join broadcasts; " +
