@@ -610,10 +610,9 @@ object PipelineQueries extends QueryModule {
         round(col("cosine"), 4).as("cosine"))
   }
 
-  // persisted binary index: codes-only at rest (64× smaller), save →
-  // load ≡ the ad-hoc rescore path — the SAME oracle as
-  // q_knn_binary_rescore proves the round-trip
-  q("q_knn_binary_persisted",
+  // shared by the persisted and incremental binary-index queries: both
+  // must land on the full-corpus rescore ranking
+  private val binaryPersistedSql =
     """WITH w AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
       |  FROM embeddings),
       |sc AS (SELECT q.id AS query_id, d.id AS neighbor_id,
@@ -633,10 +632,35 @@ object PipelineQueries extends QueryModule {
       |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id)
       |    AS rank FROM resc)
       |SELECT query_id, rank, neighbor_id, round(c + 1e-9, 4) AS cosine
-      |FROM r2 WHERE rank <= 3""") { (s, dir) =>
+      |FROM r2 WHERE rank <= 3"""
+
+  // persisted binary index: codes-only at rest (64× smaller), save →
+  // load ≡ the ad-hoc rescore path — the SAME oracle as
+  // q_knn_binary_rescore proves the round-trip
+  q("q_knn_binary_persisted", binaryPersistedSql) { (s, dir) =>
     val e = load(s, dir, "embeddings")
     val idx = java.nio.file.Files.createTempDirectory("graft_bin_idx").toString
     Similarity.binarySave(e, col("vec_id"), col("embedding"), idx)
+    Similarity.binaryLoadTopK(s, idx,
+        e.filter(col("vec_id") % 50 === 0), col("vec_id"), col("embedding"),
+        k = 3, rescore = 10,
+        rescoreAgainst = Some((e, col("vec_id"), col("embedding"))),
+        excludeSelf = true, dim = 64)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine") + lit(1e-9), 4).as("cosine"))
+  }
+
+  // incremental binary index: save half the corpus, segment-append the
+  // rest (O(new rows) — the on-disk codes are never read), query the
+  // committed generation. Sign codes are a pure per-row function, so
+  // append ≡ rebuild EXACTLY — same oracle as q_knn_binary_persisted.
+  q("q_knn_binary_incremental", binaryPersistedSql) { (s, dir) =>
+    val e = load(s, dir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("graft_bin_inc").toString
+    Similarity.binarySave(e.filter(col("vec_id") % 2 === 0),
+      col("vec_id"), col("embedding"), idx)
+    Similarity.binaryAppend(s, idx, e.filter(col("vec_id") % 2 === 1),
+      col("vec_id"), col("embedding"))
     Similarity.binaryLoadTopK(s, idx,
         e.filter(col("vec_id") % 50 === 0), col("vec_id"), col("embedding"),
         k = 3, rescore = 10,

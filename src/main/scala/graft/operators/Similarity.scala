@@ -381,9 +381,14 @@ object Similarity {
     name
   }
 
-  private def writeManifest(genDir: String, segs: Seq[String]): Unit =
+  private def writeManifest(genDir: String, segs: Seq[String]): Unit = {
+    // binary saves write nothing else into the gen dir before the
+    // manifest (ivf's centroid parquet creates it as a side effect)
+    new java.io.File(genDir).mkdirs()
     java.nio.file.Files.writeString(
       new java.io.File(genDir, "segments.txt").toPath, segs.mkString("\n"))
+    ()
+  }
 
   private def readManifest(genDir: String): Option[Seq[String]] = {
     val f = new java.io.File(genDir, "segments.txt")
@@ -770,16 +775,67 @@ object Similarity {
     * corpus is NOT persisted — the refine stage rescans only shortlist
     * rows from the source table via `rescoreAgainst`, the [[pqSave]]
     * contract. Atomically versioned through [[graft.core.IndexGen]]
-    * like every index save. */
+    * like every index save; codes land as one SEGMENT under a manifest
+    * (the [[ivfAppend]] layout), so [[binaryAppend]] can grow the index
+    * O(new rows) without rewriting the corpus codes. */
   def binarySave(data: DataFrame, did: Column, dvec: Column,
       path: String): Unit = {
-    val codes = binarySignQuantize(
+    val (dir, gen) = graft.core.IndexGen.stage(path)
+    val seg = writeBinarySegment(binaryCodesOf(data, did, dvec), path)
+    writeManifest(dir, Seq(seg))
+    graft.core.IndexGen.commit(path, gen)
+    vacuumSegments(path)
+  }
+
+  /** Incremental growth of a [[binarySave]]d index — the segment-append
+    * model of [[ivfAppend]], simpler here because sign codes need no
+    * centroid geometry: quantize ONLY `newData` (O(new rows) compute and
+    * I/O — the corpus codes on disk are never read), write it as one new
+    * segment, commit a generation whose manifest = previous segments +
+    * the new one. No rebuild-vs-append quality tradeoff either: a sign
+    * code is a pure per-row function, so append ≡ rebuild exactly (the
+    * spec pins ranking equality). Same single-writer/duplicate-id
+    * contract as ivfAppend. Returns the committed generation. */
+  def binaryAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+      newData: DataFrame, did: Column, dvec: Column): Long = {
+    val cur = graft.core.IndexGen.readDir(path)
+    val oldSegs = readManifest(cur).getOrElse {
+      // legacy layout (flat codes/ dir): fold into the segment store once
+      Seq(writeBinarySegment(spark.read.parquet(s"$cur/codes"), path))
+    }
+    val seg = writeBinarySegment(binaryCodesOf(newData, did, dvec), path)
+    val (dir, gen) = graft.core.IndexGen.stage(path)
+    writeManifest(dir, oldSegs :+ seg)
+    graft.core.IndexGen.commit(path, gen)
+    vacuumSegments(path)
+    gen
+  }
+
+  private def binaryCodesOf(data: DataFrame, did: Column,
+      dvec: Column): DataFrame =
+    binarySignQuantize(
       spread(data).select(did.as("neighbor_id"),
         dvec.cast("array<double>").as("_v")),
       col("_v"), "bcodes").select(col("neighbor_id"), col("bcodes"))
-    val (dir, gen) = graft.core.IndexGen.stage(path)
-    codes.write.mode("overwrite").parquet(s"$dir/codes")
-    graft.core.IndexGen.commit(path, gen)
+
+  /** One binary-code segment — plain parquet (no cid to partition by;
+    * Hamming serving scans every code anyway). */
+  private def writeBinarySegment(codes: DataFrame, path: String): String = {
+    val name = s"segments/seg-${java.util.UUID.randomUUID()}"
+    codes.write.mode("overwrite").parquet(s"$path/$name")
+    name
+  }
+
+  /** The committed generation's code table — manifest segments unioned,
+    * or the legacy flat `codes/` dir. */
+  private[graft] def binaryLoadParts(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val dir = graft.core.IndexGen.readDir(path)
+    readManifest(dir) match {
+      case Some(segs) =>
+        segs.map(s => spark.read.parquet(s"$path/$s")).reduce(_.unionByName(_))
+      case None => spark.read.parquet(s"$dir/codes")
+    }
   }
 
   /** Query a [[binarySave]]d index: Hamming rank over the persisted
@@ -788,17 +844,26 @@ object Similarity {
     * the float corpus for the exact refine and is REQUIRED when
     * `rescore > 0` (the [[pqLoadTopK]] fail-loudly contract). Answers
     * from the committed index generation, so queries keep serving
-    * through a rebuild. */
+    * through a rebuild. `restrictTo` (an id-column DataFrame) semi-joins
+    * the codes BEFORE ranking — the push-the-filter-into-the-index
+    * contract: k survivors come from matching ids only, never a lossy
+    * post-filter of unfiltered hits. */
   def binaryLoadTopK(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qid: Column, qvec: Column, k: Int,
       rescore: Int = 0,
       rescoreAgainst: Option[(DataFrame, Column, Column)] = None,
-      excludeSelf: Boolean = true, dim: Int = 0): DataFrame = {
+      excludeSelf: Boolean = true, dim: Int = 0,
+      restrictTo: Option[DataFrame] = None): DataFrame = {
     require(rescore <= 0 || rescoreAgainst.isDefined,
       s"binaryLoadTopK: rescore = $rescore needs rescoreAgainst — the index " +
         "persists codes only, the refine stage must be given the float corpus")
-    val dir = graft.core.IndexGen.readDir(path)
-    val codes = spark.read.parquet(s"$dir/codes")
+    val codes0 = binaryLoadParts(spark, path)
+    val codes = restrictTo match {
+      case None => codes0
+      case Some(ids) => codes0.join(
+        ids.select(ids.columns.head).toDF("neighbor_id"),
+        Seq("neighbor_id"), "left_semi")
+    }
     val qf = queries.select(qid.as("query_id"),
       qvec.cast("array<double>").as("qv"))
     val q = fanoutRepartition(
@@ -1177,18 +1242,27 @@ object Similarity {
     * `rescore > 0` (a refine request without a float corpus would
     * silently fall through to PQ-score ranking with a different output
     * column — fail loudly instead); with `rescore <= 0` only codes +
-    * codebook are read. `excludeSelf` as in [[pqTopK]]. */
+    * codebook are read. `excludeSelf` as in [[pqTopK]]. `restrictTo`
+    * (an id-column DataFrame) semi-joins the codes BEFORE ranking —
+    * filter pushed into the index, as in [[binaryLoadTopK]]. */
   def pqLoadTopK(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qid: Column, qvec: Column, k: Int,
       rescore: Int = 0,
       rescoreAgainst: Option[(DataFrame, Column, Column)] = None,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      restrictTo: Option[DataFrame] = None): DataFrame = {
     require(rescore <= 0 || rescoreAgainst.isDefined,
       s"pqLoadTopK: rescore = $rescore needs rescoreAgainst — the index " +
         "persists codes only, the refine stage must be given the float corpus")
     val dir = graft.core.IndexGen.readDir(path)
     val cb = spark.read.parquet(s"$dir/codebook")
-    val codes = spark.read.parquet(s"$dir/codes")
+    val codes0 = spark.read.parquet(s"$dir/codes")
+    val codes = restrictTo match {
+      case None => codes0
+      case Some(ids) => codes0.join(
+        ids.select(ids.columns.head).toDF("neighbor_id"),
+        Seq("neighbor_id"), "left_semi")
+    }
     val (flatCb, _, mA, ksubA, dsubA) = cbArrays(cb)
     val rv = codes.select(col("neighbor_id"),
       graft.plans.VecExprs.pqDecode(col("codes"), flatCb, mA, ksubA, dsubA)

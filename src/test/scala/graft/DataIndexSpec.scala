@@ -219,6 +219,44 @@ class DataIndexSpec extends SparkSpec {
     assert(incF.getLong(2) == 999L)
   }
 
+  test("binaryAppend: segment growth ≡ rebuild, legacy layout migrates") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(31)
+    val corpus = (0 until 120).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat))).toDF("id", "v")
+    val queries = corpus.filter(col("id") % 20 === 0)
+    val (half1, half2) =
+      (corpus.filter(col("id") < 60), corpus.filter(col("id") >= 60))
+    // rebuild over everything vs save(half) + append(half): sign codes
+    // are a pure per-row function, so the rankings must be IDENTICAL
+    val full = java.nio.file.Files.createTempDirectory("bin_full").toString
+    Similarity.binarySave(corpus, col("id"), col("v"), full)
+    val inc = java.nio.file.Files.createTempDirectory("bin_inc").toString
+    Similarity.binarySave(half1, col("id"), col("v"), inc)
+    Similarity.binaryAppend(spark, inc, half2, col("id"), col("v"))
+    def top(path: String) = Similarity.binaryLoadTopK(spark, path, queries,
+        col("id"), col("v"), k = 3, rescore = 10,
+        rescoreAgainst = Some((corpus, col("id"), col("v"))))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(top(inc) == top(full))
+    // two segments on disk, one after a fresh save
+    val incGen = graft.core.IndexGen.readDir(inc)
+    val manifest = java.nio.file.Files.readString(
+      new java.io.File(incGen, "segments.txt").toPath)
+    assert(manifest.split("\n").count(_.nonEmpty) == 2)
+    // a legacy flat codes/ dir (pre-segment layout) appends fine too
+    val legacy = java.nio.file.Files.createTempDirectory("bin_leg").toString
+    val (dir, gen) = graft.core.IndexGen.stage(legacy)
+    Similarity.binarySignQuantize(
+        half1.select(col("id").as("neighbor_id"),
+          col("v").cast("array<double>").as("_v")), col("_v"), "bcodes")
+      .select("neighbor_id", "bcodes")
+      .write.parquet(s"$dir/codes")
+    graft.core.IndexGen.commit(legacy, gen)
+    Similarity.binaryAppend(spark, legacy, half2, col("id"), col("v"))
+    assert(top(legacy) == top(full))
+  }
+
   test("NULL embeddings never NPE the coarse-quantizer builds") {
     import graft.operators.{Similarity, Clustering}
     // 3 real rows + 1 NULL row, nlist covering the corpus: without the
@@ -252,9 +290,9 @@ class DataIndexSpec extends SparkSpec {
     val queries = corpus.filter(col("id") % 20 === 0)
     val path = java.nio.file.Files.createTempDirectory("binidx").toString
     Similarity.binarySave(corpus, col("id"), col("v"), path)
-    // persisted layout holds ONLY packed codes (the 64x-at-rest claim)
-    val dir = graft.core.IndexGen.readDir(path)
-    val persisted = spark.read.parquet(s"$dir/codes")
+    // persisted layout holds ONLY packed codes (the 64x-at-rest claim),
+    // as one manifest-listed segment (the binaryAppend growth layout)
+    val persisted = graft.operators.Similarity.binaryLoadParts(spark, path)
     assert(persisted.columns.toSeq == Seq("neighbor_id", "bcodes"))
     // loaded hamming path ≡ ad-hoc binaryTopK
     val adhoc = Similarity.binaryTopK(queries, corpus,
