@@ -345,6 +345,136 @@ object DocStoreQueries extends QueryModule {
       k = 3, filter = Some(col("lang") === "en"))
   }
 
+  /** Shared oracle for every BINARY codes-only serving path (batch save
+    * and streaming ingest must land on the same state): sign-bit Hamming
+    * between query and en-chunk embeddings (restrictTo pushes the lang
+    * filter into the codes scan PRE-rank), rescore=10 shortlist refined
+    * by exact float cosine (the cosinePrenorm formula), top-3. */
+  private val binaryStoreSql =
+    s"""WITH $pipeCte,
+      |sc AS (SELECT q.qid, ce.chunk_key,
+      |  CAST(list_sum(list_transform(range(len(q.qv)), i ->
+      |    CASE WHEN (q.qv[i+1] > 0) <> (ce.v[i+1] > 0) THEN 1 ELSE 0 END))
+      |    AS INT) AS h
+      |  FROM q CROSS JOIN ce WHERE ce.lang = 'en'),
+      |r1 AS (SELECT qid, chunk_key, h,
+      |  row_number() OVER (PARTITION BY qid ORDER BY h, chunk_key) AS hr
+      |  FROM sc),
+      |resc AS (SELECT r1.qid, r1.chunk_key,
+      |  list_dot_product(q.qv, d.v)
+      |    / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(d.v, d.v)) AS c
+      |  FROM r1 JOIN q ON q.qid = r1.qid
+      |  JOIN ce d ON d.chunk_key = r1.chunk_key
+      |  WHERE r1.hr <= 10),
+      |r2 AS (SELECT qid, chunk_key, c,
+      |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, chunk_key) AS rank
+      |  FROM resc)
+      |SELECT r2.qid, r2.rank, k2.doc_id, k2.chunk_id,
+      |  round(r2.c + 1e-9, 4) AS score
+      |FROM r2 JOIN ck k2 ON k2.chunk_key = r2.chunk_key WHERE r2.rank <= 3"""
+
+  // BINARY codes-only persisted store (the 64×-at-rest serving shape):
+  // save pins kind=binary, open() Hamming-ranks over the packed-code
+  // index — the chunk table's floats are touched only by the rescore=10
+  // shortlist join — and the lang filter semi-joins the codes pre-rank.
+  q("q_doc_store_binary", binaryStoreSql) { (s, dir) =>
+    val store = storeOf(s, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_ds_bin").toString
+    store.save(path, DocStore.BinaryCodes(rescore = 10))
+    DocStore.open(s, path, DocStore.hashEmbedder(16))
+      .retrieve(queriesOf(s, dir), col("qid"), col("qtext"), k = 3,
+        filter = Some(col("lang") === "en"))
+      .select(col("qid"), col("rank"), col("doc_id"), col("chunk_id"),
+        r4e(col("score")).as("score"))
+  }
+
+  // LIVE ingestion → codes-only serving (the 100 TB serving loop
+  // end-to-end): two streaming micro-batches through buildStream, then
+  // rebuildIndex pins kind=binary and publishes a codes-only generation;
+  // open() must answer EXACTLY like the batch-saved binary store.
+  q("q_doc_store_stream_binary", binaryStoreSql) { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .as[(Long, String, String, String)].collect()
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, String)]
+    val stream = in.toDF().toDF("doc_id", "text", "lang", "source")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"),
+        col("lang"), col("source"))
+    val root = java.nio.file.Files.createTempDirectory("graft_ds_sb").toString
+    val q = DocStore.buildStream(stream, col("doc_id"), col("data"),
+      root, s"$root/ckpt", metadata = Seq("lang", "source"),
+      chunkSize = 8, overlap = 3, embedder = DocStore.hashEmbedder(16)).start()
+    try {
+      val (evens, odds) = docs.partition(_._1 % 2 == 0)
+      in.addData(evens.toSeq); q.processAllAvailable()
+      in.addData(odds.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    DocStore.rebuildIndex(s, root, DocStore.BinaryCodes(rescore = 10))
+    DocStore.open(s, root, DocStore.hashEmbedder(16))
+      .retrieve(queriesOf(s, dir), col("qid"), col("qtext"), k = 3,
+        filter = Some(col("lang") === "en"))
+      .select(col("qid"), col("rank"), col("doc_id"), col("chunk_id"),
+        r4e(col("score")).as("score"))
+  }
+
+  // PQ codes-only persisted store: m=17 one-dim subspaces (the stub
+  // embedder's 17 dims are prime — production picks m | dim with
+  // dsub 4-8), ksub=16 codewords sampled md5-smallest by chunk key,
+  // decoded-dot candidate ranking over the int codes, rescore=10 float
+  // refine against the chunk table. The oracle replays codebook fit,
+  // encode, decode, rank, and refine.
+  q("q_doc_store_pq",
+    s"""WITH $pipeCte,
+      |wn AS (SELECT chunk_key,
+      |  list_transform(v, x ->
+      |    x / greatest(sqrt(list_dot_product(v, v)), 1e-30)) AS vn FROM ce),
+      |cb0 AS (SELECT vn,
+      |  row_number() OVER (ORDER BY md5(CAST(chunk_key AS VARCHAR))) AS j
+      |  FROM wn ORDER BY md5(CAST(chunk_key AS VARCHAR)) LIMIT 16),
+      |cbf AS (SELECT j, s, vn[s+1 : s+1] AS cw
+      |  FROM cb0, unnest(range(0, 17)) AS t(s)),
+      |enc0 AS (SELECT w.chunk_key, f.s, f.j,
+      |  list_dot_product(f.cw, f.cw)
+      |    - 2.0 * list_dot_product(w.vn[f.s+1 : f.s+1], f.cw) AS dist
+      |  FROM wn w CROSS JOIN cbf f),
+      |enc AS (SELECT chunk_key, s, j FROM (
+      |  SELECT chunk_key, s, j,
+      |    row_number() OVER (PARTITION BY chunk_key, s ORDER BY dist, j) AS rn
+      |  FROM enc0) WHERE rn = 1),
+      |rv AS (SELECT enc.chunk_key, flatten(list(f.cw ORDER BY enc.s)) AS rv
+      |  FROM enc JOIN cbf f ON f.s = enc.s AND f.j = enc.j
+      |  GROUP BY enc.chunk_key),
+      |qn AS (SELECT qid, list_transform(qv, x ->
+      |  x / greatest(sqrt(list_dot_product(qv, qv)), 1e-30)) AS qv FROM q),
+      |sc AS (SELECT qn.qid, rv.chunk_key,
+      |  list_dot_product(qn.qv, rv.rv) AS score FROM qn CROSS JOIN rv),
+      |r1 AS (SELECT qid, chunk_key,
+      |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, chunk_key)
+      |    AS qr FROM sc),
+      |resc AS (SELECT r1.qid, r1.chunk_key,
+      |  list_dot_product(qn.qv, w2.vn) AS c
+      |  FROM r1 JOIN qn ON qn.qid = r1.qid
+      |  JOIN wn w2 ON w2.chunk_key = r1.chunk_key
+      |  WHERE r1.qr <= 10),
+      |r2 AS (SELECT qid, chunk_key, c,
+      |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, chunk_key) AS rank
+      |  FROM resc)
+      |SELECT r2.qid, r2.rank, k2.doc_id, k2.chunk_id,
+      |  round(r2.c + 1e-9, 4) AS score
+      |FROM r2 JOIN ck k2 ON k2.chunk_key = r2.chunk_key
+      |WHERE r2.rank <= 3""") { (s, dir) =>
+    val store = storeOf(s, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_ds_pq").toString
+    store.save(path, DocStore.PqCodes(m = 17, ksub = 16, rescore = 10))
+    DocStore.open(s, path, DocStore.hashEmbedder(16))
+      .retrieve(queriesOf(s, dir), col("qid"), col("qtext"), k = 3)
+      .select(col("qid"), col("rank"), col("doc_id"), col("chunk_id"),
+        r4e(col("score")).as("score"))
+  }
+
   // statistics_query surface: doc/chunk counts over the indexed corpus
   q("q_doc_store_stats",
     s"""WITH $pipeCte

@@ -37,6 +37,29 @@ import org.apache.spark.sql.expressions.Window
   */
 object DocStore {
 
+  /** At-rest index representation of a persisted store (the pluggable
+    * index behind the reference's vector store — vector_store.py:60
+    * takes its index factory as a constructor arg; here the choice also
+    * decides what the corpus COSTS at rest):
+    *
+    *  - [[IvfFlat]]: float vectors in cid-partitioned inverted lists —
+    *    exact-in-list ranking, dim×8 bytes/vector at rest;
+    *  - [[PqCodes]]: product-quantization codes + one broadcast codebook
+    *    — m small ints/vector at rest; serving ranks by decoded dot and
+    *    float-refines the top `rescore` against the chunk table;
+    *  - [[BinaryCodes]]: 1-bit sign codes — ceil(dim/64) longs/vector at
+    *    rest (64× under float64); Hamming ranking + the same refine.
+    *
+    * For PQ/binary the chunk table still persists embeddings once (the
+    * refine stage and MMR read them by shortlist id); the INDEX — what
+    * every probe scans — is codes-only. With `rescore = 0` serving
+    * never touches a float at all (DocStoreSpec pins the plan). */
+  sealed trait StoreIndex
+  final case class IvfFlat(nlist: Int = 0) extends StoreIndex
+  final case class PqCodes(m: Int, ksub: Int = 256,
+    rescore: Int = 32) extends StoreIndex
+  final case class BinaryCodes(rescore: Int = 32) extends StoreIndex
+
   /** UTF-8 parser — the reference DocumentStore's default
     * (xpacks/llm/parsers.py `ParseUtf8`). */
   val parseUtf8: Column => Column = b => decode(b, "UTF-8")
@@ -201,10 +224,72 @@ object DocStore {
     * new one — the reference's serve-during-maintenance contract. */
   def rebuildIndex(spark: SparkSession, path: String, nlist: Int = 0): Unit = {
     val persisted = spark.read.parquet(s"$path/chunks")
-    val n = if (nlist > 0) nlist
-      else Similarity.nlistFor(parquetRowCount(spark, s"$path/chunks"))
-    Similarity.ivfSave(persisted, col("chunk_key"), col("embedding"),
-      s"$path/index", n)
+    readIndexKind(path) match {
+      case IvfFlat(defN) =>
+        val n = if (nlist > 0) nlist
+          else if (defN > 0) defN
+          else Similarity.nlistFor(parquetRowCount(spark, s"$path/chunks"))
+        Similarity.ivfSave(persisted, col("chunk_key"), col("embedding"),
+          s"$path/index", n)
+      case PqCodes(m, ksub, _) =>
+        // dim from the data (one narrow first() — PQ's subspace slicing
+        // cannot size itself from the stream like the generic dot loop)
+        val dim = persisted.filter(col("embedding").isNotNull)
+          .select(size(col("embedding"))).head().getInt(0)
+        Similarity.pqSave(persisted, col("chunk_key"), col("embedding"),
+          s"$path/index", m, ksub, dim)
+      case BinaryCodes(_) =>
+        Similarity.binarySave(persisted, col("chunk_key"), col("embedding"),
+          s"$path/index")
+    }
+  }
+
+  /** [[rebuildIndex]] under an explicit at-rest representation — pins
+    * the kind (persisted at `path/index_kind.txt`, the store's durable
+    * config) then rebuilds; later plain rebuilds and every [[open]]
+    * follow it. The entry point for switching a [[buildStream]]-fed
+    * store to a codes-only index. */
+  def rebuildIndex(spark: SparkSession, path: String,
+      index: StoreIndex): Unit = {
+    writeIndexKind(path, index)
+    rebuildIndex(spark, path)
+  }
+
+  /** Durable index-kind marker. Tiny driver-side file, written before
+    * the index build (an interrupted build leaves the marker + the OLD
+    * committed generation — readers keep serving it; kind and
+    * generation flip together only after IndexGen's atomic commit the
+    * next successful rebuild). Absent file = IVF-flat (pre-codes-era
+    * stores). */
+  private def kindFile(path: String) = new java.io.File(path, "index_kind.txt")
+
+  private[graft] def writeIndexKind(path: String, ix: StoreIndex): Unit = {
+    new java.io.File(path).mkdirs()
+    val body = ix match {
+      case IvfFlat(n) => s"kind=ivf\nnlist=$n"
+      case PqCodes(m, ksub, r) => s"kind=pq\nm=$m\nksub=$ksub\nrescore=$r"
+      case BinaryCodes(r) => s"kind=binary\nrescore=$r"
+    }
+    java.nio.file.Files.writeString(kindFile(path).toPath, body)
+    ()
+  }
+
+  private[graft] def readIndexKind(path: String): StoreIndex = {
+    val f = kindFile(path)
+    if (!f.isFile) IvfFlat()
+    else {
+      val kv = java.nio.file.Files.readString(f.toPath).split("\n")
+        .map(_.trim).filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+      kv("kind") match {
+        case "ivf" => IvfFlat(kv.getOrElse("nlist", "0").toInt)
+        case "pq" => PqCodes(kv("m").toInt, kv("ksub").toInt,
+          kv.getOrElse("rescore", "32").toInt)
+        case "binary" => BinaryCodes(kv.getOrElse("rescore", "32").toInt)
+        case other => throw new IllegalArgumentException(
+          s"unknown index kind '$other' in ${f.getPath}")
+      }
+    }
   }
 
   /** INCREMENTAL index refresh — the between-rebuilds maintenance step
@@ -219,14 +304,31 @@ object DocStore {
     * segmented index. Returns the number of newly indexed chunks. */
   def extendIndex(spark: SparkSession, path: String): Long = {
     val chunks = spark.read.parquet(s"$path/chunks")
-    val (_, assigned) = Similarity.ivfLoadParts(spark, s"$path/index")
-    val fresh = graft.core.Caches.eager(chunks.join(
-      assigned.select(col("neighbor_id").as("chunk_key")),
-      Seq("chunk_key"), "left_anti"))
+    val indexed = readIndexKind(path) match {
+      case IvfFlat(_) =>
+        Similarity.ivfLoadParts(spark, s"$path/index")._2
+          .select(col("neighbor_id").as("chunk_key"))
+      case BinaryCodes(_) =>
+        Similarity.binaryLoadParts(spark, s"$path/index")
+          .select(col("neighbor_id").as("chunk_key"))
+      case PqCodes(_, _, _) => throw new UnsupportedOperationException(
+        "extendIndex: PQ codebooks are frozen at fit time and pqSave has " +
+          "no segment store — run rebuildIndex for a PQ store")
+    }
+    val fresh = graft.core.Caches.eager(
+      chunks.join(indexed, Seq("chunk_key"), "left_anti"))
     val n = fresh.count()
-    if (n > 0)
-      Similarity.ivfAppend(spark, s"$path/index", fresh,
-        col("chunk_key"), col("embedding"))
+    if (n > 0) readIndexKind(path) match {
+      case IvfFlat(_) =>
+        Similarity.ivfAppend(spark, s"$path/index", fresh,
+          col("chunk_key"), col("embedding"))
+        ()
+      case BinaryCodes(_) =>
+        Similarity.binaryAppend(spark, s"$path/index", fresh,
+          col("chunk_key"), col("embedding"))
+        ()
+      case _ => ()
+    }
     n
   }
 
@@ -405,9 +507,18 @@ object DocStore {
       * count from the chunk count ([[Similarity.nlistFor]]). The chunk
       * table is written first and the index built from the written
       * files, so the embedder runs exactly once per chunk. */
-    def save(path: String, nlist: Int = 0): Unit = {
+    def save(path: String, nlist: Int = 0): Unit =
+      save(path, IvfFlat(nlist))
+
+    /** Persist under an explicit at-rest index representation — see
+      * [[StoreIndex]]: IVF-flat float lists, PQ codes, or binary sign
+      * codes (8-64× smaller at rest; serving float-refines shortlists
+      * against the chunk table). The kind is durable store config
+      * (`index_kind.txt`): [[rebuildIndex]]/[[open]] follow it. */
+    def save(path: String, index: StoreIndex): Unit = {
       chunks.write.mode("overwrite").parquet(s"$path/chunks")
-      DocStore.rebuildIndex(chunks.sparkSession, path, nlist)
+      DocStore.writeIndexKind(path, index)
+      DocStore.rebuildIndex(chunks.sparkSession, path)
     }
   }
 
@@ -443,30 +554,62 @@ object DocStore {
         filter: Option[Column] = None): DataFrame =
       widen(probeNarrow(queries, qid, qtext, k, filter), chunks, metadata)
 
-    /** The narrow IVF-probe stage shared by [[retrieve]] and
-      * [[retrieveDiverse]]: (qid, chunk_key, score, rank ≤ k). Resolves
+    /** The narrow index-probe stage shared by [[retrieve]] and
+      * [[retrieveDiverse]]: (qid, chunk_key, score, rank ≤ k),
+      * dispatched on the store's at-rest [[StoreIndex]] kind. Resolves
       * the committed index GENERATION per query batch
       * (graft.core.IndexGen): a concurrent rebuildIndex/extendIndex
       * publishes with one atomic marker rename, so this store keeps
-      * serving — each batch sees exactly one complete
-      * (centroids, segment manifest) pair, never new centroids over
-      * old lists. */
+      * serving — each batch sees exactly one complete index. The
+      * metadata `filter` is pushed INTO every kind the same way: the
+      * lists/codes are semi-joined against the filtered chunk keys
+      * BEFORE candidate ranking. For PQ/binary with rescore > 0 the
+      * shortlist float-refines against the chunk table (score =
+      * cosine); with rescore = 0 serving never reads the embedding
+      * column — codes scan only — and score = the index's native
+      * measure (PQ decoded dot / negated Hamming, "larger = closer"
+      * like every retriever). */
     private def probeNarrow(queries: DataFrame, qid: Column, qtext: Column,
         k: Int, filter: Option[Column]): DataFrame = {
-      val (cents, assigned0) =
-        Similarity.ivfLoadParts(spark, s"$path/index")
-      val assigned = filter match {
-        case None => assigned0
-        case Some(f) =>
-          assigned0.join(
-            chunks.filter(f).select(col("chunk_key").as("neighbor_id")),
-            Seq("neighbor_id"), "left_semi")
-      }
+      val restrict = filter.map(f =>
+        chunks.filter(f).select(col("chunk_key")))
       val q = queries.select(qid.as("qid"), embedder(qtext).as("qv"))
-      Similarity.ivfSearch(cents, assigned, q, col("qid"),
-          col("qv"), nprobe, k, excludeSelf = false, dim = 0)
-        .select(col("query_id").as("qid"), col("rank"),
-          col("neighbor_id").as("chunk_key"), col("cosine").as("score"))
+      DocStore.readIndexKind(path) match {
+        case IvfFlat(_) =>
+          val (cents, assigned0) =
+            Similarity.ivfLoadParts(spark, s"$path/index")
+          val assigned = restrict match {
+            case None => assigned0
+            case Some(ids) => assigned0.join(
+              ids.select(col("chunk_key").as("neighbor_id")),
+              Seq("neighbor_id"), "left_semi")
+          }
+          Similarity.ivfSearch(cents, assigned, q, col("qid"),
+              col("qv"), nprobe, k, excludeSelf = false, dim = 0)
+            .select(col("query_id").as("qid"), col("rank"),
+              col("neighbor_id").as("chunk_key"), col("cosine").as("score"))
+        case BinaryCodes(rescore) =>
+          val against = if (rescore > 0)
+            Some((chunks, col("chunk_key"), col("embedding"))) else None
+          Similarity.binaryLoadTopK(spark, s"$path/index", q,
+              col("qid"), col("qv"), k, rescore = rescore,
+              rescoreAgainst = against, excludeSelf = false,
+              restrictTo = restrict)
+            .select(col("query_id").as("qid"), col("rank"),
+              col("neighbor_id").as("chunk_key"),
+              (if (rescore > 0) col("cosine")
+               else -col("hamming").cast("double")).as("score"))
+        case PqCodes(_, _, rescore) =>
+          val against = if (rescore > 0)
+            Some((chunks, col("chunk_key"), col("embedding"))) else None
+          Similarity.pqLoadTopK(spark, s"$path/index", q,
+              col("qid"), col("qv"), k, rescore = rescore,
+              rescoreAgainst = against, excludeSelf = false,
+              restrictTo = restrict)
+            .select(col("query_id").as("qid"), col("rank"),
+              col("neighbor_id").as("chunk_key"),
+              (if (rescore > 0) col("cosine") else col("score")).as("score"))
+      }
     }
 
     /** Diversity retrieval over the persisted index — see

@@ -293,6 +293,104 @@ class DocStoreSpec extends SparkSpec {
     assert(hits.nonEmpty && hits.exists(_.getAs[Long]("doc_id") == 3L))
   }
 
+  test("binary codes-only store: save→open ≡ exact; filter pushes; " +
+      "rescore=0 serving never reads a float") {
+    val path = java.nio.file.Files.createTempDirectory("ds_bin").toString
+    // rescore ≥ corpus: the Hamming prune keeps everything, the float
+    // refine IS the exact ranking — save→open must equal the in-memory
+    // store bit-for-bit (same cosinePrenorm formula on both paths)
+    store.save(path, DocStore.BinaryCodes(rescore = 200))
+    val ps = DocStore.open(spark, path, DocStore.hashEmbedder(8))
+    val queries = q("uno dos tres")
+    val exact = store.retrieve(queries, col("qid"), col("qtext"), 3)
+      .select("qid", "rank", "doc_id", "chunk_id", "score")
+    val persisted = ps.retrieve(queries, col("qid"), col("qtext"), 3)
+      .select("qid", "rank", "doc_id", "chunk_id", "score")
+    assert(persisted.exceptAll(exact).count() == 0 &&
+      exact.exceptAll(persisted).count() == 0)
+    // the index at rest is packed codes ONLY — no centroids, no floats
+    val gen = graft.core.IndexGen.readDir(s"$path/index")
+    assert(!new java.io.File(gen, "centroids").exists())
+    val codes = graft.operators.Similarity.binaryLoadParts(spark, s"$path/index")
+    assert(codes.columns.toSeq == Seq("neighbor_id", "bcodes"))
+    // metadata filter pushes into the codes scan pre-rank
+    val es = ps.retrieve(queries, col("qid"), col("qtext"), 3,
+      filter = Some(col("lang") === "es")).collect()
+    assert(es.nonEmpty && es.forall(_.getAs[String]("lang") == "es"))
+    // rescore = 0: pure Hamming serving — the plan must not read the
+    // chunk table's embedding column anywhere (codes-only probe + the
+    // embedding-dropped widen join-back)
+    DocStore.writeIndexKind(path, DocStore.BinaryCodes(rescore = 0))
+    val ps0 = DocStore.open(spark, path, DocStore.hashEmbedder(8))
+    val hits0 = ps0.retrieve(queries, col("qid"), col("qtext"), 3)
+    assert(!hits0.queryExecution.executedPlan.toString.contains("embedding"),
+      "rescore=0 serving scan must be codes-only")
+    assert(hits0.count() == 3)
+  }
+
+  test("pq codes-only store: save→open ≡ exact at full rescore; " +
+      "extendIndex fails loudly") {
+    val path = java.nio.file.Files.createTempDirectory("ds_pq").toString
+    // hashEmbedder(8) → 9 dims; m=3 subspaces of 3, ksub=4 codewords
+    store.save(path, DocStore.PqCodes(m = 3, ksub = 4, rescore = 200))
+    val ps = DocStore.open(spark, path, DocStore.hashEmbedder(8))
+    val queries = q("uno dos tres")
+    // rescore covers the corpus → refine = exact ranking (scores differ
+    // in ulps between the normalize-then-dot and prenorm formulas, so
+    // compare the ranking, not the floats)
+    val exact = store.retrieve(queries, col("qid"), col("qtext"), 3)
+      .select("qid", "rank", "doc_id", "chunk_id")
+    val persisted = ps.retrieve(queries, col("qid"), col("qtext"), 3)
+      .select("qid", "rank", "doc_id", "chunk_id")
+    assert(persisted.exceptAll(exact).count() == 0 &&
+      exact.exceptAll(persisted).count() == 0)
+    // PQ at rest: codebook + int codes, never float vectors
+    val gen = graft.core.IndexGen.readDir(s"$path/index")
+    assert(spark.read.parquet(s"$gen/codes").columns.toSeq ==
+      Seq("neighbor_id", "codes"))
+    // filter pushdown
+    val es = ps.retrieve(queries, col("qid"), col("qtext"), 3,
+      filter = Some(col("lang") === "es")).collect()
+    assert(es.nonEmpty && es.forall(_.getAs[String]("lang") == "es"))
+    // PQ codebooks freeze at fit: incremental growth is a rebuild
+    intercept[UnsupportedOperationException] {
+      DocStore.extendIndex(spark, path)
+    }
+  }
+
+  test("binary extendIndex appends a codes segment; rebuildIndex(kind) " +
+      "switches an existing store to codes-only") {
+    val root = java.nio.file.Files.createTempDirectory("ds_bin_ext").toString
+    val firstTwo = docsDf.filter(col("doc_id") <= 2)
+    DocStore.build(firstTwo, col("doc_id"), col("data"),
+      metadata = Seq("lang"), chunkSize = 3, overlap = 1,
+      embedder = DocStore.hashEmbedder(8))
+      .save(root, DocStore.BinaryCodes(rescore = 200))
+    store.chunks.filter(col("doc_id") > 2)
+      .write.mode("append").parquet(s"$root/chunks")
+    val added = DocStore.extendIndex(spark, root)
+    assert(added > 0)
+    assert(DocStore.extendIndex(spark, root) == 0)
+    val ps = DocStore.open(spark, root, DocStore.hashEmbedder(8))
+    val hits = ps.retrieve(q("uno dos tres"), col("qid"), col("qtext"), 2)
+      .collect()
+    assert(hits.nonEmpty && hits.exists(_.getAs[Long]("doc_id") == 3L))
+    // a legacy IVF store re-pins to binary with one rebuild call; the
+    // new generation serves the same ranking as the exact store
+    val ivfRoot = java.nio.file.Files.createTempDirectory("ds_sw").toString
+    store.save(ivfRoot, nlist = 4)
+    DocStore.rebuildIndex(spark, ivfRoot, DocStore.BinaryCodes(rescore = 200))
+    assert(DocStore.readIndexKind(ivfRoot) ==
+      DocStore.BinaryCodes(rescore = 200))
+    val sw = DocStore.open(spark, ivfRoot, DocStore.hashEmbedder(8))
+      .retrieve(q("uno dos tres"), col("qid"), col("qtext"), 3)
+      .select("qid", "rank", "doc_id", "chunk_id", "score")
+    val exact = store.retrieve(q("uno dos tres"), col("qid"), col("qtext"), 3)
+      .select("qid", "rank", "doc_id", "chunk_id", "score")
+    assert(sw.exceptAll(exact).count() == 0 &&
+      exact.exceptAll(sw).count() == 0)
+  }
+
   test("parquetRowCount matches the scan count from footers alone") {
     val root = java.nio.file.Files.createTempDirectory("ds_cnt").toString
     store.save(root, nlist = 4)

@@ -276,6 +276,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), s"no sort-based aggregation:\n$p")
   }
 
+  test("q_doc_store_binary: candidate ranking rides packed codes — the " +
+      "chunk table's floats join only the rescore shortlist") {
+    val p = plan("q_doc_store_binary")
+    // the pair expansion must score native XOR-popcount hamming over the
+    // persisted bcodes scan; floats appear downstream of the shortlist
+    // rank filter only (DocStoreSpec pins the rescore=0 plan as reading
+    // NO embedding column at all)
+    assert(p.contains("hamming("), s"expected native hamming:\n$p")
+    assert(p.contains("bcodes"), s"expected the packed-codes scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian fallback:\n$p")
+    assert(!p.contains("SortAggregate"), s"no sort-based aggregation:\n$p")
+    // the hamming rank window's subtree never touches `embedding`: every
+    // line between the first Window (hamming shortlist) and its scans is
+    // codes-shaped. Structural proxy: the string 'embedding' must not
+    // appear BELOW the hamming window section — locate the shortlist
+    // window and assert its input attributes are code columns
+    val hamWin = p.linesIterator.find(l =>
+      l.contains("Window") && l.contains("hamming")).getOrElse("")
+    assert(!hamWin.contains("embedding"),
+      s"hamming rank must not carry float vectors:\n$hamWin")
+  }
+
   test("q_dedup_spans: candidates come from a shingle equi-join, islands " +
       "from one window") {
     val p = plan("q_dedup_spans")
