@@ -1604,6 +1604,140 @@ object PipelineQueries extends QueryModule {
         col("pack_pos"))
   }
 
+  // THE FULL PRODUCTION CHAIN: langid → quality → Aho-Corasick
+  // blocklist → corpus-frequency boilerplate excision (REWRITES text;
+  // every later stage sees the cleaned corpus) → exact dedup → minhash
+  // near-dup canonicalization (LSH pairs → connected components →
+  // smallest-id representative) → n-gram decontamination → hash sample
+  // → sequence packing, as ONE operator chain
+  // (Pipelines.pretrainCorpusFull) — and the ENTIRE nine-stage chain
+  // replayed in DuckDB, recursive-CTE connected components included.
+  q("q_pretrain_pipeline_full",
+    """WITH RECURSIVE
+      |lw AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+      |  FROM documents WHERE doc_id % 17 <> 0),
+      |lid AS (SELECT doc_id, text, ws,
+      |  CASE WHEN s_zh > greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+      |       WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+      |       WHEN s_es > greatest(s_de, s_en) THEN 'es'
+      |       WHEN s_en > s_de THEN 'en'
+      |       ELSE 'de' END AS lp
+      |  FROM (SELECT doc_id, text, ws,
+      |    len(list_filter(ws, w -> w IN ('window','group','sort'))) * 1.0 / len(ws) AS s_de,
+      |    len(list_filter(ws, w -> w IN ('the','a','fast','slow'))) * 1.0 / len(ws) AS s_en,
+      |    len(list_filter(ws, w -> w IN ('data','row','query'))) * 1.0 / len(ws) AS s_es,
+      |    len(list_filter(ws, w -> w IN ('table','batch','merge'))) * 1.0 / len(ws) AS s_fr,
+      |    len(list_filter(ws, w -> w IN ('spark','hash','scan'))) * 1.0 / len(ws) AS s_zh
+      |    FROM lw) x),
+      |qk AS (SELECT doc_id, text FROM lid WHERE lp = 'en' AND (
+      |  least(length(text) / 500.0, 1.0) +
+      |  least((len(list_filter(ws, w -> w IN ('the', 'a'))) * 1.0
+      |    / len(ws)) * 5.0, 1.0) +
+      |  len(list_distinct(ws)) * 1.0 / len(ws)) / 3.0 >= 0.5),
+      |bl AS (SELECT doc_id, text FROM qk
+      |  WHERE len(list_filter(['slow merge', 'zzqq'],
+      |    t -> contains(text, t))) = 0),
+      |segs AS (SELECT doc_id, t.pos, ps[t.pos] AS seg FROM
+      |  (SELECT doc_id, string_split(text, ' the ') AS ps FROM bl),
+      |  unnest(range(1, len(ps) + 1)) AS t(pos)),
+      |boiler AS (SELECT seg FROM (SELECT DISTINCT doc_id, seg FROM segs)
+      |  GROUP BY seg HAVING count(*) >= 3),
+      |marked AS (SELECT s.doc_id, s.pos, s.seg, b.seg IS NOT NULL AS isb
+      |  FROM segs s LEFT JOIN boiler b ON b.seg = s.seg),
+      |clean AS (SELECT doc_id,
+      |  coalesce(string_agg(seg, ' the ' ORDER BY pos)
+      |    FILTER (WHERE NOT isb), '') AS text
+      |  FROM marked GROUP BY doc_id),
+      |dd AS (SELECT doc_id, text FROM clean
+      |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+      |dw AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM dd),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] AS s
+      |  FROM dw, UNNEST(range(1, len(ws)-1)) AS t(j)),
+      |sh AS (SELECT doc_id, s FROM sh0
+      |  QUALIFY count(*) OVER (PARTITION BY s) <= 20),
+      |mh AS (SELECT doc_id,
+      |  min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
+      |  min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3,
+      |  min(md5('4|' || s)) AS h4, min(md5('5|' || s)) AS h5
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bk FROM mh UNION ALL
+      |  SELECT doc_id, 1, md5(h2 || h3) FROM mh UNION ALL
+      |  SELECT doc_id, 2, md5(h4 || h5) FROM mh),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bands x JOIN bands y
+      |  ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |ix AS (SELECT c.a, c.b, count(*) AS i FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.a
+      |  JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT a, b FROM ix
+      |  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+      |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+      |edges AS (SELECT a AS src, b AS dst FROM pairs
+      |  UNION SELECT b AS src, a AS dst FROM pairs),
+      |reach(node, lbl) AS (
+      |  SELECT doc_id, doc_id FROM dd
+      |  UNION
+      |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+      |comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+      |canon AS (SELECT d.doc_id, d.text FROM dd d
+      |  JOIN comp c ON c.node = d.doc_id
+      |  QUALIFY row_number() OVER (PARTITION BY c.cluster
+      |    ORDER BY d.doc_id) = 1),
+      |cw AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM canon),
+      |st AS (SELECT DISTINCT doc_id,
+      |  ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] || ' ' || ws[j+3]
+      |    || ' ' || ws[j+4] AS s
+      |  FROM cw, UNNEST(range(1, len(ws) - 3)) AS t(j)),
+      |be AS (SELECT string_split(text, ' ') AS ws FROM documents
+      |  WHERE doc_id % 17 = 0),
+      |sb2 AS (SELECT DISTINCT
+      |  ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] || ' ' || ws[j+3]
+      |    || ' ' || ws[j+4] AS s
+      |  FROM be, UNNEST(range(1, len(ws) - 3)) AS t(j)),
+      |bad AS (SELECT DISTINCT doc_id FROM st JOIN sb2 USING (s)),
+      |samp AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM cw
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+      |  AND CAST('0x' || substr(md5('ptf' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |    AS BIGINT) < 2576980377),
+      |d2 AS (SELECT doc_id, n_tokens,
+      |  CAST('0x' || substr(md5('ptf' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |    AS BIGINT) % 4 AS bucket,
+      |  md5('ptf' || CAST(doc_id AS VARCHAR)) AS h FROM samp),
+      |p AS (SELECT doc_id, n_tokens, bucket, h,
+      |  coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+      |  FROM d2),
+      |k AS (SELECT doc_id, n_tokens, bucket,
+      |  CAST(floor(pfx / 256.0) AS BIGINT) AS pack, h FROM p)
+      |SELECT doc_id, n_tokens, bucket, pack,
+      |  row_number() OVER (PARTITION BY bucket, pack ORDER BY h, doc_id)
+      |    AS pack_pos
+      |FROM k""") { (s, dir) =>
+    val docs = load(s, dir, "documents")
+    val markers = Map(
+      "de" -> Seq("window", "group", "sort"),
+      "en" -> Seq("the", "a", "fast", "slow"),
+      "es" -> Seq("data", "row", "query"),
+      "fr" -> Seq("table", "batch", "merge"),
+      "zh" -> Seq("spark", "hash", "scan"))
+    graft.operators.Pipelines.pretrainCorpusFull(
+        docs.filter(col("doc_id") % 17 =!= 0), col("doc_id"), col("text"),
+        markers, keepLang = "en", stopwords = Seq("the", "a"),
+        minQuality = 0.5,
+        blocklist = Seq("slow merge", "zzqq"),
+        boilerplate = Some((" the ", 3L)),
+        nearDup = Some(graft.operators.Pipelines.NearDupConfig(
+          n = 3, k = 6, bands = 3, threshold = 0.8, maxDf = 20)),
+        heldout = docs.filter(col("doc_id") % 17 === 0),
+        heldoutText = col("text"), ngram = 5,
+        sampleRate = 0.6, salt = "ptf", packBudget = 256, packBuckets = 4)
+      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("pack"),
+        col("pack_pos"))
+  }
+
   // percentile normalization: n_chars → per-lang percent rank, doc_id
   // tie-break — heterogeneous scores become mixable [0,1] quantiles
   q("q_rank_normalize",

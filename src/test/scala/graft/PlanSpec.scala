@@ -298,6 +298,25 @@ class PlanSpec extends SparkSpec {
       s"hamming rank must not carry float vectors:\n$hamWin")
   }
 
+  test("q_pretrain_pipeline_full: langid/quality/blocklist predicates " +
+      "fuse into one filter over the scan; no cartesian anywhere") {
+    val p = plan("q_pretrain_pipeline_full")
+    // stages 1-3 are pure column predicates: they must land in a single
+    // Filter directly over the documents parquet scan (scan → filter,
+    // no exchange between), not as separate passes
+    val lines = p.linesIterator.toSeq
+    val fi = lines.indexWhere(l => l.contains("Filter") &&
+      l.contains("match_terms"))
+    assert(fi >= 0, s"expected the fused langid/quality/blocklist filter:\n$p")
+    val below = lines.drop(fi + 1).takeWhile(l => !l.contains("Scan parquet"))
+    assert(!below.exists(l => l.contains("Exchange")),
+      s"predicates must sit on the scan, not behind a shuffle:\n$p")
+    // the added stages keep the chain equi-join shaped: boilerplate is a
+    // broadcast mark-join, near-dup a banded equi-join + CC — a
+    // cartesian/NLJ anywhere would be corpus-quadratic
+    assert(!p.contains("CartesianProduct"), s"no cartesian fallback:\n$p")
+  }
+
   test("q_dedup_spans: candidates come from a shingle equi-join, islands " +
       "from one window") {
     val p = plan("q_dedup_spans")
