@@ -1053,6 +1053,62 @@ object PipelineQueries extends QueryModule {
         round(col("cosine") + lit(1e-9), 4).as("cosine"))
   }
 
+  // incremental PQ index: fit the codebook on the even-id half, append
+  // the odd half encoded against the FROZEN codebook (O(new rows); the
+  // on-disk codes are never read) — the oracle fits the codebook on the
+  // even half and encodes everything, exactly the add-to-trained-index
+  // semantics. Refine on the top-8 shortlist as in q_knn_pq.
+  q("q_knn_pq_incremental",
+    """WITH w0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |w AS (SELECT id,
+      |  list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-30)) AS v
+      |  FROM w0),
+      |cb0 AS (SELECT id, v,
+      |  row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) AS j
+      |  FROM w WHERE id % 2 = 0
+      |  ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 16),
+      |cbf AS (SELECT j, s, v[s*8+1 : (s+1)*8] AS cw
+      |  FROM cb0, unnest(range(0, 8)) AS t(s)),
+      |enc0 AS (SELECT w.id, f.s, f.j,
+      |  list_dot_product(f.cw, f.cw)
+      |    - 2.0 * list_dot_product(w.v[f.s*8+1 : (f.s+1)*8], f.cw) AS dist
+      |  FROM w CROSS JOIN cbf f),
+      |enc AS (SELECT id, s, j FROM (
+      |  SELECT id, s, j,
+      |    row_number() OVER (PARTITION BY id, s ORDER BY dist, j) AS rn FROM enc0)
+      |  WHERE rn = 1),
+      |rv AS (SELECT enc.id, flatten(list(f.cw ORDER BY enc.s)) AS rv
+      |  FROM enc JOIN cbf f ON f.s = enc.s AND f.j = enc.j GROUP BY enc.id),
+      |q AS (SELECT id AS query_id, v AS qv FROM w WHERE id % 50 = 0 AND id < 2000),
+      |sc AS (SELECT q.query_id, rv.id AS neighbor_id, q.qv,
+      |  list_dot_product(q.qv, rv.rv) AS score
+      |  FROM q JOIN rv ON rv.id != q.query_id),
+      |r1 AS (SELECT query_id, neighbor_id, qv,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+      |    AS qr FROM sc),
+      |re AS (SELECT r1.query_id, r1.neighbor_id,
+      |  list_dot_product(r1.qv, w.v) AS cosine
+      |  FROM r1 JOIN w ON w.id = r1.neighbor_id WHERE r1.qr <= 8),
+      |r2 AS (SELECT query_id, neighbor_id, cosine,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+      |    AS rank FROM re)
+      |SELECT query_id, rank, neighbor_id, round(cosine + 1e-9, 4) AS cosine
+      |FROM r2 WHERE rank <= 2""") { (s, dir) =>
+    val e = load(s, dir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_inc").toString
+    Similarity.pqSave(e.filter(col("vec_id") % 2 === 0),
+      col("vec_id"), col("embedding"), idx, m = 8, ksub = 16, dim = 64)
+    Similarity.pqAppend(s, idx, e.filter(col("vec_id") % 2 === 1),
+      col("vec_id"), col("embedding"))
+    Similarity.pqLoadTopK(s, idx,
+        e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000),
+        col("vec_id"), col("embedding"), k = 2, rescore = 8,
+        rescoreAgainst = Some((e, col("vec_id"), col("embedding"))),
+        excludeSelf = true)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine") + lit(1e-9), 4).as("cosine"))
+  }
+
   // IVF-PQ: the full FAISS serving composition — coarse md5-sample
   // centroids prune each query to 4 inverted lists, PQ codes rank the
   // in-list candidates by decoded-vector dot, float refine on the top-8

@@ -308,12 +308,9 @@ object DocStore {
       case IvfFlat(_) =>
         Similarity.ivfLoadParts(spark, s"$path/index")._2
           .select(col("neighbor_id").as("chunk_key"))
-      case BinaryCodes(_) =>
+      case BinaryCodes(_) | PqCodes(_, _, _) =>
         Similarity.binaryLoadParts(spark, s"$path/index")
           .select(col("neighbor_id").as("chunk_key"))
-      case PqCodes(_, _, _) => throw new UnsupportedOperationException(
-        "extendIndex: PQ codebooks are frozen at fit time and pqSave has " +
-          "no segment store — run rebuildIndex for a PQ store")
     }
     val fresh = graft.core.Caches.eager(
       chunks.join(indexed, Seq("chunk_key"), "left_anti"))
@@ -327,7 +324,12 @@ object DocStore {
         Similarity.binaryAppend(spark, s"$path/index", fresh,
           col("chunk_key"), col("embedding"))
         ()
-      case _ => ()
+      case PqCodes(_, _, _) =>
+        // frozen-codebook encode of the new rows only (the FAISS
+        // add-to-trained-index contract; periodic rebuild re-fits)
+        Similarity.pqAppend(spark, s"$path/index", fresh,
+          col("chunk_key"), col("embedding"))
+        ()
     }
     n
   }

@@ -818,8 +818,8 @@ object Similarity {
         dvec.cast("array<double>").as("_v")),
       col("_v"), "bcodes").select(col("neighbor_id"), col("bcodes"))
 
-  /** One binary-code segment — plain parquet (no cid to partition by;
-    * Hamming serving scans every code anyway). */
+  /** One code segment (binary sign codes or PQ codes) — plain parquet
+    * (no cid to partition by; code serving scans every code anyway). */
   private def writeBinarySegment(codes: DataFrame, path: String): String = {
     val name = s"segments/seg-${java.util.UUID.randomUUID()}"
     codes.write.mode("overwrite").parquet(s"$path/$name")
@@ -829,14 +829,20 @@ object Similarity {
   /** The committed generation's code table — manifest segments unioned,
     * or the legacy flat `codes/` dir. */
   private[graft] def binaryLoadParts(
-      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val dir = graft.core.IndexGen.readDir(path)
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    codesParts(spark, path, graft.core.IndexGen.readDir(path))
+
+  /** Code segments of an ALREADY-RESOLVED generation dir — callers that
+    * read several index parts (codebook + codes) must resolve the
+    * generation ONCE so a concurrent append can't hand them parts from
+    * two different commits. */
+  private def codesParts(spark: org.apache.spark.sql.SparkSession,
+      path: String, dir: String): DataFrame =
     readManifest(dir) match {
       case Some(segs) =>
         segs.map(s => spark.read.parquet(s"$path/$s")).reduce(_.unionByName(_))
       case None => spark.read.parquet(s"$dir/codes")
     }
-  }
 
   /** Query a [[binarySave]]d index: Hamming rank over the persisted
     * codes (narrow pair rows, NULL-hamming dropped before the ascending
@@ -1233,8 +1239,45 @@ object Similarity {
     val (cb, codes) = pqBuild(data, did, dvec, m, ksub, dim)
     val (dir, gen) = graft.core.IndexGen.stage(path)
     cb.write.mode("overwrite").parquet(s"$dir/codebook")
-    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    val seg = writeBinarySegment(codes, path)
+    writeManifest(dir, Seq(seg))
     graft.core.IndexGen.commit(path, gen)
+    vacuumSegments(path)
+  }
+
+  /** Incremental growth of a [[pqSave]]d index — encode ONLY `newData`
+    * against the EXISTING (frozen) codebook and commit a generation
+    * whose manifest adds one codes segment: O(new rows) compute and
+    * I/O, the on-disk corpus codes are never read. The codebook is
+    * FROZEN by append (the FAISS add-to-trained-index contract):
+    * retrieval stays exact w.r.t. "this codebook over all rows", but
+    * quantization error drifts as the corpus moves away from the
+    * distribution the codewords were sampled from — run a full
+    * [[pqSave]] rebuild periodically, the same append-vs-compact split
+    * as [[ivfAppend]]/[[binaryAppend]]. Returns the committed
+    * generation. */
+  def pqAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+      newData: DataFrame, did: Column, dvec: Column): Long = {
+    val cur = graft.core.IndexGen.readDir(path)
+    val cb = spark.read.parquet(s"$cur/codebook")
+    val oldSegs = readManifest(cur).getOrElse {
+      // legacy layout (flat codes/ dir): fold into the segment store once
+      Seq(writeBinarySegment(spark.read.parquet(s"$cur/codes"), path))
+    }
+    val (flatCb, cwn2s, mA, ksubA, dsubA) = cbArrays(cb)
+    val d = l2normalize(
+      spread(newData).select(did.as("id"),
+        dvec.cast("array<double>").as("v")), "v")
+    val codes = d.select(col("id").as("neighbor_id"),
+      graft.plans.VecExprs.pqEncode(col("v"), flatCb, cwn2s, mA, ksubA, dsubA)
+        .as("codes"))
+    val seg = writeBinarySegment(codes, path)
+    val (dir, gen) = graft.core.IndexGen.stage(path)
+    cb.write.mode("overwrite").parquet(s"$dir/codebook")
+    writeManifest(dir, oldSegs :+ seg)
+    graft.core.IndexGen.commit(path, gen)
+    vacuumSegments(path)
+    gen
   }
 
   /** Query a [[pqSave]]d index. `rescoreAgainst` supplies the float
@@ -1256,7 +1299,7 @@ object Similarity {
         "persists codes only, the refine stage must be given the float corpus")
     val dir = graft.core.IndexGen.readDir(path)
     val cb = spark.read.parquet(s"$dir/codebook")
-    val codes0 = spark.read.parquet(s"$dir/codes")
+    val codes0 = codesParts(spark, path, dir)
     val codes = restrictTo match {
       case None => codes0
       case Some(ids) => codes0.join(

@@ -329,7 +329,7 @@ class DocStoreSpec extends SparkSpec {
   }
 
   test("pq codes-only store: save→open ≡ exact at full rescore; " +
-      "extendIndex fails loudly") {
+      "extendIndex appends frozen-codebook segments") {
     val path = java.nio.file.Files.createTempDirectory("ds_pq").toString
     // hashEmbedder(8) → 9 dims; m=3 subspaces of 3, ksub=4 codewords
     store.save(path, DocStore.PqCodes(m = 3, ksub = 4, rescore = 200))
@@ -345,17 +345,28 @@ class DocStoreSpec extends SparkSpec {
     assert(persisted.exceptAll(exact).count() == 0 &&
       exact.exceptAll(persisted).count() == 0)
     // PQ at rest: codebook + int codes, never float vectors
-    val gen = graft.core.IndexGen.readDir(s"$path/index")
-    assert(spark.read.parquet(s"$gen/codes").columns.toSeq ==
-      Seq("neighbor_id", "codes"))
+    assert(graft.operators.Similarity.binaryLoadParts(spark, s"$path/index")
+      .columns.toSeq == Seq("neighbor_id", "codes"))
     // filter pushdown
     val es = ps.retrieve(queries, col("qid"), col("qtext"), 3,
       filter = Some(col("lang") === "es")).collect()
     assert(es.nonEmpty && es.forall(_.getAs[String]("lang") == "es"))
-    // PQ codebooks freeze at fit: incremental growth is a rebuild
-    intercept[UnsupportedOperationException] {
-      DocStore.extendIndex(spark, path)
-    }
+    // incremental growth: new chunks land as a frozen-codebook codes
+    // segment; the extended index serves the new content
+    val more = Seq(
+      (9L, "siete ocho nueve uno dos tres", "es"))
+      .toDF("doc_id", "text", "lang")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"),
+        col("lang"))
+    DocStore.build(more, col("doc_id"), col("data"), metadata = Seq("lang"),
+        chunkSize = 3, overlap = 1, embedder = DocStore.hashEmbedder(8))
+      .chunks.write.mode("append").parquet(s"$path/chunks")
+    assert(DocStore.extendIndex(spark, path) > 0)
+    assert(DocStore.extendIndex(spark, path) == 0)
+    val ps2 = DocStore.open(spark, path, DocStore.hashEmbedder(8))
+    val hits2 = ps2.retrieve(q("siete ocho nueve"), col("qid"), col("qtext"), 2)
+      .collect()
+    assert(hits2.nonEmpty && hits2.exists(_.getAs[Long]("doc_id") == 9L))
   }
 
   test("binary extendIndex appends a codes segment; rebuildIndex(kind) " +
