@@ -134,9 +134,10 @@ class ClusteringSpec extends SparkSpec {
       col("embedding"), k = 3, rescore = 8,
       rescoreAgainst = Some((emb, col("vec_id"), col("embedding")))))
     assert(loaded == adhoc)
-    // codes are the persisted corpus representation: m ints per vector
-    // (read from the committed generation dir — saves publish atomically)
-    val codes = spark.read.parquet(s"${graft.core.IndexGen.readDir(idx)}/codes")
+    // codes are the persisted corpus representation: m ints per vector,
+    // one manifest-listed segment (the pqAppend growth layout; saves
+    // publish atomically)
+    val codes = Similarity.binaryLoadParts(spark, idx)
     assert(codes.columns.toSet == Set("neighbor_id", "codes"))
     assert(codes.select(size(col("codes"))).distinct().collect()
       .map(_.getInt(0)).toSeq == Seq(8))
