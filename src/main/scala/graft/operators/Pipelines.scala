@@ -119,10 +119,14 @@ object Pipelines {
       case None => deduped
       case Some(c) =>
         // keepBy = const → the smallest-id member represents its
-        // cluster, the same keep rule as the exact-dedup window
-        Dedup.canonicalize(deduped, col("doc_id"), col("text"), lit(0),
-            c.n, c.k, c.bands, c.threshold, c.maxDf)
-          .select(col("doc_id"), col("text"))
+        // cluster, the same keep rule as the exact-dedup window.
+        // eager: the survivor set feeds TWO branches (its own shingle
+        // table + the decontamination anti-join), and un-cached each
+        // would re-run the whole boilerplate+dedup+LSH+CC upstream
+        graft.core.Caches.eager(
+          Dedup.canonicalize(deduped, col("doc_id"), col("text"), lit(0),
+              c.n, c.k, c.bands, c.threshold, c.maxDf)
+            .select(col("doc_id"), col("text")))
     }
     val trainShingles =
       Dedup.shingles(canonical, col("doc_id"), col("text"), ngram)
