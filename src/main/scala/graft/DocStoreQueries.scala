@@ -475,6 +475,79 @@ object DocStoreQueries extends QueryModule {
         r4e(col("score")).as("score"))
   }
 
+  // IVF-PQ codes-only persisted store — the full FAISS serving
+  // composition at rest behind the store façade: 64 md5-sampled coarse
+  // centroids (over NORMALIZED chunk vectors, nlist derived at the
+  // sf0.01 chunk count) prune each query to nprobe=4 cid-partitioned
+  // lists, PQ codes (m=17 one-dim subspaces, ksub=16) rank the in-list
+  // candidates by decoded dot, rescore=10 float refine against the
+  // chunk table. The oracle replays centroid fit, assignment, codebook
+  // fit, encode, decode, probe, rank, and refine.
+  q("q_doc_store_ivf_pq",
+    s"""WITH $pipeCte,
+      |wn AS (SELECT chunk_key,
+      |  list_transform(v, x ->
+      |    x / greatest(sqrt(list_dot_product(v, v)), 1e-30)) AS vn FROM ce),
+      |cc0 AS (SELECT chunk_key AS cid, vn AS cv FROM wn
+      |  ORDER BY md5(CAST(chunk_key AS VARCHAR)) LIMIT 64),
+      |asg AS (SELECT chunk_key, cid FROM (
+      |  SELECT w.chunk_key, c.cid, row_number() OVER (PARTITION BY w.chunk_key
+      |    ORDER BY list_dot_product(w.vn, c.cv)
+      |      / sqrt(list_dot_product(w.vn, w.vn) * list_dot_product(c.cv, c.cv))
+      |    DESC, c.cid) AS rn
+      |  FROM wn w CROSS JOIN cc0 c) WHERE rn = 1),
+      |cb0 AS (SELECT vn,
+      |  row_number() OVER (ORDER BY md5(CAST(chunk_key AS VARCHAR))) AS j
+      |  FROM wn ORDER BY md5(CAST(chunk_key AS VARCHAR)) LIMIT 16),
+      |cbf AS (SELECT j, s, vn[s+1 : s+1] AS cw
+      |  FROM cb0, unnest(range(0, 17)) AS t(s)),
+      |enc0 AS (SELECT w.chunk_key, f.s, f.j,
+      |  list_dot_product(f.cw, f.cw)
+      |    - 2.0 * list_dot_product(w.vn[f.s+1 : f.s+1], f.cw) AS dist
+      |  FROM wn w CROSS JOIN cbf f),
+      |enc AS (SELECT chunk_key, s, j FROM (
+      |  SELECT chunk_key, s, j,
+      |    row_number() OVER (PARTITION BY chunk_key, s ORDER BY dist, j) AS rn
+      |  FROM enc0) WHERE rn = 1),
+      |rv AS (SELECT enc.chunk_key, flatten(list(f.cw ORDER BY enc.s)) AS rv
+      |  FROM enc JOIN cbf f ON f.s = enc.s AND f.j = enc.j
+      |  GROUP BY enc.chunk_key),
+      |qn AS (SELECT qid, list_transform(qv, x ->
+      |  x / greatest(sqrt(list_dot_product(qv, qv)), 1e-30)) AS qv FROM q),
+      |pr AS (SELECT qid, qv, cid FROM (
+      |  SELECT qn.qid, qn.qv, c.cid,
+      |    row_number() OVER (PARTITION BY qn.qid ORDER BY
+      |      list_dot_product(qn.qv, c.cv)
+      |        / sqrt(list_dot_product(qn.qv, qn.qv) * list_dot_product(c.cv, c.cv))
+      |      DESC, c.cid) AS rn
+      |  FROM qn CROSS JOIN cc0 c) WHERE rn <= 4),
+      |cand AS (SELECT pr.qid, pr.qv, a.chunk_key,
+      |  list_dot_product(pr.qv, rv.rv) AS qscore
+      |  FROM pr JOIN asg a ON a.cid = pr.cid
+      |  JOIN rv ON rv.chunk_key = a.chunk_key),
+      |r1 AS (SELECT qid, qv, chunk_key,
+      |  row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, chunk_key)
+      |    AS qr FROM cand),
+      |resc AS (SELECT r1.qid, r1.chunk_key,
+      |  list_dot_product(r1.qv, w2.vn) AS c
+      |  FROM r1 JOIN wn w2 ON w2.chunk_key = r1.chunk_key
+      |  WHERE r1.qr <= 10),
+      |r2 AS (SELECT qid, chunk_key, c,
+      |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, chunk_key) AS rank
+      |  FROM resc)
+      |SELECT r2.qid, r2.rank, k2.doc_id, k2.chunk_id,
+      |  round(r2.c + 1e-9, 4) AS score
+      |FROM r2 JOIN ck k2 ON k2.chunk_key = r2.chunk_key
+      |WHERE r2.rank <= 3""") { (s, dir) =>
+    val store = storeOf(s, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_ds_ivfpq").toString
+    store.save(path, DocStore.IvfPqCodes(m = 17, ksub = 16, rescore = 10))
+    DocStore.open(s, path, DocStore.hashEmbedder(16), nprobe = 4)
+      .retrieve(queriesOf(s, dir), col("qid"), col("qtext"), k = 3)
+      .select(col("qid"), col("rank"), col("doc_id"), col("chunk_id"),
+        r4e(col("score")).as("score"))
+  }
+
   // statistics_query surface: doc/chunk counts over the indexed corpus
   q("q_doc_store_stats",
     s"""WITH $pipeCte

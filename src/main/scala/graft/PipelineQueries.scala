@@ -1114,7 +1114,9 @@ object PipelineQueries extends QueryModule {
   // in-list candidates by decoded-vector dot, float refine on the top-8
   // shortlist only. Coarse prune and PQ memory win COMPOSE; every stage
   // deterministic and replayed in DuckDB.
-  q("q_knn_ivf_pq",
+  // shared by the ad-hoc and persisted IVF-PQ queries — save→load must
+  // answer identically to the in-memory composition
+  private val ivfPqSql =
     """WITH w0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |w AS (SELECT id,
       |  list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-30)) AS v
@@ -1165,13 +1167,33 @@ object PipelineQueries extends QueryModule {
       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
       |    AS rank FROM re)
       |SELECT query_id, rank, neighbor_id, round(cosine + 1e-9, 4) AS cosine
-      |FROM r2 WHERE rank <= 2""") { (s, dir) =>
+      |FROM r2 WHERE rank <= 2"""
+
+  q("q_knn_ivf_pq", ivfPqSql) { (s, dir) =>
     val e = load(s, dir, "embeddings")
     Similarity.ivfPqRetrieve(
         e.filter(col("vec_id") % 50 === 0), e,
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         nlist = Similarity.nlistFor(e.count()), nprobe = 4,
         m = 8, ksub = 16, k = 2, rescore = 8, excludeSelf = true, dim = 64)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine") + lit(1e-9), 4).as("cosine"))
+  }
+
+  // PERSISTED IVF-PQ — the full FAISS layout at rest: coarse centroids
+  // + codebook + cid-partitioned code lists (m ints/vector, floats
+  // never persisted); ivfPqLoadTopK probes/ranks/refines from disk and
+  // must answer identically to the ad-hoc composition (same oracle).
+  q("q_knn_ivf_pq_persisted", ivfPqSql) { (s, dir) =>
+    val e = load(s, dir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Similarity.ivfPqSave(e, col("vec_id"), col("embedding"), idx,
+      nlist = Similarity.nlistFor(e.count()), m = 8, ksub = 16, dim = 64)
+    Similarity.ivfPqLoadTopK(s, idx,
+        e.filter(col("vec_id") % 50 === 0), col("vec_id"), col("embedding"),
+        nprobe = 4, k = 2, rescore = 8,
+        rescoreAgainst = (e, col("vec_id"), col("embedding")),
+        excludeSelf = true)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cosine") + lit(1e-9), 4).as("cosine"))
   }

@@ -48,17 +48,24 @@ object DocStore {
     *    — m small ints/vector at rest; serving ranks by decoded dot and
     *    float-refines the top `rescore` against the chunk table;
     *  - [[BinaryCodes]]: 1-bit sign codes — ceil(dim/64) longs/vector at
-    *    rest (64× under float64); Hamming ranking + the same refine.
+    *    rest (64× under float64); Hamming ranking + the same refine;
+    *  - [[IvfPqCodes]]: the full FAISS serving composition at rest —
+    *    coarse centroids prune each query to nprobe cid-partitioned
+    *    lists AND the in-list candidates are PQ codes; the coarse prune
+    *    and the memory win compose ([[Similarity.ivfPqSave]]).
     *
-    * For PQ/binary the chunk table still persists embeddings once (the
-    * refine stage and MMR read them by shortlist id); the INDEX — what
-    * every probe scans — is codes-only. With `rescore = 0` serving
-    * never touches a float at all (DocStoreSpec pins the plan). */
+    * For the codes kinds the chunk table still persists embeddings once
+    * (the refine stage and MMR read them by shortlist id); the INDEX —
+    * what every probe scans — is codes-only. With `rescore = 0` serving
+    * never touches a float at all (DocStoreSpec pins the plan; IvfPq
+    * requires rescore > 0, its precision contract). */
   sealed trait StoreIndex
   final case class IvfFlat(nlist: Int = 0) extends StoreIndex
   final case class PqCodes(m: Int, ksub: Int = 256,
     rescore: Int = 32) extends StoreIndex
   final case class BinaryCodes(rescore: Int = 32) extends StoreIndex
+  final case class IvfPqCodes(m: Int, ksub: Int = 256, nlist: Int = 0,
+    rescore: Int = 32) extends StoreIndex
 
   /** UTF-8 parser — the reference DocumentStore's default
     * (xpacks/llm/parsers.py `ParseUtf8`). */
@@ -241,6 +248,14 @@ object DocStore {
       case BinaryCodes(_) =>
         Similarity.binarySave(persisted, col("chunk_key"), col("embedding"),
           s"$path/index")
+      case IvfPqCodes(m, ksub, defN, _) =>
+        val dim = persisted.filter(col("embedding").isNotNull)
+          .select(size(col("embedding"))).head().getInt(0)
+        val n = if (nlist > 0) nlist
+          else if (defN > 0) defN
+          else Similarity.nlistFor(parquetRowCount(spark, s"$path/chunks"))
+        Similarity.ivfPqSave(persisted, col("chunk_key"), col("embedding"),
+          s"$path/index", n, m, ksub, dim)
     }
   }
 
@@ -269,6 +284,8 @@ object DocStore {
       case IvfFlat(n) => s"kind=ivf\nnlist=$n"
       case PqCodes(m, ksub, r) => s"kind=pq\nm=$m\nksub=$ksub\nrescore=$r"
       case BinaryCodes(r) => s"kind=binary\nrescore=$r"
+      case IvfPqCodes(m, ksub, n, r) =>
+        s"kind=ivfpq\nm=$m\nksub=$ksub\nnlist=$n\nrescore=$r"
     }
     java.nio.file.Files.writeString(kindFile(path).toPath, body)
     ()
@@ -286,6 +303,8 @@ object DocStore {
         case "pq" => PqCodes(kv("m").toInt, kv("ksub").toInt,
           kv.getOrElse("rescore", "32").toInt)
         case "binary" => BinaryCodes(kv.getOrElse("rescore", "32").toInt)
+        case "ivfpq" => IvfPqCodes(kv("m").toInt, kv("ksub").toInt,
+          kv.getOrElse("nlist", "0").toInt, kv.getOrElse("rescore", "32").toInt)
         case other => throw new IllegalArgumentException(
           s"unknown index kind '$other' in ${f.getPath}")
       }
@@ -308,7 +327,7 @@ object DocStore {
       case IvfFlat(_) =>
         Similarity.ivfLoadParts(spark, s"$path/index")._2
           .select(col("neighbor_id").as("chunk_key"))
-      case BinaryCodes(_) | PqCodes(_, _, _) =>
+      case BinaryCodes(_) | PqCodes(_, _, _) | IvfPqCodes(_, _, _, _) =>
         Similarity.binaryLoadParts(spark, s"$path/index")
           .select(col("neighbor_id").as("chunk_key"))
     }
@@ -328,6 +347,10 @@ object DocStore {
         // frozen-codebook encode of the new rows only (the FAISS
         // add-to-trained-index contract; periodic rebuild re-fits)
         Similarity.pqAppend(spark, s"$path/index", fresh,
+          col("chunk_key"), col("embedding"))
+        ()
+      case IvfPqCodes(_, _, _, _) =>
+        Similarity.ivfPqAppend(spark, s"$path/index", fresh,
           col("chunk_key"), col("embedding"))
         ()
     }
@@ -611,6 +634,14 @@ object DocStore {
             .select(col("query_id").as("qid"), col("rank"),
               col("neighbor_id").as("chunk_key"),
               (if (rescore > 0) col("cosine") else col("score")).as("score"))
+        case IvfPqCodes(_, _, _, rescore) =>
+          Similarity.ivfPqLoadTopK(spark, s"$path/index", q,
+              col("qid"), col("qv"), nprobe, k,
+              rescore = math.max(rescore, 1),
+              rescoreAgainst = (chunks, col("chunk_key"), col("embedding")),
+              excludeSelf = false, restrictTo = restrict)
+            .select(col("query_id").as("qid"), col("rank"),
+              col("neighbor_id").as("chunk_key"), col("cosine").as("score"))
       }
     }
 

@@ -1226,6 +1226,159 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Persist an IVF-PQ index — the full FAISS serving layout at rest:
+    * `centroids/` (the coarse quantizer — broadcast at query time),
+    * `codebook/` (m·ksub rows — broadcast), and cid-partitioned list
+    * segments of (neighbor_id, cid, codes) — m small ints per corpus
+    * vector, so the at-rest index is the PQ footprint AND probes prune
+    * whole list partitions at the scan. Floats are NOT persisted; the
+    * refine stage reads `rescoreAgainst` shortlist rows at query time
+    * (the [[pqSave]]/[[binarySave]] contract). Same deterministic
+    * recipes as [[ivfPqRetrieve]], so save→load answers identically to
+    * the ad-hoc composition. Atomically versioned ([[graft.core.IndexGen]]).
+    */
+  def ivfPqSave(data: DataFrame, did: Column, dvec: Column, path: String,
+      nlist: Int, m: Int, ksub: Int, dim: Int): Unit = {
+    require(dim > 0 && dim % m == 0, s"pq: m ($m) must divide dim ($dim)")
+    val dsub = dim / m
+    val d = graft.core.Caches.eager(l2normalize(
+      spread(data).select(did.as("id"), dvec.cast("array<double>").as("v")), "v")
+      .withColumn("n2", norm2(col("v"))))
+    val cents = graft.core.Caches.eager(
+      d.filter(col("v").isNotNull)
+        .select(col("id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+        .orderBy(md5(col("cid").cast("string"))).limit(nlist))
+    val coarse = assignToCents(d, cents)
+      .select(col("neighbor_id"), col("cid"))
+    val samp = d.filter(col("v").isNotNull)
+      .orderBy(md5(col("id").cast("string"))).limit(ksub)
+      .withColumn("j", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(md5(col("id").cast("string")))))
+    val cb = graft.core.Caches.eager(
+      samp.select(col("j"), posexplode(transform(
+          sequence(lit(0), lit(m - 1)),
+          s => slice(col("v"), s * lit(dsub) + lit(1), lit(dsub))))
+        .as(Seq("s", "cw")))
+        .withColumn("cwn2", norm2(col("cw"))))
+    val (flatCb, cwn2s, _, ksubA, _) = cbArrays(cb)
+    val lists = d.select(col("id").as("neighbor_id"),
+        graft.plans.VecExprs.pqEncode(col("v"), flatCb, cwn2s, m, ksubA, dsub)
+          .as("codes"))
+      .join(coarse, "neighbor_id")
+      .select(col("neighbor_id"), col("cid"), col("codes"))
+    val (dir, gen) = graft.core.IndexGen.stage(path)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    cb.write.mode("overwrite").parquet(s"$dir/codebook")
+    val seg = writeSegment(lists, path)
+    writeManifest(dir, Seq(seg))
+    graft.core.IndexGen.commit(path, gen)
+    vacuumSegments(path)
+  }
+
+  /** Incremental growth of an [[ivfPqSave]]d index: assign ONLY
+    * `newData` to the FROZEN coarse centroids and encode it against the
+    * FROZEN codebook (both broadcast-shipped inside native expressions),
+    * committing a generation whose manifest adds one cid-partitioned
+    * segment — O(new rows), the corpus lists are never read. Both
+    * geometries freeze by append (centroid balance drifts like
+    * [[ivfAppend]], quantization error like [[pqAppend]]); periodic
+    * [[ivfPqSave]] rebuilds re-derive both. Returns the generation. */
+  def ivfPqAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+      newData: DataFrame, did: Column, dvec: Column): Long = {
+    val cur = graft.core.IndexGen.readDir(path)
+    val cents = spark.read.parquet(s"$cur/centroids")
+    val cb = spark.read.parquet(s"$cur/codebook")
+    val oldSegs = readManifest(cur).getOrElse(Nil)
+    val (flatCb, cwn2s, mA, ksubA, dsubA) = cbArrays(cb)
+    val d = graft.core.Caches.eager(l2normalize(
+      spread(newData).select(did.as("id"), dvec.cast("array<double>").as("v")),
+      "v").withColumn("n2", norm2(col("v"))))
+    val lists = assignToCents(d, cents)
+      .select(col("neighbor_id"), col("cid"))
+      .join(d.select(col("id").as("neighbor_id"),
+        graft.plans.VecExprs.pqEncode(col("v"), flatCb, cwn2s, mA, ksubA, dsubA)
+          .as("codes")), "neighbor_id")
+      .select(col("neighbor_id"), col("cid"), col("codes"))
+    val seg = writeSegment(lists, path)
+    val (dir, gen) = graft.core.IndexGen.stage(path)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    cb.write.mode("overwrite").parquet(s"$dir/codebook")
+    writeManifest(dir, oldSegs :+ seg)
+    graft.core.IndexGen.commit(path, gen)
+    vacuumSegments(path)
+    gen
+  }
+
+  /** Query an [[ivfPqSave]]d index: probe `nprobe` lists by coarse
+    * centroid cosine, rank in-list candidates by decoded-vector dot
+    * over the persisted codes, float-refine the top max(rescore, k)
+    * against `rescoreAgainst` — REQUIRED (rescore > 0 is the precision
+    * contract of this layout, as in [[ivfPqRetrieve]]; the index itself
+    * holds no floats). `restrictTo` semi-joins the lists pre-rank.
+    * Serves the committed generation (one readDir for all three parts,
+    * so a concurrent re-save can't mix commits). Returns
+    * (query_id, rank, neighbor_id, cosine). */
+  def ivfPqLoadTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qid: Column, qvec: Column,
+      nprobe: Int, k: Int, rescore: Int,
+      rescoreAgainst: (DataFrame, Column, Column),
+      excludeSelf: Boolean = false,
+      restrictTo: Option[DataFrame] = None): DataFrame = {
+    require(rescore > 0, "ivfPqLoadTopK: rescore must be > 0")
+    val dir = graft.core.IndexGen.readDir(path)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val cb = spark.read.parquet(s"$dir/codebook")
+    val lists0 = codesParts(spark, path, dir)
+      .withColumn("cid", col("cid").cast(cents.schema("cid").dataType))
+    val lists1 = restrictTo match {
+      case None => lists0
+      case Some(ids) => lists0.join(
+        ids.select(ids.columns.head).toDF("neighbor_id"),
+        Seq("neighbor_id"), "left_semi")
+    }
+    val (flatCb, _, mA, ksubA, dsubA) = cbArrays(cb)
+    val lists = lists1.select(col("neighbor_id"), col("cid"),
+      graft.plans.VecExprs.pqDecode(col("codes"), flatCb, mA, ksubA, dsubA)
+        .as("rv"))
+    val q = l2normalize(
+      queries.select(qid.as("query_id"), qvec.cast("array<double>").as("qv")),
+      "qv").withColumn("qn2", norm2(col("qv")))
+    val qScored = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("qn2"), col("cid"),
+        cosinePrenorm(col("qv"), col("cv"), col("qn2"), col("cn2"), 0).as("cc"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cc").desc, col("cid").asc)
+    val probes = fanoutRepartition(
+      qScored.withColumn("_pr", row_number().over(wp))
+        .filter(col("_pr") <= nprobe)
+        .select(col("query_id"), col("qv"), col("cid")),
+      col("query_id"), col("cid"))
+    val cand0 = probes.join(lists, Seq("cid"))
+    val cand = (if (excludeSelf) cand0.filter(col("query_id") =!= col("neighbor_id"))
+      else cand0)
+      .select(col("query_id"), col("qv"), col("neighbor_id"),
+        dot(col("qv"), col("rv")).as("qscore"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("qscore").desc, col("neighbor_id").asc)
+    val short = cand.withColumn("_qr", row_number().over(wq))
+      .filter(col("_qr") <= math.max(rescore, k))
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+    val (rdata, rdid, rdvec) = rescoreAgainst
+    val dfull = l2normalize(rdata.select(rdid.as("neighbor_id"),
+      rdvec.cast("array<double>").as("dv")), "dv")
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(short).join(dfull, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("qv"), col("dv")).as("cosine"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Persist a PQ index: `codebook/` (m·ksub rows — broadcast at query
     * time) and `codes/` (m bytes per corpus vector, THE at-rest corpus
     * representation: a 100 TB float corpus persists as ~1.5 TB of

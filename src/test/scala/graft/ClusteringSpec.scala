@@ -159,6 +159,39 @@ class ClusteringSpec extends SparkSpec {
     assert(recall >= 0.8, s"ivf-pq recall@3 = $recall")
   }
 
+  test("ivfPqSave → ivfPqLoadTopK ≡ ad-hoc; codes-only lists at rest") {
+    val d = grouped
+    val q = d.filter(col("id") % 8 === 0)
+    val adhoc = rowsOf(Similarity.ivfPqRetrieve(q, d, col("id"), col("v"),
+        col("id"), col("v"), nlist = 8, nprobe = 4, m = 4, ksub = 32,
+        k = 3, rescore = 16, excludeSelf = true, dim = 16)
+      .select("query_id", "rank", "neighbor_id"))
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_spec").toString
+    Similarity.ivfPqSave(d, col("id"), col("v"), idx,
+      nlist = 8, m = 4, ksub = 32, dim = 16)
+    val loaded = rowsOf(Similarity.ivfPqLoadTopK(spark, idx, q,
+        col("id"), col("v"), nprobe = 4, k = 3, rescore = 16,
+        rescoreAgainst = (d, col("id"), col("v")), excludeSelf = true)
+      .select("query_id", "rank", "neighbor_id"))
+    assert(loaded == adhoc)
+    // the persisted lists hold (neighbor_id, cid-partition, codes) — m
+    // small ints per vector, never a float vector
+    val lists = Similarity.binaryLoadParts(spark, idx)
+    assert(lists.columns.toSet == Set("neighbor_id", "cid", "codes"))
+    assert(lists.select(size(col("codes"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(4))
+    // restrictTo pushes an id filter into the lists pre-rank: survivors
+    // only, still k of them when enough match
+    val evenOnly = d.filter(col("id") % 2 === 0).select(col("id"))
+    val restricted = Similarity.ivfPqLoadTopK(spark, idx, q,
+        col("id"), col("v"), nprobe = 4, k = 3, rescore = 16,
+        rescoreAgainst = (d, col("id"), col("v")), excludeSelf = true,
+        restrictTo = Some(evenOnly))
+      .collect()
+    assert(restricted.nonEmpty &&
+      restricted.forall(_.getAs[Long]("neighbor_id") % 2 == 0))
+  }
+
   test("ivfPqRetrieve requires a refine stage") {
     val e = intercept[IllegalArgumentException] {
       Similarity.ivfPqRetrieve(blobs, blobs, col("id"), col("v"),

@@ -369,6 +369,44 @@ class DocStoreSpec extends SparkSpec {
     assert(hits2.nonEmpty && hits2.exists(_.getAs[Long]("doc_id") == 9L))
   }
 
+  test("ivf-pq store: coarse prune + codes lists at rest; save→open ≡ " +
+      "exact at full probe+rescore; extendIndex appends") {
+    val path = java.nio.file.Files.createTempDirectory("ds_ivfpq").toString
+    // nlist=4 probed with nprobe=4 (open default) → every list scanned;
+    // rescore covers the corpus → refine = exact ranking
+    store.save(path, DocStore.IvfPqCodes(m = 3, ksub = 4, nlist = 4,
+      rescore = 200))
+    val ps = DocStore.open(spark, path, DocStore.hashEmbedder(8), nprobe = 4)
+    val queries = q("uno dos tres")
+    val exact = store.retrieve(queries, col("qid"), col("qtext"), 3)
+      .select("qid", "rank", "doc_id", "chunk_id")
+    val persisted = ps.retrieve(queries, col("qid"), col("qtext"), 3)
+      .select("qid", "rank", "doc_id", "chunk_id")
+    assert(persisted.exceptAll(exact).count() == 0 &&
+      exact.exceptAll(persisted).count() == 0)
+    // lists at rest: (neighbor_id, cid, codes) — m ints, no floats
+    val lists = graft.operators.Similarity.binaryLoadParts(spark, s"$path/index")
+    assert(lists.columns.toSet == Set("neighbor_id", "cid", "codes"))
+    // filter pushdown through restrictTo
+    val es = ps.retrieve(queries, col("qid"), col("qtext"), 3,
+      filter = Some(col("lang") === "es")).collect()
+    assert(es.nonEmpty && es.forall(_.getAs[String]("lang") == "es"))
+    // incremental growth: frozen centroids + frozen codebook appends
+    val more = Seq((9L, "siete ocho nueve uno dos tres", "es"))
+      .toDF("doc_id", "text", "lang")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"),
+        col("lang"))
+    DocStore.build(more, col("doc_id"), col("data"), metadata = Seq("lang"),
+        chunkSize = 3, overlap = 1, embedder = DocStore.hashEmbedder(8))
+      .chunks.write.mode("append").parquet(s"$path/chunks")
+    assert(DocStore.extendIndex(spark, path) > 0)
+    assert(DocStore.extendIndex(spark, path) == 0)
+    val hits2 = DocStore.open(spark, path, DocStore.hashEmbedder(8), nprobe = 4)
+      .retrieve(q("siete ocho nueve"), col("qid"), col("qtext"), 2)
+      .collect()
+    assert(hits2.nonEmpty && hits2.exists(_.getAs[Long]("doc_id") == 9L))
+  }
+
   test("binary extendIndex appends a codes segment; rebuildIndex(kind) " +
       "switches an existing store to codes-only") {
     val root = java.nio.file.Files.createTempDirectory("ds_bin_ext").toString
