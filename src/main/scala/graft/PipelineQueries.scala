@@ -1180,6 +1180,80 @@ object PipelineQueries extends QueryModule {
         round(col("cosine") + lit(1e-9), 4).as("cosine"))
   }
 
+  // incremental IVF-PQ: fit centroids + codebook on the even-id half,
+  // append the odd half assigned/encoded against the FROZEN geometries
+  // (O(new rows)); the oracle fits both models on the even half and
+  // assigns/encodes everything — the add-to-trained-index semantics
+  // for the composed layout.
+  q("q_knn_ivf_pq_incremental",
+    """WITH w0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |w AS (SELECT id,
+      |  list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-30)) AS v
+      |  FROM w0),
+      |cent AS (SELECT id AS cid, v AS cv FROM w WHERE id % 2 = 0
+      |  ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 16),
+      |csc AS (SELECT w.id, c.cid,
+      |  list_dot_product(w.v, c.cv)
+      |    / sqrt(list_dot_product(w.v, w.v) * list_dot_product(c.cv, c.cv)) AS cc
+      |  FROM w CROSS JOIN cent c),
+      |crk AS (SELECT id, cid,
+      |  row_number() OVER (PARTITION BY id ORDER BY cc DESC, cid) AS rn FROM csc),
+      |asg AS (SELECT id, cid FROM crk WHERE rn = 1),
+      |cb0 AS (SELECT id, v,
+      |  row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) AS j
+      |  FROM w WHERE id % 2 = 0
+      |  ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 16),
+      |cbf AS (SELECT j, s, v[s*8+1 : (s+1)*8] AS cw
+      |  FROM cb0, unnest(range(0, 8)) AS t(s)),
+      |enc0 AS (SELECT w.id, f.s, f.j,
+      |  list_dot_product(f.cw, f.cw)
+      |    - 2.0 * list_dot_product(w.v[f.s*8+1 : (f.s+1)*8], f.cw) AS dist
+      |  FROM w CROSS JOIN cbf f),
+      |enc AS (SELECT id, s, j FROM (
+      |  SELECT id, s, j,
+      |    row_number() OVER (PARTITION BY id, s ORDER BY dist, j) AS rn FROM enc0)
+      |  WHERE rn = 1),
+      |rv AS (SELECT enc.id, flatten(list(f.cw ORDER BY enc.s)) AS rv
+      |  FROM enc JOIN cbf f ON f.s = enc.s AND f.j = enc.j GROUP BY enc.id),
+      |q AS (SELECT id AS query_id, v AS qv FROM w WHERE id % 50 = 0),
+      |pr AS (SELECT query_id, qv, cid FROM (
+      |  SELECT q.query_id, q.qv, c.cid,
+      |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |      list_dot_product(q.qv, c.cv)
+      |        / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.cv, c.cv))
+      |      DESC, c.cid) AS rn
+      |  FROM q CROSS JOIN cent c) WHERE rn <= 4),
+      |cand AS (SELECT pr.query_id, pr.qv, a.id AS neighbor_id,
+      |  list_dot_product(pr.qv, rv.rv) AS qscore
+      |  FROM pr JOIN asg a ON a.cid = pr.cid AND a.id != pr.query_id
+      |  JOIN rv ON rv.id = a.id),
+      |r1 AS (SELECT query_id, qv, neighbor_id,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY qscore DESC, neighbor_id)
+      |    AS qr FROM cand),
+      |re AS (SELECT r1.query_id, r1.neighbor_id,
+      |  list_dot_product(r1.qv, w.v) AS cosine
+      |  FROM r1 JOIN w ON w.id = r1.neighbor_id WHERE r1.qr <= 8),
+      |r2 AS (SELECT query_id, neighbor_id, cosine,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+      |    AS rank FROM re)
+      |SELECT query_id, rank, neighbor_id, round(cosine + 1e-9, 4) AS cosine
+      |FROM r2 WHERE rank <= 2""") { (s, dir) =>
+    val e = load(s, dir, "embeddings")
+    val even = e.filter(col("vec_id") % 2 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_inc").toString
+    Similarity.ivfPqSave(even, col("vec_id"), col("embedding"), idx,
+      nlist = 16, m = 8, ksub = 16, dim = 64)
+    Similarity.ivfPqAppend(s, idx, e.filter(col("vec_id") % 2 === 1),
+      col("vec_id"), col("embedding"))
+    Similarity.ivfPqLoadTopK(s, idx,
+        e.filter(col("vec_id") % 50 === 0), col("vec_id"), col("embedding"),
+        nprobe = 4, k = 2, rescore = 8,
+        rescoreAgainst = (e, col("vec_id"), col("embedding")),
+        excludeSelf = true)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine") + lit(1e-9), 4).as("cosine"))
+  }
+
   // PERSISTED IVF-PQ — the full FAISS layout at rest: coarse centroids
   // + codebook + cid-partitioned code lists (m ints/vector, floats
   // never persisted); ivfPqLoadTopK probes/ranks/refines from disk and
@@ -2400,17 +2474,18 @@ object PipelineQueries extends QueryModule {
        |  row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rn
        |  FROM p$r QUALIFY rn <= 8),
        |ma$r AS (SELECT a, b, cnt FROM pr$r WHERE rn = 1),
-       |mb$r AS (SELECT p.a, p.b, p.cnt FROM pr$r p, ma$r m
+       |mb$r AS (SELECT min_by(p.a, p.rn) AS a, min_by(p.b, p.rn) AS b,
+       |  min_by(p.cnt, p.rn) AS cnt FROM pr$r p, ma$r m
        |  WHERE p.rn > 1
        |  AND p.a <> m.a AND p.a <> m.b AND p.a <> m.a || m.b
        |  AND p.b <> m.a AND p.b <> m.b AND p.b <> m.a || m.b
        |  AND p.a || p.b <> m.a AND p.a || p.b <> m.b
-       |  AND p.a || p.b <> m.a || m.b
-       |  ORDER BY p.rn LIMIT 1),
-       |$n AS (SELECT word, freq, trim(replace(replace(
+       |  AND p.a || p.b <> m.a || m.b),
+       |$n AS (SELECT word, freq, CASE WHEN mb.a IS NULL THEN s1.t ELSE
+       |  trim(replace(replace(
        |  ' ' || replace(s1.t, ' ', '  ') || ' ',
        |  ' ' || mb.a || '  ' || mb.b || ' ', ' ' || mb.a || mb.b || ' '),
-       |  '  ', ' ')) AS s
+       |  '  ', ' ')) END AS s
        |  FROM (SELECT word, freq, trim(replace(replace(
        |    ' ' || replace(s, ' ', '  ') || ' ',
        |    ' ' || ma.a || '  ' || ma.b || ' ', ' ' || ma.a || ma.b || ' '),
@@ -2426,9 +2501,15 @@ object PipelineQueries extends QueryModule {
        |  cnt AS pair_count
        |FROM (
        |  SELECT 1 AS rnd, 0 AS pos, a, b, cnt FROM ma1
-       |  UNION ALL SELECT 1, 1, a, b, cnt FROM mb1
+       |  UNION ALL SELECT 1, 1, a, b, cnt FROM mb1 WHERE a IS NOT NULL
        |  UNION ALL SELECT 2, 0, a, b, cnt FROM ma2
-       |  UNION ALL SELECT 2, 1, a, b, cnt FROM mb2)""".stripMargin) {
+       |  UNION ALL SELECT 2, 1, a, b, cnt FROM mb2 WHERE a IS NOT NULL)
+       |-- mb is min_by over the disjoint survivors: an empty round keeps
+       |-- the vocab (identity CASE) and contributes no merge row, so a
+       |-- no-survivor round degrades to a 1-merge batch like learnMerges
+       |-- (the unroll still assumes the FILL pattern matches — it does on
+       |-- this corpus; general batched semantics are BpeSpec's business)
+       |""".stripMargin) {
     (s, dir) =>
       graft.operators.Bpe.learnMerges(load(s, dir, "documents"),
         col("text"), rounds = 4, maxPerRound = 2)

@@ -229,53 +229,69 @@ object DocStore {
     * [[Similarity.ivfSave]]): retrieval over [[open]] keeps serving the
     * previous index generation until the one marker rename publishes the
     * new one — the reference's serve-during-maintenance contract. */
-  def rebuildIndex(spark: SparkSession, path: String, nlist: Int = 0): Unit = {
+  def rebuildIndex(spark: SparkSession, path: String, nlist: Int = 0): Unit =
+    buildIndex(spark, path, readIndexKind(path), nlist)
+
+  /** [[rebuildIndex]] under an explicit at-rest representation — builds
+    * the new kind's index FIRST (into its kind-scoped dir, committed by
+    * IndexGen's atomic marker rename), then flips the durable kind
+    * marker (`path/index_kind.txt`, itself an atomic rename). Readers
+    * are consistent through the whole switch: the kind they read always
+    * names an index dir whose committed generation matches it — a
+    * concurrent or crashed kind-switching rebuild leaves them on the
+    * OLD kind over the OLD index, never a mismatched pair. Later plain
+    * rebuilds and every [[open]] follow the flipped kind. */
+  def rebuildIndex(spark: SparkSession, path: String,
+      index: StoreIndex): Unit = {
+    buildIndex(spark, path, index, 0)
+    writeIndexKind(path, index)
+  }
+
+  /** The kind's index location — kind-SCOPED dirs ("index" stays the
+    * IVF-flat home for pre-codes-era stores) are what makes the kind
+    * flip above safe: an index generation can never be read under the
+    * wrong kind's schema. A superseded kind's dir lingers (stale,
+    * unreferenced) until its kind is re-pinned or it is deleted out of
+    * band — disk-for-safety, the IndexGen grace-generation tradeoff. */
+  private[graft] def indexDirOf(path: String, ix: StoreIndex): String =
+    ix match {
+      case IvfFlat(_) => s"$path/index"
+      case PqCodes(_, _, _) => s"$path/index-pq"
+      case BinaryCodes(_) => s"$path/index-binary"
+      case IvfPqCodes(_, _, _, _) => s"$path/index-ivfpq"
+    }
+
+  private def buildIndex(spark: SparkSession, path: String,
+      kind: StoreIndex, nlist: Int): Unit = {
     val persisted = spark.read.parquet(s"$path/chunks")
-    readIndexKind(path) match {
+    val dir = indexDirOf(path, kind)
+    // dim from the data (one narrow first() — PQ's subspace slicing
+    // cannot size itself from the stream like the generic dot loop)
+    def dim = persisted.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).head().getInt(0)
+    def derivedN(defN: Int) = if (nlist > 0) nlist
+      else if (defN > 0) defN
+      else Similarity.nlistFor(parquetRowCount(spark, s"$path/chunks"))
+    kind match {
       case IvfFlat(defN) =>
-        val n = if (nlist > 0) nlist
-          else if (defN > 0) defN
-          else Similarity.nlistFor(parquetRowCount(spark, s"$path/chunks"))
         Similarity.ivfSave(persisted, col("chunk_key"), col("embedding"),
-          s"$path/index", n)
+          dir, derivedN(defN))
       case PqCodes(m, ksub, _) =>
-        // dim from the data (one narrow first() — PQ's subspace slicing
-        // cannot size itself from the stream like the generic dot loop)
-        val dim = persisted.filter(col("embedding").isNotNull)
-          .select(size(col("embedding"))).head().getInt(0)
         Similarity.pqSave(persisted, col("chunk_key"), col("embedding"),
-          s"$path/index", m, ksub, dim)
+          dir, m, ksub, dim)
       case BinaryCodes(_) =>
         Similarity.binarySave(persisted, col("chunk_key"), col("embedding"),
-          s"$path/index")
+          dir)
       case IvfPqCodes(m, ksub, defN, _) =>
-        val dim = persisted.filter(col("embedding").isNotNull)
-          .select(size(col("embedding"))).head().getInt(0)
-        val n = if (nlist > 0) nlist
-          else if (defN > 0) defN
-          else Similarity.nlistFor(parquetRowCount(spark, s"$path/chunks"))
         Similarity.ivfPqSave(persisted, col("chunk_key"), col("embedding"),
-          s"$path/index", n, m, ksub, dim)
+          dir, derivedN(defN), m, ksub, dim)
     }
   }
 
-  /** [[rebuildIndex]] under an explicit at-rest representation — pins
-    * the kind (persisted at `path/index_kind.txt`, the store's durable
-    * config) then rebuilds; later plain rebuilds and every [[open]]
-    * follow it. The entry point for switching a [[buildStream]]-fed
-    * store to a codes-only index. */
-  def rebuildIndex(spark: SparkSession, path: String,
-      index: StoreIndex): Unit = {
-    writeIndexKind(path, index)
-    rebuildIndex(spark, path)
-  }
-
-  /** Durable index-kind marker. Tiny driver-side file, written before
-    * the index build (an interrupted build leaves the marker + the OLD
-    * committed generation — readers keep serving it; kind and
-    * generation flip together only after IndexGen's atomic commit the
-    * next successful rebuild). Absent file = IVF-flat (pre-codes-era
-    * stores). */
+  /** Durable index-kind marker — written AFTER the kind's index commits
+    * (see [[rebuildIndex]]), via write-aside + ATOMIC_MOVE so a reader
+    * re-reading it per query batch can never observe a torn file.
+    * Absent file = IVF-flat (pre-codes-era stores). */
   private def kindFile(path: String) = new java.io.File(path, "index_kind.txt")
 
   private[graft] def writeIndexKind(path: String, ix: StoreIndex): Unit = {
@@ -285,9 +301,15 @@ object DocStore {
       case PqCodes(m, ksub, r) => s"kind=pq\nm=$m\nksub=$ksub\nrescore=$r"
       case BinaryCodes(r) => s"kind=binary\nrescore=$r"
       case IvfPqCodes(m, ksub, n, r) =>
+        require(r > 0, "IvfPqCodes: rescore must be > 0 — the float refine " +
+          "is the layout's precision contract (ivfPqLoadTopK requires it)")
         s"kind=ivfpq\nm=$m\nksub=$ksub\nnlist=$n\nrescore=$r"
     }
-    java.nio.file.Files.writeString(kindFile(path).toPath, body)
+    val tmp = new java.io.File(path, s".index_kind.${System.nanoTime()}.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, body)
+    java.nio.file.Files.move(tmp.toPath, kindFile(path).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 
@@ -323,34 +345,38 @@ object DocStore {
     * segmented index. Returns the number of newly indexed chunks. */
   def extendIndex(spark: SparkSession, path: String): Long = {
     val chunks = spark.read.parquet(s"$path/chunks")
-    val indexed = readIndexKind(path) match {
+    // ONE kind read for the whole call: the indexed-set scan and the
+    // append must agree on the kind even if a concurrent rebuild flips it
+    val kind = readIndexKind(path)
+    val dir = indexDirOf(path, kind)
+    val indexed = kind match {
       case IvfFlat(_) =>
-        Similarity.ivfLoadParts(spark, s"$path/index")._2
+        Similarity.ivfLoadParts(spark, dir)._2
           .select(col("neighbor_id").as("chunk_key"))
-      case BinaryCodes(_) | PqCodes(_, _, _) | IvfPqCodes(_, _, _, _) =>
-        Similarity.binaryLoadParts(spark, s"$path/index")
+      case _ =>
+        Similarity.binaryLoadParts(spark, dir)
           .select(col("neighbor_id").as("chunk_key"))
     }
     val fresh = graft.core.Caches.eager(
       chunks.join(indexed, Seq("chunk_key"), "left_anti"))
     val n = fresh.count()
-    if (n > 0) readIndexKind(path) match {
+    if (n > 0) kind match {
       case IvfFlat(_) =>
-        Similarity.ivfAppend(spark, s"$path/index", fresh,
+        Similarity.ivfAppend(spark, dir, fresh,
           col("chunk_key"), col("embedding"))
         ()
       case BinaryCodes(_) =>
-        Similarity.binaryAppend(spark, s"$path/index", fresh,
+        Similarity.binaryAppend(spark, dir, fresh,
           col("chunk_key"), col("embedding"))
         ()
       case PqCodes(_, _, _) =>
         // frozen-codebook encode of the new rows only (the FAISS
         // add-to-trained-index contract; periodic rebuild re-fits)
-        Similarity.pqAppend(spark, s"$path/index", fresh,
+        Similarity.pqAppend(spark, dir, fresh,
           col("chunk_key"), col("embedding"))
         ()
       case IvfPqCodes(_, _, _, _) =>
-        Similarity.ivfPqAppend(spark, s"$path/index", fresh,
+        Similarity.ivfPqAppend(spark, dir, fresh,
           col("chunk_key"), col("embedding"))
         ()
     }
@@ -542,8 +568,9 @@ object DocStore {
       * (`index_kind.txt`): [[rebuildIndex]]/[[open]] follow it. */
     def save(path: String, index: StoreIndex): Unit = {
       chunks.write.mode("overwrite").parquet(s"$path/chunks")
-      DocStore.writeIndexKind(path, index)
-      DocStore.rebuildIndex(chunks.sparkSession, path)
+      // build-then-flip (the kind marker lands only after the kind's
+      // index generation commits — see DocStore.rebuildIndex)
+      DocStore.rebuildIndex(chunks.sparkSession, path, index)
     }
   }
 
@@ -599,10 +626,13 @@ object DocStore {
       val restrict = filter.map(f =>
         chunks.filter(f).select(col("chunk_key")))
       val q = queries.select(qid.as("qid"), embedder(qtext).as("qv"))
-      DocStore.readIndexKind(path) match {
+      // kind read once per batch (atomic file); its kind-scoped dir's
+      // committed generation always matches it — see rebuildIndex
+      val kind = DocStore.readIndexKind(path)
+      val dir = DocStore.indexDirOf(path, kind)
+      kind match {
         case IvfFlat(_) =>
-          val (cents, assigned0) =
-            Similarity.ivfLoadParts(spark, s"$path/index")
+          val (cents, assigned0) = Similarity.ivfLoadParts(spark, dir)
           val assigned = restrict match {
             case None => assigned0
             case Some(ids) => assigned0.join(
@@ -616,7 +646,7 @@ object DocStore {
         case BinaryCodes(rescore) =>
           val against = if (rescore > 0)
             Some((chunks, col("chunk_key"), col("embedding"))) else None
-          Similarity.binaryLoadTopK(spark, s"$path/index", q,
+          Similarity.binaryLoadTopK(spark, dir, q,
               col("qid"), col("qv"), k, rescore = rescore,
               rescoreAgainst = against, excludeSelf = false,
               restrictTo = restrict)
@@ -627,7 +657,7 @@ object DocStore {
         case PqCodes(_, _, rescore) =>
           val against = if (rescore > 0)
             Some((chunks, col("chunk_key"), col("embedding"))) else None
-          Similarity.pqLoadTopK(spark, s"$path/index", q,
+          Similarity.pqLoadTopK(spark, dir, q,
               col("qid"), col("qv"), k, rescore = rescore,
               rescoreAgainst = against, excludeSelf = false,
               restrictTo = restrict)
@@ -635,9 +665,9 @@ object DocStore {
               col("neighbor_id").as("chunk_key"),
               (if (rescore > 0) col("cosine") else col("score")).as("score"))
         case IvfPqCodes(_, _, _, rescore) =>
-          Similarity.ivfPqLoadTopK(spark, s"$path/index", q,
-              col("qid"), col("qv"), nprobe, k,
-              rescore = math.max(rescore, 1),
+          // rescore > 0 enforced at writeIndexKind — never coerced here
+          Similarity.ivfPqLoadTopK(spark, dir, q,
+              col("qid"), col("qv"), nprobe, k, rescore = rescore,
               rescoreAgainst = (chunks, col("chunk_key"), col("embedding")),
               excludeSelf = false, restrictTo = restrict)
             .select(col("query_id").as("qid"), col("rank"),

@@ -1137,6 +1137,43 @@ object Similarity {
     }
   }
 
+  /** The IVF-PQ structures shared by [[ivfPqRetrieve]] and
+    * [[ivfPqSave]] — ONE copy of the recipe, because the persisted and
+    * ad-hoc paths are spec-pinned to answer identically and a tweak
+    * applied to one copy would break that equality at a distance:
+    * normalized corpus `d` (id, v, n2; eager — referenced by the
+    * centroid sample, the assignment, the codebook sample, and the
+    * encode), md5-sample coarse `cents` (NULL-filtered — see ivfBuild),
+    * one-pass `coarse` assignment (neighbor_id, cid), and the
+    * md5-sample `cb` codebook (j, s, cw, cwn2). */
+  private def ivfPqBuild(data: DataFrame, did: Column, dvec: Column,
+      nlist: Int, m: Int, ksub: Int, dim: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(dim > 0 && dim % m == 0, s"pq: m ($m) must divide dim ($dim)")
+    val dsub = dim / m
+    val d = graft.core.Caches.eager(l2normalize(
+      spread(data).select(did.as("id"), dvec.cast("array<double>").as("v")), "v")
+      .withColumn("n2", norm2(col("v"))))
+    val cents = graft.core.Caches.eager(
+      d.filter(col("v").isNotNull)
+        .select(col("id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+        .orderBy(md5(col("cid").cast("string"))).limit(nlist))
+    val coarse = assignToCents(d, cents)
+      .select(col("neighbor_id"), col("cid"))
+    val samp = d.filter(col("v").isNotNull)
+      .orderBy(md5(col("id").cast("string"))).limit(ksub)
+      .withColumn("j", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(md5(col("id").cast("string")))))
+    val cb = graft.core.Caches.eager(
+      samp.select(col("j"), posexplode(transform(
+          sequence(lit(0), lit(m - 1)),
+          s => slice(col("v"), s * lit(dsub) + lit(1), lit(dsub))))
+        .as(Seq("s", "cw")))
+        .withColumn("cwn2", norm2(col("cw"))))
+    (d, cents, coarse, cb)
+  }
+
   /** IVF-PQ retrieval — the full FAISS serving composition: a coarse
     * quantizer of `nlist` md5-sample centroids prunes each query to its
     * `nprobe` nearest inverted lists, PQ codes (m bytes/vector) rank the
@@ -1153,32 +1190,8 @@ object Similarity {
       nlist: Int, nprobe: Int, m: Int, ksub: Int, k: Int, rescore: Int,
       excludeSelf: Boolean = false, dim: Int = 0): DataFrame = {
     require(rescore > 0, "ivfPqRetrieve: rescore must be > 0")
-    require(dim > 0 && dim % m == 0, s"pq: m ($m) must divide dim ($dim)")
-    val d = graft.core.Caches.eager(l2normalize(
-      spread(data).select(did.as("id"), dvec.cast("array<double>").as("v")), "v")
-      .withColumn("n2", norm2(col("v"))))
-    // coarse quantizer: same recipe as ivfBuild, over normalized vectors
-    // (isNotNull — see ivfBuild: NULL samples NPE the driver collect)
-    val cents = graft.core.Caches.eager(
-      d.filter(col("v").isNotNull)
-        .select(col("id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
-        .orderBy(md5(col("cid").cast("string"))).limit(nlist))
-    val coarse = assignToCents(d, cents)
-      .select(col("neighbor_id").as("id"), col("cid"))
-    // PQ codes + decode, carrying the coarse list id and the float
-    // vector (refine side reads it for shortlist rows only)
+    val (d, cents, coarse, cb) = ivfPqBuild(data, did, dvec, nlist, m, ksub, dim)
     val dsub = dim / m
-    val samp = d.filter(col("v").isNotNull)
-      .orderBy(md5(col("id").cast("string"))).limit(ksub)
-      .withColumn("j", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(md5(col("id").cast("string")))))
-    val cb = graft.core.Caches.eager(
-      samp.select(col("j"), posexplode(transform(
-          sequence(lit(0), lit(m - 1)),
-          s => slice(col("v"), s * lit(dsub) + lit(1), lit(dsub))))
-        .as(Seq("s", "cw")))
-        .withColumn("cwn2", norm2(col("cw"))))
     // encode + decode composed in one native pass per row (PqEncodeExpr
     // → PqDecodeExpr — codes never materialize here; the reconstructed
     // vector is what the in-list rank dots against)
@@ -1187,7 +1200,7 @@ object Similarity {
       graft.plans.VecExprs.pqDecode(
         graft.plans.VecExprs.pqEncode(col("v"), flatCb, cwn2s, m, ksubA, dsub),
         flatCb, m, ksubA, dsub).as("rv"))
-    val lists = coarse.join(rv, "id")
+    val lists = coarse.withColumnRenamed("neighbor_id", "id").join(rv, "id")
       .select(col("id").as("neighbor_id"), col("cid"), col("rv"))
     // query side: probe nprobe lists, rank in-list by decoded dot
     val q = l2normalize(
@@ -1239,28 +1252,8 @@ object Similarity {
     */
   def ivfPqSave(data: DataFrame, did: Column, dvec: Column, path: String,
       nlist: Int, m: Int, ksub: Int, dim: Int): Unit = {
-    require(dim > 0 && dim % m == 0, s"pq: m ($m) must divide dim ($dim)")
+    val (d, cents, coarse, cb) = ivfPqBuild(data, did, dvec, nlist, m, ksub, dim)
     val dsub = dim / m
-    val d = graft.core.Caches.eager(l2normalize(
-      spread(data).select(did.as("id"), dvec.cast("array<double>").as("v")), "v")
-      .withColumn("n2", norm2(col("v"))))
-    val cents = graft.core.Caches.eager(
-      d.filter(col("v").isNotNull)
-        .select(col("id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
-        .orderBy(md5(col("cid").cast("string"))).limit(nlist))
-    val coarse = assignToCents(d, cents)
-      .select(col("neighbor_id"), col("cid"))
-    val samp = d.filter(col("v").isNotNull)
-      .orderBy(md5(col("id").cast("string"))).limit(ksub)
-      .withColumn("j", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(md5(col("id").cast("string")))))
-    val cb = graft.core.Caches.eager(
-      samp.select(col("j"), posexplode(transform(
-          sequence(lit(0), lit(m - 1)),
-          s => slice(col("v"), s * lit(dsub) + lit(1), lit(dsub))))
-        .as(Seq("s", "cw")))
-        .withColumn("cwn2", norm2(col("cw"))))
     val (flatCb, cwn2s, _, ksubA, _) = cbArrays(cb)
     val lists = d.select(col("id").as("neighbor_id"),
         graft.plans.VecExprs.pqEncode(col("v"), flatCb, cwn2s, m, ksubA, dsub)
@@ -1289,7 +1282,12 @@ object Similarity {
     val cur = graft.core.IndexGen.readDir(path)
     val cents = spark.read.parquet(s"$cur/centroids")
     val cb = spark.read.parquet(s"$cur/codebook")
-    val oldSegs = readManifest(cur).getOrElse(Nil)
+    // fail loudly, never default to Nil: ivfPqSave always writes a
+    // manifest, so its absence means corruption or a wrong path — a
+    // Nil default would commit a generation listing ONLY the new
+    // segment and the vacuum would then delete the corpus codes
+    val oldSegs = readManifest(cur).getOrElse(throw new IllegalStateException(
+      s"ivfPqAppend: no segment manifest in $cur — not an ivfPqSave index"))
     val (flatCb, cwn2s, mA, ksubA, dsubA) = cbArrays(cb)
     val d = graft.core.Caches.eager(l2normalize(
       spread(newData).select(did.as("id"), dvec.cast("array<double>").as("v")),

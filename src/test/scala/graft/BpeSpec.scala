@@ -82,8 +82,16 @@ class BpeSpec extends SparkSpec {
           { n.incrementAndGet(); () }
       }
       spark.sparkContext.addSparkListener(l)
-      try { f; Thread.sleep(200) } // let queued job-start events drain
-      finally spark.sparkContext.removeSparkListener(l)
+      try {
+        f
+        // drain the async listener bus: poll until the count is stable
+        // (a fixed sleep is flaky under this host's CPU-steal windows)
+        var prev = -1; var stable = 0; var waited = 0
+        while (stable < 3 && waited < 10000) {
+          Thread.sleep(100); waited += 100
+          if (n.get == prev) stable += 1 else { stable = 0; prev = n.get }
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
       n.get()
     }
     var seq12: Seq[Any] = null

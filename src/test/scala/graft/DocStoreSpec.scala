@@ -309,9 +309,12 @@ class DocStoreSpec extends SparkSpec {
     assert(persisted.exceptAll(exact).count() == 0 &&
       exact.exceptAll(persisted).count() == 0)
     // the index at rest is packed codes ONLY — no centroids, no floats
-    val gen = graft.core.IndexGen.readDir(s"$path/index")
+    // (kind-scoped dir: a generation can never be read under the wrong
+    // kind's schema)
+    val idir = DocStore.indexDirOf(path, DocStore.readIndexKind(path))
+    val gen = graft.core.IndexGen.readDir(idir)
     assert(!new java.io.File(gen, "centroids").exists())
-    val codes = graft.operators.Similarity.binaryLoadParts(spark, s"$path/index")
+    val codes = graft.operators.Similarity.binaryLoadParts(spark, idir)
     assert(codes.columns.toSeq == Seq("neighbor_id", "bcodes"))
     // metadata filter pushes into the codes scan pre-rank
     val es = ps.retrieve(queries, col("qid"), col("qtext"), 3,
@@ -345,7 +348,8 @@ class DocStoreSpec extends SparkSpec {
     assert(persisted.exceptAll(exact).count() == 0 &&
       exact.exceptAll(persisted).count() == 0)
     // PQ at rest: codebook + int codes, never float vectors
-    assert(graft.operators.Similarity.binaryLoadParts(spark, s"$path/index")
+    assert(graft.operators.Similarity.binaryLoadParts(spark,
+        DocStore.indexDirOf(path, DocStore.readIndexKind(path)))
       .columns.toSeq == Seq("neighbor_id", "codes"))
     // filter pushdown
     val es = ps.retrieve(queries, col("qid"), col("qtext"), 3,
@@ -385,7 +389,8 @@ class DocStoreSpec extends SparkSpec {
     assert(persisted.exceptAll(exact).count() == 0 &&
       exact.exceptAll(persisted).count() == 0)
     // lists at rest: (neighbor_id, cid, codes) — m ints, no floats
-    val lists = graft.operators.Similarity.binaryLoadParts(spark, s"$path/index")
+    val lists = graft.operators.Similarity.binaryLoadParts(spark,
+      DocStore.indexDirOf(path, DocStore.readIndexKind(path)))
     assert(lists.columns.toSet == Set("neighbor_id", "cid", "codes"))
     // filter pushdown through restrictTo
     val es = ps.retrieve(queries, col("qid"), col("qtext"), 3,
