@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Executed-Kafka escape hatch: this zero-egress env ships no kafka jars
+// (resolution attempted r13: offline cache miss). Point
+// SPARK_GRAFT_KAFKA_JARS at a directory holding spark-sql-kafka-0-10 +
+// kafka-clients (+ deps) and KafkaIntegrationSpec's round-trip runs
+// unmodified; unset, that spec self-cancels and everything else is
+// unaffected.
+Test / unmanagedJars ++= sys.env.get("SPARK_GRAFT_KAFKA_JARS")
+  .map(d => (file(d) * "*.jar").classpath.toSeq).getOrElse(Nil)
 // The bench/verify driver parses a JSON line from the tail of `sbt run`
 // output. StdoutOutput passes the forked JVM's stdout through verbatim
 // (no "[info] " logger prefix) and showSuccess drops the trailing

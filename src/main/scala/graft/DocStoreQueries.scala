@@ -420,13 +420,13 @@ object DocStoreQueries extends QueryModule {
         r4e(col("score")).as("score"))
   }
 
-  // PQ codes-only persisted store: m=17 one-dim subspaces (the stub
-  // embedder's 17 dims are prime — production picks m | dim with
-  // dsub 4-8), ksub=16 codewords sampled md5-smallest by chunk key,
-  // decoded-dot candidate ranking over the int codes, rescore=10 float
-  // refine against the chunk table. The oracle replays codebook fit,
-  // encode, decode, rank, and refine.
-  q("q_doc_store_pq",
+  /** Shared oracle for every PQ codes-only serving path (batch save and
+    * streaming ingest must land on the same state): m=17 one-dim
+    * subspaces, ksub=16 codewords sampled md5-smallest by chunk key,
+    * decoded-dot candidate ranking over the int codes, rescore=10 float
+    * refine against the chunk table — codebook fit, encode, decode,
+    * rank, and refine all replayed in SQL. */
+  private val pqStoreSql =
     s"""WITH $pipeCte,
       |wn AS (SELECT chunk_key,
       |  list_transform(v, x ->
@@ -465,11 +465,51 @@ object DocStoreQueries extends QueryModule {
       |SELECT r2.qid, r2.rank, k2.doc_id, k2.chunk_id,
       |  round(r2.c + 1e-9, 4) AS score
       |FROM r2 JOIN ck k2 ON k2.chunk_key = r2.chunk_key
-      |WHERE r2.rank <= 3""") { (s, dir) =>
+      |WHERE r2.rank <= 3"""
+
+  // PQ codes-only persisted store: m=17 one-dim subspaces (the stub
+  // embedder's 17 dims are prime — production picks m | dim with
+  // dsub 4-8). The batch path of the shared PQ oracle.
+  q("q_doc_store_pq", pqStoreSql) { (s, dir) =>
     val store = storeOf(s, dir)
     val path = java.nio.file.Files.createTempDirectory("graft_ds_pq").toString
     store.save(path, DocStore.PqCodes(m = 17, ksub = 16, rescore = 10))
     DocStore.open(s, path, DocStore.hashEmbedder(16))
+      .retrieve(queriesOf(s, dir), col("qid"), col("qtext"), k = 3)
+      .select(col("qid"), col("rank"), col("doc_id"), col("chunk_id"),
+        r4e(col("score")).as("score"))
+  }
+
+  // LIVE ingestion → PQ codes-only refresh (closes the r12 oracle gap:
+  // the streaming rebuildIndex path was proven only under BinaryCodes;
+  // the kind-generic DocStore.rebuildIndex dispatch now has a PQ replay
+  // too): two streaming micro-batches through buildStream, then
+  // rebuildIndex pins kind=pq — codebook FIT ON THE FULL ACCUMULATED
+  // CORPUS — and the post-refresh generation must serve EXACTLY like
+  // the batch-saved PQ store.
+  q("q_doc_store_stream_pq", pqStoreSql) { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .as[(Long, String, String, String)].collect()
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, String)]
+    val stream = in.toDF().toDF("doc_id", "text", "lang", "source")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"),
+        col("lang"), col("source"))
+    val root = java.nio.file.Files.createTempDirectory("graft_ds_sp").toString
+    val q = DocStore.buildStream(stream, col("doc_id"), col("data"),
+      root, s"$root/ckpt", metadata = Seq("lang", "source"),
+      chunkSize = 8, overlap = 3, embedder = DocStore.hashEmbedder(16)).start()
+    try {
+      val (evens, odds) = docs.partition(_._1 % 2 == 0)
+      in.addData(evens.toSeq); q.processAllAvailable()
+      in.addData(odds.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    DocStore.rebuildIndex(s, root, DocStore.PqCodes(m = 17, ksub = 16,
+      rescore = 10))
+    DocStore.open(s, root, DocStore.hashEmbedder(16))
       .retrieve(queriesOf(s, dir), col("qid"), col("qtext"), k = 3)
       .select(col("qid"), col("rank"), col("doc_id"), col("chunk_id"),
         r4e(col("score")).as("score"))

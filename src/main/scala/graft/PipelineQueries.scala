@@ -755,14 +755,18 @@ object PipelineQueries extends QueryModule {
         round(col("cosine") + lit(1e-9), 4).as("cosine"))
   }
 
-  // LSH-bucketed ANN: top-1 within the random-hyperplane bucket
+  // LSH-bucketed ANN: top-1 within the random-hyperplane bucket; the
+  // oracle derives the plane count from its own count(*) — same formula
+  // as planesFor — so it matches the query at any SF
   q("q_knn_lsh",
     """WITH w AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |np AS (SELECT greatest(1,
+      |  CAST(ceil(log2(count(*) / 8.0) - 1e-9) AS INT)) AS pp FROM w),
       |pr AS (SELECT id, p,
       |  list_sum(list_transform(range(64), d -> v[d+1] *
       |    (CASE WHEN CAST('0x' || substr(md5(p || '_' || d), 1, 2) AS INTEGER) % 2 = 0
       |          THEN 1.0 ELSE -1.0 END))) AS proj
-      |  FROM w, UNNEST(range(6)) AS t(p)),
+      |  FROM w CROSS JOIN np, UNNEST(range(np.pp)) AS t(p)),
       |bk AS (SELECT id, CAST(sum(CASE WHEN proj >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
       |  AS bucket FROM pr GROUP BY id),
       |bv AS (SELECT w.id, w.v, bk.bucket FROM w JOIN bk ON w.id = bk.id),
@@ -1397,18 +1401,24 @@ object PipelineQueries extends QueryModule {
         round(col("cosine"), 4).as("cosine"))
   }
 
-  // LSH pre-clustering: 2 independent 12-plane bands, CC-merged
+  // LSH pre-clustering: 2 independent bands, band width DERIVED from the
+  // corpus (planesFor, target occupancy 8 — 6 planes/band at the sf0.01
+  // oracle scale, log2 more per scale-up), CC-merged. The oracle derives
+  // the SAME width from its own count(*), so it stays correct at any SF.
   q("q_lsh_cluster",
     """WITH RECURSIVE
       |w AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |np AS (SELECT greatest(1,
+      |  CAST(ceil(log2(count(*) / 8.0) - 1e-9) AS INT)) AS pp FROM w),
       |pr AS (SELECT id, p,
       |  list_sum(list_transform(range(64), d -> v[d+1] *
       |    (CASE WHEN CAST('0x' || substr(md5(p || '_' || d), 1, 2) AS INTEGER) % 2 = 0
       |          THEN 1.0 ELSE -1.0 END))) AS proj
-      |  FROM w, UNNEST(range(24)) AS t(p)),
-      |bk AS (SELECT id, p // 12 AS band,
-      |  CAST(sum(CASE WHEN proj >= 0 THEN 1 << (p % 12) ELSE 0 END) AS BIGINT) AS bucket
-      |  FROM pr GROUP BY id, p // 12),
+      |  FROM w CROSS JOIN np, UNNEST(range(2 * np.pp)) AS t(p)),
+      |bk AS (SELECT id, p // np.pp AS band,
+      |  CAST(sum(CASE WHEN proj >= 0 THEN 1 << (p % np.pp) ELSE 0 END) AS BIGINT)
+      |    AS bucket
+      |  FROM pr CROSS JOIN np GROUP BY id, p // np.pp),
       |e0 AS (SELECT id, min(id) OVER (PARTITION BY band, bucket) AS m FROM bk),
       |edges AS (SELECT id AS src, m AS dst FROM e0 WHERE id != m
       |  UNION SELECT m AS src, id AS dst FROM e0 WHERE id != m),
@@ -1418,7 +1428,7 @@ object PipelineQueries extends QueryModule {
       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst)
       |SELECT node, min(lbl) AS cluster FROM reach GROUP BY node""") { (s, dir) =>
     Similarity.lshCluster(load(s, dir, "embeddings"), col("vec_id"),
-      col("embedding"), dim = 64, planesPerBand = 12, bands = 2)
+      col("embedding"), dim = 64)
   }
 
   // ---------------------------------------------------------------

@@ -42,6 +42,33 @@ object Caches {
     * or barely-reused frames. */
   def eager(df: DataFrame): DataFrame = { val p = cache(df); p.count(); p }
 
+  /** Loop-state maintenance for driver-side fixpoint / training loops —
+    * the shared discipline of [[graft.operators.Iterate]],
+    * `Graphs.louvain` and `Bpe.learnMerges`.
+    *
+    * Two driver-side failure modes govern the choice, both measured and
+    * data-size-INDEPENDENT:
+    *
+    *  - caching does NOT truncate logical plans: a loop whose next state
+    *    references the previous frame TWICE (argmax via groupBy-max +
+    *    join-back, CC's pointer-jump self-join) doubles the ANALYZED
+    *    tree every round — 2^rounds analysis cost (118 s at sf0.001 in
+    *    the r12 louvain). Such loops MUST checkpoint every round
+    *    (`every = 1`, the default): `localCheckpoint(true)` replaces the
+    *    plan with the materialized partitions.
+    *  - even a single-reference eager-cached round still APPENDS one
+    *    round's operators to the plan, so analysis cost grows linearly
+    *    with rounds; over hundreds of rounds (BPE merge learning) a
+    *    periodic checkpoint (`every = N`) resets it while the cheaper
+    *    eager cache carries the rounds in between.
+    *
+    * `round` is the 1-based index of the round that PRODUCED `df`;
+    * checkpoint fires when `round % every == 0` (and always when
+    * `every <= 1`). */
+  def loopState(df: DataFrame, round: Int = 0, every: Int = 1): DataFrame =
+    if (every <= 1 || round % every == 0) df.localCheckpoint(true)
+    else eager(df)
+
   /** Unpersist every frame tracked on this thread and reset the scope. */
   def drain(): Unit = {
     val b = tl.get()

@@ -157,9 +157,7 @@ object Bpe {
         val next = vocab.select(col("freq"),
           batch.foldLeft(col("s")) { case (s, (a, b, _)) =>
             applyMerge(s, a, b) }.as("s"))
-        vocab =
-          if ((round + 1) % CheckpointEvery == 0) next.localCheckpoint(true)
-          else Caches.eager(next)
+        vocab = Caches.loopState(next, round + 1, CheckpointEvery)
       }
       round += 1
     }
@@ -170,7 +168,8 @@ object Bpe {
 
   /** Rounds between lineage truncations of the vocab loop state — each
     * eager-cached round still APPENDS to the logical plan (analysis cost
-    * grows with rounds); a periodic localCheckpoint resets it. */
+    * grows with rounds); [[graft.core.Caches.loopState]]'s periodic
+    * localCheckpoint resets it (rationale on the helper). */
   private val CheckpointEvery = 32
 
   /** Segment a corpus's words with a learned merge list: returns

@@ -61,11 +61,28 @@ object DocStore {
     * requires rescore > 0, its precision contract). */
   sealed trait StoreIndex
   final case class IvfFlat(nlist: Int = 0) extends StoreIndex
+  /** Flat PQ codes. NOTE the serving cost model: retrieval decodes and
+    * ranks EVERY code — |queries|·|chunks| decoded dots per batch, by
+    * design (measured 3.9-4.8× wall at 10× data). Right for mid-size
+    * stores where the 8×-at-rest win matters and a coarse index doesn't;
+    * at nlist-worthy corpus sizes (≥ [[DocStore.flatPqWarnRows]] chunks)
+    * prefer [[IvfPqCodes]] — the same codes behind a coarse prune, which
+    * scales ~2.3× at 10× data. [[DocStore.rebuildIndex]] logs a warning
+    * when a flat-PQ build crosses that line. */
   final case class PqCodes(m: Int, ksub: Int = 256,
     rescore: Int = 32) extends StoreIndex
   final case class BinaryCodes(rescore: Int = 32) extends StoreIndex
   final case class IvfPqCodes(m: Int, ksub: Int = 256, nlist: Int = 0,
-    rescore: Int = 32) extends StoreIndex
+      rescore: Int = 32) extends StoreIndex {
+    // validated at CONSTRUCTION, not at writeIndexKind: save(path,
+    // IvfPqCodes(rescore = 0)) would otherwise run the whole
+    // centroid-fit/encode/segment build and only then throw, leaving an
+    // orphaned committed generation in the kind dir (readIndexKind
+    // re-constructs from the marker file, so a hand-edited rescore=0
+    // marker fails loudly here too)
+    require(rescore > 0, "IvfPqCodes: rescore must be > 0 — the float " +
+      "refine is the layout's precision contract (ivfPqLoadTopK requires it)")
+  }
 
   /** UTF-8 parser — the reference DocumentStore's default
     * (xpacks/llm/parsers.py `ParseUtf8`). */
@@ -243,16 +260,58 @@ object DocStore {
     * rebuilds and every [[open]] follow the flipped kind. */
   def rebuildIndex(spark: SparkSession, path: String,
       index: StoreIndex): Unit = {
+    val prev = readIndexKind(path)
     buildIndex(spark, path, index, 0)
     writeIndexKind(path, index)
+    vacuumKindDirs(path, current = index, grace = prev)
+  }
+
+  /** Corpus-size line past which a FLAT PqCodes store is the wrong kind
+    * (serving pays |q|·|chunks| decoded dots with no coarse prune):
+    * where [[Similarity.nlistFor]] would derive ≥ 64 lists, an IVF-worthy
+    * corpus exists and [[IvfPqCodes]] gives the same at-rest codes behind
+    * a prune that measured 2.3× at 10× data vs flat PQ's 3.9×. */
+  private[graft] val flatPqWarnRows: Long = 64L * 64L // nlistFor ≥ 64
+
+  /** Some(warning) when a flat-PQ index is being built over an
+    * IVF-worthy corpus — surfaced by [[rebuildIndex]], pure so the spec
+    * can pin the threshold. */
+  private[graft] def flatPqCorpusWarning(chunkRows: Long): Option[String] =
+    if (chunkRows >= flatPqWarnRows)
+      Some(s"flat PqCodes over $chunkRows chunks: serving decodes every " +
+        s"code per query batch (|q|*|chunks|, no coarse prune); at this " +
+        s"size (nlistFor = ${Similarity.nlistFor(chunkRows)}) prefer " +
+        "IvfPqCodes - same codes at rest behind a coarse prune")
+    else None
+
+  /** Remove SUPERSEDED kind dirs after a kind flip, grace-1 like
+    * [[graft.core.IndexGen.commit]]: the dir of the kind that was
+    * current immediately before the flip survives (an in-flight reader
+    * that resolved the old marker can finish its scan); any OLDER
+    * superseded kind's dir — stale since an earlier switch, referenced
+    * by nothing — is deleted, so a store cycling kinds no longer leaks
+    * an index-sized dir per switch. */
+  private def vacuumKindDirs(path: String, current: StoreIndex,
+      grace: StoreIndex): Unit = {
+    val keep = Set(indexDirOf(path, current), indexDirOf(path, grace))
+    Seq(IvfFlat(), PqCodes(1, 1, 1), BinaryCodes(1), IvfPqCodes(1, 1, 0, 1))
+      .map(k => indexDirOf(path, k)).distinct
+      .filterNot(keep)
+      .map(new java.io.File(_))
+      .filter(_.isDirectory)
+      .foreach(rmTreeDs)
+  }
+
+  private def rmTreeDs(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmTreeDs)); f.delete(); ()
   }
 
   /** The kind's index location — kind-SCOPED dirs ("index" stays the
     * IVF-flat home for pre-codes-era stores) are what makes the kind
     * flip above safe: an index generation can never be read under the
-    * wrong kind's schema. A superseded kind's dir lingers (stale,
-    * unreferenced) until its kind is re-pinned or it is deleted out of
-    * band — disk-for-safety, the IndexGen grace-generation tradeoff. */
+    * wrong kind's schema. A kind flip keeps the immediately-previous
+    * kind's dir for in-flight readers and vacuums older superseded ones
+    * ([[vacuumKindDirs]] — the IndexGen grace-1 discipline). */
   private[graft] def indexDirOf(path: String, ix: StoreIndex): String =
     ix match {
       case IvfFlat(_) => s"$path/index"
@@ -265,10 +324,15 @@ object DocStore {
       kind: StoreIndex, nlist: Int): Unit = {
     val persisted = spark.read.parquet(s"$path/chunks")
     val dir = indexDirOf(path, kind)
-    // dim from the data (one narrow first() — PQ's subspace slicing
-    // cannot size itself from the stream like the generic dot loop)
+    // dim from the data (one narrow take(1) — PQ's subspace slicing
+    // cannot size itself from the stream like the generic dot loop);
+    // fail with the real problem, not head()'s bare NoSuchElementException
     def dim = persisted.filter(col("embedding").isNotNull)
-      .select(size(col("embedding"))).head().getInt(0)
+      .select(size(col("embedding"))).head(1).headOption
+      .getOrElse(throw new IllegalStateException(
+        s"cannot derive embedding dim: chunk table at $path/chunks has " +
+          "no non-null embeddings"))
+      .getInt(0)
     def derivedN(defN: Int) = if (nlist > 0) nlist
       else if (defN > 0) defN
       else Similarity.nlistFor(parquetRowCount(spark, s"$path/chunks"))
@@ -277,6 +341,8 @@ object DocStore {
         Similarity.ivfSave(persisted, col("chunk_key"), col("embedding"),
           dir, derivedN(defN))
       case PqCodes(m, ksub, _) =>
+        flatPqCorpusWarning(parquetRowCount(spark, s"$path/chunks"))
+          .foreach(msg => System.err.println(s"[graft] WARN $msg"))
         Similarity.pqSave(persisted, col("chunk_key"), col("embedding"),
           dir, m, ksub, dim)
       case BinaryCodes(_) =>
@@ -295,14 +361,22 @@ object DocStore {
   private def kindFile(path: String) = new java.io.File(path, "index_kind.txt")
 
   private[graft] def writeIndexKind(path: String, ix: StoreIndex): Unit = {
-    new java.io.File(path).mkdirs()
+    val root = new java.io.File(path)
+    root.mkdirs()
+    // sweep write-aside orphans from crashed earlier flips (single-writer
+    // contract, so any existing .index_kind.*.tmp is dead) — the
+    // IndexGen.commit .tmp-current-* discipline; without it a crash
+    // between writeString and ATOMIC_MOVE leaked one tmp file forever
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith(".index_kind.")
+        && f.getName.endsWith(".tmp"))
+      .foreach(_.delete())
     val body = ix match {
       case IvfFlat(n) => s"kind=ivf\nnlist=$n"
       case PqCodes(m, ksub, r) => s"kind=pq\nm=$m\nksub=$ksub\nrescore=$r"
       case BinaryCodes(r) => s"kind=binary\nrescore=$r"
       case IvfPqCodes(m, ksub, n, r) =>
-        require(r > 0, "IvfPqCodes: rescore must be > 0 — the float refine " +
-          "is the layout's precision contract (ivfPqLoadTopK requires it)")
+        // rescore > 0 already required by the IvfPqCodes constructor
         s"kind=ivfpq\nm=$m\nksub=$ksub\nnlist=$n\nrescore=$r"
     }
     val tmp = new java.io.File(path, s".index_kind.${System.nanoTime()}.tmp")

@@ -58,11 +58,12 @@ object Graphs {
       val nbrMin = sym
         .join(labels.select(col("node").as("dst"), col("comp").as("nc")), "dst")
         .groupBy(col("src").as("node")).agg(min(col("nc")).as("nbr"))
-      // checkpoint before self-joining: otherwise each join side
+      // checkpoint before self-joining (Caches.loopState — the
+      // double-reference discipline): otherwise each join side
       // re-derives the whole step sub-plan
-      val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), least(col("comp"), col("nbr")).as("comp"))
-        .localCheckpoint(true)
+      val stepped = graft.core.Caches.loopState(
+        labels.join(nbrMin, Seq("node"), "left")
+          .select(col("node"), least(col("comp"), col("nbr")).as("comp")))
       // pointer jump: comp <- comp(comp); halves path lengths per round
       stepped
         .join(stepped.select(col("node").as("comp"), col("comp").as("cc")),
@@ -163,16 +164,15 @@ object Graphs {
       // hash-aggregable; the CLAUDE.md trap) in the hot loop of the
       // second-slowest bench query. Semantics identical: max score,
       // ties to the smallest community id. `scored` is eager-cached, so
-      // the two consumers read one materialization. localCheckpoint, not
-      // eager-cache, for the round result: labels now references scored
-      // TWICE, so a cache (which keeps the full logical plan) doubles
-      // the analyzed tree every round — 2^rounds driver-side analysis,
-      // measured 118 s at sf0.001 where the checkpointed loop runs in
-      // seconds (the [[Iterate]] discipline).
-      labels = scored.groupBy("node").agg(max("score").as("score"))
-        .join(scored, Seq("node", "score"))
-        .groupBy("node").agg(min("comm").as("comm"))
-        .localCheckpoint(true)
+      // the two consumers read one materialization. Caches.loopState
+      // (checkpoint, not eager-cache) for the round result: labels
+      // references scored TWICE, the double-reference lineage trap the
+      // helper's scaladoc documents (2^rounds analysis, measured 118 s
+      // at sf0.001).
+      labels = graft.core.Caches.loopState(
+        scored.groupBy("node").agg(max("score").as("score"))
+          .join(scored, Seq("node", "score"))
+          .groupBy("node").agg(min("comm").as("comm")))
     }
     labels.select(col("node"), col("comm"))
   }

@@ -10,9 +10,11 @@ import org.apache.spark.sql.DataFrame
   * scope; the idiomatic Spark analog is a driver-side loop over
   * DataFrames (the GraphX/Pregel pattern). Two scale-critical details:
   *
-  *  - `localCheckpoint(eager = true)` each round: without it the lineage
-  *    doubles every iteration and planning cost goes exponential; with it
-  *    each round starts from materialized partitions.
+  *  - [[graft.core.Caches.loopState]] each round (localCheckpoint):
+  *    without it the lineage doubles every iteration and planning cost
+  *    goes exponential; with it each round starts from materialized
+  *    partitions. The rationale and the every-N variant live on the
+  *    helper.
   *  - convergence via a COUNT of changed rows (one cheap aggregate), not
   *    a DataFrame equality (two exceptAll shuffles).
   */
@@ -30,11 +32,11 @@ object Iterate {
       changed: (DataFrame, DataFrame) => Long,
       checkEvery: Int = 1)(
       step: DataFrame => DataFrame): DataFrame = {
-    var cur = init.localCheckpoint(true)
+    var cur = graft.core.Caches.loopState(init)
     var i = 0
     var done = false
     while (i < maxIter && !done) {
-      val next = step(cur).localCheckpoint(true)
+      val next = graft.core.Caches.loopState(step(cur))
       if ((i + 1) % checkEvery == 0 || i + 1 == maxIter)
         done = changed(cur, next) == 0L
       cur = next
@@ -55,9 +57,9 @@ object Iterate {
   /** Fixed number of iterations (for numeric algorithms whose floats
     * never become exactly equal, e.g. pagerank). */
   def iterateFixed(init: DataFrame, n: Int)(step: DataFrame => DataFrame): DataFrame = {
-    var cur = init.localCheckpoint(true)
+    var cur = graft.core.Caches.loopState(init)
     var i = 0
-    while (i < n) { cur = step(cur).localCheckpoint(true); i += 1 }
+    while (i < n) { cur = graft.core.Caches.loopState(step(cur)); i += 1 }
     cur
   }
 }

@@ -118,6 +118,12 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Default per-band bucket-occupancy target for [[lshCluster]]'s
+    * derived geometry: small buckets keep near-dup clusters tight and
+    * the per-bucket window work bounded. The [[planesFor]] doc has the
+    * scaling argument. */
+  val clusterBucketTarget: Long = 8L
+
   /** Deterministic ±1 hyperplane weight for (plane p, dimension d):
     * parity of the first byte of md5(p‖"_"‖d). Computed driver-side —
     * the weights are plan-time constants, and emitting them as md5
@@ -156,15 +162,27 @@ object Similarity {
     * minimum, connected components across bands. CC is the distributed
     * merge step; a per-bucket centroid refinement (the reference runs
     * KMeans inside buckets) slots in as a mapPartitions pass downstream.
-    * Returns (node, cluster), cluster = min member id; singletons keep
-    * their own id. */
+    *
+    * `planesPerBand <= 0` (the default) derives the band width from the
+    * corpus via [[planesFor]] (target bucket occupancy
+    * [[clusterBucketTarget]]) — the same grow-with-the-corpus rule as
+    * [[nlistFor]]: a frozen plane count makes per-bucket occupancy —
+    * and the per-bucket min-window sort under it — linear in corpus
+    * growth, and bucket granularity (cluster tightness) drift with
+    * scale instead of staying put. Pass an explicit count to pin a
+    * geometry. Returns (node, cluster), cluster = min member id;
+    * singletons keep their own id. */
   def lshCluster(df: DataFrame, id: Column, vec: Column, dim: Int,
-      planesPerBand: Int, bands: Int): DataFrame = {
+      planesPerBand: Int = 0, bands: Int = 2): DataFrame = {
     val v = graft.core.Caches.eager(
       spread(df).select(id.as("id"), vec.cast("array<double>").as("v")))
+    // the eager cache above already ran a count job — this one is a
+    // cache-metadata hit, so the derivation costs no extra scan
+    val pp = if (planesPerBand > 0) planesPerBand
+      else planesFor(v.count(), clusterBucketTarget)
     val banded = (0 until bands).map { b =>
       v.select(col("id"), lit(b).as("band"),
-        rhpBucketSlice(col("v"), dim, b * planesPerBand, planesPerBand).as("bk"))
+        rhpBucketSlice(col("v"), dim, b * pp, pp).as("bk"))
     }.reduce(_ unionByName _)
     val wmin = org.apache.spark.sql.expressions.Window.partitionBy("band", "bk")
     val edges = banded.withColumn("m", min(col("id")).over(wmin))
@@ -304,8 +322,9 @@ object Similarity {
     val (cents, assigned) = ivfBuild(data, did, dvec, nlist, dim)
     val (dir, gen) = graft.core.IndexGen.stage(path)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    val seg = writeSegment(assigned, path)
-    writeManifest(dir, Seq(seg))
+    val seg = newSegmentName()
+    writeManifest(dir, Seq(seg)) // manifest-first: see newSegmentName
+    writeSegmentTo(assigned, path, seg)
     graft.core.IndexGen.commit(path, gen)
     vacuumSegments(path)
   }
@@ -336,17 +355,20 @@ object Similarity {
       newData: DataFrame, did: Column, dvec: Column, dim: Int = 0): Long = {
     val cur = graft.core.IndexGen.readDir(path)
     val cents = spark.read.parquet(s"$cur/centroids")
-    val oldSegs = readManifest(cur).getOrElse {
-      // legacy layout: fold the flat lists into the segment store once
-      val legacy = spark.read.parquet(s"$cur/assigned")
-        .withColumn("cid", col("cid").cast(cents.schema("cid").dataType))
-      Seq(writeSegment(legacy, path))
-    }
     val assigned = assignVectors(newData, did, dvec, cents, dim)
-    val seg = writeSegment(assigned, path)
     val (dir, gen) = graft.core.IndexGen.stage(path)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    writeManifest(dir, oldSegs :+ seg)
+    // legacy layout (flat assigned/ dir): fold into the segment store once
+    val oldManifest = readManifest(cur)
+    val legacySeg = if (oldManifest.isEmpty) Some(newSegmentName()) else None
+    val seg = newSegmentName()
+    writeManifest(dir, oldManifest.getOrElse(legacySeg.toSeq) :+ seg)
+    legacySeg.foreach { n =>
+      val legacy = spark.read.parquet(s"$cur/assigned")
+        .withColumn("cid", col("cid").cast(cents.schema("cid").dataType))
+      writeSegmentTo(legacy, path, n)
+    }
+    writeSegmentTo(assigned, path, seg)
     graft.core.IndexGen.commit(path, gen)
     vacuumSegments(path)
     gen
@@ -370,15 +392,25 @@ object Similarity {
     * classic small-files problem on a real filesystem. Hash-clustered,
     * each list lands in exactly one task → nlist files. Returns the
     * path-relative segment name. */
-  private def writeSegment(assigned: DataFrame, path: String): String = {
-    val name = s"segments/seg-${java.util.UUID.randomUUID()}"
+  /** Reserve a segment name. Writers stage the name into the NEW
+    * generation's manifest BEFORE the segment's bytes land in
+    * `segments/` ([[writeSegmentTo]] after [[writeManifest]]): the
+    * staged manifest is what [[vacuumSegments]] reads, so there is no
+    * instant at which a freshly-written segment is unreferenced — a
+    * concurrent writer's vacuum (already a violation of the
+    * single-writer contract) can no longer delete a mid-append segment
+    * and commit a manifest pointing at deleted files. */
+  private def newSegmentName(): String =
+    s"segments/seg-${java.util.UUID.randomUUID()}"
+
+  private def writeSegmentTo(assigned: DataFrame, path: String,
+      name: String): Unit = {
     // explicit partition count: a bare repartition(cid) gets
     // AQE-coalesced by the bytes it sees (measured: 2 tasks creating
     // 256 list dirs serially — 2.9 s of a 5 s save); the explicit-N
     // form is exempt, so list-file creation spreads over the executors
     fanoutRepartition(assigned, col("cid")).write.mode("overwrite")
       .partitionBy("cid").parquet(s"$path/$name")
-    name
   }
 
   private def writeManifest(genDir: String, segs: Seq[String]): Unit = {
@@ -781,8 +813,9 @@ object Similarity {
   def binarySave(data: DataFrame, did: Column, dvec: Column,
       path: String): Unit = {
     val (dir, gen) = graft.core.IndexGen.stage(path)
-    val seg = writeBinarySegment(binaryCodesOf(data, did, dvec), path)
-    writeManifest(dir, Seq(seg))
+    val seg = newSegmentName()
+    writeManifest(dir, Seq(seg)) // manifest-first: see newSegmentName
+    writeBinarySegmentTo(binaryCodesOf(data, did, dvec), path, seg)
     graft.core.IndexGen.commit(path, gen)
     vacuumSegments(path)
   }
@@ -799,13 +832,15 @@ object Similarity {
   def binaryAppend(spark: org.apache.spark.sql.SparkSession, path: String,
       newData: DataFrame, did: Column, dvec: Column): Long = {
     val cur = graft.core.IndexGen.readDir(path)
-    val oldSegs = readManifest(cur).getOrElse {
-      // legacy layout (flat codes/ dir): fold into the segment store once
-      Seq(writeBinarySegment(spark.read.parquet(s"$cur/codes"), path))
-    }
-    val seg = writeBinarySegment(binaryCodesOf(newData, did, dvec), path)
     val (dir, gen) = graft.core.IndexGen.stage(path)
-    writeManifest(dir, oldSegs :+ seg)
+    // legacy layout (flat codes/ dir): fold into the segment store once
+    val oldManifest = readManifest(cur)
+    val legacySeg = if (oldManifest.isEmpty) Some(newSegmentName()) else None
+    val seg = newSegmentName()
+    writeManifest(dir, oldManifest.getOrElse(legacySeg.toSeq) :+ seg)
+    legacySeg.foreach(n =>
+      writeBinarySegmentTo(spark.read.parquet(s"$cur/codes"), path, n))
+    writeBinarySegmentTo(binaryCodesOf(newData, did, dvec), path, seg)
     graft.core.IndexGen.commit(path, gen)
     vacuumSegments(path)
     gen
@@ -819,11 +854,11 @@ object Similarity {
       col("_v"), "bcodes").select(col("neighbor_id"), col("bcodes"))
 
   /** One code segment (binary sign codes or PQ codes) — plain parquet
-    * (no cid to partition by; code serving scans every code anyway). */
-  private def writeBinarySegment(codes: DataFrame, path: String): String = {
-    val name = s"segments/seg-${java.util.UUID.randomUUID()}"
+    * (no cid to partition by; code serving scans every code anyway).
+    * Same manifest-first discipline as [[writeSegmentTo]]. */
+  private def writeBinarySegmentTo(codes: DataFrame, path: String,
+      name: String): Unit = {
     codes.write.mode("overwrite").parquet(s"$path/$name")
-    name
   }
 
   /** The committed generation's code table — manifest segments unioned,
@@ -831,6 +866,19 @@ object Similarity {
   private[graft] def binaryLoadParts(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     codesParts(spark, path, graft.core.IndexGen.readDir(path))
+
+  /** `restrictTo` contract check shared by the persisted-index loaders:
+    * exactly ONE id column, renamed to neighbor_id for the pre-rank
+    * semi-join. Silently taking columns.head accepted a multi-column
+    * frame and filtered by whatever its first column happened to be —
+    * a wrong-column mistake with no error. */
+  private def restrictIds(ids: DataFrame): DataFrame = {
+    require(ids.columns.length == 1,
+      "restrictTo must be a single-id-column DataFrame (the ids to keep); " +
+        s"got columns [${ids.columns.mkString(", ")}] — select the id " +
+        "column first")
+    ids.toDF("neighbor_id")
+  }
 
   /** Code segments of an ALREADY-RESOLVED generation dir — callers that
     * read several index parts (codebook + codes) must resolve the
@@ -867,7 +915,7 @@ object Similarity {
     val codes = restrictTo match {
       case None => codes0
       case Some(ids) => codes0.join(
-        ids.select(ids.columns.head).toDF("neighbor_id"),
+        restrictIds(ids),
         Seq("neighbor_id"), "left_semi")
     }
     val qf = queries.select(qid.as("query_id"),
@@ -1263,8 +1311,9 @@ object Similarity {
     val (dir, gen) = graft.core.IndexGen.stage(path)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     cb.write.mode("overwrite").parquet(s"$dir/codebook")
-    val seg = writeSegment(lists, path)
-    writeManifest(dir, Seq(seg))
+    val seg = newSegmentName()
+    writeManifest(dir, Seq(seg)) // manifest-first: see newSegmentName
+    writeSegmentTo(lists, path, seg)
     graft.core.IndexGen.commit(path, gen)
     vacuumSegments(path)
   }
@@ -1298,11 +1347,12 @@ object Similarity {
         graft.plans.VecExprs.pqEncode(col("v"), flatCb, cwn2s, mA, ksubA, dsubA)
           .as("codes")), "neighbor_id")
       .select(col("neighbor_id"), col("cid"), col("codes"))
-    val seg = writeSegment(lists, path)
     val (dir, gen) = graft.core.IndexGen.stage(path)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     cb.write.mode("overwrite").parquet(s"$dir/codebook")
-    writeManifest(dir, oldSegs :+ seg)
+    val seg = newSegmentName()
+    writeManifest(dir, oldSegs :+ seg) // manifest-first: see newSegmentName
+    writeSegmentTo(lists, path, seg)
     graft.core.IndexGen.commit(path, gen)
     vacuumSegments(path)
     gen
@@ -1332,7 +1382,7 @@ object Similarity {
     val lists1 = restrictTo match {
       case None => lists0
       case Some(ids) => lists0.join(
-        ids.select(ids.columns.head).toDF("neighbor_id"),
+        restrictIds(ids),
         Seq("neighbor_id"), "left_semi")
     }
     val (flatCb, _, mA, ksubA, dsubA) = cbArrays(cb)
@@ -1390,8 +1440,9 @@ object Similarity {
     val (cb, codes) = pqBuild(data, did, dvec, m, ksub, dim)
     val (dir, gen) = graft.core.IndexGen.stage(path)
     cb.write.mode("overwrite").parquet(s"$dir/codebook")
-    val seg = writeBinarySegment(codes, path)
-    writeManifest(dir, Seq(seg))
+    val seg = newSegmentName()
+    writeManifest(dir, Seq(seg)) // manifest-first: see newSegmentName
+    writeBinarySegmentTo(codes, path, seg)
     graft.core.IndexGen.commit(path, gen)
     vacuumSegments(path)
   }
@@ -1411,10 +1462,6 @@ object Similarity {
       newData: DataFrame, did: Column, dvec: Column): Long = {
     val cur = graft.core.IndexGen.readDir(path)
     val cb = spark.read.parquet(s"$cur/codebook")
-    val oldSegs = readManifest(cur).getOrElse {
-      // legacy layout (flat codes/ dir): fold into the segment store once
-      Seq(writeBinarySegment(spark.read.parquet(s"$cur/codes"), path))
-    }
     val (flatCb, cwn2s, mA, ksubA, dsubA) = cbArrays(cb)
     val d = l2normalize(
       spread(newData).select(did.as("id"),
@@ -1422,10 +1469,16 @@ object Similarity {
     val codes = d.select(col("id").as("neighbor_id"),
       graft.plans.VecExprs.pqEncode(col("v"), flatCb, cwn2s, mA, ksubA, dsubA)
         .as("codes"))
-    val seg = writeBinarySegment(codes, path)
     val (dir, gen) = graft.core.IndexGen.stage(path)
     cb.write.mode("overwrite").parquet(s"$dir/codebook")
-    writeManifest(dir, oldSegs :+ seg)
+    // legacy layout (flat codes/ dir): fold into the segment store once
+    val oldManifest = readManifest(cur)
+    val legacySeg = if (oldManifest.isEmpty) Some(newSegmentName()) else None
+    val seg = newSegmentName()
+    writeManifest(dir, oldManifest.getOrElse(legacySeg.toSeq) :+ seg)
+    legacySeg.foreach(n =>
+      writeBinarySegmentTo(spark.read.parquet(s"$cur/codes"), path, n))
+    writeBinarySegmentTo(codes, path, seg)
     graft.core.IndexGen.commit(path, gen)
     vacuumSegments(path)
     gen
@@ -1454,7 +1507,7 @@ object Similarity {
     val codes = restrictTo match {
       case None => codes0
       case Some(ids) => codes0.join(
-        ids.select(ids.columns.head).toDF("neighbor_id"),
+        restrictIds(ids),
         Seq("neighbor_id"), "left_semi")
     }
     val (flatCb, _, mA, ksubA, dsubA) = cbArrays(cb)
@@ -1502,8 +1555,13 @@ object Similarity {
     * count turns each bucket into the skew unit. Pass the result to
     * [[lshTopK]] / [[rhpBucket]] instead of hardcoding. */
   def planesFor(corpusSize: Long, targetBucketSize: Long = 256): Int =
+    // the -1e-9 nudge pins the exact-power-of-two boundary (n/target =
+    // 2^k): ceil over a libm log that lands epsilon ABOVE the integer
+    // would disagree with the DuckDB oracle's replay of this formula —
+    // both engines' log errors are < 1 ulp, so both land on the same
+    // side of the nudged value
     math.max(1, math.ceil(math.log(corpusSize.toDouble /
-      math.max(1L, targetBucketSize)) / math.log(2)).toInt)
+      math.max(1L, targetBucketSize)) / math.log(2) - 1e-9).toInt)
 
   /** IVF list count for a corpus: the power of two nearest √n (the
     * FAISS sizing convention). Like [[planesFor]], the index geometry

@@ -445,6 +445,92 @@ class DocStoreSpec extends SparkSpec {
       exact.exceptAll(sw).count() == 0)
   }
 
+  test("kind switches vacuum superseded index dirs grace-1; a reader " +
+      "mid-switch still answers") {
+    val root = java.nio.file.Files.createTempDirectory("ds_kvac").toString
+    store.save(root, DocStore.BinaryCodes(rescore = 200)) // kind A
+    val binDir = DocStore.indexDirOf(root, DocStore.BinaryCodes(rescore = 200))
+    val pqDir = DocStore.indexDirOf(root, DocStore.PqCodes(3, 4, 200))
+    val ivfpqDir = DocStore.indexDirOf(root,
+      DocStore.IvfPqCodes(3, 4, 4, 200))
+    // switch A → B: the previous kind's dir survives (grace for an
+    // in-flight reader that resolved the old marker)
+    DocStore.rebuildIndex(spark, root, DocStore.PqCodes(m = 3, ksub = 4,
+      rescore = 200))
+    assert(new java.io.File(binDir).isDirectory,
+      "immediately-previous kind dir must survive the flip (grace-1)")
+    // switch B → C: A's dir is now beyond the grace line and vacuumed;
+    // B's survives
+    DocStore.rebuildIndex(spark, root, DocStore.IvfPqCodes(m = 3, ksub = 4,
+      nlist = 4, rescore = 200))
+    assert(!new java.io.File(binDir).exists(),
+      "kind dir superseded two switches ago must be vacuumed")
+    assert(new java.io.File(pqDir).isDirectory)
+    assert(new java.io.File(ivfpqDir).isDirectory)
+    // the store keeps answering after the double switch, identically to
+    // the exact store (full probe + full rescore)
+    val sw = DocStore.open(spark, root, DocStore.hashEmbedder(8), nprobe = 4)
+      .retrieve(q("uno dos tres"), col("qid"), col("qtext"), 3)
+      .select("qid", "rank", "doc_id", "chunk_id")
+    val exact = store.retrieve(q("uno dos tres"), col("qid"), col("qtext"), 3)
+      .select("qid", "rank", "doc_id", "chunk_id")
+    assert(sw.exceptAll(exact).count() == 0 && exact.exceptAll(sw).count() == 0)
+    // crashed-flip tmp orphans are swept by the next successful flip
+    val orphan = new java.io.File(root, ".index_kind.123.tmp")
+    java.nio.file.Files.writeString(orphan.toPath, "kind=binary")
+    DocStore.rebuildIndex(spark, root, DocStore.PqCodes(m = 3, ksub = 4,
+      rescore = 200))
+    assert(!orphan.exists(), "stale .index_kind.*.tmp must be swept")
+  }
+
+  test("IvfPqCodes rejects rescore=0 at construction, before any build work") {
+    assert(intercept[IllegalArgumentException] {
+      DocStore.IvfPqCodes(m = 3, ksub = 4, nlist = 4, rescore = 0)
+    }.getMessage.contains("rescore"))
+    // the guard fires before save() runs the expensive centroid/encode
+    // build — nothing lands on disk
+    val root = java.nio.file.Files.createTempDirectory("ds_r0").toString
+    intercept[IllegalArgumentException] {
+      store.save(root, DocStore.IvfPqCodes(m = 3, ksub = 4, rescore = 0))
+    }
+    assert(!new java.io.File(root, "chunks").exists(),
+      "a constructor-rejected save must not have started writing")
+  }
+
+  test("flat-PQ warning fires exactly at the IVF-worthy corpus line") {
+    assert(DocStore.flatPqCorpusWarning(DocStore.flatPqWarnRows - 1).isEmpty)
+    val msg = DocStore.flatPqCorpusWarning(DocStore.flatPqWarnRows)
+    assert(msg.nonEmpty && msg.get.contains("IvfPqCodes"))
+  }
+
+  test("restrictTo rejects a multi-column id frame instead of silently " +
+      "filtering by the first column") {
+    val path = java.nio.file.Files.createTempDirectory("ds_restrict").toString
+    store.save(path, DocStore.BinaryCodes(rescore = 200))
+    val idir = DocStore.indexDirOf(path, DocStore.readIndexKind(path))
+    val twoCols = store.chunks.select("chunk_key", "doc_id")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.binaryLoadTopK(spark, idir,
+        q("uno dos tres").select(col("qid"),
+          DocStore.hashEmbedder(8)(col("qtext")).as("qv")),
+        col("qid"), col("qv"), k = 3, restrictTo = Some(twoCols))
+    }
+    assert(ex.getMessage.contains("single-id-column"))
+  }
+
+  test("buildIndex fails with a descriptive error when the chunk table " +
+      "has no non-null embeddings") {
+    val root = java.nio.file.Files.createTempDirectory("ds_nodim").toString
+    store.chunks.withColumn("embedding",
+        lit(null).cast("array<double>"))
+      .write.mode("overwrite").parquet(s"$root/chunks")
+    val ex = intercept[IllegalStateException] {
+      DocStore.rebuildIndex(spark, root, DocStore.PqCodes(m = 3, ksub = 4,
+        rescore = 10))
+    }
+    assert(ex.getMessage.contains("no non-null embeddings"))
+  }
+
   test("parquetRowCount matches the scan count from footers alone") {
     val root = java.nio.file.Files.createTempDirectory("ds_cnt").toString
     store.save(root, nlist = 4)

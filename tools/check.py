@@ -11,11 +11,40 @@ and reports exact-match / near-match (float tolerance) / mismatch.
 import glob
 import json
 import math
+import os
+import re
 import sys
 
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def check_doc_counts(n_queries):
+    """Ledger hygiene: the suite counts README.md and SURVEY.md claim must
+    equal the number of queries Verify actually dumped — doc drift was a
+    recurring judge finding, so the gate enforces it."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    problems = []
+    for fname, pattern in (
+        ("README.md", r"\((\d+) as of round"),
+        ("SURVEY.md", r"Suite count: (\d+)"),
+    ):
+        try:
+            text = open(os.path.join(repo, fname)).read()
+        except OSError as e:
+            problems.append(f"{fname}: unreadable ({e})")
+            continue
+        m = re.search(pattern, text)
+        if not m:
+            problems.append(f"{fname}: missing pinned suite-count marker {pattern!r}")
+        elif int(m.group(1)) != n_queries:
+            problems.append(
+                f"{fname}: claims {m.group(1)} queries, suite has {n_queries}"
+            )
+    for p in problems:
+        print(f"FAIL  doc-count: {p}")
+    return len(problems)
 
 
 def norm_cell(v):
@@ -93,6 +122,7 @@ def main(outdir, sfdir):
                 if only_e:
                     print(f"      missing:      {list(only_e)[:2]}")
             failed += 1
+    failed += check_doc_counts(len(names))
     print(f"\n== {passed} pass, {weak} weak(rows-only), {failed} FAIL ==")
     return 1 if failed else 0
 
