@@ -515,15 +515,16 @@ object DocStoreQueries extends QueryModule {
         r4e(col("score")).as("score"))
   }
 
-  // IVF-PQ codes-only persisted store — the full FAISS serving
-  // composition at rest behind the store façade: 64 md5-sampled coarse
-  // centroids (over NORMALIZED chunk vectors, nlist derived at the
-  // sf0.01 chunk count) prune each query to nprobe=4 cid-partitioned
-  // lists, PQ codes (m=17 one-dim subspaces, ksub=16) rank the in-list
-  // candidates by decoded dot, rescore=10 float refine against the
-  // chunk table. The oracle replays centroid fit, assignment, codebook
-  // fit, encode, decode, probe, rank, and refine.
-  q("q_doc_store_ivf_pq",
+  /** Shared oracle for every IVF-PQ codes-only serving path (batch save
+    * and streaming ingest must land on the same state) — the full FAISS
+    * serving composition replayed in SQL: 64 md5-sampled coarse
+    * centroids (over NORMALIZED chunk vectors, nlist derived at the
+    * sf0.01 chunk count) prune each query to nprobe=4 cid-partitioned
+    * lists, PQ codes (m=17 one-dim subspaces, ksub=16) rank the in-list
+    * candidates by decoded dot, rescore=10 float refine against the
+    * chunk table: centroid fit, assignment, codebook fit, encode,
+    * decode, probe, rank, and refine. */
+  private val ivfPqStoreSql =
     s"""WITH $pipeCte,
       |wn AS (SELECT chunk_key,
       |  list_transform(v, x ->
@@ -578,11 +579,50 @@ object DocStoreQueries extends QueryModule {
       |SELECT r2.qid, r2.rank, k2.doc_id, k2.chunk_id,
       |  round(r2.c + 1e-9, 4) AS score
       |FROM r2 JOIN ck k2 ON k2.chunk_key = r2.chunk_key
-      |WHERE r2.rank <= 3""") { (s, dir) =>
+      |WHERE r2.rank <= 3"""
+
+  // IVF-PQ codes-only persisted store behind the store façade — the
+  // batch path of the shared IVF-PQ oracle.
+  q("q_doc_store_ivf_pq", ivfPqStoreSql) { (s, dir) =>
     val store = storeOf(s, dir)
     val path = java.nio.file.Files.createTempDirectory("graft_ds_ivfpq").toString
     store.save(path, DocStore.IvfPqCodes(m = 17, ksub = 16, rescore = 10))
     DocStore.open(s, path, DocStore.hashEmbedder(16), nprobe = 4)
+      .retrieve(queriesOf(s, dir), col("qid"), col("qtext"), k = 3)
+      .select(col("qid"), col("rank"), col("doc_id"), col("chunk_id"),
+        r4e(col("score")).as("score"))
+  }
+
+  // LIVE ingestion → IVF-PQ codes-only refresh — the THIRD codes kind
+  // through the kind-generic streaming loop (binary and pq above), and
+  // the at-scale default store kind: micro-batch ingest, then
+  // rebuildIndex fits BOTH frozen geometries (coarse centroids +
+  // codebook) on the full accumulated corpus and publishes the
+  // composed codes-only generation; serving must equal the batch-saved
+  // IVF-PQ store exactly.
+  q("q_doc_store_stream_ivf_pq", ivfPqStoreSql) { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .as[(Long, String, String, String)].collect()
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, String)]
+    val stream = in.toDF().toDF("doc_id", "text", "lang", "source")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"),
+        col("lang"), col("source"))
+    val root = java.nio.file.Files.createTempDirectory("graft_ds_sip").toString
+    val q = DocStore.buildStream(stream, col("doc_id"), col("data"),
+      root, s"$root/ckpt", metadata = Seq("lang", "source"),
+      chunkSize = 8, overlap = 3, embedder = DocStore.hashEmbedder(16)).start()
+    try {
+      val (evens, odds) = docs.partition(_._1 % 2 == 0)
+      in.addData(evens.toSeq); q.processAllAvailable()
+      in.addData(odds.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    DocStore.rebuildIndex(s, root, DocStore.IvfPqCodes(m = 17, ksub = 16,
+      rescore = 10))
+    DocStore.open(s, root, DocStore.hashEmbedder(16), nprobe = 4)
       .retrieve(queriesOf(s, dir), col("qid"), col("qtext"), k = 3)
       .select(col("qid"), col("rank"), col("doc_id"), col("chunk_id"),
         r4e(col("score")).as("score"))

@@ -122,7 +122,14 @@ def main(outdir, sfdir):
                 if only_e:
                     print(f"      missing:      {list(only_e)[:2]}")
             failed += 1
-    failed += check_doc_counts(len(names))
+    if len(names) >= len(oracle):
+        failed += check_doc_counts(len(names))
+    else:
+        # SPARK_GRAFT_ONLY-narrowed dump (fewer result dirs than the full
+        # oracle map Verify always writes): a targeted local check, not
+        # the full suite — the doc-count pin only applies to full runs
+        print(f"note  doc-count check skipped (targeted run: "
+              f"{len(names)}/{len(oracle)} queries dumped)")
     print(f"\n== {passed} pass, {weak} weak(rows-only), {failed} FAIL ==")
     return 1 if failed else 0
 
