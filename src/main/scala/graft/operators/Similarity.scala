@@ -385,13 +385,6 @@ object Similarity {
         .withColumn("n2", norm2(col("v"), dim)),
       cents)
 
-  /** One inverted-list segment under `path/segments/` — cluster by cid
-    * before the partitioned write: partitionBy opens one file per
-    * (task, cid) pair, so un-clustered input writes up to tasks×nlist
-    * near-empty files (8k at nlist=256, local[32]) — slow here, and the
-    * classic small-files problem on a real filesystem. Hash-clustered,
-    * each list lands in exactly one task → nlist files. Returns the
-    * path-relative segment name. */
   /** Reserve a segment name. Writers stage the name into the NEW
     * generation's manifest BEFORE the segment's bytes land in
     * `segments/` ([[writeSegmentTo]] after [[writeManifest]]): the
@@ -403,6 +396,12 @@ object Similarity {
   private def newSegmentName(): String =
     s"segments/seg-${java.util.UUID.randomUUID()}"
 
+  /** One inverted-list segment under `path/segments/` — cluster by cid
+    * before the partitioned write: partitionBy opens one file per
+    * (task, cid) pair, so un-clustered input writes up to tasks×nlist
+    * near-empty files (8k at nlist=256, local[32]) — slow here, and the
+    * classic small-files problem on a real filesystem. Hash-clustered,
+    * each list lands in exactly one task → nlist files. */
   private def writeSegmentTo(assigned: DataFrame, path: String,
       name: String): Unit = {
     // explicit partition count: a bare repartition(cid) gets
