@@ -225,12 +225,15 @@ object DocStoreQueries extends QueryModule {
         r4e(col("score")).as("score"))
   }
 
-  // LIVE ingestion of the same corpus: documents arrive as TWO streaming
-  // micro-batches through buildStream (the stateless chunk pipeline under
-  // Structured Streaming, append parquet sink, exactly-once checkpoint),
-  // then a batch index refresh + open() must answer EXACTLY like the
-  // batch-persisted store — same oracle, not a row different.
-  q("q_doc_store_stream", persistedSql) { (s, dir) =>
+  /** Shared streaming-ingest harness for the q_doc_store_stream* family
+    * (one body, four kinds — divergence here would silently break the
+    * batch-vs-stream oracle parity each of those queries proves): the
+    * documents table re-encoded to the binary connector contract, fed as
+    * TWO micro-batches (even doc ids, then odd) through [[DocStore
+    * .buildStream]] into a fresh store root. Returns the root for the
+    * kind-specific rebuildIndex + open. */
+  private def ingestStreamed(s: SparkSession, dir: String,
+      prefix: String): String = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val docs = load(s, dir, "documents")
@@ -241,7 +244,7 @@ object DocStoreQueries extends QueryModule {
     val stream = in.toDF().toDF("doc_id", "text", "lang", "source")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"),
         col("lang"), col("source"))
-    val root = java.nio.file.Files.createTempDirectory("graft_ds_stream").toString
+    val root = java.nio.file.Files.createTempDirectory(prefix).toString
     val q = DocStore.buildStream(stream, col("doc_id"), col("data"),
       root, s"$root/ckpt", metadata = Seq("lang", "source"),
       chunkSize = 8, overlap = 3, embedder = DocStore.hashEmbedder(16)).start()
@@ -250,6 +253,16 @@ object DocStoreQueries extends QueryModule {
       in.addData(evens.toSeq); q.processAllAvailable()
       in.addData(odds.toSeq); q.processAllAvailable()
     } finally q.stop()
+    root
+  }
+
+  // LIVE ingestion of the same corpus: documents arrive as TWO streaming
+  // micro-batches through buildStream (the stateless chunk pipeline under
+  // Structured Streaming, append parquet sink, exactly-once checkpoint),
+  // then a batch index refresh + open() must answer EXACTLY like the
+  // batch-persisted store — same oracle, not a row different.
+  q("q_doc_store_stream", persistedSql) { (s, dir) =>
+    val root = ingestStreamed(s, dir, "graft_ds_stream")
     DocStore.rebuildIndex(s, root)
     DocStore.open(s, root, DocStore.hashEmbedder(16), nprobe = 4)
       .retrieve(queriesOf(s, dir), col("qid"), col("qtext"), k = 3)
@@ -393,25 +406,7 @@ object DocStoreQueries extends QueryModule {
   // rebuildIndex pins kind=binary and publishes a codes-only generation;
   // open() must answer EXACTLY like the batch-saved binary store.
   q("q_doc_store_stream_binary", binaryStoreSql) { (s, dir) =>
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val docs = load(s, dir, "documents")
-      .select(col("doc_id"), col("text"), col("lang"), col("source"))
-      .as[(Long, String, String, String)].collect()
-    val in = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, String, String, String)]
-    val stream = in.toDF().toDF("doc_id", "text", "lang", "source")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"),
-        col("lang"), col("source"))
-    val root = java.nio.file.Files.createTempDirectory("graft_ds_sb").toString
-    val q = DocStore.buildStream(stream, col("doc_id"), col("data"),
-      root, s"$root/ckpt", metadata = Seq("lang", "source"),
-      chunkSize = 8, overlap = 3, embedder = DocStore.hashEmbedder(16)).start()
-    try {
-      val (evens, odds) = docs.partition(_._1 % 2 == 0)
-      in.addData(evens.toSeq); q.processAllAvailable()
-      in.addData(odds.toSeq); q.processAllAvailable()
-    } finally q.stop()
+    val root = ingestStreamed(s, dir, "graft_ds_sb")
     DocStore.rebuildIndex(s, root, DocStore.BinaryCodes(rescore = 10))
     DocStore.open(s, root, DocStore.hashEmbedder(16))
       .retrieve(queriesOf(s, dir), col("qid"), col("qtext"), k = 3,
@@ -488,25 +483,7 @@ object DocStoreQueries extends QueryModule {
   // CORPUS — and the post-refresh generation must serve EXACTLY like
   // the batch-saved PQ store.
   q("q_doc_store_stream_pq", pqStoreSql) { (s, dir) =>
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val docs = load(s, dir, "documents")
-      .select(col("doc_id"), col("text"), col("lang"), col("source"))
-      .as[(Long, String, String, String)].collect()
-    val in = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, String, String, String)]
-    val stream = in.toDF().toDF("doc_id", "text", "lang", "source")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"),
-        col("lang"), col("source"))
-    val root = java.nio.file.Files.createTempDirectory("graft_ds_sp").toString
-    val q = DocStore.buildStream(stream, col("doc_id"), col("data"),
-      root, s"$root/ckpt", metadata = Seq("lang", "source"),
-      chunkSize = 8, overlap = 3, embedder = DocStore.hashEmbedder(16)).start()
-    try {
-      val (evens, odds) = docs.partition(_._1 % 2 == 0)
-      in.addData(evens.toSeq); q.processAllAvailable()
-      in.addData(odds.toSeq); q.processAllAvailable()
-    } finally q.stop()
+    val root = ingestStreamed(s, dir, "graft_ds_sp")
     DocStore.rebuildIndex(s, root, DocStore.PqCodes(m = 17, ksub = 16,
       rescore = 10))
     DocStore.open(s, root, DocStore.hashEmbedder(16))
@@ -601,25 +578,7 @@ object DocStoreQueries extends QueryModule {
   // composed codes-only generation; serving must equal the batch-saved
   // IVF-PQ store exactly.
   q("q_doc_store_stream_ivf_pq", ivfPqStoreSql) { (s, dir) =>
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val docs = load(s, dir, "documents")
-      .select(col("doc_id"), col("text"), col("lang"), col("source"))
-      .as[(Long, String, String, String)].collect()
-    val in = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, String, String, String)]
-    val stream = in.toDF().toDF("doc_id", "text", "lang", "source")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"),
-        col("lang"), col("source"))
-    val root = java.nio.file.Files.createTempDirectory("graft_ds_sip").toString
-    val q = DocStore.buildStream(stream, col("doc_id"), col("data"),
-      root, s"$root/ckpt", metadata = Seq("lang", "source"),
-      chunkSize = 8, overlap = 3, embedder = DocStore.hashEmbedder(16)).start()
-    try {
-      val (evens, odds) = docs.partition(_._1 % 2 == 0)
-      in.addData(evens.toSeq); q.processAllAvailable()
-      in.addData(odds.toSeq); q.processAllAvailable()
-    } finally q.stop()
+    val root = ingestStreamed(s, dir, "graft_ds_sip")
     DocStore.rebuildIndex(s, root, DocStore.IvfPqCodes(m = 17, ksub = 16,
       rescore = 10))
     DocStore.open(s, root, DocStore.hashEmbedder(16), nprobe = 4)

@@ -781,10 +781,11 @@ object PipelineQueries extends QueryModule {
       |FROM r WHERE rank <= 1""") { (s, dir) =>
     val emb = load(s, dir, "embeddings")
     // planes DERIVED from the corpus (planesFor), not frozen: target
-    // occupancy 8 ⇒ ceil(log2(500/8)) = 6 at the sf0.01 oracle scale —
-    // the same 6 planes the oracle SQL hardcodes — and log2 more planes
-    // per scale-up beyond it (10 at sf0.1), keeping per-bucket pairwise
-    // work bounded instead of quadratic in corpus growth
+    // occupancy 8 ⇒ ceil(log2(500/8)) = 6 at the sf0.01 oracle scale,
+    // and log2 more planes per scale-up, keeping per-bucket pairwise
+    // work bounded instead of quadratic in corpus growth. The oracle
+    // derives the SAME count from its own count(*) (the np CTE), so the
+    // pair stays in lockstep at any sf.
     Similarity.lshTopK(emb, col("vec_id"),
         col("embedding"), dim = 64,
         planes = Similarity.planesFor(emb.count(), targetBucketSize = 8), k = 1)

@@ -127,12 +127,15 @@ object RetrievalQueries extends QueryModule {
   // DataIndex/as_retriever façade end-to-end (reference:
   // data_index.py:278 + hybrid_index.py:14; previously DataIndexSpec-
   // only): exact brute-force and LSH retrievers over the same corpus,
-  // RRF-fused by the hybrid retriever. The LSH side derives 6 planes at
-  // the oracle scale (planesFor(500, 8)) — the same 6 the SQL hardcodes —
-  // and keeps its self-match (the façade's LSH path doesn't exclude the
+  // RRF-fused by the hybrid retriever. The LSH side derives its plane
+  // count from the corpus (planesFor(n, 8)) and the oracle derives the
+  // SAME count from its own count(*) — scale-correct at any sf — and
+  // keeps its self-match (the façade's LSH path doesn't exclude the
   // query row; brute force does).
   q("q_hybrid_retriever",
     """WITH w AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |np AS (SELECT greatest(1,
+      |  CAST(ceil(log2(count(*) / 8.0) - 1e-9) AS INT)) AS pp FROM w),
       |q AS (SELECT id AS qid, v AS qv FROM w WHERE id % 50 = 0),
       |bf AS (SELECT qid, id,
       |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, id) AS rank
@@ -145,7 +148,7 @@ object RetrievalQueries extends QueryModule {
       |  list_sum(list_transform(range(64), d -> v[d+1] *
       |    (CASE WHEN CAST('0x' || substr(md5(p || '_' || d), 1, 2) AS INTEGER) % 2 = 0
       |          THEN 1.0 ELSE -1.0 END))) AS proj
-      |  FROM w, UNNEST(range(6)) AS t(p)),
+      |  FROM w CROSS JOIN np, UNNEST(range(np.pp)) AS t(p)),
       |bk AS (SELECT id, CAST(sum(CASE WHEN proj >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
       |  AS bucket FROM pr GROUP BY id),
       |bv AS (SELECT w.id, w.v, bk.bucket FROM w JOIN bk ON w.id = bk.id),

@@ -260,7 +260,11 @@ object DocStore {
     * rebuilds and every [[open]] follow the flipped kind. */
   def rebuildIndex(spark: SparkSession, path: String,
       index: StoreIndex): Unit = {
-    val prev = readIndexKind(path)
+    // the previous kind is read only to grant its dir vacuum grace — an
+    // unreadable/corrupt marker must not make the EXPLICIT-kind rebuild
+    // throw (this call is the one API path that repairs a bad marker by
+    // overwriting it); fall back to the new kind, i.e. no extra grace
+    val prev = scala.util.Try(readIndexKind(path)).getOrElse(index)
     buildIndex(spark, path, index, 0)
     writeIndexKind(path, index)
     vacuumKindDirs(path, current = index, grace = prev)
@@ -270,8 +274,10 @@ object DocStore {
     * (serving pays |q|·|chunks| decoded dots with no coarse prune):
     * where [[Similarity.nlistFor]] would derive ≥ 64 lists, an IVF-worthy
     * corpus exists and [[IvfPqCodes]] gives the same at-rest codes behind
-    * a prune that measured 2.3× at 10× data vs flat PQ's 3.9×. */
-  private[graft] val flatPqWarnRows: Long = 64L * 64L // nlistFor ≥ 64
+    * a prune that measured 2.3× at 10× data vs flat PQ's 3.9×. 2048 is
+    * the smallest n with nlistFor(n) = 64 (nearest-power-of-two-to-√n
+    * rounds 45.25 up; DocStoreSpec pins the boundary). */
+  private[graft] val flatPqWarnRows: Long = 2048L
 
   /** Some(warning) when a flat-PQ index is being built over an
     * IVF-worthy corpus — surfaced by [[rebuildIndex]], pure so the spec
@@ -294,13 +300,21 @@ object DocStore {
   private def vacuumKindDirs(path: String, current: StoreIndex,
       grace: StoreIndex): Unit = {
     val keep = Set(indexDirOf(path, current), indexDirOf(path, grace))
-    Seq(IvfFlat(), PqCodes(1, 1, 1), BinaryCodes(1), IvfPqCodes(1, 1, 0, 1))
-      .map(k => indexDirOf(path, k)).distinct
+    allKindDirs(path)
       .filterNot(keep)
       .map(new java.io.File(_))
       .filter(_.isDirectory)
       .foreach(rmTreeDs)
   }
+
+  /** Every kind-scoped index dir a store at `path` could own — one
+    * representative per [[StoreIndex]] subclass (params don't affect the
+    * dir, see [[indexDirOf]]). Keep this list in sync with the sealed
+    * trait: a kind missing here is never vacuumed after being superseded
+    * (DocStoreSpec pins the count against the dir-name set). */
+  private[graft] def allKindDirs(path: String): Seq[String] =
+    Seq[StoreIndex](IvfFlat(), PqCodes(1, 1, 1), BinaryCodes(1),
+      IvfPqCodes(1, 1, 0, 1)).map(k => indexDirOf(path, k)).distinct
 
   private def rmTreeDs(f: java.io.File): Unit = {
     Option(f.listFiles).foreach(_.foreach(rmTreeDs)); f.delete(); ()
@@ -739,7 +753,8 @@ object DocStore {
               col("neighbor_id").as("chunk_key"),
               (if (rescore > 0) col("cosine") else col("score")).as("score"))
         case IvfPqCodes(_, _, _, rescore) =>
-          // rescore > 0 enforced at writeIndexKind — never coerced here
+          // rescore > 0 enforced by the IvfPqCodes constructor (which
+          // readIndexKind just invoked) — never coerced here
           Similarity.ivfPqLoadTopK(spark, dir, q,
               col("qid"), col("qv"), nprobe, k, rescore = rescore,
               rescoreAgainst = (chunks, col("chunk_key"), col("embedding")),

@@ -501,6 +501,16 @@ class DocStoreSpec extends SparkSpec {
     assert(DocStore.flatPqCorpusWarning(DocStore.flatPqWarnRows - 1).isEmpty)
     val msg = DocStore.flatPqCorpusWarning(DocStore.flatPqWarnRows)
     assert(msg.nonEmpty && msg.get.contains("IvfPqCodes"))
+    // the threshold IS the nlistFor >= 64 boundary it claims to be
+    assert(graft.operators.Similarity.nlistFor(DocStore.flatPqWarnRows) >= 64)
+    assert(graft.operators.Similarity.nlistFor(DocStore.flatPqWarnRows - 1) < 64)
+  }
+
+  test("allKindDirs covers every kind-scoped dir name (vacuum registry)") {
+    val dirs = DocStore.allKindDirs("p").map(_.stripPrefix("p/")).toSet
+    assert(dirs == Set("index", "index-pq", "index-binary", "index-ivfpq"),
+      s"a StoreIndex kind is missing from allKindDirs — its superseded " +
+        s"dir would never be vacuumed: $dirs")
   }
 
   test("restrictTo rejects a multi-column id frame instead of silently " +

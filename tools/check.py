@@ -122,13 +122,21 @@ def main(outdir, sfdir):
                 if only_e:
                     print(f"      missing:      {list(only_e)[:2]}")
             failed += 1
-    if len(names) >= len(oracle):
-        failed += check_doc_counts(len(names))
+    # A full-suite run dumps (at least) every oracle-keyed query; well
+    # under that means a SPARK_GRAFT_ONLY-narrowed local check, where the
+    # suite-level checks below don't apply. The suite size is keyed to
+    # the oracle map (Verify always writes it in full), NOT to the dir
+    # count — stale dirs from a reused outdir must neither inflate the
+    # count nor hide a query that crashed before dumping.
+    full_run = len(names) * 2 >= len(oracle)
+    if full_run:
+        for name in sorted(set(oracle) - set(names)):
+            print(f"FAIL  {name}: oracle present but no result dir "
+                  "(query crashed in Verify?)")
+            failed += 1
+        failed += check_doc_counts(len(oracle))
     else:
-        # SPARK_GRAFT_ONLY-narrowed dump (fewer result dirs than the full
-        # oracle map Verify always writes): a targeted local check, not
-        # the full suite — the doc-count pin only applies to full runs
-        print(f"note  doc-count check skipped (targeted run: "
+        print(f"note  doc-count/missing-dir checks skipped (targeted run: "
               f"{len(names)}/{len(oracle)} queries dumped)")
     print(f"\n== {passed} pass, {weak} weak(rows-only), {failed} FAIL ==")
     return 1 if failed else 0
