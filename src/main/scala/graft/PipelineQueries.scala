@@ -63,6 +63,78 @@ object PipelineQueries extends QueryModule {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Shared oracle for the incremental-dedup pair (save-then-probe and
+    * save-then-APPEND-then-probe must land on the identical state):
+    * history = even doc_ids' MinHash signatures, new = odd doc_ids,
+    * band-key candidates, signature-agreement Jaccard estimate
+    * (matching hashes / k) ≥ 0.5 — the full signature-index replay. */
+  private val dedupIncrementalSql =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] AS s
+      |       FROM w, UNNEST(range(1, len(ws)-1)) AS t(j)),
+      |mh AS (SELECT doc_id,
+      |  min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
+      |  min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3,
+      |  min(md5('4|' || s)) AS h4, min(md5('5|' || s)) AS h5
+      |  FROM sh GROUP BY doc_id),
+      |hist AS (SELECT * FROM mh WHERE doc_id % 2 = 0),
+      |nw AS (SELECT * FROM mh WHERE doc_id % 2 = 1),
+      |bh AS (
+      |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bk FROM hist UNION ALL
+      |  SELECT doc_id, 1, md5(h2 || h3) FROM hist UNION ALL
+      |  SELECT doc_id, 2, md5(h4 || h5) FROM hist),
+      |bn AS (
+      |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bk FROM nw UNION ALL
+      |  SELECT doc_id, 1, md5(h2 || h3) FROM nw UNION ALL
+      |  SELECT doc_id, 2, md5(h4 || h5) FROM nw),
+      |cand AS (SELECT DISTINCT x.doc_id AS id, y.doc_id AS dup_of
+      |  FROM bn x JOIN bh y
+      |  ON x.band = y.band AND x.bk = y.bk AND x.doc_id != y.doc_id),
+      |est AS (SELECT c.id, c.dup_of,
+      |  CAST((CASE WHEN n.h0 = h.h0 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN n.h1 = h.h1 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN n.h2 = h.h2 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN n.h3 = h.h3 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN n.h4 = h.h4 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN n.h5 = h.h5 THEN 1 ELSE 0 END) AS DOUBLE) / 6 AS e
+      |  FROM cand c JOIN nw n ON n.doc_id = c.id
+      |  JOIN hist h ON h.doc_id = c.dup_of)
+      |SELECT id, dup_of, round(e + 1e-9, 4) AS est_jaccard
+      |FROM est WHERE e >= 0.5""".stripMargin
+
+  // INCREMENTAL dedup — the production refresh loop's history half: the
+  // even-id docs' MinHash signatures persist as a signature index (one
+  // row per doc at rest — history text/shingles never re-read), the
+  // odd-id "day's ingest" band-joins against it and keeps candidates at
+  // signature-agreement est ≥ 0.5. The batch suite (q_dedup_minhash)
+  // covers the in-batch half of the loop.
+  q("q_dedup_incremental", dedupIncrementalSql) { (s, dir) =>
+    val docs = load(s, dir, "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft_sig").toString
+    Dedup.signatureSave(docs.filter(col("doc_id") % 2 === 0),
+      col("doc_id"), col("text"), path)
+    Dedup.dedupAgainst(s, path, docs.filter(col("doc_id") % 2 === 1),
+        col("doc_id"), col("text"), threshold = 0.5)
+      .select(col("id"), col("dup_of"), r4e(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  // The same final state reached INCREMENTALLY: index the doc_id % 4 = 0
+  // quarter, signatureAppend the % 4 = 2 quarter (O(new rows), history
+  // segment never re-read), probe the odds — same oracle as
+  // q_dedup_incremental, not a row different (append ≡ rebuild: a
+  // signature is a pure per-document function).
+  q("q_dedup_incremental_append", dedupIncrementalSql) { (s, dir) =>
+    val docs = load(s, dir, "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft_sig_app").toString
+    Dedup.signatureSave(docs.filter(col("doc_id") % 4 === 0),
+      col("doc_id"), col("text"), path)
+    Dedup.signatureAppend(s, path, docs.filter(col("doc_id") % 4 === 2),
+      col("doc_id"), col("text"))
+    Dedup.dedupAgainst(s, path, docs.filter(col("doc_id") % 2 === 1),
+        col("doc_id"), col("text"), threshold = 0.5)
+      .select(col("id"), col("dup_of"), r4e(col("est_jaccard")).as("est_jaccard"))
+  }
+
   // SimHash fingerprint (16-bit, word-multiset)
   q("q_dedup_simhash",
     """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),

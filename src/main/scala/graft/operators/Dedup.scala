@@ -91,6 +91,124 @@ object Dedup {
       (1 until k).map(i =>
         min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i")): _*)
 
+  // ------------------------------------------------------------------
+  // Incremental dedup: a persisted MinHash signature index
+  // ------------------------------------------------------------------
+  //
+  // Batch dedup (minhashLshPairs & co) re-shingles the WHOLE corpus per
+  // run — right for a one-shot corpus build, wrong for the production
+  // refresh loop, where each day's ingest must dedup against ALL
+  // history: at 100 TB re-shingling history per batch is the cost that
+  // kills the pipeline. The signature index is the dedup twin of the
+  // ANN segment stores (Similarity.ivfAppend): history is represented
+  // at rest by its k-column MinHash signature table (one row per doc —
+  // ~64 bytes/doc at k=6 vs ~50× the text bytes for shingles), grown by
+  // O(new docs) segment appends, probed by band-key equi-join. Neither
+  // the historical text nor its shingles are ever re-read.
+
+  /** Persist a MinHash signature index over a corpus: the (id, h0..hk-1)
+    * signature table under an atomic [[graft.core.IndexGen]] generation
+    * (segment manifest, so [[signatureAppend]] grows it O(new rows)),
+    * plus the (n, k, bands) geometry the signatures were computed with —
+    * probes and appends read the geometry from the index, so a caller
+    * cannot accidentally mix signature spaces. One O(corpus) shingle+
+    * minhash pass, paid once. */
+  def signatureSave(df: DataFrame, id: Column, text: Column, path: String,
+      n: Int = 3, k: Int = 6, bands: Int = 3): Unit = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val sigs = minhash(shingles(df, id, text, n), k)
+    val (dir, gen) = graft.core.IndexGen.stage(path)
+    writeSigMeta(dir, n, k, bands)
+    val seg = Similarity.newSegmentName()
+    Similarity.writeManifest(dir, Seq(seg)) // manifest-first discipline
+    Similarity.writeBinarySegmentTo(sigs, path, seg)
+    graft.core.IndexGen.commit(path, gen)
+    Similarity.vacuumSegments(path)
+  }
+
+  /** Grow a [[signatureSave]]d index by the new documents only — one
+    * shingle+minhash pass over `newDf` (geometry read from the index),
+    * committed as a manifest segment append: O(new rows) compute and
+    * I/O, history never re-read. A signature is a pure per-document
+    * function, so append ≡ rebuild exactly (the binaryAppend contract;
+    * the spec pins probe-result equality). Same single-writer /
+    * caller-feeds-only-new-ids contract as every segment store.
+    * Returns the committed generation. */
+  def signatureAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+      newDf: DataFrame, id: Column, text: Column): Long = {
+    val cur = graft.core.IndexGen.readDir(path)
+    val (n, k, bands) = readSigMeta(cur)
+    val sigs = minhash(shingles(newDf, id, text, n), k)
+    val (dir, gen) = graft.core.IndexGen.stage(path)
+    writeSigMeta(dir, n, k, bands)
+    val oldSegs = Similarity.readManifest(cur).getOrElse(
+      throw new IllegalStateException(
+        s"signatureAppend: no segment manifest in $cur — not a " +
+          "signatureSave index"))
+    val seg = Similarity.newSegmentName()
+    Similarity.writeManifest(dir, oldSegs :+ seg)
+    Similarity.writeBinarySegmentTo(sigs, path, seg)
+    graft.core.IndexGen.commit(path, gen)
+    Similarity.vacuumSegments(path)
+    gen
+  }
+
+  /** Dedup NEW documents against the persisted history: band-key
+    * equi-join of the new docs' banded signatures against the index's
+    * (candidate volume bounded by real near-dup structure — no shingle
+    * joins, no history scan beyond the one signature-table read), then a
+    * signature-agreement Jaccard ESTIMATE over candidates only —
+    * est = |{i : hᵢ(new) = hᵢ(old)}| / k, the standard MinHash estimator
+    * (exact Jaccard would need history's shingles, which the index
+    * deliberately does not store; at production k (≥ 64) the estimate's
+    * granularity 1/k is below any useful threshold). Returns
+    * (id, dup_of, est_jaccard) for every candidate pair with
+    * est ≥ threshold; new docs are NOT deduped among themselves — run
+    * [[minhashLshPairs]] on the batch first, that is the in-batch half
+    * of the refresh loop. Serves the committed generation (one readDir),
+    * so probes keep answering through a concurrent append. */
+  def dedupAgainst(spark: org.apache.spark.sql.SparkSession, path: String,
+      newDf: DataFrame, id: Column, text: Column,
+      threshold: Double = 0.5): DataFrame = {
+    val cur = graft.core.IndexGen.readDir(path)
+    val (n, k, bands) = readSigMeta(cur)
+    val r = k / bands
+    val hist = Similarity.codesParts(spark, path, cur)
+    val probe = Caches.eager(minhash(shingles(newDf, id, text, n), k))
+    val cand = bandRows(probe, bands, r).as("x")
+      .join(bandRows(hist, bands, r).as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("id"), col("y.id").as("dup_of")).distinct()
+    val matches = (0 until k)
+      .map(i => when(col(s"h$i") === col(s"g$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(probe, "id")
+      .join(hist.select(col("id").as("dup_of") +:
+        (0 until k).map(i => col(s"h$i").as(s"g$i")): _*), "dup_of")
+      .select(col("id"), col("dup_of"),
+        (matches.cast("double") / k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  private def writeSigMeta(genDir: String, n: Int, k: Int, bands: Int): Unit = {
+    new java.io.File(genDir).mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(genDir, "sig_meta.txt").toPath,
+      s"n=$n\nk=$k\nbands=$bands")
+    ()
+  }
+
+  private def readSigMeta(genDir: String): (Int, Int, Int) = {
+    val f = new java.io.File(genDir, "sig_meta.txt")
+    require(f.isFile, s"not a signature index: missing ${f.getPath}")
+    val kv = java.nio.file.Files.readString(f.toPath).split("\n")
+      .map(_.trim).filter(_.contains("="))
+      .map { l => val Array(a, b) = l.split("=", 2); a -> b.toInt }.toMap
+    (kv("n"), kv("k"), kv("bands"))
+  }
+
   /** (band, band-key) rows for an LSH banding of a minhash signature
     * table: ONE projection exploding an array of (band, bk) structs —
     * a per-band union would scan the signature table `bands` times as

@@ -393,7 +393,7 @@ object Similarity {
     * concurrent writer's vacuum (already a violation of the
     * single-writer contract) can no longer delete a mid-append segment
     * and commit a manifest pointing at deleted files. */
-  private def newSegmentName(): String =
+  private[operators] def newSegmentName(): String =
     s"segments/seg-${java.util.UUID.randomUUID()}"
 
   /** One inverted-list segment under `path/segments/` — cluster by cid
@@ -412,7 +412,7 @@ object Similarity {
       .partitionBy("cid").parquet(s"$path/$name")
   }
 
-  private def writeManifest(genDir: String, segs: Seq[String]): Unit = {
+  private[operators] def writeManifest(genDir: String, segs: Seq[String]): Unit = {
     // binary saves write nothing else into the gen dir before the
     // manifest (ivf's centroid parquet creates it as a side effect)
     new java.io.File(genDir).mkdirs()
@@ -421,7 +421,7 @@ object Similarity {
     ()
   }
 
-  private def readManifest(genDir: String): Option[Seq[String]] = {
+  private[operators] def readManifest(genDir: String): Option[Seq[String]] = {
     val f = new java.io.File(genDir, "segments.txt")
     if (f.isFile)
       Some(java.nio.file.Files.readString(f.toPath).split("\n").toSeq
@@ -432,7 +432,7 @@ object Similarity {
   /** Drop segment dirs no surviving generation references (commit
     * already pruned old generation dirs; their exclusive segments are
     * dead weight). Single-writer discipline, same as the sink vacuums. */
-  private def vacuumSegments(path: String): Unit = {
+  private[operators] def vacuumSegments(path: String): Unit = {
     val segRoot = new java.io.File(path, "segments")
     if (!segRoot.isDirectory) return
     val root = new java.io.File(path)
@@ -855,7 +855,7 @@ object Similarity {
   /** One code segment (binary sign codes or PQ codes) — plain parquet
     * (no cid to partition by; code serving scans every code anyway).
     * Same manifest-first discipline as [[writeSegmentTo]]. */
-  private def writeBinarySegmentTo(codes: DataFrame, path: String,
+  private[operators] def writeBinarySegmentTo(codes: DataFrame, path: String,
       name: String): Unit = {
     codes.write.mode("overwrite").parquet(s"$path/$name")
   }
@@ -883,7 +883,7 @@ object Similarity {
     * read several index parts (codebook + codes) must resolve the
     * generation ONCE so a concurrent append can't hand them parts from
     * two different commits. */
-  private def codesParts(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def codesParts(spark: org.apache.spark.sql.SparkSession,
       path: String, dir: String): DataFrame =
     readManifest(dir) match {
       case Some(segs) =>

@@ -28,6 +28,50 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("signature index: identical doc matches at est 1.0, unrelated " +
+      "absent; append ≡ rebuild; geometry persisted and enforced") {
+    val path = java.nio.file.Files.createTempDirectory("sig_spec").toString
+    // history = docs 1 and 3; new = docs 2 (near-dup of 1) and 4 (exact
+    // dup of 1); doc 4 must match doc 1 with EVERY minhash agreeing
+    Dedup.signatureSave(docs.filter(col("doc_id").isin(1L, 3L)),
+      col("doc_id"), col("text"), path, n = 3, k = 6, bands = 3)
+    val hits = Dedup.dedupAgainst(spark, path,
+        docs.filter(col("doc_id").isin(2L, 4L)), col("doc_id"), col("text"),
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("est_jaccard"))).toSet
+    assert(hits.contains((4L, 1L, 1.0)), s"exact dup must match at 1.0: $hits")
+    assert(!hits.exists(h => h._2 == 3L), "unrelated history doc must not match")
+    // append ≡ rebuild: history built incrementally (1, then 3) probes
+    // identically — a signature is a pure per-document function
+    val inc = java.nio.file.Files.createTempDirectory("sig_spec_inc").toString
+    Dedup.signatureSave(docs.filter(col("doc_id") === 1L),
+      col("doc_id"), col("text"), inc, n = 3, k = 6, bands = 3)
+    Dedup.signatureAppend(spark, inc, docs.filter(col("doc_id") === 3L),
+      col("doc_id"), col("text"))
+    val hitsInc = Dedup.dedupAgainst(spark, inc,
+        docs.filter(col("doc_id").isin(2L, 4L)), col("doc_id"), col("text"),
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("est_jaccard"))).toSet
+    assert(hitsInc == hits)
+    // geometry travels with the index: a k=4/bands=2 index probes at
+    // 1/4 estimate granularity without the caller restating params
+    val g = java.nio.file.Files.createTempDirectory("sig_spec_g").toString
+    Dedup.signatureSave(docs.filter(col("doc_id") === 1L),
+      col("doc_id"), col("text"), g, n = 3, k = 4, bands = 2)
+    val est4 = Dedup.dedupAgainst(spark, g,
+        docs.filter(col("doc_id") === 4L), col("doc_id"), col("text"),
+        threshold = 0.5)
+      .collect().map(_.getAs[Double]("est_jaccard"))
+    assert(est4.toSeq == Seq(1.0))
+    // appending to a non-index path fails loudly, never fabricates one
+    val bad = java.nio.file.Files.createTempDirectory("sig_spec_bad").toString
+    intercept[IllegalArgumentException] {
+      Dedup.signatureAppend(spark, bad, docs, col("doc_id"), col("text"))
+    }
+  }
+
   test("canonicalize keeps one representative per near-dup cluster") {
     // docs 1,2,4 form one cluster (4 is an exact dup of 1, 2 near-dup);
     // keepBy = text length, tie → smallest id, so doc 1 represents it
