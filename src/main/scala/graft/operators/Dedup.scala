@@ -106,17 +106,37 @@ object Dedup {
   // O(new docs) segment appends, probed by band-key equi-join. Neither
   // the historical text nor its shingles are ever re-read.
 
+  /** The in-row signature builder the index paths share: ONE native
+    * [[graft.plans.TextExprs.minhashSig]] projection per document — no
+    * shingle explode, no k-way min(STRING) aggregation (var-width agg
+    * buffers force a SortAggregate over the exploded shingle table: the
+    * plan audit that motivated the expression), bit-identical hex
+    * output. Documents shorter than n words have no signature (the
+    * aggregation form's absent-row state). The signature array lands in
+    * its own projection; the h-column fan-out references it k times, so
+    * CollapseProject keeps the producer evaluated once (plain
+    * multi-reference projections are visible to its cost check — only
+    * HOF lambda refs are not, per the winnowing lesson). */
+  private def minhashInRow(df: DataFrame, id: Column, text: Column,
+      n: Int, k: Int): DataFrame =
+    graft.core.Par.spread(df)
+      .select(id.as("id"),
+        graft.plans.TextExprs.minhashSig(text, n, k).as("_mh"))
+      .filter(col("_mh").isNotNull)
+      .select(col("id") +:
+        (0 until k).map(i => col("_mh").getItem(i).as(s"h$i")): _*)
+
   /** Persist a MinHash signature index over a corpus: the (id, h0..hk-1)
     * signature table under an atomic [[graft.core.IndexGen]] generation
     * (segment manifest, so [[signatureAppend]] grows it O(new rows)),
     * plus the (n, k, bands) geometry the signatures were computed with —
     * probes and appends read the geometry from the index, so a caller
-    * cannot accidentally mix signature spaces. One O(corpus) shingle+
-    * minhash pass, paid once. */
+    * cannot accidentally mix signature spaces. One O(corpus) in-row
+    * signature pass ([[minhashInRow]] — shuffle-free), paid once. */
   def signatureSave(df: DataFrame, id: Column, text: Column, path: String,
       n: Int = 3, k: Int = 6, bands: Int = 3): Unit = {
     require(k % bands == 0, "k must be divisible by bands")
-    val sigs = minhash(shingles(df, id, text, n), k)
+    val sigs = minhashInRow(df, id, text, n, k)
     val (dir, gen) = graft.core.IndexGen.stage(path)
     writeSigMeta(dir, n, k, bands)
     val seg = Similarity.newSegmentName()
@@ -138,7 +158,7 @@ object Dedup {
       newDf: DataFrame, id: Column, text: Column): Long = {
     val cur = graft.core.IndexGen.readDir(path)
     val (n, k, bands) = readSigMeta(cur)
-    val sigs = minhash(shingles(newDf, id, text, n), k)
+    val sigs = minhashInRow(newDf, id, text, n, k)
     val (dir, gen) = graft.core.IndexGen.stage(path)
     writeSigMeta(dir, n, k, bands)
     val oldSegs = Similarity.readManifest(cur).getOrElse(
@@ -174,7 +194,7 @@ object Dedup {
     val (n, k, bands) = readSigMeta(cur)
     val r = k / bands
     val hist = Similarity.codesParts(spark, path, cur)
-    val probe = Caches.eager(minhash(shingles(newDf, id, text, n), k))
+    val probe = Caches.eager(minhashInRow(newDf, id, text, n, k))
     val cand = bandRows(probe, bands, r).as("x")
       .join(bandRows(hist, bands, r).as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&

@@ -33,6 +33,12 @@ object TextExprs {
   def matchTerms(text: Column, terms: Seq[String]): Column =
     ColumnBridge.column(
       MultiMatchExpr(ColumnBridge.expression(text), terms.toVector))
+
+  /** `minhash_sig(text, n, k)` — the k-hash MinHash signature of a
+    * document's word n-gram shingles as ONE plan node; see
+    * [[MinHashSigExpr]]. */
+  def minhashSig(text: Column, n: Int, k: Int): Column =
+    ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(text), n, k))
 }
 
 /** Multi-pattern substring matching against a constant term list — the
@@ -338,6 +344,108 @@ case class ShinglesExpr(child: Expression, n: Int, distinct: Boolean)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
+/** One-pass MinHash signature: h_i = min over the document's word
+  * n-gram shingles of hex(md5("i|" ‖ shingle)), i = 0..k-1, returned as
+  * a k-element array of lowercase-hex strings — BIT-identical to the
+  * explode → `min(md5(concat(lit("i|"), s)))` aggregation it replaces
+  * ([[graft.operators.Dedup.minhash]]): lexicographic order on equal-
+  * length lowercase hex equals unsigned byte order on the digest, so
+  * the mins agree, and min over duplicate shingles equals min over
+  * distinct ones, so per-document distinctness needs no set. NULL text
+  * or a document shorter than n words → NULL (the aggregation form's
+  * "no signature row" state; callers filter).
+  *
+  * Why native: the aggregation form explodes the corpus to ~|words|
+  * shingle rows and aggregates k `min(STRING)` columns — a var-width
+  * agg buffer, which Spark's HashAggregate cannot hold, so EVERY
+  * signature build plans a SortAggregate over the exploded shingle
+  * table (the CLAUDE.md struct-max trap in min(string) clothing: at
+  * corpus scale that sort IS the dominant stage). Here the signature is
+  * a pure per-row projection — no explode, no sort, no exchange, and
+  * the same k·shingles md5 work the aggregation paid anyway. Mins are
+  * kept as raw digest bytes (unsigned compare) and hex-encoded once at
+  * the end. CodegenFallback: one dispatch per row amortized over the
+  * whole-document loop. The DF-capped dedup paths (minhashLshPairs)
+  * keep the aggregation form — the cap is a corpus-frequency join that
+  * an in-row expression cannot see. */
+case class MinHashSigExpr(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  require(n > 0, s"minhash_sig: n must be > 0, got $n")
+  require(k > 0, s"minhash_sig: k must be > 0, got $k")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def nullable: Boolean = true
+
+  private[this] val hexDigits = "0123456789abcdef".toCharArray
+
+  override protected def nullSafeEval(t: Any): Any = {
+    val toks = t.toString.split(" ", -1)
+    val nsh = toks.length - (n - 1)
+    if (nsh <= 0) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = new Array[Array[Byte]](k)
+    val sb = new java.lang.StringBuilder
+    val prefixes = new Array[Array[Byte]](k)
+    var i = 0
+    while (i < k) {
+      prefixes(i) = s"$i|".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    var j = 0
+    while (j < nsh) {
+      sb.setLength(0)
+      var o = 0
+      while (o < n) {
+        if (o > 0) sb.append(' ')
+        sb.append(toks(j + o)); o += 1
+      }
+      val sBytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i = 0
+      while (i < k) {
+        md.reset()
+        md.update(prefixes(i))
+        md.update(sBytes)
+        val d = md.digest()
+        if (mins(i) == null || unsignedLess(d, mins(i))) mins(i) = d
+        i += 1
+      }
+      j += 1
+    }
+    val out = new Array[Any](k)
+    i = 0
+    while (i < k) {
+      val d = mins(i)
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = hexDigits((d(b) >> 4) & 0xf)
+        hex(2 * b + 1) = hexDigits(d(b) & 0xf)
+        b += 1
+      }
+      out(i) = UTF8String.fromString(new String(hex))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val ai = a(i) & 0xff
+      val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
     copy(child = newChild)
 }
 

@@ -28,6 +28,25 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhashSig expression ≡ the explode+min(md5) aggregation, " +
+      "short docs absent from both") {
+    val viaAgg = Dedup.minhash(
+      Dedup.shingles(docs, col("doc_id"), col("text"), 3), 6)
+    val viaExpr = docs.select(col("doc_id").as("id"),
+        graft.plans.TextExprs.minhashSig(col("text"), 3, 6).as("m"))
+      .filter(col("m").isNotNull)
+      .select(col("id") +:
+        (0 until 6).map(i => col("m").getItem(i).as(s"h$i")): _*)
+    assert(viaExpr.exceptAll(viaAgg).count() == 0 &&
+      viaAgg.exceptAll(viaExpr).count() == 0)
+    val short = Seq((9L, "two words")).toDF("doc_id", "text")
+    assert(Dedup.minhash(
+      Dedup.shingles(short, col("doc_id"), col("text"), 3), 6).count() == 0)
+    assert(short.select(
+        graft.plans.TextExprs.minhashSig(col("text"), 3, 6).as("m"))
+      .filter(col("m").isNotNull).count() == 0)
+  }
+
   test("signature index: identical doc matches at est 1.0, unrelated " +
       "absent; append ≡ rebuild; geometry persisted and enforced") {
     val path = java.nio.file.Files.createTempDirectory("sig_spec").toString
