@@ -107,21 +107,27 @@ object Dedup {
   // the historical text nor its shingles are ever re-read.
 
   /** The in-row signature builder the index paths share: ONE native
-    * [[graft.plans.TextExprs.minhashSig]] projection per document — no
+    * [[graft.plans.TextExprs.minhashSig]] evaluation per document — no
     * shingle explode, no k-way min(STRING) aggregation (var-width agg
     * buffers force a SortAggregate over the exploded shingle table: the
     * plan audit that motivated the expression), bit-identical hex
     * output. Documents shorter than n words have no signature (the
-    * aggregation form's absent-row state). The signature array lands in
-    * its own projection; the h-column fan-out references it k times, so
-    * CollapseProject keeps the producer evaluated once (plain
-    * multi-reference projections are visible to its cost check — only
-    * HOF lambda refs are not, per the winnowing lesson). */
+    * aggregation form's absent-row state).
+    *
+    * The `explode(array(...))` wrapper is a DELIBERATE once-per-row
+    * barrier, not a fan-out (the array has exactly one element): the
+    * h-column projection extracts the array k times, and CollapseProject
+    * inlines a producer into pure EXTRACTOR references (getItem/
+    * getField) regardless of their count — without the barrier the
+    * whole k·shingles md5 kernel re-ran PER COLUMN (k× the work; the
+    * PlanSpec guard caught it). Generate inputs evaluate once — the
+    * same rule the HOF-inlining lesson (CLAUDE.md) documents. */
   private def minhashInRow(df: DataFrame, id: Column, text: Column,
       n: Int, k: Int): DataFrame =
     graft.core.Par.spread(df)
       .select(id.as("id"),
-        graft.plans.TextExprs.minhashSig(text, n, k).as("_mh"))
+        explode(array(graft.plans.TextExprs.minhashSig(text, n, k)))
+          .as("_mh"))
       .filter(col("_mh").isNotNull)
       .select(col("id") +:
         (0 until k).map(i => col("_mh").getItem(i).as(s"h$i")): _*)

@@ -383,4 +383,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), s"expected broadcast model:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian fallback:\n$p")
   }
+
+  test("q_dedup_incremental: in-row signatures (minhash_sig, one node per " +
+      "branch), no SortAggregate, no cartesian") {
+    val p = plan("q_dedup_incremental")
+    // the signature is ONE native per-row pass — the explode + k-way
+    // min(STRING) aggregation it replaced planned a SortAggregate over
+    // the exploded shingle table (var-width agg buffers aren't
+    // hash-aggregable — the min(string) variant of the struct-max trap)
+    assert(p.contains("minhash_sig("), s"expected MinHashSigExpr:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"signature path must not sort-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an equi-join:\n$p")
+    // CollapseProject inlines producers into pure EXTRACTOR references
+    // (getItem over the signature array) regardless of reference count —
+    // without minhashInRow's explode(array(...)) barrier each h-column
+    // re-ran the whole kernel and this count read 12 (k per print of the
+    // cached probe plan). With the barrier the cached plan holds ONE
+    // minhash_sig; it prints once per cache-reference site (≤ 4 here).
+    val occurrences = "minhash_sig\\(".r.findAllIn(p).size
+    assert(occurrences <= 4, s"minhash_sig appears $occurrences times — " +
+      s"the explode barrier must keep ONE evaluation in the cached plan:\n$p")
+  }
 }
