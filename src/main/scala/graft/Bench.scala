@@ -57,7 +57,7 @@ object Bench {
     "q_behavior_cutoff",
     "q_behavior_keep", "q_cdc_subject_log", "q_doc_store_stream",
     "q_doc_store_stream_binary", "q_doc_store_stream_pq",
-    "q_doc_store_stream_ivf_pq",
+    "q_doc_store_stream_ivf_pq", "q_dedup_refresh_stream",
     "q_inactivity", "q_interval_stream", "q_io_filestream", "q_io_http",
     "q_io_jdbc", "q_io_subject", "q_io_subject_replay", "q_neardup_stream",
     "q_recovery",

@@ -135,6 +135,194 @@ object PipelineQueries extends QueryModule {
       .select(col("id"), col("dup_of"), r4e(col("est_jaccard")).as("est_jaccard"))
   }
 
+  // The COMPLETE refresh loop composed (Dedup.dedupRefresh): odd-id
+  // "day's ingest" → in-batch canonicalization at the index geometry
+  // (LSH pairs → recursive-CTE CC → smallest-id representative) →
+  // history-signature probe drops already-known content (agreement ≥ 3
+  // of 6 hashes ⇔ est ≥ 0.5, exact in integers) → survivors appended.
+  // The oracle replays all three stages; the append side is spec-pinned
+  // (PipelineSpec probes a survivor copy against the refreshed index).
+  q("q_dedup_refresh",
+    """WITH RECURSIVE
+      |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] AS s
+      |       FROM w, UNNEST(range(1, len(ws)-1)) AS t(j)),
+      |bsh AS (SELECT doc_id, s FROM sh0 WHERE doc_id % 2 = 1
+      |       QUALIFY count(*) OVER (PARTITION BY s) <= 20),
+      |bmh AS (SELECT doc_id,
+      |  min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
+      |  min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3,
+      |  min(md5('4|' || s)) AS h4, min(md5('5|' || s)) AS h5
+      |  FROM bsh GROUP BY doc_id),
+      |bb AS (
+      |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bk FROM bmh UNION ALL
+      |  SELECT doc_id, 1, md5(h2 || h3) FROM bmh UNION ALL
+      |  SELECT doc_id, 2, md5(h4 || h5) FROM bmh),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bb x JOIN bb y
+      |  ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+      |sz AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY 1),
+      |ix AS (SELECT c.a, c.b, count(*) AS i FROM cand c
+      |  JOIN bsh sa ON sa.doc_id = c.a
+      |  JOIN bsh sb ON sb.doc_id = c.b AND sb.s = sa.s
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT a, b FROM ix
+      |  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+      |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+      |edges AS (SELECT a AS src, b AS dst FROM pairs
+      |  UNION SELECT b AS src, a AS dst FROM pairs),
+      |batchd AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+      |reach(node, lbl) AS (
+      |  SELECT doc_id, doc_id FROM batchd
+      |  UNION
+      |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+      |comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+      |canon AS (SELECT node AS doc_id FROM comp
+      |  QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY node) = 1),
+      |hmh AS (SELECT doc_id,
+      |  min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
+      |  min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3,
+      |  min(md5('4|' || s)) AS h4, min(md5('5|' || s)) AS h5
+      |  FROM sh0 WHERE doc_id % 2 = 0 GROUP BY doc_id),
+      |cmh AS (SELECT doc_id,
+      |  min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
+      |  min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3,
+      |  min(md5('4|' || s)) AS h4, min(md5('5|' || s)) AS h5
+      |  FROM sh0 WHERE doc_id IN (SELECT doc_id FROM canon)
+      |  GROUP BY doc_id),
+      |hb AS (
+      |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bk FROM hmh UNION ALL
+      |  SELECT doc_id, 1, md5(h2 || h3) FROM hmh UNION ALL
+      |  SELECT doc_id, 2, md5(h4 || h5) FROM hmh),
+      |cb AS (
+      |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bk FROM cmh UNION ALL
+      |  SELECT doc_id, 1, md5(h2 || h3) FROM cmh UNION ALL
+      |  SELECT doc_id, 2, md5(h4 || h5) FROM cmh),
+      |cand2 AS (SELECT DISTINCT x.doc_id AS id, y.doc_id AS dup_of
+      |  FROM cb x JOIN hb y
+      |  ON x.band = y.band AND x.bk = y.bk AND x.doc_id != y.doc_id),
+      |dup AS (SELECT DISTINCT c.id FROM cand2 c
+      |  JOIN cmh n ON n.doc_id = c.id
+      |  JOIN hmh h ON h.doc_id = c.dup_of
+      |  WHERE (CASE WHEN n.h0 = h.h0 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN n.h1 = h.h1 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN n.h2 = h.h2 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN n.h3 = h.h3 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN n.h4 = h.h4 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN n.h5 = h.h5 THEN 1 ELSE 0 END) >= 3)
+      |SELECT doc_id FROM canon
+      |WHERE doc_id NOT IN (SELECT id FROM dup)""") { (s, dir) =>
+    val docs = load(s, dir, "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft_sig_rf").toString
+    Dedup.signatureSave(docs.filter(col("doc_id") % 2 === 0),
+      col("doc_id"), col("text"), path)
+    Dedup.dedupRefresh(s, path, docs.filter(col("doc_id") % 2 === 1),
+        col("doc_id"), col("text"), threshold = 0.8, estThreshold = 0.5,
+        maxDf = 20)
+      .select(col("doc_id"))
+  }
+
+  /** One refresh round's CTE chain for the streaming oracle (suffix
+    * `x`): in-batch DF-capped LSH canonicalization of the docs matching
+    * `batchPred` (pairs → recursive-CTE CC → smallest-id
+    * representative), then the signature-agreement probe against the
+    * CTE `hist` (cols doc_id, h0..h5) — ≥ 3 of 6 hashes ⇔ est ≥ 0.5,
+    * exact in integers. Emits `cmh{x}` (survivor-side uncapped
+    * signatures, i.e. what the index ingests) and `surv{x}`. */
+  private def mh6(src: String): String =
+    s"""SELECT doc_id,
+       |  min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
+       |  min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3,
+       |  min(md5('4|' || s)) AS h4, min(md5('5|' || s)) AS h5
+       |  FROM $src GROUP BY doc_id""".stripMargin
+  private def bands6(src: String): String =
+    s"""SELECT doc_id, 0 AS band, md5(h0 || h1) AS bk FROM $src UNION ALL
+       |  SELECT doc_id, 1, md5(h2 || h3) FROM $src UNION ALL
+       |  SELECT doc_id, 2, md5(h4 || h5) FROM $src""".stripMargin
+  private def refreshRound(x: String, batchPred: String,
+      hist: String): String =
+    s"""bsh$x AS (SELECT doc_id, s FROM sh0 WHERE $batchPred
+       |  QUALIFY count(*) OVER (PARTITION BY s) <= 20),
+       |bmh$x AS (${mh6(s"bsh$x")}),
+       |bb$x AS (${bands6(s"bmh$x")}),
+       |cand$x AS (SELECT DISTINCT p.doc_id AS a, q.doc_id AS b
+       |  FROM bb$x p JOIN bb$x q
+       |  ON p.band = q.band AND p.bk = q.bk AND p.doc_id < q.doc_id),
+       |sz$x AS (SELECT doc_id, count(*) AS n FROM bsh$x GROUP BY 1),
+       |ix$x AS (SELECT c.a, c.b, count(*) AS i FROM cand$x c
+       |  JOIN bsh$x sa ON sa.doc_id = c.a
+       |  JOIN bsh$x sb ON sb.doc_id = c.b AND sb.s = sa.s
+       |  GROUP BY 1, 2),
+       |pairs$x AS (SELECT a, b FROM ix$x
+       |  JOIN sz$x sa ON sa.doc_id = a JOIN sz$x sb ON sb.doc_id = b
+       |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+       |edges$x AS (SELECT a AS src, b AS dst FROM pairs$x
+       |  UNION SELECT b AS src, a AS dst FROM pairs$x),
+       |batchd$x AS (SELECT doc_id FROM documents WHERE $batchPred),
+       |reach$x(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM batchd$x
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges$x e JOIN reach$x r ON r.node = e.dst),
+       |comp$x AS (SELECT node, min(lbl) AS cluster FROM reach$x GROUP BY node),
+       |canon$x AS (SELECT node AS doc_id FROM comp$x
+       |  QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY node) = 1),
+       |cmh$x AS (SELECT * FROM (${mh6("sh0")}) z
+       |  WHERE doc_id IN (SELECT doc_id FROM canon$x)),
+       |cb$x AS (${bands6(s"cmh$x")}),
+       |hb$x AS (${bands6(hist)}),
+       |cand2$x AS (SELECT DISTINCT p.doc_id AS id, q.doc_id AS dup_of
+       |  FROM cb$x p JOIN hb$x q
+       |  ON p.band = q.band AND p.bk = q.bk AND p.doc_id != q.doc_id),
+       |dup$x AS (SELECT DISTINCT c.id FROM cand2$x c
+       |  JOIN cmh$x n ON n.doc_id = c.id
+       |  JOIN $hist h ON h.doc_id = c.dup_of
+       |  WHERE ${(0 until 6).map(i =>
+            s"(CASE WHEN n.h$i = h.h$i THEN 1 ELSE 0 END)").mkString(" + ")}
+       |    >= 3),
+       |surv$x AS (SELECT doc_id FROM canon$x
+       |  WHERE doc_id NOT IN (SELECT id FROM dup$x))""".stripMargin
+
+  // STREAMING refresh loop (Streaming.dedupRefreshStream): history =
+  // even ids in the signature index; the odd ids arrive as TWO
+  // micro-batches (%4=1, then %4=3). Each batch canonicalizes in-batch,
+  // probes the index, and appends its survivors' signatures — so batch 2
+  // must dedup against history AND batch 1's survivors (the day-over-day
+  // semantics). The oracle replays both rounds sequentially, threading
+  // round 1's survivor signatures into round 2's history.
+  q("q_dedup_refresh_stream",
+    s"""WITH RECURSIVE
+       |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id, ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] AS s
+       |       FROM w, UNNEST(range(1, len(ws)-1)) AS t(j)),
+       |hmh AS (SELECT * FROM (${mh6("sh0")}) z WHERE doc_id % 2 = 0),
+       |${refreshRound("1", "doc_id % 4 = 1", "hmh")},
+       |hist2 AS (SELECT * FROM hmh UNION ALL
+       |  SELECT * FROM cmh1 WHERE doc_id IN (SELECT doc_id FROM surv1)),
+       |${refreshRound("2", "doc_id % 4 = 3", "hist2")}
+       |SELECT doc_id FROM surv1 UNION ALL SELECT doc_id FROM surv2""".stripMargin
+    ) { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val path = java.nio.file.Files.createTempDirectory("graft_sig_rs").toString
+    Dedup.signatureSave(docs.filter(col("doc_id") % 2 === 0),
+      col("doc_id"), col("text"), path)
+    val rows = docs.filter(col("doc_id") % 2 === 1).as[(Long, String)].collect()
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val out = s"$path/survivors"
+    val sq = graft.streaming.Streaming.dedupRefreshStream(
+        in.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"),
+        path, out, s"$path/ckpt", threshold = 0.8, estThreshold = 0.5,
+        maxDf = 20).start()
+    try {
+      val (b1, b2) = rows.partition(_._1 % 4 == 1)
+      in.addData(b1.toSeq); sq.processAllAvailable()
+      in.addData(b2.toSeq); sq.processAllAvailable()
+    } finally sq.stop()
+    s.read.parquet(out).select(col("doc_id"))
+  }
+
   // SimHash fingerprint (16-bit, word-multiset)
   q("q_dedup_simhash",
     """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
@@ -2400,6 +2588,24 @@ object PipelineQueries extends QueryModule {
     Sampling.sampleWeighted(load(s, dir, "documents"), col("doc_id"),
         col("n_chars"), n = 200, salt = "w1")
       .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  // Temperature-based domain reweighting (the LLM-mix knob): kept mix's
+  // lang shares follow p^alpha, rates anchored at the rarest lang —
+  // r_d = (n_d/n_min)^(alpha-1), keep decided by the md5-u32 predicate.
+  // alpha = 0.5 so the exponent (-0.5) is an exact binary fraction both
+  // engines parse identically (the DECIMAL-literal trap).
+  q("q_sample_temperature",
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      |m AS (SELECT min(n) AS nmin FROM c),
+      |r AS (SELECT lang, pow(CAST(n AS DOUBLE) / nmin, -0.5) AS rate
+      |  FROM c CROSS JOIN m)
+      |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+      |WHERE CAST('0x' || substr(md5('tm1' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |    AS BIGINT) < rate * 4294967296.0""") { (s, dir) =>
+    Sampling.temperatureMix(load(s, dir, "documents"), col("lang"),
+        col("doc_id"), alpha = 0.5, salt = "tm1")
+      .select(col("doc_id"), col("lang"))
   }
 
   // Deterministic sequence packing (training-batch construction: whole

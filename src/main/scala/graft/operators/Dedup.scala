@@ -218,6 +218,44 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** The COMPLETE production refresh loop over a persisted signature
+    * index, as one call — the composition the incremental pieces exist
+    * for. For a day's ingest `batch`:
+    *
+    *  1. in-batch near-dup canonicalization at the INDEX's (n, k, bands)
+    *     geometry ([[canonicalize]] — exact Jaccard ≥ `threshold` on LSH
+    *     candidates; the batch's text is in hand, so no estimate needed);
+    *  2. history probe ([[dedupAgainst]]): canonical survivors whose
+    *     signature agreement with ANY indexed doc reaches `estThreshold`
+    *     are dropped (their content is already in the corpus);
+    *  3. the remaining genuinely-new documents' signatures are appended
+    *     ([[signatureAppend]] — O(survivors), history untouched; sub-n
+    *     docs have no signature and are returned but not indexed, the
+    *     aggregation form's absent-row rule).
+    *
+    * Returns the appended survivor rows (the batch's columns). Cost per
+    * refresh: one batch-sized LSH pass + one signature-table band join +
+    * one O(survivors) append — nothing proportional to history except
+    * the single signature-table read, which is what keeps a 100 TB
+    * corpus refreshable daily. Single-writer, like every segment store. */
+  def dedupRefresh(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, id: Column, text: Column,
+      threshold: Double = 0.8, estThreshold: Double = 0.5,
+      maxDf: Int = 100): DataFrame = {
+    val cur = graft.core.IndexGen.readDir(path)
+    val (n, k, bands) = readSigMeta(cur)
+    // eager: the canonical survivor set feeds the history probe AND the
+    // anti-join return — uncached, each branch re-runs the LSH+CC chain
+    val canon = Caches.eager(
+      canonicalize(batch, id, text, lit(0), n, k, bands, threshold, maxDf)
+        .drop("_cluster"))
+    val dupIds = dedupAgainst(spark, path, canon, col("_id"), text,
+      estThreshold).select(col("id").as("_id")).distinct()
+    val survivors = Caches.eager(canon.join(dupIds, Seq("_id"), "left_anti"))
+    signatureAppend(spark, path, survivors, col("_id"), text)
+    survivors.select(batch.columns.map(col).toSeq: _*)
+  }
+
   private def writeSigMeta(genDir: String, n: Int, k: Int, bands: Int): Unit = {
     new java.io.File(genDir).mkdirs()
     java.nio.file.Files.writeString(
@@ -362,7 +400,13 @@ object Dedup {
     * Scale shape: pairs are LSH-banded equi-joins (never all-pairs), CC
     * is pointer-jumping (log(diameter) rounds over near-dup clusters,
     * which are tiny by construction), and the representative pick is ONE
-    * struct-max aggregate — no window sort over the corpus. */
+    * struct-max aggregate — no window sort over the corpus.
+    *
+    * `df` is consumed TWICE (once into the shingle table, once for the
+    * cluster join-back). A raw parquet scan is cheap to evaluate twice;
+    * a caller whose `df` is an expensive derived frame (a pipeline
+    * stage) should cache/eager it first — see
+    * [[Pipelines.pretrainCorpusFull]]'s near-dup branch. */
   def canonicalize(df: DataFrame, id: Column, text: Column, keepBy: Column,
       n: Int = 3, k: Int = 6, bands: Int = 3,
       threshold: Double = 0.8, maxDf: Int = 100): DataFrame = {

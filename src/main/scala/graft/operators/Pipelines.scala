@@ -118,13 +118,20 @@ object Pipelines {
     val canonical = nearDup match {
       case None => deduped
       case Some(c) =>
+        // eager on the INPUT too: canonicalize consumes its frame twice
+        // (shingle derivation + the cluster join-back), and `deduped`
+        // here is the expensive part of the chain — the boilerplate
+        // reassembly shuffle and the exact-dedup window would otherwise
+        // run twice per build (raw-scan callers like q_dedup_canonical
+        // rightly skip this: re-scanning parquet beats caching a corpus)
+        val dedupedOnce = graft.core.Caches.eager(deduped)
         // keepBy = const → the smallest-id member represents its
         // cluster, the same keep rule as the exact-dedup window.
         // eager: the survivor set feeds TWO branches (its own shingle
         // table + the decontamination anti-join), and un-cached each
         // would re-run the whole boilerplate+dedup+LSH+CC upstream
         graft.core.Caches.eager(
-          Dedup.canonicalize(deduped, col("doc_id"), col("text"), lit(0),
+          Dedup.canonicalize(dedupedOnce, col("doc_id"), col("text"), lit(0),
               c.n, c.k, c.bands, c.threshold, c.maxDf)
             .select(col("doc_id"), col("text")))
     }

@@ -123,6 +123,41 @@ object Sampling {
       .drop("_stratum", "_rate")
   }
 
+  /** Temperature-based domain reweighting — the standard LLM-mix knob
+    * (Pile/LLaMA-style): resample so the kept mix's domain shares follow
+    * p_d^alpha (renormalized) instead of the natural p_d. alpha = 1
+    * keeps the natural mix; alpha → 0 flattens toward uniform; in
+    * between, over-represented domains (web crawl) are downsampled and
+    * rare ones (academic text) gain RELATIVE share. Rates are anchored
+    * so the rarest domain keeps `scale` of its rows (no upsampling —
+    * sampling is without replacement, so the flattening comes entirely
+    * from throttling the big domains):
+    * r_d = scale · (n_d / n_min)^(alpha−1).
+    *
+    * Scale shape: one map-side-combinable count over domains (a tiny
+    * result — domains, not rows), broadcast back; the keep decision is
+    * the [[hashSample]] md5 predicate — deterministic on any engine and
+    * partitioning, shuffle-free on the corpus. Rows with a NULL domain
+    * are dropped (they have no share to reweight). */
+  def temperatureMix(df: DataFrame, domain: Column, id: Column,
+      alpha: Double, scale: Double = 1.0,
+      salt: String = "tmix"): DataFrame = {
+    require(alpha >= 0 && alpha <= 1,
+      s"temperatureMix: alpha must be in [0,1], got $alpha")
+    require(scale > 0 && scale <= 1,
+      s"temperatureMix: scale must be in (0,1], got $scale")
+    val counts = df.groupBy(domain.as("_dom")).agg(count(lit(1)).as("_n"))
+    val nMin = counts.agg(min(col("_n")).as("_nmin"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col("_dom"),
+        (lit(scale) *
+          pow(col("_n").cast("double") / col("_nmin"), lit(alpha - 1.0)))
+          .as("_rate"))
+    df.join(broadcast(rates), domain === col("_dom"))
+      .filter(hashU32(id, salt) < col("_rate") * lit((1L << 32).toDouble))
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
   /** Exactly-n deterministic sample: the n rows with smallest
     * md5(salt‖id). Plans as TakeOrderedAndProject — per-partition top-n
     * + driver merge, never a global sort. Costlier than [[hashSample]]

@@ -239,6 +239,44 @@ object Streaming {
       .toDF("a", "b", "band")
   }
 
+  /** Streaming half of the PERSISTED incremental-dedup loop: each
+    * micro-batch (a day's ingest) runs [[graft.operators.Dedup
+    * .dedupRefresh]] against the signature index at `indexPath` —
+    * in-batch canonicalization at the index geometry, history-signature
+    * probe, surviving genuinely-new docs' signatures appended — and
+    * appends the surviving rows to `survivorsOut` (parquet). Because
+    * each batch's survivors are indexed BEFORE the next batch probes,
+    * sequential batches dedup against everything that came before them
+    * (history AND earlier batches) — the day-over-day production
+    * semantics. Unlike [[nearDupCandidatesStream]] (unbounded keyed
+    * state, candidates only), state here lives in the index on disk and
+    * matches are VERIFIED (exact Jaccard in-batch; signature agreement
+    * vs history).
+    *
+    * Delivery: at-least-once on micro-batch RETRY — a replayed batch
+    * probes an index that already holds its own signatures (self-ids
+    * are excluded from candidates, so survivors are re-derived
+    * identically) and re-appends them; the survivors sink may then hold
+    * duplicate rows and the index duplicate signature rows (harmless
+    * for probing — same id band-joins to the same candidates — but
+    * production survivors sinks should dedup by id downstream or use
+    * the upsert sink). Single writer, like every segment store.
+    * Returns the unstarted writer. */
+  def dedupRefreshStream(stream: DataFrame, id: Column, text: Column,
+      indexPath: String, survivorsOut: String, checkpoint: String,
+      threshold: Double = 0.8, estThreshold: Double = 0.5,
+      maxDf: Int = 100): DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Dedup.dedupRefresh(batch.sparkSession, indexPath,
+              batch.toDF(), id, text, threshold, estThreshold, maxDf)
+            .write.mode("append").parquet(survivorsOut)
+          ()
+        }
+      }
+
   /** As-of-now join (reference: _asof_now_join.py:176): each left
     * (stream) row joins the CURRENT right (static/slowly-changing) state
     * at arrival; later right updates do not retract. Spark's

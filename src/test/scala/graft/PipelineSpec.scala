@@ -91,6 +91,44 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dedupRefresh: in-batch canonicalization, history drop, " +
+      "survivor append; sub-n docs returned but not indexed") {
+    val path = java.nio.file.Files.createTempDirectory("sig_refresh").toString
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines and shuffles"))
+      .toDF("doc_id", "text")
+    Dedup.signatureSave(history, col("doc_id"), col("text"), path,
+      n = 3, k = 6, bands = 3)
+    val batch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog"), // dup of history 1
+      (12L, "unique new content entirely fresh words today"),
+      (13L, "unique new content entirely fresh words today"), // in-batch dup of 12
+      (14L, "short")) // sub-n: no signature
+      .toDF("doc_id", "text")
+    val survivors = Dedup.dedupRefresh(spark, path, batch,
+      col("doc_id"), col("text"), threshold = 0.8, estThreshold = 0.5)
+    assert(survivors.columns.toSeq == Seq("doc_id", "text"))
+    assert(survivors.select("doc_id").as[Long].collect().toSet ==
+      Set(12L, 14L),
+      "11 drops vs history, 13 canonicalizes into 12, 12 and 14 survive")
+    // the append is live: a copy of survivor 12 now matches the index
+    val probe = Dedup.dedupAgainst(spark, path,
+        Seq((99L, "unique new content entirely fresh words today"))
+          .toDF("doc_id", "text"), col("doc_id"), col("text"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("est_jaccard"))).toSet
+    assert(probe.contains((99L, 12L, 1.0)), s"survivor 12 must be indexed: $probe")
+    assert(!probe.exists(_._2 == 13L), "canonicalized-away 13 must not be indexed")
+    // the history dup was NOT re-appended: a copy of doc 1's text matches
+    // only the original history entry
+    val probe1 = Dedup.dedupAgainst(spark, path,
+        Seq((98L, "the quick brown fox jumps over the lazy dog"))
+          .toDF("doc_id", "text"), col("doc_id"), col("text"), 0.5)
+      .collect().map(_.getLong(1)).toSet
+    assert(probe1 == Set(1L), s"batch dup 11 must not be indexed: $probe1")
+  }
+
   test("canonicalize keeps one representative per near-dup cluster") {
     // docs 1,2,4 form one cluster (4 is an exact dup of 1, 2 near-dup);
     // keepBy = text length, tie → smallest id, so doc 1 represents it

@@ -152,6 +152,19 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_sample_exact").contains("TakeOrderedAndProject"))
   }
 
+  test("q_sample_temperature: rate table broadcasts; the corpus side is " +
+      "never exchanged") {
+    val p = plan("q_sample_temperature")
+    assert(p.contains("BroadcastHashJoin"),
+      s"domain rates must broadcast-join onto the corpus:\n$p")
+    // the only exchanges allowed feed the tiny domain-count aggregate
+    // (and its broadcast); the corpus scan → filter path must not
+    // shuffle — a hash-partition exchange of the documents scan would
+    // mean the keep-filter runs post-shuffle at corpus width
+    assert(!p.contains("hashpartitioning(doc_id"),
+      s"corpus must not be exchanged for the keep filter:\n$p")
+  }
+
   test("q18: top-N is TakeOrderedAndProject, no cartesian fallback") {
     val p = plan("q18_large_volume")
     assert(p.contains("TakeOrderedAndProject"), s"expected top-N plan:\n$p")

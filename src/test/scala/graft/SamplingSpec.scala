@@ -48,6 +48,34 @@ class SamplingSpec extends SparkSpec {
     assert(byLang("1") > 50 && byLang("1") < 150)
   }
 
+  test("temperatureMix flattens a skewed mix, anchored at the rarest domain") {
+    // domains: a=800, b=150, c=50 — heavily skewed
+    val skewed = (1L to 1000L).map(i =>
+      (i, if (i <= 800) "a" else if (i <= 950) "b" else "c"))
+      .toDF("id", "dom")
+    val out = Sampling.temperatureMix(skewed, col("dom"), col("id"), 0.5)
+    val by = out.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rarest domain keeps everything (rate anchored at 1)
+    assert(by("c") == 50)
+    // a's rate = (800/50)^-0.5 = 0.25 → ~200 expected
+    assert(by("a") > 140 && by("a") < 260, s"~200 from 'a', got ${by("a")}")
+    // b's rate = 3^-0.5 ≈ 0.577 → ~87 expected
+    assert(by("b") > 55 && by("b") < 120, s"~87 from 'b', got ${by("b")}")
+    // alpha = 1 keeps the natural mix untouched
+    assert(Sampling.temperatureMix(skewed, col("dom"), col("id"), 1.0)
+      .count() == 1000)
+    // NULL domains have no share — dropped
+    val withNull = skewed.withColumn("dom",
+      when(col("id") === 1, lit(null: String)).otherwise(col("dom")))
+    assert(!Sampling.temperatureMix(withNull, col("dom"), col("id"), 0.5)
+      .select("id").as[Long].collect().contains(1L))
+    // pure per-row predicate: same rows whatever the partitioning
+    val rep = Sampling.temperatureMix(skewed.repartition(7, col("id")),
+      col("dom"), col("id"), 0.5)
+    assert(rowsOf(out) == rowsOf(rep))
+  }
+
   test("mixtureSample applies per-row rates, partition-independent") {
     import org.apache.spark.sql.functions.when
     // two strata: even ids keep everything, odd ids keep ~25%

@@ -334,6 +334,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupRefreshStream: later batches dedup against earlier batches' " +
+      "survivors, not just the saved history") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("sig_stream").toString
+    graft.operators.Dedup.signatureSave(
+      Seq((1L, "seed history document words here now")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path, n = 3, k = 6, bands = 3)
+    val in = MemoryStream[(Long, String)]
+    val out = s"$path/survivors"
+    val q = Streaming.dedupRefreshStream(
+      in.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"),
+      path, out, s"$path/ckpt", threshold = 0.8, estThreshold = 0.5).start()
+    try {
+      // batch 1: a history dup (dropped) + genuinely new content (kept)
+      in.addData((11L, "fresh new content alpha beta gamma"),
+        (12L, "seed history document words here now"))
+      q.processAllAvailable()
+      // batch 2: a dup of batch 1's SURVIVOR — must be dropped even
+      // though it never met doc 11 in a micro-batch (index-carried state)
+      in.addData((21L, "fresh new content alpha beta gamma"),
+        (22L, "another unrelated document entirely different words"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 22L),
+      s"11 survives batch 1, 21 drops vs 11's indexed signature: $kept")
+  }
+
   test("nearDupCandidatesStream flags later arrivals against first-arrived " +
       "bucket owners; short docs emit nothing") {
     implicit val sqlCtx = spark.sqlContext
