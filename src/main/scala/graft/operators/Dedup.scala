@@ -165,6 +165,13 @@ object Dedup {
     val cur = graft.core.IndexGen.readDir(path)
     val (n, k, bands) = readSigMeta(cur)
     val sigs = minhashInRow(newDf, id, text, n, k)
+    // nothing to add (an all-dup or all-sub-n batch — dedupRefresh hits
+    // this legitimately): keep the current generation. A zero-row
+    // parquet write can land with no part files, and a later manifest
+    // read of that segment would fail schema inference.
+    if (sigs.isEmpty) return graft.core.IndexGen.current(path).getOrElse(
+      throw new IllegalStateException(s"signatureAppend: no committed " +
+        s"generation at $path"))
     val (dir, gen) = graft.core.IndexGen.stage(path)
     writeSigMeta(dir, n, k, bands)
     val oldSegs = Similarity.readManifest(cur).getOrElse(

@@ -146,7 +146,11 @@ object Sampling {
       s"temperatureMix: alpha must be in [0,1], got $alpha")
     require(scale > 0 && scale <= 1,
       s"temperatureMix: scale must be in (0,1], got $scale")
-    val counts = df.groupBy(domain.as("_dom")).agg(count(lit(1)).as("_n"))
+    // NULL domains are dropped by the join below, but they must not
+    // anchor the mix either: one NULL-domain row would otherwise set
+    // n_min = 1 and collapse every real domain's rate
+    val counts = df.filter(domain.isNotNull)
+      .groupBy(domain.as("_dom")).agg(count(lit(1)).as("_n"))
     val nMin = counts.agg(min(col("_n")).as("_nmin"))
     val rates = counts.crossJoin(broadcast(nMin))
       .select(col("_dom"),

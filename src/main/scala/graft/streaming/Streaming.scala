@@ -270,9 +270,13 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty) {
-          graft.operators.Dedup.dedupRefresh(batch.sparkSession, indexPath,
-              batch.toDF(), id, text, threshold, estThreshold, maxDf)
-            .write.mode("append").parquet(survivorsOut)
+          val survivors = graft.operators.Dedup.dedupRefresh(
+            batch.sparkSession, indexPath, batch.toDF(), id, text,
+            threshold, estThreshold, maxDf)
+          // skip all-dup batches: a zero-row FIRST append could leave a
+          // schema-less survivors dir (only _SUCCESS) that fails reads
+          if (!survivors.isEmpty)
+            survivors.write.mode("append").parquet(survivorsOut)
           ()
         }
       }

@@ -129,6 +129,35 @@ class PipelineSpec extends SparkSpec {
     assert(probe1 == Set(1L), s"batch dup 11 must not be indexed: $probe1")
   }
 
+  test("signatureAppend of an empty/all-sub-n batch keeps the current " +
+      "generation; an all-dup dedupRefresh survives with zero survivors") {
+    val path = java.nio.file.Files.createTempDirectory("sig_empty").toString
+    val history = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    Dedup.signatureSave(history, col("doc_id"), col("text"), path,
+      n = 3, k = 6, bands = 3)
+    val gen0 = graft.core.IndexGen.current(path)
+    // empty batch: no new segment, same committed generation
+    val genA = Dedup.signatureAppend(spark, path,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+    assert(Option(genA) == gen0 && graft.core.IndexGen.current(path) == gen0)
+    // sub-n-only batch: signatures are absent rows — same path
+    Dedup.signatureAppend(spark, path,
+      Seq((7L, "short")).toDF("doc_id", "text"), col("doc_id"), col("text"))
+    assert(graft.core.IndexGen.current(path) == gen0)
+    // an all-dup refresh appends nothing and the index still probes
+    val survivors = Dedup.dedupRefresh(spark, path,
+      Seq((11L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text"), col("doc_id"), col("text"))
+    assert(survivors.count() == 0)
+    val hits = Dedup.dedupAgainst(spark, path,
+        Seq((99L, "the quick brown fox jumps over the lazy dog"))
+          .toDF("doc_id", "text"), col("doc_id"), col("text"), 0.5)
+      .collect().map(_.getLong(1)).toSet
+    assert(hits == Set(1L), s"index must still serve exactly history: $hits")
+  }
+
   test("canonicalize keeps one representative per near-dup cluster") {
     // docs 1,2,4 form one cluster (4 is an exact dup of 1, 2 near-dup);
     // keepBy = text length, tie → smallest id, so doc 1 represents it

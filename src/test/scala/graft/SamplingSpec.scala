@@ -65,11 +65,17 @@ class SamplingSpec extends SparkSpec {
     // alpha = 1 keeps the natural mix untouched
     assert(Sampling.temperatureMix(skewed, col("dom"), col("id"), 1.0)
       .count() == 1000)
-    // NULL domains have no share — dropped
+    // NULL domains have no share — dropped, and they must not ANCHOR
+    // the mix: one NULL row would otherwise set n_min = 1 and collapse
+    // every real domain's rate
     val withNull = skewed.withColumn("dom",
       when(col("id") === 1, lit(null: String)).otherwise(col("dom")))
-    assert(!Sampling.temperatureMix(withNull, col("dom"), col("id"), 0.5)
-      .select("id").as[Long].collect().contains(1L))
+    val keptWithNull = Sampling.temperatureMix(withNull, col("dom"),
+      col("id"), 0.5).select("id").as[Long].collect().toSet
+    assert(!keptWithNull.contains(1L))
+    assert(keptWithNull ==
+      out.select("id").as[Long].collect().toSet - 1L,
+      "a NULL-domain row must not change any other row's keep decision")
     // pure per-row predicate: same rows whatever the partitioning
     val rep = Sampling.temperatureMix(skewed.repartition(7, col("id")),
       col("dom"), col("id"), 0.5)
