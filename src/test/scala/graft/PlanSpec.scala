@@ -152,6 +152,14 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_sample_exact").contains("TakeOrderedAndProject"))
   }
 
+  test("q_dedup_refresh: every stage stays equi-join shaped — no " +
+      "cartesian/NLJ fallback anywhere in the composed loop") {
+    val p = plan("q_dedup_refresh")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"refresh loop must stay banded equi-joins:\n$p")
+  }
+
   test("q_sample_temperature: rate table broadcasts; the corpus side is " +
       "never exchanged") {
     val p = plan("q_sample_temperature")
