@@ -323,6 +323,54 @@ object PipelineQueries extends QueryModule {
     s.read.parquet(out).select(col("doc_id"))
   }
 
+  /** Shared oracle for the exact-dedup index pair. The probe batch is
+    * the odd-id docs PLUS re-keyed byte-identical copies of every
+    * %10 = 0 history doc (id + 1,000,000) — the corpus has no natural
+    * cross-parity byte-exact dups, and a 0-row probe would prove
+    * nothing; the copies guarantee the match path is exercised. */
+  private val dedupExactIncrementalSql =
+    """SELECT n.doc_id AS id, hs.doc_id AS dup_of
+      |FROM (SELECT doc_id, md5(text) AS h FROM documents
+      |        WHERE doc_id % 2 = 1
+      |      UNION ALL
+      |      SELECT doc_id + 1000000, md5(text) FROM documents
+      |        WHERE doc_id % 10 = 0) n
+      |JOIN (SELECT doc_id, md5(text) AS h FROM documents
+      |      WHERE doc_id % 2 = 0) hs USING (h)""".stripMargin
+
+  /** The probe batch the exact-dedup pair shares (matches the oracle's
+    * `n` CTE). */
+  private def exactProbe(docs: org.apache.spark.sql.DataFrame) =
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+
+  // INCREMENTAL EXACT dedup — the refresh loop's cheapest path: history
+  // at rest is one md5 per doc; the probe batch BROADCASTS so history
+  // is scanned once and never shuffled (the |ingest| << |corpus| shape).
+  q("q_dedup_exact_incremental", dedupExactIncrementalSql) { (s, dir) =>
+    val docs = load(s, dir, "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft_hx").toString
+    Dedup.hashSave(docs.filter(col("doc_id") % 2 === 0),
+      col("doc_id"), col("text"), path)
+    Dedup.exactAgainst(s, path, exactProbe(docs), col("doc_id"), col("text"))
+  }
+
+  // The same final state reached INCREMENTALLY: index the % 4 = 0
+  // quarter, hashAppend the % 4 = 2 quarter, probe the odds — same
+  // oracle, not a row different (append ≡ rebuild: a content hash is a
+  // pure per-document function).
+  q("q_dedup_exact_incremental_append", dedupExactIncrementalSql) { (s, dir) =>
+    val docs = load(s, dir, "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft_hxa").toString
+    Dedup.hashSave(docs.filter(col("doc_id") % 4 === 0),
+      col("doc_id"), col("text"), path)
+    Dedup.hashAppend(s, path, docs.filter(col("doc_id") % 4 === 2),
+      col("doc_id"), col("text"))
+    Dedup.exactAgainst(s, path, exactProbe(docs), col("doc_id"), col("text"))
+  }
+
   // SimHash fingerprint (16-bit, word-multiset)
   q("q_dedup_simhash",
     """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),

@@ -263,6 +263,96 @@ object Dedup {
     survivors.select(batch.columns.map(col).toSeq: _*)
   }
 
+  // ------------------------------------------------------------------
+  // Incremental EXACT dedup: a persisted content-hash index
+  // ------------------------------------------------------------------
+  //
+  // The exact-dup half of the refresh loop at its cheapest: history at
+  // rest is ONE md5 per document (16 bytes of payload vs k hex
+  // signatures for the MinHash index), probes are a hash equi-join with
+  // the BATCH side broadcast — history is scanned once and never
+  // shuffled, the right orientation when |day's ingest| ≪ |corpus|.
+  // Near-dup detection needs the signature index ([[signatureSave]]);
+  // this one answers only "have I seen exactly this text before", which
+  // in crawl pipelines removes the bulk of duplicates before any
+  // shingling runs.
+
+  /** Persist an exact-dedup index over a corpus: (id, h = md5(text))
+    * under an atomic [[graft.core.IndexGen]] generation with a segment
+    * manifest ([[hashAppend]] grows it O(new rows)). NULL-text docs have
+    * no hash and are absent (they can never be exact dups). */
+  def hashSave(df: DataFrame, id: Column, text: Column,
+      path: String): Unit = {
+    val hashes = graft.core.Par.spread(df)
+      .select(id.as("id"), md5(text).as("h")).filter(col("h").isNotNull)
+    val (dir, gen) = graft.core.IndexGen.stage(path)
+    writeHashMeta(dir)
+    val seg = Similarity.newSegmentName()
+    Similarity.writeManifest(dir, Seq(seg)) // manifest-first discipline
+    Similarity.writeBinarySegmentTo(hashes, path, seg)
+    graft.core.IndexGen.commit(path, gen)
+    Similarity.vacuumSegments(path)
+  }
+
+  /** Grow a [[hashSave]]d index by the new documents only — O(new rows)
+    * compute and I/O, history never re-read; append ≡ rebuild exactly
+    * (a content hash is a pure per-document function). Same
+    * single-writer / caller-feeds-only-new-ids contract as every
+    * segment store. Returns the committed generation. */
+  def hashAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+      newDf: DataFrame, id: Column, text: Column): Long = {
+    val cur = graft.core.IndexGen.readDir(path)
+    requireHashMeta(cur)
+    val hashes = graft.core.Par.spread(newDf)
+      .select(id.as("id"), md5(text).as("h")).filter(col("h").isNotNull)
+    // empty/all-NULL batch: keep the current generation (zero-row
+    // parquet segments can land without part files — see signatureAppend)
+    if (hashes.isEmpty) return graft.core.IndexGen.current(path).getOrElse(
+      throw new IllegalStateException(s"hashAppend: no committed " +
+        s"generation at $path"))
+    val (dir, gen) = graft.core.IndexGen.stage(path)
+    writeHashMeta(dir)
+    val oldSegs = Similarity.readManifest(cur).getOrElse(
+      throw new IllegalStateException(
+        s"hashAppend: no segment manifest in $cur — not a hashSave index"))
+    val seg = Similarity.newSegmentName()
+    Similarity.writeManifest(dir, oldSegs :+ seg)
+    Similarity.writeBinarySegmentTo(hashes, path, seg)
+    graft.core.IndexGen.commit(path, gen)
+    Similarity.vacuumSegments(path)
+    gen
+  }
+
+  /** Exact-dedup NEW documents against the persisted history: every new
+    * doc whose md5(text) equals an indexed doc's comes back as
+    * (id, dup_of) — one pair per matching history doc. The probe side
+    * BROADCASTS (|batch| ≪ |corpus| is the refresh-loop shape), so the
+    * history hash table is scanned once and never shuffled at any
+    * corpus size. Serves the committed generation (one readDir), so
+    * probes keep answering through a concurrent append. */
+  def exactAgainst(spark: org.apache.spark.sql.SparkSession, path: String,
+      newDf: DataFrame, id: Column, text: Column): DataFrame = {
+    val cur = graft.core.IndexGen.readDir(path)
+    requireHashMeta(cur)
+    val hist = Similarity.codesParts(spark, path, cur)
+    val probe = newDf.select(id.as("id"), md5(text).as("h"))
+      .filter(col("h").isNotNull)
+    hist.select(col("id").as("dup_of"), col("h"))
+      .join(broadcast(probe), Seq("h"))
+      .select(col("id"), col("dup_of"))
+  }
+
+  private def writeHashMeta(genDir: String): Unit = {
+    new java.io.File(genDir).mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(genDir, "hash_meta.txt").toPath, "algo=md5")
+    ()
+  }
+
+  private def requireHashMeta(genDir: String): Unit =
+    require(new java.io.File(genDir, "hash_meta.txt").isFile,
+      s"not a hashSave exact-dedup index: missing hash_meta.txt in $genDir")
+
   private def writeSigMeta(genDir: String, n: Int, k: Int, bands: Int): Unit = {
     new java.io.File(genDir).mkdirs()
     java.nio.file.Files.writeString(

@@ -158,6 +158,46 @@ class PipelineSpec extends SparkSpec {
     assert(hits == Set(1L), s"index must still serve exactly history: $hits")
   }
 
+  test("exact-dedup hash index: byte-identical match only, append ≡ " +
+      "rebuild, index kinds fail loudly when crossed") {
+    val path = java.nio.file.Files.createTempDirectory("hash_idx").toString
+    Dedup.hashSave(docs.filter(col("doc_id").isin(1L, 3L)),
+      col("doc_id"), col("text"), path)
+    // doc 4 is an exact copy of 1 → matched; doc 2 is a NEAR dup → not
+    val hits = Dedup.exactAgainst(spark, path,
+        docs.filter(col("doc_id").isin(2L, 4L)), col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((4L, 1L)), s"exact-only matching: $hits")
+    // append ≡ rebuild
+    val inc = java.nio.file.Files.createTempDirectory("hash_idx_inc").toString
+    Dedup.hashSave(docs.filter(col("doc_id") === 1L),
+      col("doc_id"), col("text"), inc)
+    Dedup.hashAppend(spark, inc, docs.filter(col("doc_id") === 3L),
+      col("doc_id"), col("text"))
+    val hitsInc = Dedup.exactAgainst(spark, inc,
+        docs.filter(col("doc_id").isin(2L, 4L)), col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hitsInc == hits)
+    // empty/all-NULL append keeps the generation
+    val gen0 = graft.core.IndexGen.current(inc)
+    Dedup.hashAppend(spark, inc,
+      Seq((9L, null: String)).toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+    assert(graft.core.IndexGen.current(inc) == gen0)
+    // crossing index kinds fails loudly in both directions
+    intercept[IllegalArgumentException] {
+      Dedup.signatureAppend(spark, inc, docs, col("doc_id"), col("text"))
+    }
+    val sig = java.nio.file.Files.createTempDirectory("sig_for_hash").toString
+    Dedup.signatureSave(docs, col("doc_id"), col("text"), sig)
+    intercept[IllegalArgumentException] {
+      Dedup.hashAppend(spark, sig, docs, col("doc_id"), col("text"))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.exactAgainst(spark, sig, docs, col("doc_id"), col("text"))
+    }
+  }
+
   test("canonicalize keeps one representative per near-dup cluster") {
     // docs 1,2,4 form one cluster (4 is an exact dup of 1, 2 near-dup);
     // keepBy = text length, tie → smallest id, so doc 1 represents it

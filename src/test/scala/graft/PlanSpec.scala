@@ -160,6 +160,15 @@ class PlanSpec extends SparkSpec {
       s"refresh loop must stay banded equi-joins:\n$p")
   }
 
+  test("q_dedup_exact_incremental: the PROBE batch broadcasts — history " +
+      "hashes are scanned once, never shuffled") {
+    val p = plan("q_dedup_exact_incremental")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe must broadcast onto the history scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"history must never be shuffle-joined:\n$p")
+  }
+
   test("q_sample_temperature: rate table broadcasts; the corpus side is " +
       "never exchanged") {
     val p = plan("q_sample_temperature")
