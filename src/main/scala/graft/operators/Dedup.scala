@@ -84,12 +84,23 @@ object Dedup {
 
   /** MinHash signature columns h0..h{k-1} per id: hᵢ = min over shingles
     * of md5(i‖"|"‖shingle). String md5 keeps the hash identical across
-    * engines and platforms. */
+    * engines and platforms.
+    *
+    * The min runs as [[graft.plans.AggExprs.minHex32]], not built-in
+    * `min`: Spark's Min over StringType has a var-width agg buffer, so
+    * every signature build planned a SortAggregate that sorted the
+    * exploded corpus shingle table (k columns × both partial/final —
+    * 12 SortAggregate nodes in the q_dedup_minhash plan before this).
+    * minHex32 holds the digest as two biased longs — fixed-width buffer
+    * ⇒ HashAggregate + whole-stage codegen — and reconstructs
+    * bit-identical hex per group, so signatures (and every oracle
+    * downstream) are unchanged. */
   def minhash(sh: DataFrame, k: Int): DataFrame =
     sh.groupBy("id").agg(
-      min(md5(concat(lit("0|"), col("s")))).as("h0"),
+      graft.plans.AggExprs.minHex32(md5(concat(lit("0|"), col("s")))).as("h0"),
       (1 until k).map(i =>
-        min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i")): _*)
+        graft.plans.AggExprs.minHex32(
+          md5(concat(lit(s"$i|"), col("s")))).as(s"h$i")): _*)
 
   // ------------------------------------------------------------------
   // Incremental dedup: a persisted MinHash signature index

@@ -234,6 +234,22 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size == 2) // partial + final
   }
 
+  test("q_dedup_minhash: batch signature build hash-aggregates — " +
+      "no SortAggregate anywhere") {
+    // min(STRING md5) has a var-width agg buffer and planned 12
+    // SortAggregate nodes over the exploded corpus shingle table
+    // (k columns × partial/final × both self-join sides); MinHex32Agg's
+    // two-long buffer keeps the whole path in HashAggregate — at corpus
+    // scale a SortAggregate sorts (and spills) every shuffle partition
+    // of the shingle table for no semantic reason.
+    Seq("q_dedup_minhash", "q_fuzzy_join").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("min_hex32"), s"$q: expected the native min agg:\n$p")
+      assert(!p.contains("SortAggregate"),
+        s"$q: no sort-based aggregation in the signature path:\n$p")
+    }
+  }
+
   test("q_louvain: rounds stay equi-join shaped, no cartesian fallback, " +
       "label update hash-aggregates") {
     val p = plan("q_louvain")
