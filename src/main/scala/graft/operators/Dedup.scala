@@ -267,8 +267,20 @@ object Dedup {
     val canon = Caches.eager(
       canonicalize(batch, id, text, lit(0), n, k, bands, threshold, maxDf)
         .drop("_cluster"))
+    // Replay safety: on a RETRIED batch (append committed, downstream
+    // write lost) the index already holds this batch's own signatures,
+    // and two in-batch survivors in the est ≥ estThreshold /
+    // jaccard < threshold band would each match the OTHER's indexed
+    // signature and BOTH drop — silently losing rows from the retried
+    // output. History matches must therefore exclude the batch's own
+    // ids, not just each row's self-id. A fresh batch's ids are never
+    // in the index (the caller-feeds-only-new-ids contract shared by
+    // every segment store), so off the replay path this anti-join
+    // removes nothing.
     val dupIds = dedupAgainst(spark, path, canon, col("_id"), text,
-      estThreshold).select(col("id").as("_id")).distinct()
+      estThreshold)
+      .join(canon.select(col("_id").as("dup_of")), Seq("dup_of"), "left_anti")
+      .select(col("id").as("_id")).distinct()
     val survivors = Caches.eager(canon.join(dupIds, Seq("_id"), "left_anti"))
     signatureAppend(spark, path, survivors, col("_id"), text)
     survivors.select(batch.columns.map(col).toSeq: _*)
@@ -336,20 +348,28 @@ object Dedup {
 
   /** Exact-dedup NEW documents against the persisted history: every new
     * doc whose md5(text) equals an indexed doc's comes back as
-    * (id, dup_of) — one pair per matching history doc. The probe side
-    * BROADCASTS (|batch| ≪ |corpus| is the refresh-loop shape), so the
-    * history hash table is scanned once and never shuffled at any
-    * corpus size. Serves the committed generation (one readDir), so
-    * probes keep answering through a concurrent append. */
+    * (id, dup_of) — one pair per matching history doc. When the probe
+    * fits (≤ `broadcastRowLimit` rows — it is counted, not assumed),
+    * the probe side BROADCASTS (|batch| ≪ |corpus| is the refresh-loop
+    * shape), so the history hash table is scanned once and never
+    * shuffled at any corpus size; an oversized probe falls back to a
+    * plain equi-join (shuffled both sides) instead of blowing Spark's
+    * 8 GB broadcast hard limit / driver memory on an unconditional
+    * hint. The probe is eager-cached for the count, so `newDf` is
+    * evaluated once either way. Serves the committed generation (one
+    * readDir), so probes keep answering through a concurrent append. */
   def exactAgainst(spark: org.apache.spark.sql.SparkSession, path: String,
-      newDf: DataFrame, id: Column, text: Column): DataFrame = {
+      newDf: DataFrame, id: Column, text: Column,
+      broadcastRowLimit: Long = 10000000L): DataFrame = {
     val cur = graft.core.IndexGen.readDir(path)
     requireHashMeta(cur)
     val hist = Similarity.codesParts(spark, path, cur)
-    val probe = newDf.select(id.as("id"), md5(text).as("h"))
-      .filter(col("h").isNotNull)
+    val probe = Caches.eager(newDf.select(id.as("id"), md5(text).as("h"))
+      .filter(col("h").isNotNull))
+    val probeSide =
+      if (probe.count() <= broadcastRowLimit) broadcast(probe) else probe
     hist.select(col("id").as("dup_of"), col("h"))
-      .join(broadcast(probe), Seq("h"))
+      .join(probeSide, Seq("h"))
       .select(col("id"), col("dup_of"))
   }
 

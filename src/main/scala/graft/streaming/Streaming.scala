@@ -254,9 +254,13 @@ object Streaming {
     * vs history).
     *
     * Delivery: at-least-once on micro-batch RETRY — a replayed batch
-    * probes an index that already holds its own signatures (self-ids
-    * are excluded from candidates, so survivors are re-derived
-    * identically) and re-appends them; the survivors sink may then hold
+    * probes an index that already holds its own signatures, and
+    * [[graft.operators.Dedup.dedupRefresh]] excludes the batch's OWN
+    * ids from history matches (not just each row's self-id: two
+    * in-batch survivors whose signature agreement reaches estThreshold
+    * while exact Jaccard stays below threshold would otherwise drop
+    * each other on replay and be lost), so survivors are re-derived
+    * IDENTICALLY and re-appended; the survivors sink may then hold
     * duplicate rows and the index duplicate signature rows (harmless
     * for probing — same id band-joins to the same candidates — but
     * production survivors sinks should dedup by id downstream or use

@@ -198,6 +198,61 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dedupRefresh replay: a retried batch re-derives its survivors " +
+      "identically even in the est≥estThreshold / jaccard<threshold band") {
+    // Two docs sharing 17 of 20 words: exact Jaccard = 15/21 ≈ 0.71 < 0.8 so
+    // BOTH survive in-batch canonicalization, while their MinHash
+    // signature agreement clears a low estThreshold. On a replayed
+    // batch (append committed, downstream write lost) each doc sees the
+    // OTHER's already-indexed signature — before the batch-id exclusion
+    // in dedupRefresh they dropped each other and the retry silently
+    // lost both rows.
+    val path = java.nio.file.Files.createTempDirectory("sig_replay").toString
+    val history = Seq((1L, "completely unrelated seed corpus about engines"))
+      .toDF("doc_id", "text")
+    Dedup.signatureSave(history, col("doc_id"), col("text"), path,
+      n = 3, k = 6, bands = 6)
+    val batch = Seq(
+      (11L, "alpha bravo charlie delta echo foxtrot golf hotel india " +
+        "juliet kilo lima mike november oscar papa quebec romeo sierra tango"),
+      (12L, "alpha bravo charlie delta echo foxtrot golf hotel india " +
+        "juliet kilo lima mike november oscar papa quebec xray yankee zulu"))
+      .toDF("doc_id", "text")
+    val r1 = Dedup.dedupRefresh(spark, path, batch,
+      col("doc_id"), col("text"), threshold = 0.8, estThreshold = 0.15)
+    assert(r1.select("doc_id").as[Long].collect().toSet == Set(11L, 12L),
+      "precondition: both docs must survive the fresh batch")
+    // precondition: the pair really is in the replay-loss band — after
+    // the append, a raw history probe of the same batch cross-matches
+    // 11 ↔ 12 at est ≥ estThreshold
+    val cross = Dedup.dedupAgainst(spark, path, batch,
+        col("doc_id"), col("text"), threshold = 0.15)
+      .filter(col("id").isin(11L, 12L) && col("dup_of").isin(11L, 12L))
+      .count()
+    assert(cross >= 2, s"precondition: expected 11↔12 cross-matches, got $cross")
+    // the replay: same batch again, index already holds its signatures
+    val r2 = Dedup.dedupRefresh(spark, path, batch,
+      col("doc_id"), col("text"), threshold = 0.8, estThreshold = 0.15)
+    assert(r2.select("doc_id").as[Long].collect().toSet == Set(11L, 12L),
+      "replayed batch must re-derive the same survivors")
+  }
+
+  test("exactAgainst: oversized probe falls back to an un-hinted join " +
+      "with identical results") {
+    val path = java.nio.file.Files.createTempDirectory("hash_gate").toString
+    Dedup.hashSave(docs.filter(col("doc_id").isin(1L, 3L)),
+      col("doc_id"), col("text"), path)
+    val probe = docs.filter(col("doc_id").isin(2L, 4L))
+    val hinted = Dedup.exactAgainst(spark, path, probe,
+      col("doc_id"), col("text"))
+    // broadcastRowLimit = 0 forces the shuffle fallback (the shape an
+    // over-8GB probe takes instead of failing on the broadcast limit)
+    val fallback = Dedup.exactAgainst(spark, path, probe,
+      col("doc_id"), col("text"), broadcastRowLimit = 0L)
+    assert(rowsOf(hinted) == rowsOf(fallback) &&
+      rowsOf(hinted) == Set(Seq(4L, 1L)))
+  }
+
   test("canonicalize keeps one representative per near-dup cluster") {
     // docs 1,2,4 form one cluster (4 is an exact dup of 1, 2 near-dup);
     // keepBy = text length, tie → smallest id, so doc 1 represents it
