@@ -588,6 +588,94 @@ object DocStoreQueries extends QueryModule {
   }
 
   // statistics_query surface: doc/chunk counts over the indexed corpus
+  /** Shared oracle for the dedup-gated ingest (`dedupIndex` on
+    * build/buildStream): the surviving chunk inventory after TWO
+    * ingests sharing one content-hash index — ingest 1 = even doc ids,
+    * ingest 2 = the WHOLE corpus (a re-ingest of every even doc plus
+    * the odds). Per ingest the gate keeps ONE chunk per distinct text
+    * (min chunk_key) and drops every chunk whose text was already
+    * embedded by an earlier ingest — so ingest 2 contributes only odd
+    * docs' genuinely-new texts, and re-ingesting the same file is a
+    * no-op. `n_tokens` is embedding[0] (the hashEmbedder's token-count
+    * slot), proving the embedder really ran on exactly these rows.
+    * `FIRST_ONLY` marks the rows the first ingest contributed (the
+    * batch query returns only the second store's chunks; the streaming
+    * twin accumulates both batches in one chunk table). */
+  private def dedupSql(withFirst: Boolean): String =
+    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |st AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 3, 1) + 1, 5)) AS s FROM w),
+      |ch AS (SELECT doc_id, CAST((s - 1) / 5 AS BIGINT) AS chunk_id,
+      |  array_to_string(ws[s : s + 7], ' ') AS chunk FROM st),
+      |ck AS (SELECT *, CAST('0x' || substr(md5(doc_id || '#' || chunk_id), 1, 15)
+      |  AS BIGINT) AS chunk_key FROM ch),
+      |e AS (SELECT * FROM ck WHERE doc_id % 2 = 0),
+      |k1 AS (SELECT min(chunk_key) AS chunk_key FROM e GROUP BY md5(chunk)),
+      |s1 AS (SELECT e.doc_id, e.chunk_id, e.chunk_key,
+      |  CAST(len(string_split(e.chunk, ' ')) AS DOUBLE) AS n_tokens
+      |  FROM e JOIN k1 USING (chunk_key)),
+      |h1 AS (SELECT DISTINCT md5(chunk) AS h FROM e),
+      |k2 AS (SELECT min(chunk_key) AS chunk_key FROM ck GROUP BY md5(chunk)),
+      |s2 AS (SELECT ck.doc_id, ck.chunk_id, ck.chunk_key,
+      |  CAST(len(string_split(ck.chunk, ' ')) AS DOUBLE) AS n_tokens
+      |  FROM ck JOIN k2 USING (chunk_key)
+      |  WHERE md5(ck.chunk) NOT IN (SELECT h FROM h1))
+      |SELECT * FROM s2${if (withFirst) " UNION ALL SELECT * FROM s1" else ""}"""
+
+  private def rawDocs(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents").select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("data"), col("lang"), col("source"))
+
+  // Dedup-gated BATCH ingest: two builds share one chunk-hash index;
+  // the second store must hold only the odds' genuinely-new chunk
+  // texts — every re-ingested even chunk (and every odd chunk whose
+  // text a prior or smaller-keyed chunk already owns) never reaches
+  // the embedder.
+  q("q_doc_store_dedup", dedupSql(withFirst = false)) { (s, dir) =>
+    val raw = rawDocs(s, dir)
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_ds_dedup").toString + "/idx"
+    DocStore.build(raw.filter(col("doc_id") % 2 === 0), col("doc_id"),
+      col("data"), metadata = Seq("lang", "source"), chunkSize = 8,
+      overlap = 3, embedder = DocStore.hashEmbedder(16),
+      dedupIndex = Some(p))
+    val store2 = DocStore.build(raw, col("doc_id"), col("data"),
+      metadata = Seq("lang", "source"), chunkSize = 8, overlap = 3,
+      embedder = DocStore.hashEmbedder(16), dedupIndex = Some(p))
+    store2.chunks.select(col("doc_id"), col("chunk_id"), col("chunk_key"),
+      element_at(col("embedding"), 1).as("n_tokens"))
+  }
+
+  // The streaming twin: the same two ingests as MICRO-BATCHES through
+  // buildStream(dedupIndex) — the persisted chunk table accumulates
+  // batch 1's canonical even chunks plus batch 2's fresh odd chunks;
+  // the re-sent evens in batch 2 are dropped by the index probe before
+  // the embedder runs.
+  q("q_doc_store_dedup_stream", dedupSql(withFirst = true)) { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .as[(Long, String, String, String)].collect()
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, String)]
+    val stream = in.toDF().toDF("doc_id", "text", "lang", "source")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"),
+        col("lang"), col("source"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ds_dedup_stream").toString
+    val q = DocStore.buildStream(stream, col("doc_id"), col("data"),
+      root, s"$root/ckpt", metadata = Seq("lang", "source"),
+      chunkSize = 8, overlap = 3, embedder = DocStore.hashEmbedder(16),
+      dedupIndex = Some(s"$root/idx")).start()
+    try {
+      in.addData(docs.filter(_._1 % 2 == 0).toSeq); q.processAllAvailable()
+      in.addData(docs.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(s"$root/chunks")
+      .select(col("doc_id"), col("chunk_id"), col("chunk_key"),
+        element_at(col("embedding"), 1).as("n_tokens"))
+  }
+
   q("q_doc_store_stats",
     s"""WITH $pipeCte
       |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_count,

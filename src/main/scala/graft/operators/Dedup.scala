@@ -170,6 +170,9 @@ object Dedup {
     * function, so append ≡ rebuild exactly (the binaryAppend contract;
     * the spec pins probe-result equality). Same single-writer /
     * caller-feeds-only-new-ids contract as every segment store.
+    * Each append commits one manifest segment — run
+    * [[signatureCompact]] periodically (daily / every N batches) to
+    * fold them back into one, or probe cost grows with segment count.
     * Returns the committed generation. */
   def signatureAppend(spark: org.apache.spark.sql.SparkSession, path: String,
       newDf: DataFrame, id: Column, text: Column): Long = {
@@ -371,6 +374,49 @@ object Dedup {
     hist.select(col("id").as("dup_of"), col("h"))
       .join(probeSide, Seq("h"))
       .select(col("id"), col("dup_of"))
+  }
+
+  /** Compact a [[signatureSave]]d index's segments into ONE — the
+    * maintenance cadence for append-heavy indexes, exactly as
+    * [[Similarity.ivfSave]] is the compaction of [[Similarity
+    * .ivfAppend]]: a long-running refresh loop ([[dedupRefresh]],
+    * [[graft.streaming.Streaming.dedupRefreshStream]]) commits one
+    * manifest segment per batch, so after thousands of batches every
+    * probe unions thousands of small parquet reads. This rewrites the
+    * committed generation's signature table as a single segment under a
+    * new atomic generation — same rows, same meta, so probe results are
+    * identical (the spec pins it) — WITHOUT the original text: one
+    * signature-table read, no re-shingling. Probes keep serving the old
+    * generation until the commit rename; appends resume on the
+    * compacted manifest. Same single-writer contract as append (don't
+    * compact concurrently with an append). Returns the committed
+    * generation. */
+  def signatureCompact(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = compactIndex(spark, path, "sig_meta.txt")
+
+  /** [[signatureCompact]] for a [[hashSave]]d exact-dedup index. */
+  def hashCompact(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = compactIndex(spark, path, "hash_meta.txt")
+
+  private def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, metaFile: String): Long = {
+    val cur = graft.core.IndexGen.readDir(path)
+    val metaSrc = new java.io.File(cur, metaFile)
+    require(metaSrc.isFile,
+      s"compact: not a $metaFile index — missing ${metaSrc.getPath}")
+    require(Similarity.readManifest(cur).isDefined,
+      s"compact: no segment manifest in $cur")
+    val all = Similarity.codesParts(spark, path, cur)
+    val (dir, gen) = graft.core.IndexGen.stage(path)
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.copy(metaSrc.toPath,
+      new java.io.File(dir, metaFile).toPath)
+    val seg = Similarity.newSegmentName()
+    Similarity.writeManifest(dir, Seq(seg)) // manifest-first discipline
+    Similarity.writeBinarySegmentTo(all, path, seg)
+    graft.core.IndexGen.commit(path, gen)
+    Similarity.vacuumSegments(path)
+    gen
   }
 
   private def writeHashMeta(genDir: String): Unit = {

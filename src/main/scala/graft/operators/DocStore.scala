@@ -144,7 +144,8 @@ object DocStore {
       postProcess: Seq[Column => Column] = Nil,
       chunkSize: Int = 256, overlap: Int = 32,
       splitBy: Option[(String, Int)] = None,
-      embedder: Column => Column = hashEmbedder()): Store =
+      embedder: Column => Column = hashEmbedder(),
+      dedupIndex: Option[String] = None): Store =
     // spread the doc table first: the pipeline is projection/generator
     // only, so everything downstream — chunking, the embed fold, pairwise
     // scoring — inherits the INPUT's partitioning, and a doc corpus that
@@ -164,10 +165,69 @@ object DocStore {
     // in-memory Store is the fits-in-cluster-memory path by contract
     // (the scale path is save()/open()), and Dataset.cache's
     // MEMORY_AND_DISK level degrades gracefully anyway.
-    new Store(graft.core.Caches.eager(
-      chunkPipeline(Similarity.spread(docs), id, data, metadata,
-        parser, postProcess, chunkSize, overlap, splitBy, embedder)),
-      metadata, embedder)
+    {
+      val chunked = chunkStage(Similarity.spread(docs), id, data, metadata,
+        parser, postProcess, chunkSize, overlap, splitBy)
+      val fresh = dedupIndex match {
+        case None => chunked
+        case Some(p) =>
+          val f = dedupFreshChunks(docs.sparkSession, chunked, p)
+          indexChunkHashes(docs.sparkSession, p, f)
+          f
+      }
+      new Store(graft.core.Caches.eager(
+        fresh.withColumn("embedding", embedder(col("text")))),
+        metadata, embedder)
+    }
+
+  /** The exact-dedup gate of the ingest pipeline (`dedupIndex` on
+    * [[build]]/[[buildStream]]): at 100 TB the EMBEDDER is the expensive
+    * stage, so duplicate chunks must be dropped BEFORE it runs, and
+    * across ingests — a [[Dedup.hashSave]] content-hash index at the
+    * given path remembers every chunk text ever embedded. Per ingest:
+    *
+    *  1. in-batch exact canonicalization — one survivor per distinct
+    *     chunk text, the min [[chunkKey]] (deterministic re-runs); a
+    *     hash-aggregable long min + semi-join back, never a window sort;
+    *  2. history filter — chunks whose md5(text) is already indexed are
+    *     dropped ([[Dedup.exactAgainst]]: probe broadcasts when small,
+    *     the history hash table is scanned once, never shuffled), which
+    *     is also what makes RE-INGESTING the same file a no-op;
+    *  3. the surviving chunks' hashes are appended O(survivors)
+    *     ([[indexChunkHashes]] — by the caller, AFTER its downstream
+    *     write where one exists, so a retried micro-batch re-embeds and
+    *     duplicates rows, at-least-once, instead of losing them).
+    *
+    * Eager-cached: the survivors feed the hash append AND the embed
+    * stage. */
+  private def dedupFreshChunks(spark: SparkSession, chunked: DataFrame,
+      indexPath: String): DataFrame = {
+    val withH = chunked.withColumn("_h", md5(col("text")))
+    val keep = withH.groupBy(col("_h"))
+      .agg(min(col("chunk_key")).as("chunk_key")).select("chunk_key")
+    val canon = withH.join(keep, Seq("chunk_key"), "left_semi")
+    val fresh =
+      if (graft.core.IndexGen.current(indexPath).isDefined) {
+        val dup = Dedup.exactAgainst(spark, indexPath, canon,
+            col("chunk_key"), col("text"))
+          .select(col("id").as("chunk_key")).distinct()
+        canon.join(dup, Seq("chunk_key"), "left_anti")
+      } else canon
+    graft.core.Caches.eager(fresh.drop("_h"))
+  }
+
+  /** Record an ingest's surviving chunk hashes in the dedup index —
+    * creates it on first ingest, O(new rows) segment append after
+    * ([[Dedup.hashCompact]] is the long-run maintenance cadence).
+    * Single writer, like every segment store. */
+  private def indexChunkHashes(spark: SparkSession, indexPath: String,
+      fresh: DataFrame): Unit =
+    if (graft.core.IndexGen.current(indexPath).isDefined) {
+      Dedup.hashAppend(spark, indexPath, fresh, col("chunk_key"),
+        col("text"))
+      ()
+    } else if (!fresh.isEmpty)
+      Dedup.hashSave(fresh, col("chunk_key"), col("text"), indexPath)
 
   /** The parse → post-process → chunk → embed column pipeline. Every
     * stage is a stateless projection or generator, so the SAME plan runs
@@ -176,7 +236,18 @@ object DocStore {
   private def chunkPipeline(docs: DataFrame, id: Column, data: Column,
       metadata: Seq[String], parser: Column => Column,
       postProcess: Seq[Column => Column], chunkSize: Int, overlap: Int,
-      splitBy: Option[(String, Int)], embedder: Column => Column): DataFrame = {
+      splitBy: Option[(String, Int)], embedder: Column => Column): DataFrame =
+    chunkStage(docs, id, data, metadata, parser, postProcess, chunkSize,
+      overlap, splitBy)
+      .withColumn("embedding", embedder(col("text")))
+
+  /** [[chunkPipeline]] minus the embed projection — the split exists so
+    * the `dedupIndex` gate can drop duplicate chunks BEFORE the
+    * (expensive) embedder ever sees them. */
+  private def chunkStage(docs: DataFrame, id: Column, data: Column,
+      metadata: Seq[String], parser: Column => Column,
+      postProcess: Seq[Column => Column], chunkSize: Int, overlap: Int,
+      splitBy: Option[(String, Int)]): DataFrame = {
     val parsed = docs
       .select(id.as("doc_id") +: parser(data).as("_text") +: metadata.map(col): _*)
       .withColumn("_text", postProcess.foldLeft(col("_text"))((c, f) => f(c)))
@@ -195,7 +266,6 @@ object DocStore {
       .select(col("id").as("doc_id") +: col("chunk_id") +:
         chunkKey(col("id"), col("chunk_id")).as("chunk_key") +:
         col("chunk").as("text") +: metadata.map(col): _*)
-      .withColumn("embedding", embedder(col("text")))
   }
 
   /** Streaming ingestion — the reference DocumentStore is a LIVE
@@ -217,7 +287,8 @@ object DocStore {
       postProcess: Seq[Column => Column] = Nil,
       chunkSize: Int = 256, overlap: Int = 32,
       splitBy: Option[(String, Int)] = None,
-      embedder: Column => Column = hashEmbedder())
+      embedder: Column => Column = hashEmbedder(),
+      dedupIndex: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     // explicit repartition (the streaming twin of build's Par.spread —
     // the stat probe can't run on a streaming plan): a micro-batch
@@ -226,11 +297,39 @@ object DocStore {
     // batch buys parallel embedding of the expanded chunk set
     val spread = docs.repartition(
       docs.sparkSession.sessionState.conf.numShufflePartitions)
-    chunkPipeline(spread, id, data, metadata, parser, postProcess,
-        chunkSize, overlap, splitBy, embedder)
-      .writeStream.format("parquet").outputMode("append")
-      .option("path", s"$path/chunks")
-      .option("checkpointLocation", checkpoint)
+    dedupIndex match {
+      case None =>
+        chunkPipeline(spread, id, data, metadata, parser, postProcess,
+            chunkSize, overlap, splitBy, embedder)
+          .writeStream.format("parquet").outputMode("append")
+          .option("path", s"$path/chunks")
+          .option("checkpointLocation", checkpoint)
+      case Some(p) =>
+        // the dedup gate needs batch ops (index probe + append), so the
+        // exactly-once parquet sink becomes a foreachBatch: chunk →
+        // in-batch canonicalize → history filter → embed SURVIVORS only
+        // → append chunks → index their hashes. Delivery is
+        // at-least-once on retry BY ORDER OF OPERATIONS: the chunk
+        // write lands before the hash append, so a crash between them
+        // re-embeds and duplicates rows on replay — never drops them
+        // (the dedupRefreshStream replay lesson; a retried batch's
+        // texts are only in the index if its chunk rows landed first).
+        spread.writeStream.outputMode("append")
+          .option("checkpointLocation", checkpoint)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            if (!batch.isEmpty) {
+              val chunked = chunkStage(batch.toDF(), id, data, metadata,
+                parser, postProcess, chunkSize, overlap, splitBy)
+              val fresh = dedupFreshChunks(batch.sparkSession, chunked, p)
+              // skip all-dup batches: a zero-row FIRST append could
+              // leave a schema-less chunks dir that fails reads
+              if (!fresh.isEmpty)
+                fresh.withColumn("embedding", embedder(col("text")))
+                  .write.mode("append").parquet(s"$path/chunks")
+              indexChunkHashes(batch.sparkSession, p, fresh)
+            }
+          }
+    }
   }
 
   /** (Re)build the IVF index over the accumulated chunk table of a

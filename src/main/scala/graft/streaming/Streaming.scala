@@ -265,6 +265,12 @@ object Streaming {
     * for probing — same id band-joins to the same candidates — but
     * production survivors sinks should dedup by id downstream or use
     * the upsert sink). Single writer, like every segment store.
+    *
+    * Index maintenance: every batch commits one manifest segment, so a
+    * loop running for thousands of batches should periodically pause
+    * and run [[graft.operators.Dedup.signatureCompact]] (one
+    * signature-table read, no re-shingling; probe results unchanged) —
+    * the same save-is-append's-compaction cadence as ivfSave/ivfAppend.
     * Returns the unstarted writer. */
   def dedupRefreshStream(stream: DataFrame, id: Column, text: Column,
       indexPath: String, survivorsOut: String, checkpoint: String,

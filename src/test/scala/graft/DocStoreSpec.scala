@@ -598,4 +598,54 @@ class DocStoreSpec extends SparkSpec {
     assert(v.length == 9)
     assert(v.head == 1.0) // token count dimension
   }
+
+  test("build(dedupIndex): dup chunks never reach the embedder; " +
+      "re-ingesting the same file embeds nothing") {
+    // the accumulator counts EMBEDDER INVOCATIONS — the direct form of
+    // the claim 'duplicate chunks never reach embed' (at 100 TB the
+    // embedder is the expensive stage the gate exists to protect)
+    val acc = spark.sparkContext.longAccumulator("embed_calls")
+    val f = udf { t: String =>
+      acc.add(1); Array(t.split(" ").length.toDouble)
+    }
+    val counting: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => f(c)
+    val idx = java.nio.file.Files
+      .createTempDirectory("ds_dedup_spec").toString + "/idx"
+    // chunkSize 3 / overlap 1 over 6 words → 3 chunks per doc, 12
+    // total, but only 8 distinct texts: docs 1 and 4 share all three
+    // and doc 2's first chunk ('alpha beta gamma') duplicates doc 1's
+    val st1 = DocStore.build(docsDf, col("doc_id"), col("data"),
+      metadata = Seq("lang"), chunkSize = 3, overlap = 1,
+      embedder = counting, dedupIndex = Some(idx))
+    assert(st1.chunks.count() == 8,
+      "in-batch canonicalization must keep one chunk per distinct text")
+    assert(acc.value == 8L, s"embedder ran ${acc.value} times, want 8")
+    // only the min-chunk_key twin of each dup'd text survives — doc 4
+    // (higher keys by md5 is not guaranteed, so assert per-text count)
+    assert(st1.chunks.groupBy("text").count()
+      .filter(col("count") > 1).count() == 0)
+    // idempotent re-ingest: same corpus again, nothing embeds
+    val st2 = DocStore.build(docsDf, col("doc_id"), col("data"),
+      metadata = Seq("lang"), chunkSize = 3, overlap = 1,
+      embedder = counting, dedupIndex = Some(idx))
+    assert(st2.chunks.count() == 0, "re-ingest must be a no-op")
+    assert(acc.value == 8L, s"re-ingest ran the embedder ${acc.value - 8} times")
+    // a genuinely new doc still gets through the gate and is indexed
+    val extra = Seq((9L, "nine ten eleven twelve", "en"))
+      .toDF("doc_id", "text", "lang")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"),
+        col("lang"))
+    val st3 = DocStore.build(extra, col("doc_id"), col("data"),
+      metadata = Seq("lang"), chunkSize = 3, overlap = 1,
+      embedder = counting, dedupIndex = Some(idx))
+    assert(st3.chunks.count() == 2 && acc.value == 10L)
+    // compaction folds the per-ingest hash segments into one; the gate
+    // still recognizes everything embedded so far
+    graft.operators.Dedup.hashCompact(spark, idx)
+    val st4 = DocStore.build(docsDf.unionByName(extra), col("doc_id"),
+      col("data"), metadata = Seq("lang"), chunkSize = 3, overlap = 1,
+      embedder = counting, dedupIndex = Some(idx))
+    assert(st4.chunks.count() == 0 && acc.value == 10L)
+  }
 }

@@ -363,6 +363,53 @@ class StreamingSpec extends SparkSpec {
       s"11 survives batch 1, 21 drops vs 11's indexed signature: $kept")
   }
 
+  test("signatureCompact after streamed appends: one segment, identical " +
+      "probe results, appends resume on the compacted manifest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("sig_compact").toString
+    graft.operators.Dedup.signatureSave(
+      Seq((1L, "seed history document words here now")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path, n = 3, k = 6, bands = 3)
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.dedupRefreshStream(
+      in.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"),
+      path, s"$path/survivors", s"$path/ckpt").start()
+    try {
+      in.addData((11L, "fresh new content alpha beta gamma"))
+      q.processAllAvailable()
+      in.addData((22L, "another unrelated document entirely different words"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def segs = java.nio.file.Files.readString(new java.io.File(
+        graft.core.IndexGen.readDir(path), "segments.txt").toPath)
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    def probeIds = graft.operators.Dedup.dedupAgainst(spark, path,
+        Seq((91L, "fresh new content alpha beta gamma"),
+          (92L, "seed history document words here now"),
+          (93L, "totally novel probe text never indexed anywhere"))
+          .toDF("doc_id", "text"), col("doc_id"), col("text"), 0.5)
+      .select("id", "dup_of").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(segs.size == 3, s"save + 2 streamed appends = 3 segments: $segs")
+    val before = probeIds
+    assert(before.contains((91L, 11L)) && before.contains((92L, 1L)) &&
+      !before.exists(_._1 == 93L), s"precondition probe: $before")
+    graft.operators.Dedup.signatureCompact(spark, path)
+    assert(segs.size == 1, s"compaction must fold to one segment: $segs")
+    assert(probeIds == before, "probe results must be unchanged")
+    // appends resume on the compacted manifest
+    graft.operators.Dedup.signatureAppend(spark, path,
+      Seq((31L, "totally novel probe text never indexed anywhere"))
+        .toDF("doc_id", "text"), col("doc_id"), col("text"))
+    assert(segs.size == 2)
+    assert(probeIds.contains((93L, 31L)), "post-compaction append must serve")
+    // compacting a non-index path fails loudly
+    val bad = java.nio.file.Files.createTempDirectory("sig_compact_bad")
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.signatureCompact(spark, bad.toString)
+    }
+  }
+
   test("nearDupCandidatesStream flags later arrivals against first-arrived " +
       "bucket owners; short docs emit nothing") {
     implicit val sqlCtx = spark.sqlContext
