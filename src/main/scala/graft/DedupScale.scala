@@ -49,8 +49,13 @@ object DedupScale {
         val t0 = System.nanoTime()
         val pairs = graft.operators.Dedup.dedupAgainst(spark, idx, probe,
           col("doc_id"), col("text"), threshold = 0.5).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        // cache teardown OUTSIDE the timed window: the eager-cached
+        // probe/signature frames grow with history, so timing their
+        // unpersist would contaminate exactly the flatness claim this
+        // harness exists to measure
         spark.catalog.clearCache(); graft.core.Caches.drain()
-        ((System.nanoTime() - t0) / 1e9, pairs)
+        (secs, pairs)
       }
       println(f"hist=$hist%-22s docs=$n%9d build=$built%-8s " +
         f"probe_min=${times.map(_._1).min}%6.2f s pairs=${times.head._2}%d")

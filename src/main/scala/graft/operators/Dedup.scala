@@ -352,25 +352,31 @@ object Dedup {
   /** Exact-dedup NEW documents against the persisted history: every new
     * doc whose md5(text) equals an indexed doc's comes back as
     * (id, dup_of) — one pair per matching history doc. When the probe
-    * fits (≤ `broadcastRowLimit` rows — it is counted, not assumed),
-    * the probe side BROADCASTS (|batch| ≪ |corpus| is the refresh-loop
-    * shape), so the history hash table is scanned once and never
-    * shuffled at any corpus size; an oversized probe falls back to a
-    * plain equi-join (shuffled both sides) instead of blowing Spark's
-    * 8 GB broadcast hard limit / driver memory on an unconditional
-    * hint. The probe is eager-cached for the count, so `newDf` is
-    * evaluated once either way. Serves the committed generation (one
-    * readDir), so probes keep answering through a concurrent append. */
+    * fits (≤ `broadcastLimitBytes` of MATERIALIZED cache, measured from
+    * the in-memory relation's own stats — not a row-count proxy, which
+    * wide id columns defeat), the probe side BROADCASTS (|batch| ≪
+    * |corpus| is the refresh-loop shape), so the history hash table is
+    * scanned once and never shuffled at any corpus size; an oversized
+    * probe falls back to a plain equi-join (shuffled both sides)
+    * instead of blowing Spark's 8 GB broadcast hard limit / driver
+    * memory on an unconditional hint. The probe is cached and counted
+    * in ONE job, so `newDf` is evaluated once either way. Serves the
+    * committed generation (one readDir), so probes keep answering
+    * through a concurrent append. */
   def exactAgainst(spark: org.apache.spark.sql.SparkSession, path: String,
       newDf: DataFrame, id: Column, text: Column,
-      broadcastRowLimit: Long = 10000000L): DataFrame = {
+      broadcastLimitBytes: Long = 512L << 20): DataFrame = {
     val cur = graft.core.IndexGen.readDir(path)
     requireHashMeta(cur)
     val hist = Similarity.codesParts(spark, path, cur)
-    val probe = Caches.eager(newDf.select(id.as("id"), md5(text).as("h"))
+    val probe = Caches.cache(newDf.select(id.as("id"), md5(text).as("h"))
       .filter(col("h").isNotNull))
+    probe.count() // ONE job: the count IS the cache materialization
+    // gate the hint on MEASURED cached bytes (the in-memory relation's
+    // own stats) — a row-count proxy is defeated by wide id columns
+    val bytes = probe.queryExecution.optimizedPlan.stats.sizeInBytes
     val probeSide =
-      if (probe.count() <= broadcastRowLimit) broadcast(probe) else probe
+      if (bytes <= BigInt(broadcastLimitBytes)) broadcast(probe) else probe
     hist.select(col("id").as("dup_of"), col("h"))
       .join(probeSide, Seq("h"))
       .select(col("id"), col("dup_of"))

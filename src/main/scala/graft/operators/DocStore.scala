@@ -168,16 +168,31 @@ object DocStore {
     {
       val chunked = chunkStage(Similarity.spread(docs), id, data, metadata,
         parser, postProcess, chunkSize, overlap, splitBy)
-      val fresh = dedupIndex match {
-        case None => chunked
+      dedupIndex match {
+        case None =>
+          new Store(graft.core.Caches.eager(
+            chunked.withColumn("embedding", embedder(col("text")))),
+            metadata, embedder)
         case Some(p) =>
           val f = dedupFreshChunks(docs.sparkSession, chunked, p)
+          // EMBED + materialize first, index the hashes after — the same
+          // crash-ordering rule as the streaming path's
+          // chunks-before-hashes: if the embedder (or the JVM) dies
+          // mid-build with the hashes already committed, a retried
+          // build would find every text indexed, drop all the chunks,
+          // and silently lose them. Hashes-last means a crash re-embeds
+          // on retry instead.
+          val store = new Store(graft.core.Caches.eager(
+            f.withColumn("embedding", embedder(col("text")))),
+            metadata, embedder)
           indexChunkHashes(docs.sparkSession, p, f)
-          f
+          // the inner pre-embed cache has no consumers left (the store's
+          // embedded cache and the hash append both materialized) —
+          // release it now rather than holding 2× the chunk text until
+          // the harness drains the thread scope
+          f.unpersist(blocking = false)
+          store
       }
-      new Store(graft.core.Caches.eager(
-        fresh.withColumn("embedding", embedder(col("text")))),
-        metadata, embedder)
     }
 
   /** The exact-dedup gate of the ingest pipeline (`dedupIndex` on
@@ -318,15 +333,22 @@ object DocStore {
           .option("checkpointLocation", checkpoint)
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             if (!batch.isEmpty) {
-              val chunked = chunkStage(batch.toDF(), id, data, metadata,
-                parser, postProcess, chunkSize, overlap, splitBy)
-              val fresh = dedupFreshChunks(batch.sparkSession, chunked, p)
-              // skip all-dup batches: a zero-row FIRST append could
-              // leave a schema-less chunks dir that fails reads
-              if (!fresh.isEmpty)
-                fresh.withColumn("embedding", embedder(col("text")))
-                  .write.mode("append").parquet(s"$path/chunks")
-              indexChunkHashes(batch.sparkSession, p, fresh)
+              try {
+                val chunked = chunkStage(batch.toDF(), id, data, metadata,
+                  parser, postProcess, chunkSize, overlap, splitBy)
+                val fresh = dedupFreshChunks(batch.sparkSession, chunked, p)
+                // skip all-dup batches: a zero-row FIRST append could
+                // leave a schema-less chunks dir that fails reads
+                if (!fresh.isEmpty)
+                  fresh.withColumn("embedding", embedder(col("text")))
+                    .write.mode("append").parquet(s"$path/chunks")
+                indexChunkHashes(batch.sparkSession, p, fresh)
+              } finally
+                // the gate eager-caches its survivor/probe frames on the
+                // stream-execution thread; drain per batch or a
+                // long-running ingest accumulates them forever (all
+                // consumers completed above)
+                graft.core.Caches.drain()
             }
           }
     }

@@ -48,14 +48,27 @@ case class HexSliceBiased(child: Expression, offset: Int)
 
 object HexSliceBiased {
   /** Parse 16 lowercase-hex chars starting at byte `off` into a biased
-    * long. Hex chars are ASCII, so byte offsets equal char offsets. */
+    * long. Hex chars are ASCII, so byte offsets equal char offsets.
+    * Fails loudly on anything that is not EXACTLY 32 chars of lowercase
+    * hex: a truncated/longer digest (sha1/sha256 fed by mistake) or an
+    * uppercase hex string would otherwise produce a silently wrong min
+    * (uppercase reconstructs as lowercase — no longer bit-identical to
+    * min(STRING) on the inputs). */
   def slice(s: UTF8String, off: Int): Long = {
+    if (s.numBytes() != 32)
+      throw new IllegalArgumentException(
+        s"min_hex32 expects 32-char lowercase hex (md5 output), got " +
+          s"${s.numBytes()} bytes: '$s'")
     var v = 0L
     var i = off
     val end = off + 16
     while (i < end) {
       val c = s.getByte(i)
-      val d = if (c <= '9') c - '0' else c - 'a' + 10
+      val d =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else throw new IllegalArgumentException(
+          s"min_hex32 expects lowercase hex (md5 output), got '$s'")
       v = (v << 4) | d
       i += 1
     }

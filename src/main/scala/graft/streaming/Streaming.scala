@@ -280,14 +280,22 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty) {
-          val survivors = graft.operators.Dedup.dedupRefresh(
-            batch.sparkSession, indexPath, batch.toDF(), id, text,
-            threshold, estThreshold, maxDf)
-          // skip all-dup batches: a zero-row FIRST append could leave a
-          // schema-less survivors dir (only _SUCCESS) that fails reads
-          if (!survivors.isEmpty)
-            survivors.write.mode("append").parquet(survivorsOut)
-          ()
+          try {
+            val survivors = graft.operators.Dedup.dedupRefresh(
+              batch.sparkSession, indexPath, batch.toDF(), id, text,
+              threshold, estThreshold, maxDf)
+            // skip all-dup batches: a zero-row FIRST append could leave a
+            // schema-less survivors dir (only _SUCCESS) that fails reads
+            if (!survivors.isEmpty)
+              survivors.write.mode("append").parquet(survivorsOut)
+            ()
+          } finally
+            // dedupRefresh eager-caches its canonical/survivor frames on
+            // THIS (the stream-execution) thread; without a per-batch
+            // drain a long-running loop accumulates one cached frame
+            // set per micro-batch forever. All consumers (append +
+            // survivors write) completed above, so the drain is safe.
+            graft.core.Caches.drain()
         }
       }
 

@@ -245,10 +245,10 @@ class PipelineSpec extends SparkSpec {
     val probe = docs.filter(col("doc_id").isin(2L, 4L))
     val hinted = Dedup.exactAgainst(spark, path, probe,
       col("doc_id"), col("text"))
-    // broadcastRowLimit = 0 forces the shuffle fallback (the shape an
-    // over-8GB probe takes instead of failing on the broadcast limit)
+    // broadcastLimitBytes = 0 forces the shuffle fallback (the shape an
+    // over-limit probe takes instead of failing on the 8 GB broadcast cap)
     val fallback = Dedup.exactAgainst(spark, path, probe,
-      col("doc_id"), col("text"), broadcastRowLimit = 0L)
+      col("doc_id"), col("text"), broadcastLimitBytes = 0L)
     assert(rowsOf(hinted) == rowsOf(fallback) &&
       rowsOf(hinted) == Set(Seq(4L, 1L)))
   }

@@ -250,6 +250,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_doc_store_dedup: the ingest gate stays hash-aggregated and " +
+      "equi-join shaped") {
+    // in-batch canonicalization is min(LONG chunk_key) + semi-join (hash
+    // aggregable), the history filter an equi-join — a window or struct
+    // formulation would sort the batch's chunk table per ingest
+    val p = plan("q_doc_store_dedup")
+    // positive anchors FIRST: the gate's plan lives inside the store's
+    // cached-relation tree — if a Spark change stopped rendering nested
+    // cached plans, the negative assertions below would pass vacuously
+    assert(p.contains("HashAggregate") && p.contains("LeftSemi"),
+      s"gate plan (canonicalization agg + semi-join) must be visible:\n$p")
+    assert(!p.contains("SortAggregate"), s"no sort-based aggregation:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no NLJ in the gate:\n$p")
+  }
+
   test("q_louvain: rounds stay equi-join shaped, no cartesian fallback, " +
       "label update hash-aggregates") {
     val p = plan("q_louvain")
