@@ -676,6 +676,119 @@ object DocStoreQueries extends QueryModule {
         element_at(col("embedding"), 1).as("n_tokens"))
   }
 
+  /** Chunk-granularity minhash/banding CTE builders for the NEAR-dup
+    * gate oracle (the document-level twins live in PipelineQueries'
+    * refresh-loop oracle). */
+  private def cmh6(src: String): String =
+    s"""SELECT chunk_key,
+       |  min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
+       |  min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3,
+       |  min(md5('4|' || s)) AS h4, min(md5('5|' || s)) AS h5
+       |  FROM $src GROUP BY chunk_key""".stripMargin
+  private def cbands6(src: String): String =
+    s"""SELECT chunk_key, 0 AS band, md5(h0 || h1) AS bk FROM $src UNION ALL
+       |  SELECT chunk_key, 1, md5(h2 || h3) FROM $src UNION ALL
+       |  SELECT chunk_key, 2, md5(h4 || h5) FROM $src""".stripMargin
+
+  /** One in-batch near-canonicalization round over the chunk set
+    * `xN` (suffix `x`): DF-capped shingles → capped minhash → banding →
+    * candidate pairs → exact-Jaccard ≥ 0.8 → recursive-CTE connected
+    * components → min-chunk_key representative. Emits `canon$x`. */
+  private def nearRound(x: String): String =
+    s"""bsh$x AS (SELECT c.chunk_key, c.s FROM csh c
+       |  WHERE c.chunk_key IN (SELECT chunk_key FROM x$x)
+       |  QUALIFY count(*) OVER (PARTITION BY c.s) <= 100),
+       |bmh$x AS (${cmh6(s"bsh$x")}),
+       |bb$x AS (${cbands6(s"bmh$x")}),
+       |cand$x AS (SELECT DISTINCT p.chunk_key AS a, q.chunk_key AS b
+       |  FROM bb$x p JOIN bb$x q
+       |  ON p.band = q.band AND p.bk = q.bk AND p.chunk_key < q.chunk_key),
+       |sz$x AS (SELECT chunk_key, count(*) AS n FROM bsh$x GROUP BY 1),
+       |ix$x AS (SELECT c.a, c.b, count(*) AS i FROM cand$x c
+       |  JOIN bsh$x sa ON sa.chunk_key = c.a
+       |  JOIN bsh$x sb ON sb.chunk_key = c.b AND sb.s = sa.s
+       |  GROUP BY 1, 2),
+       |pairs$x AS (SELECT a, b FROM ix$x
+       |  JOIN sz$x sa ON sa.chunk_key = a JOIN sz$x sb ON sb.chunk_key = b
+       |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+       |edges$x AS (SELECT a AS src, b AS dst FROM pairs$x
+       |  UNION SELECT b AS src, a AS dst FROM pairs$x),
+       |reach$x(node, lbl) AS (
+       |  SELECT chunk_key, chunk_key FROM x$x
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges$x e JOIN reach$x r ON r.node = e.dst),
+       |comp$x AS (SELECT node, min(lbl) AS cluster FROM reach$x GROUP BY node),
+       |canon$x AS (SELECT node AS chunk_key FROM comp$x
+       |  QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY node) = 1)"""
+      .stripMargin
+
+  // The NEAR-dup ingest gate (nearDedupIndex, composed behind the exact
+  // gate): two ingests — evens, then the WHOLE corpus — where each
+  // ingest exact-canonicalizes in-batch, drops texts the exact index
+  // already holds, NEAR-canonicalizes the remainder (LSH + CC at
+  // Jaccard ≥ 0.8), drops chunks whose MinHash signature agreement with
+  // the near index reaches 0.5, and embeds only the survivors (their
+  // signatures appended for the next ingest). The oracle replays the
+  // ENTIRE chain — both rounds, both gates, the recursive-CTE CC, the
+  // ≥3-of-6 agreement estimate — at chunk granularity.
+  q("q_doc_store_neardedup",
+    s"""WITH RECURSIVE
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |st AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 3, 1) + 1, 5)) AS s FROM w),
+      |ch AS (SELECT doc_id, CAST((s - 1) / 5 AS BIGINT) AS chunk_id,
+      |  array_to_string(ws[s : s + 7], ' ') AS chunk FROM st),
+      |ck AS (SELECT *, CAST('0x' || substr(md5(doc_id || '#' || chunk_id), 1, 15)
+      |  AS BIGINT) AS chunk_key FROM ch),
+      |cw AS (SELECT chunk_key, string_split(chunk, ' ') AS cs FROM ck),
+      |csh AS (SELECT DISTINCT chunk_key, cs[j] || ' ' || cs[j+1] || ' ' || cs[j+2] AS s
+      |  FROM cw, UNNEST(range(1, len(cs) - 1)) AS t(j)),
+      |e1 AS (SELECT * FROM ck WHERE doc_id % 2 = 0),
+      |x1 AS (SELECT e1.* FROM e1 JOIN (SELECT min(chunk_key) AS chunk_key
+      |  FROM e1 GROUP BY md5(chunk)) k USING (chunk_key)),
+      |${nearRound("1")},
+      |nmh1 AS (SELECT * FROM (${cmh6("csh")}) z
+      |  WHERE chunk_key IN (SELECT chunk_key FROM canon1)),
+      |x2a AS (SELECT ck.* FROM ck JOIN (SELECT min(chunk_key) AS chunk_key
+      |  FROM ck GROUP BY md5(chunk)) k USING (chunk_key)),
+      |x2 AS (SELECT * FROM x2a
+      |  WHERE md5(chunk) NOT IN (SELECT DISTINCT md5(chunk) FROM x1)),
+      |${nearRound("2")},
+      |cmh2 AS (SELECT * FROM (${cmh6("csh")}) z
+      |  WHERE chunk_key IN (SELECT chunk_key FROM canon2)),
+      |hb AS (${cbands6("nmh1")}),
+      |cb AS (${cbands6("cmh2")}),
+      |candh AS (SELECT DISTINCT p.chunk_key AS id, q.chunk_key AS dup_of
+      |  FROM cb p JOIN hb q
+      |  ON p.band = q.band AND p.bk = q.bk AND p.chunk_key != q.chunk_key),
+      |dup2 AS (SELECT DISTINCT c.id FROM candh c
+      |  JOIN cmh2 n ON n.chunk_key = c.id
+      |  JOIN nmh1 h ON h.chunk_key = c.dup_of
+      |  WHERE ${(0 until 6).map(i =>
+           s"(CASE WHEN n.h$i = h.h$i THEN 1 ELSE 0 END)").mkString(" + ")}
+      |    >= 3),
+      |surv AS (SELECT chunk_key FROM canon1
+      |  UNION ALL
+      |  SELECT chunk_key FROM canon2
+      |  WHERE chunk_key NOT IN (SELECT id FROM dup2))
+      |SELECT ck.doc_id, ck.chunk_id, ck.chunk_key,
+      |  CAST(len(string_split(ck.chunk, ' ')) AS DOUBLE) AS n_tokens
+      |FROM ck JOIN surv USING (chunk_key)""".stripMargin) { (s, dir) =>
+    val raw = rawDocs(s, dir)
+    val t = java.nio.file.Files
+      .createTempDirectory("graft_ds_near").toString
+    def ingest(docs: DataFrame) = DocStore.build(docs, col("doc_id"),
+      col("data"), metadata = Seq("lang", "source"), chunkSize = 8,
+      overlap = 3, embedder = DocStore.hashEmbedder(16),
+      dedupIndex = Some(s"$t/exact"), nearDedupIndex = Some(s"$t/near"))
+    def inv(st: DocStore.Store) = st.chunks.select(col("doc_id"),
+      col("chunk_id"), col("chunk_key"),
+      element_at(col("embedding"), 1).as("n_tokens"))
+    val st1 = ingest(raw.filter(col("doc_id") % 2 === 0))
+    val one = inv(st1).localCheckpoint(true) // survives st2's cache churn
+    val st2 = ingest(raw)
+    one.unionByName(inv(st2))
+  }
+
   q("q_doc_store_stats",
     s"""WITH $pipeCte
       |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_count,

@@ -145,7 +145,9 @@ object DocStore {
       chunkSize: Int = 256, overlap: Int = 32,
       splitBy: Option[(String, Int)] = None,
       embedder: Column => Column = hashEmbedder(),
-      dedupIndex: Option[String] = None): Store =
+      dedupIndex: Option[String] = None,
+      nearDedupIndex: Option[String] = None,
+      nearThreshold: Double = 0.8, nearEstThreshold: Double = 0.5): Store =
     // spread the doc table first: the pipeline is projection/generator
     // only, so everything downstream — chunking, the embed fold, pairwise
     // scoring — inherits the INPUT's partitioning, and a doc corpus that
@@ -168,32 +170,85 @@ object DocStore {
     {
       val chunked = chunkStage(Similarity.spread(docs), id, data, metadata,
         parser, postProcess, chunkSize, overlap, splitBy)
-      dedupIndex match {
-        case None =>
-          new Store(graft.core.Caches.eager(
-            chunked.withColumn("embedding", embedder(col("text")))),
-            metadata, embedder)
-        case Some(p) =>
-          val f = dedupFreshChunks(docs.sparkSession, chunked, p)
-          // EMBED + materialize first, index the hashes after — the same
-          // crash-ordering rule as the streaming path's
-          // chunks-before-hashes: if the embedder (or the JVM) dies
-          // mid-build with the hashes already committed, a retried
-          // build would find every text indexed, drop all the chunks,
-          // and silently lose them. Hashes-last means a crash re-embeds
-          // on retry instead.
-          val store = new Store(graft.core.Caches.eager(
-            f.withColumn("embedding", embedder(col("text")))),
-            metadata, embedder)
-          indexChunkHashes(docs.sparkSession, p, f)
-          // the inner pre-embed cache has no consumers left (the store's
-          // embedded cache and the hash append both materialized) —
-          // release it now rather than holding 2× the chunk text until
-          // the harness drains the thread scope
-          f.unpersist(blocking = false)
-          store
+      if (dedupIndex.isEmpty && nearDedupIndex.isEmpty)
+        new Store(graft.core.Caches.eager(
+          chunked.withColumn("embedding", embedder(col("text")))),
+          metadata, embedder)
+      else {
+        val spark = docs.sparkSession
+        // gate ORDER matters: the exact gate first — md5 equality is the
+        // cheap path and removes every re-ingested/byte-identical chunk
+        // before the near gate pays shingling, which ALSO keeps the near
+        // gate's replay exclusion sound (a re-ingested identical chunk
+        // carries its original deterministic chunk_key, which the near
+        // gate would treat as a replayed batch id and let through — the
+        // exact gate drops it first; see nearFreshChunks)
+        val exactFresh = dedupIndex match {
+          case Some(p) => dedupFreshChunks(spark, chunked, p)
+          case None => chunked
+        }
+        val fresh = nearDedupIndex match {
+          case Some(np) => nearFreshChunks(spark, exactFresh, np,
+            nearThreshold, nearEstThreshold)
+          case None => exactFresh
+        }
+        // EMBED + materialize first, index the exact hashes after — the
+        // same crash-ordering rule as the streaming path's
+        // chunks-before-hashes: if the embedder (or the JVM) dies
+        // mid-build with the hashes already committed, a retried build
+        // would find every text indexed, drop all the chunks, and
+        // silently lose them. Hashes-last means a crash re-embeds on
+        // retry instead. (The near gate's signature append necessarily
+        // happens inside dedupRefresh BEFORE the embed — that path is
+        // replay-safe by the batch-id exclusion: deterministic chunk
+        // keys make a retried batch re-derive its survivors exactly.)
+        val store = new Store(graft.core.Caches.eager(
+          fresh.withColumn("embedding", embedder(col("text")))),
+          metadata, embedder)
+        dedupIndex.foreach(p => indexChunkHashes(spark, p, exactFresh))
+        // the inner pre-embed caches have no consumers left — release
+        // them now rather than holding multiples of the chunk text
+        // until the harness drains the thread scope
+        if (exactFresh ne chunked) exactFresh.unpersist(blocking = false)
+        if (fresh ne exactFresh) fresh.unpersist(blocking = false)
+        store
       }
     }
+
+  /** The NEAR-dup gate of the ingest pipeline (`nearDedupIndex` on
+    * [[build]]/[[buildStream]]) — the fuzzy sibling of
+    * [[dedupFreshChunks]]: chunks that are near-duplicates (MinHash
+    * signature agreement) of anything embedded by EARLIER ingests are
+    * dropped before the embedder runs, and the batch's own survivors
+    * are near-canonicalized first. The whole thing IS
+    * [[Dedup.dedupRefresh]] at chunk granularity: the persisted
+    * signature index at `path` is the cross-ingest memory (first ingest
+    * creates it at the default (n=3, k=6, bands=3) geometry via
+    * in-batch [[Dedup.canonicalize]] + [[Dedup.signatureSave]];
+    * pre-create the index yourself for a custom geometry — later
+    * ingests read it from the index).
+    *
+    * USE WITH the exact gate (`dedupIndex`): near-dedup alone does NOT
+    * make re-ingesting the same file a no-op — a re-ingested chunk
+    * keeps its deterministic chunk_key, which the refresh loop's
+    * replay exclusion (correctly) treats as the batch's own id, so the
+    * chunk would re-embed. The exact gate drops byte-identical
+    * re-ingests before this gate sees them; this gate handles the
+    * near-but-not-identical remainder. */
+  private def nearFreshChunks(spark: SparkSession, chunked: DataFrame,
+      path: String, threshold: Double, estThreshold: Double): DataFrame =
+    graft.core.Caches.eager(
+      if (graft.core.IndexGen.current(path).isDefined)
+        Dedup.dedupRefresh(spark, path, chunked, col("chunk_key"),
+          col("text"), threshold, estThreshold)
+      else {
+        val canon = graft.core.Caches.eager(
+          Dedup.canonicalize(chunked, col("chunk_key"), col("text"),
+              lit(0), threshold = threshold)
+            .drop("_cluster", "_id"))
+        Dedup.signatureSave(canon, col("chunk_key"), col("text"), path)
+        canon
+      })
 
   /** The exact-dedup gate of the ingest pipeline (`dedupIndex` on
     * [[build]]/[[buildStream]]): at 100 TB the EMBEDDER is the expensive
@@ -303,7 +358,9 @@ object DocStore {
       chunkSize: Int = 256, overlap: Int = 32,
       splitBy: Option[(String, Int)] = None,
       embedder: Column => Column = hashEmbedder(),
-      dedupIndex: Option[String] = None)
+      dedupIndex: Option[String] = None,
+      nearDedupIndex: Option[String] = None,
+      nearThreshold: Double = 0.8, nearEstThreshold: Double = 0.5)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     // explicit repartition (the streaming twin of build's Par.spread —
     // the stat probe can't run on a streaming plan): a micro-batch
@@ -312,46 +369,55 @@ object DocStore {
     // batch buys parallel embedding of the expanded chunk set
     val spread = docs.repartition(
       docs.sparkSession.sessionState.conf.numShufflePartitions)
-    dedupIndex match {
-      case None =>
-        chunkPipeline(spread, id, data, metadata, parser, postProcess,
-            chunkSize, overlap, splitBy, embedder)
-          .writeStream.format("parquet").outputMode("append")
-          .option("path", s"$path/chunks")
-          .option("checkpointLocation", checkpoint)
-      case Some(p) =>
-        // the dedup gate needs batch ops (index probe + append), so the
-        // exactly-once parquet sink becomes a foreachBatch: chunk →
-        // in-batch canonicalize → history filter → embed SURVIVORS only
-        // → append chunks → index their hashes. Delivery is
-        // at-least-once on retry BY ORDER OF OPERATIONS: the chunk
-        // write lands before the hash append, so a crash between them
-        // re-embeds and duplicates rows on replay — never drops them
-        // (the dedupRefreshStream replay lesson; a retried batch's
-        // texts are only in the index if its chunk rows landed first).
-        spread.writeStream.outputMode("append")
-          .option("checkpointLocation", checkpoint)
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            if (!batch.isEmpty) {
-              try {
-                val chunked = chunkStage(batch.toDF(), id, data, metadata,
-                  parser, postProcess, chunkSize, overlap, splitBy)
-                val fresh = dedupFreshChunks(batch.sparkSession, chunked, p)
-                // skip all-dup batches: a zero-row FIRST append could
-                // leave a schema-less chunks dir that fails reads
-                if (!fresh.isEmpty)
-                  fresh.withColumn("embedding", embedder(col("text")))
-                    .write.mode("append").parquet(s"$path/chunks")
-                indexChunkHashes(batch.sparkSession, p, fresh)
-              } finally
-                // the gate eager-caches its survivor/probe frames on the
-                // stream-execution thread; drain per batch or a
-                // long-running ingest accumulates them forever (all
-                // consumers completed above)
-                graft.core.Caches.drain()
-            }
+    if (dedupIndex.isEmpty && nearDedupIndex.isEmpty)
+      chunkPipeline(spread, id, data, metadata, parser, postProcess,
+          chunkSize, overlap, splitBy, embedder)
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", s"$path/chunks")
+        .option("checkpointLocation", checkpoint)
+    else
+      // the dedup gates need batch ops (index probe + append), so the
+      // exactly-once parquet sink becomes a foreachBatch: chunk →
+      // exact gate (in-batch canonicalize + history filter) → near gate
+      // ([[nearFreshChunks]]) → embed SURVIVORS only → append chunks →
+      // index their exact hashes. Delivery is at-least-once on retry BY
+      // ORDER OF OPERATIONS: the chunk write lands before the exact
+      // hash append, so a crash between them re-embeds and duplicates
+      // rows on replay — never drops them (the dedupRefreshStream
+      // replay lesson; a retried batch's texts are only in the exact
+      // index if its chunk rows landed first; the near gate's internal
+      // append is replay-safe by the batch-id exclusion).
+      spread.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!batch.isEmpty) {
+            try {
+              val chunked = chunkStage(batch.toDF(), id, data, metadata,
+                parser, postProcess, chunkSize, overlap, splitBy)
+              val exactFresh = dedupIndex match {
+                case Some(p) => dedupFreshChunks(batch.sparkSession, chunked, p)
+                case None => chunked
+              }
+              val fresh = nearDedupIndex match {
+                case Some(np) => nearFreshChunks(batch.sparkSession,
+                  exactFresh, np, nearThreshold, nearEstThreshold)
+                case None => exactFresh
+              }
+              // skip all-dup batches: a zero-row FIRST append could
+              // leave a schema-less chunks dir that fails reads
+              if (!fresh.isEmpty)
+                fresh.withColumn("embedding", embedder(col("text")))
+                  .write.mode("append").parquet(s"$path/chunks")
+              dedupIndex.foreach(p =>
+                indexChunkHashes(batch.sparkSession, p, exactFresh))
+            } finally
+              // the gates eager-cache their survivor/probe frames on the
+              // stream-execution thread; drain per batch or a
+              // long-running ingest accumulates them forever (all
+              // consumers completed above)
+              graft.core.Caches.drain()
           }
-    }
+        }
   }
 
   /** (Re)build the IVF index over the accumulated chunk table of a

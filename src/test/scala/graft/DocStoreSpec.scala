@@ -648,4 +648,60 @@ class DocStoreSpec extends SparkSpec {
       embedder = counting, dedupIndex = Some(idx))
     assert(st4.chunks.count() == 0 && acc.value == 10L)
   }
+
+  test("build(nearDedupIndex): near-duplicate chunks of EARLIER ingests " +
+      "never reach the embedder; sub-n chunks pass; re-ingest is empty") {
+    val acc = spark.sparkContext.longAccumulator("near_embed_calls")
+    val f = udf { t: String =>
+      acc.add(1); Array(t.split(" ").length.toDouble)
+    }
+    val counting: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => f(c)
+    val t = java.nio.file.Files
+      .createTempDirectory("ds_near_spec").toString
+    def ingest(rows: Seq[(Long, String)]) = DocStore.build(
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("data")),
+      col("doc_id"), col("data"), chunkSize = 8, overlap = 3,
+      embedder = counting, dedupIndex = Some(s"$t/exact"),
+      nearDedupIndex = Some(s"$t/near"), nearEstThreshold = 0.15)
+    // 12 words → chunk starts 1 and 6: an 8-word chunk and a 7-word one
+    val a = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima"
+    // only the 12th word differs; chosen so the second chunks'
+    // signatures collide on a band (candidacy needs both hashes of a
+    // band pair equal, not just any shared minhash) at agreement 3/6
+    val b = a.dropRight(4) + "november"
+    val st1 = ingest(Seq((1L, a)))
+    assert(st1.chunks.count() == 2 && acc.value == 2L)
+    // precondition: doc 2's second chunk really is in the est band —
+    // its signature shares ≥ 1 of 6 minhashes with doc 1's
+    val sig = (txt: String) => spark.range(1)
+      .select(graft.plans.TextExprs.minhashSig(lit(txt), 3, 6).as("m"))
+      .as[Seq[String]].collect()(0)
+    val (s1, s2) = (sig(a.split(" ").slice(5, 12).mkString(" ")),
+      sig(b.split(" ").slice(5, 12).mkString(" ")))
+    assert((s1(0) == s2(0) && s1(1) == s2(1)) ||
+      (s1(2) == s2(2) && s1(3) == s2(3)) ||
+      (s1(4) == s2(4) && s1(5) == s2(5)),
+      "precondition: second chunks must collide on a band pair")
+    assert(s1.zip(s2).count { case (x, y) => x == y } >= 1,
+      "precondition: second chunks must share a minhash")
+    val st2 = ingest(Seq((2L, b)))
+    // chunk 1 is byte-identical (exact gate drops it), chunk 2 is a
+    // NEAR dup (signature agreement ≥ estThreshold — near gate drops
+    // it): NOTHING of doc 2 reaches the embedder
+    assert(st2.chunks.count() == 0, "near-dup ingest must embed nothing")
+    assert(acc.value == 2L, s"embedder ran ${acc.value} times, want 2")
+    // a sub-n chunk (2 words < n=3) has no signature: it passes the
+    // near gate (and is returned un-indexed by the refresh contract)
+    val st3 = ingest(Seq((3L, "uno dos")))
+    assert(st3.chunks.select("text").as[String].collect().toSeq ==
+      Seq("uno dos") && acc.value == 3L)
+    // full re-ingest: the exact gate (which records every text SEEN,
+    // including near-dropped ones) empties the batch BEFORE the near
+    // gate runs — dedupRefresh on empty input must be inert
+    val st4 = ingest(Seq((1L, a), (2L, b), (3L, "uno dos")))
+    assert(st4.chunks.count() == 0 && acc.value == 3L)
+  }
 }
