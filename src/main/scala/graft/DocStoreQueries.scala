@@ -723,7 +723,8 @@ object DocStoreQueries extends QueryModule {
       .stripMargin
 
   // The NEAR-dup ingest gate (nearDedupIndex, composed behind the exact
-  // gate): two ingests — evens, then the WHOLE corpus — where each
+  // gate): two ingests — the %4=0 quarter, then all evens (a re-ingest
+  // of the quarter plus the %4=2 quarter) — where each
   // ingest exact-canonicalizes in-batch, drops texts the exact index
   // already holds, NEAR-canonicalizes the remainder (LSH + CC at
   // Jaccard ≥ 0.8), drops chunks whose MinHash signature agreement with
@@ -742,14 +743,15 @@ object DocStoreQueries extends QueryModule {
       |cw AS (SELECT chunk_key, string_split(chunk, ' ') AS cs FROM ck),
       |csh AS (SELECT DISTINCT chunk_key, cs[j] || ' ' || cs[j+1] || ' ' || cs[j+2] AS s
       |  FROM cw, UNNEST(range(1, len(cs) - 1)) AS t(j)),
-      |e1 AS (SELECT * FROM ck WHERE doc_id % 2 = 0),
+      |e1 AS (SELECT * FROM ck WHERE doc_id % 4 = 0),
       |x1 AS (SELECT e1.* FROM e1 JOIN (SELECT min(chunk_key) AS chunk_key
       |  FROM e1 GROUP BY md5(chunk)) k USING (chunk_key)),
       |${nearRound("1")},
       |nmh1 AS (SELECT * FROM (${cmh6("csh")}) z
       |  WHERE chunk_key IN (SELECT chunk_key FROM canon1)),
-      |x2a AS (SELECT ck.* FROM ck JOIN (SELECT min(chunk_key) AS chunk_key
-      |  FROM ck GROUP BY md5(chunk)) k USING (chunk_key)),
+      |e2 AS (SELECT * FROM ck WHERE doc_id % 2 = 0),
+      |x2a AS (SELECT e2.* FROM e2 JOIN (SELECT min(chunk_key) AS chunk_key
+      |  FROM e2 GROUP BY md5(chunk)) k USING (chunk_key)),
       |x2 AS (SELECT * FROM x2a
       |  WHERE md5(chunk) NOT IN (SELECT DISTINCT md5(chunk) FROM x1)),
       |${nearRound("2")},
@@ -783,9 +785,9 @@ object DocStoreQueries extends QueryModule {
     def inv(st: DocStore.Store) = st.chunks.select(col("doc_id"),
       col("chunk_id"), col("chunk_key"),
       element_at(col("embedding"), 1).as("n_tokens"))
-    val st1 = ingest(raw.filter(col("doc_id") % 2 === 0))
+    val st1 = ingest(raw.filter(col("doc_id") % 4 === 0))
     val one = inv(st1).localCheckpoint(true) // survives st2's cache churn
-    val st2 = ingest(raw)
+    val st2 = ingest(raw.filter(col("doc_id") % 2 === 0))
     one.unionByName(inv(st2))
   }
 
