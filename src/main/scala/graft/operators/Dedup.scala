@@ -413,6 +413,13 @@ object Dedup {
     require(Similarity.readManifest(cur).isDefined,
       s"compact: no segment manifest in $cur")
     val all = Similarity.codesParts(spark, path, cur)
+    // zero-row guard, mirroring signatureAppend/hashAppend: an empty
+    // committed table compacted to a zero-row parquet segment can land
+    // with no part files, and every later manifest read would fail
+    // schema inference — keep the current generation instead
+    if (all.isEmpty) return graft.core.IndexGen.current(path).getOrElse(
+      throw new IllegalStateException(
+        s"compact: no committed generation at $path"))
     val (dir, gen) = graft.core.IndexGen.stage(path)
     new java.io.File(dir).mkdirs()
     java.nio.file.Files.copy(metaSrc.toPath,

@@ -147,7 +147,8 @@ object DocStore {
       embedder: Column => Column = hashEmbedder(),
       dedupIndex: Option[String] = None,
       nearDedupIndex: Option[String] = None,
-      nearThreshold: Double = 0.8, nearEstThreshold: Double = 0.5): Store =
+      nearThreshold: Double = 0.8, nearEstThreshold: Double = 0.5,
+      nearGeometry: (Int, Int, Int) = (3, 6, 3)): Store =
     // spread the doc table first: the pipeline is projection/generator
     // only, so everything downstream — chunking, the embed fold, pairwise
     // scoring — inherits the INPUT's partitioning, and a doc corpus that
@@ -168,6 +169,7 @@ object DocStore {
     // (the scale path is save()/open()), and Dataset.cache's
     // MEMORY_AND_DISK level degrades gracefully anyway.
     {
+      requireGateOrder(dedupIndex, nearDedupIndex)
       val chunked = chunkStage(Similarity.spread(docs), id, data, metadata,
         parser, postProcess, chunkSize, overlap, splitBy)
       if (dedupIndex.isEmpty && nearDedupIndex.isEmpty)
@@ -189,7 +191,7 @@ object DocStore {
         }
         val fresh = nearDedupIndex match {
           case Some(np) => nearFreshChunks(spark, exactFresh, np,
-            nearThreshold, nearEstThreshold)
+            nearThreshold, nearEstThreshold, nearGeometry)
           case None => exactFresh
         }
         // EMBED + materialize first, index the exact hashes after — the
@@ -215,6 +217,23 @@ object DocStore {
       }
     }
 
+  /** The gate-order invariant the near gate's replay safety rests on,
+    * ENFORCED (not just documented): near-dedup alone does NOT make
+    * re-ingesting the same file a no-op — a re-ingested chunk keeps its
+    * deterministic chunk_key, which the refresh loop's replay exclusion
+    * (correctly) treats as the batch's own id, so identical AND near-dup
+    * chunks of a re-ingested file would be waved through and re-embedded.
+    * The exact gate must sit in front to drop byte-identical re-ingests
+    * before the near gate sees them. */
+  private def requireGateOrder(dedupIndex: Option[String],
+      nearDedupIndex: Option[String]): Unit =
+    require(nearDedupIndex.isEmpty || dedupIndex.isDefined,
+      "nearDedupIndex requires dedupIndex: the near gate's replay " +
+        "exclusion treats a re-ingested chunk's deterministic chunk_key " +
+        "as the batch's own id and waves the duplicate through to the " +
+        "embedder — the exact gate in front is what makes re-ingesting " +
+        "a file a no-op")
+
   /** The NEAR-dup gate of the ingest pipeline (`nearDedupIndex` on
     * [[build]]/[[buildStream]]) — the fuzzy sibling of
     * [[dedupFreshChunks]]: chunks that are near-duplicates (MinHash
@@ -222,31 +241,35 @@ object DocStore {
     * dropped before the embedder runs, and the batch's own survivors
     * are near-canonicalized first. The whole thing IS
     * [[Dedup.dedupRefresh]] at chunk granularity: the persisted
-    * signature index at `path` is the cross-ingest memory (first ingest
-    * creates it at the default (n=3, k=6, bands=3) geometry via
-    * in-batch [[Dedup.canonicalize]] + [[Dedup.signatureSave]];
-    * pre-create the index yourself for a custom geometry — later
-    * ingests read it from the index).
+    * signature index at `path` is the cross-ingest memory. The FIRST
+    * ingest creates it — via in-batch [[Dedup.canonicalize]] +
+    * [[Dedup.signatureSave]] — at `geometry` = (n, k, bands), a build
+    * parameter because banding geometry is THRESHOLD-driven, not
+    * size-driven (r = k/bands sets the S-curve of candidate probability
+    * vs Jaccard, and `nearEstThreshold` quantizes to multiples of 1/k —
+    * there is no corpus-count to derive it from, unlike planesFor's
+    * occupancy target); later ingests read the geometry from the index,
+    * so one store can never mix signature spaces.
     *
-    * USE WITH the exact gate (`dedupIndex`): near-dedup alone does NOT
-    * make re-ingesting the same file a no-op — a re-ingested chunk
-    * keeps its deterministic chunk_key, which the refresh loop's
-    * replay exclusion (correctly) treats as the batch's own id, so the
-    * chunk would re-embed. The exact gate drops byte-identical
-    * re-ingests before this gate sees them; this gate handles the
-    * near-but-not-identical remainder. */
+    * MUST ride behind the exact gate (`dedupIndex` — enforced by
+    * [[requireGateOrder]]): the exact gate drops byte-identical
+    * re-ingests; this gate handles the near-but-not-identical
+    * remainder. */
   private def nearFreshChunks(spark: SparkSession, chunked: DataFrame,
-      path: String, threshold: Double, estThreshold: Double): DataFrame =
+      path: String, threshold: Double, estThreshold: Double,
+      geometry: (Int, Int, Int)): DataFrame =
     graft.core.Caches.eager(
       if (graft.core.IndexGen.current(path).isDefined)
         Dedup.dedupRefresh(spark, path, chunked, col("chunk_key"),
           col("text"), threshold, estThreshold)
       else {
+        val (n, k, bands) = geometry
         val canon = graft.core.Caches.eager(
           Dedup.canonicalize(chunked, col("chunk_key"), col("text"),
-              lit(0), threshold = threshold)
+              lit(0), n, k, bands, threshold)
             .drop("_cluster", "_id"))
-        Dedup.signatureSave(canon, col("chunk_key"), col("text"), path)
+        Dedup.signatureSave(canon, col("chunk_key"), col("text"), path,
+          n, k, bands)
         canon
       })
 
@@ -349,7 +372,28 @@ object DocStore {
     * Index refresh is a separate batch concern ([[rebuildIndex]]), as in
     * the reference, whose backing index structures are rebuilt/compacted
     * server-side while retrieval stays available: [[open]] serves
-    * whatever chunk rows + index generation exist at read time. */
+    * whatever chunk rows + index generation exist at read time.
+    *
+    * DELIVERY SEMANTICS under the dedup gates: enabling `dedupIndex` /
+    * `nearDedupIndex` switches the sink from the exactly-once streaming
+    * parquet sink to a foreachBatch whose chunk append is AT-LEAST-ONCE
+    * on retry — a micro-batch retried after its chunk write landed (but
+    * before the checkpoint committed) appends its survivor rows again,
+    * so the chunk table can hold duplicate rows sharing one chunk_key.
+    * That ordering is deliberate (the alternative — hashes indexed
+    * before the write — would make a retried batch silently DROP its
+    * rows); downstream consumers that need exactly-one-row-per-chunk
+    * should dedup by chunk_key on read (rows sharing a chunk_key are
+    * byte-identical, any representative works) or land the output
+    * through the upsert sink keyed on chunk_key.
+    *
+    * `compactEvery`: with the gates on, every micro-batch appends one
+    * manifest segment to each gate index, and probe cost grows with
+    * segment count; `compactEvery = N > 0` folds each gate index back
+    * to one segment every N batches ([[Dedup.hashCompact]] /
+    * [[Dedup.signatureCompact]]) INSIDE the same foreachBatch thread,
+    * so the single-writer contract holds by construction — no pausing
+    * the stream. 0 disables (compact manually between runs). */
   def buildStream(docs: DataFrame, id: Column, data: Column,
       path: String, checkpoint: String,
       metadata: Seq[String] = Nil,
@@ -360,8 +404,11 @@ object DocStore {
       embedder: Column => Column = hashEmbedder(),
       dedupIndex: Option[String] = None,
       nearDedupIndex: Option[String] = None,
-      nearThreshold: Double = 0.8, nearEstThreshold: Double = 0.5)
+      nearThreshold: Double = 0.8, nearEstThreshold: Double = 0.5,
+      nearGeometry: (Int, Int, Int) = (3, 6, 3),
+      compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    requireGateOrder(dedupIndex, nearDedupIndex)
     // explicit repartition (the streaming twin of build's Par.spread —
     // the stat probe can't run on a streaming plan): a micro-batch
     // arriving in one source partition would otherwise run the whole
@@ -389,7 +436,7 @@ object DocStore {
       // append is replay-safe by the batch-id exclusion).
       spread.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           if (!batch.isEmpty) {
             try {
               val chunked = chunkStage(batch.toDF(), id, data, metadata,
@@ -400,7 +447,8 @@ object DocStore {
               }
               val fresh = nearDedupIndex match {
                 case Some(np) => nearFreshChunks(batch.sparkSession,
-                  exactFresh, np, nearThreshold, nearEstThreshold)
+                  exactFresh, np, nearThreshold, nearEstThreshold,
+                  nearGeometry)
                 case None => exactFresh
               }
               // skip all-dup batches: a zero-row FIRST append could
@@ -410,6 +458,20 @@ object DocStore {
                   .write.mode("append").parquet(s"$path/chunks")
               dedupIndex.foreach(p =>
                 indexChunkHashes(batch.sparkSession, p, exactFresh))
+              // maintenance cadence: fold each gate index's per-batch
+              // manifest segments back to one, on THIS thread (the
+              // single writer). Keyed to batchId so a retried batch
+              // compacts at most once more — compaction is idempotent
+              // (same rows, one segment, new atomic generation).
+              if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+                dedupIndex.filter(p =>
+                    graft.core.IndexGen.current(p).isDefined)
+                  .foreach(p => Dedup.hashCompact(batch.sparkSession, p))
+                nearDedupIndex.filter(p =>
+                    graft.core.IndexGen.current(p).isDefined)
+                  .foreach(p =>
+                    Dedup.signatureCompact(batch.sparkSession, p))
+              }
             } finally
               // the gates eager-cache their survivor/probe frames on the
               // stream-execution thread; drain per batch or a

@@ -267,18 +267,21 @@ object Streaming {
     * the upsert sink). Single writer, like every segment store.
     *
     * Index maintenance: every batch commits one manifest segment, so a
-    * loop running for thousands of batches should periodically pause
-    * and run [[graft.operators.Dedup.signatureCompact]] (one
-    * signature-table read, no re-shingling; probe results unchanged) —
-    * the same save-is-append's-compaction cadence as ivfSave/ivfAppend.
-    * Returns the unstarted writer. */
+    * loop running for thousands of batches grows probe cost with
+    * segment count. `compactEvery = N > 0` runs [[graft.operators.Dedup
+    * .signatureCompact]] every N batches (one signature-table read, no
+    * re-shingling; probe results unchanged) INSIDE the foreachBatch —
+    * the same thread as the appends, so the single-writer contract
+    * holds by construction, no pausing the stream; 0 disables (compact
+    * manually between runs). The same save-is-append's-compaction
+    * cadence as ivfSave/ivfAppend. Returns the unstarted writer. */
   def dedupRefreshStream(stream: DataFrame, id: Column, text: Column,
       indexPath: String, survivorsOut: String, checkpoint: String,
       threshold: Double = 0.8, estThreshold: Double = 0.5,
-      maxDf: Int = 100): DataStreamWriter[Row] =
+      maxDf: Int = 100, compactEvery: Int = 0): DataStreamWriter[Row] =
     stream.writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) {
           try {
             val survivors = graft.operators.Dedup.dedupRefresh(
@@ -288,7 +291,14 @@ object Streaming {
             // schema-less survivors dir (only _SUCCESS) that fails reads
             if (!survivors.isEmpty)
               survivors.write.mode("append").parquet(survivorsOut)
-            ()
+            // cadence keyed to batchId: a retried batch re-compacts at
+            // most once more, and compaction is idempotent (same rows,
+            // one segment, new atomic generation)
+            if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+              graft.operators.Dedup.signatureCompact(
+                batch.sparkSession, indexPath)
+              ()
+            }
           } finally
             // dedupRefresh eager-caches its canonical/survivor frames on
             // THIS (the stream-execution) thread; without a per-batch

@@ -704,4 +704,60 @@ class DocStoreSpec extends SparkSpec {
     val st4 = ingest(Seq((1L, a), (2L, b), (3L, "uno dos")))
     assert(st4.chunks.count() == 0 && acc.value == 3L)
   }
+
+  test("nearDedupIndex without dedupIndex is rejected: the gate-order " +
+      "invariant is enforced, not advisory") {
+    // a lone near gate would wave a re-ingested file through: its
+    // deterministic chunk_keys read as the batch's own ids to the
+    // replay exclusion, so identical chunks re-embed — build and
+    // buildStream both refuse the configuration up front
+    val t = java.nio.file.Files.createTempDirectory("ds_lone_near").toString
+    intercept[IllegalArgumentException] {
+      DocStore.build(docsDf, col("doc_id"), col("data"),
+        nearDedupIndex = Some(s"$t/near"))
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte])]
+    intercept[IllegalArgumentException] {
+      DocStore.buildStream(in.toDF().toDF("doc_id", "data"),
+        col("doc_id"), col("data"), s"$t/store", s"$t/ckpt",
+        nearDedupIndex = Some(s"$t/near"))
+    }
+  }
+
+  test("nearGeometry: a first ingest creates the near index at the " +
+      "requested (n, k, bands); later ingests read it from the index") {
+    val t = java.nio.file.Files.createTempDirectory("ds_near_geom").toString
+    def meta(p: String) = java.nio.file.Files.readString(new java.io.File(
+      graft.core.IndexGen.readDir(p), "sig_meta.txt").toPath)
+    // custom geometry: wider k → finer estimate granularity (1/k); the
+    // banding S-curve is threshold-driven, which is why this is a build
+    // parameter rather than a corpus-count derivation
+    DocStore.build(docsDf, col("doc_id"), col("data"),
+      chunkSize = 3, overlap = 1,
+      dedupIndex = Some(s"$t/exact"), nearDedupIndex = Some(s"$t/near"),
+      nearGeometry = (2, 8, 4))
+    assert(meta(s"$t/near") == "n=2\nk=8\nbands=4",
+      s"custom geometry must land in the index: ${meta(s"$t/near")}")
+    // default unchanged (what the oracle pins)
+    val t2 = java.nio.file.Files.createTempDirectory("ds_near_geom2").toString
+    DocStore.build(docsDf, col("doc_id"), col("data"),
+      chunkSize = 3, overlap = 1,
+      dedupIndex = Some(s"$t2/exact"), nearDedupIndex = Some(s"$t2/near"))
+    assert(meta(s"$t2/near") == "n=3\nk=6\nbands=3")
+    // a second ingest probes at the INDEX's geometry (k=8 signatures) —
+    // byte-identical re-ingest is emptied by the exact gate, and a new
+    // doc passes both gates and appends at the stored geometry
+    import spark.implicits._
+    val extra = Seq((42L, "completely novel words never seen before"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"))
+    val st = DocStore.build(extra, col("doc_id"), col("data"),
+      chunkSize = 3, overlap = 1,
+      dedupIndex = Some(s"$t/exact"), nearDedupIndex = Some(s"$t/near"),
+      nearGeometry = (2, 8, 4))
+    assert(st.chunks.count() > 0)
+    assert(meta(s"$t/near").contains("k=8"), "append keeps the index geometry")
+  }
 }

@@ -410,6 +410,64 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dedupRefreshStream(compactEvery): the manifest folds mid-stream " +
+      "on the cadence; survivors and probes unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("sig_cadence").toString
+    graft.operators.Dedup.signatureSave(
+      Seq((1L, "seed history document words here now")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path, n = 3, k = 6, bands = 3)
+    def segs = java.nio.file.Files.readString(new java.io.File(
+        graft.core.IndexGen.readDir(path), "segments.txt").toPath)
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    val in = MemoryStream[(Long, String)]
+    // compact every 2 micro-batches, on the stream's own thread (the
+    // single writer) — no pause, no external maintenance window
+    val q = Streaming.dedupRefreshStream(
+      in.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"),
+      path, s"$path/survivors", s"$path/ckpt", compactEvery = 2).start()
+    try {
+      in.addData((11L, "fresh new content alpha beta gamma"))
+      q.processAllAvailable() // batch 0: save + 1 append = 2 segments
+      assert(segs.size == 2, s"before the cadence fires: $segs")
+      in.addData((22L, "another unrelated document entirely different words"))
+      q.processAllAvailable() // batch 1: append then compact -> 1 segment
+      assert(segs.size == 1, s"cadence at batch 2 must fold to one: $segs")
+      in.addData((33L, "third batch document with novel words only"))
+      q.processAllAvailable() // batch 2: append resumes on the compacted manifest
+      assert(segs.size == 2, s"appends resume after the fold: $segs")
+    } finally q.stop()
+    val kept = spark.read.parquet(s"$path/survivors")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 22L, 33L), s"survivors unchanged by cadence: $kept")
+    // the folded index still answers: every survivor + the seed probe back
+    val probe = graft.operators.Dedup.dedupAgainst(spark, path,
+        Seq((91L, "fresh new content alpha beta gamma"),
+          (92L, "seed history document words here now"))
+          .toDF("doc_id", "text"), col("doc_id"), col("text"), 0.5)
+      .select("id", "dup_of").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe == Set((91L, 11L), (92L, 1L)), s"probe through the fold: $probe")
+  }
+
+  test("compactIndex zero-row guard: an empty committed generation is " +
+      "left unchanged instead of committing an empty segment") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("hash_empty").toString
+    // an all-NULL-text corpus hashes to zero rows — the one way a
+    // committed generation can be empty (appends already guard)
+    graft.operators.Dedup.hashSave(
+      Seq((1L, null: String)).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), path)
+    val gen0 = graft.core.IndexGen.current(path).get
+    val gen1 = graft.operators.Dedup.hashCompact(spark, path)
+    assert(gen1 == gen0, "empty table: compact keeps the current generation")
+    // still probe-able (empty history matches nothing, fails nothing)
+    val hits = graft.operators.Dedup.exactAgainst(spark, path,
+      Seq((9L, "anything")).toDF("doc_id", "text"), col("doc_id"), col("text"))
+    assert(hits.count() == 0)
+  }
+
   test("nearDupCandidatesStream flags later arrivals against first-arrived " +
       "bucket owners; short docs emit nothing") {
     implicit val sqlCtx = spark.sqlContext
