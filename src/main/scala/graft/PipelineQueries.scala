@@ -282,6 +282,54 @@ object PipelineQueries extends QueryModule {
        |surv$x AS (SELECT doc_id FROM canon$x
        |  WHERE doc_id NOT IN (SELECT id FROM dup$x))""".stripMargin
 
+  /** [[refreshRound]] generalized to a COMPUTED batch CTE (cols doc_id,
+    * text) instead of a predicate over raw `documents` — the shape the
+    * incremental pretrain chain needs, whose near-gate batch is the
+    * exact gate's survivor set. Emits the same `canon{x}`/`cmh{x}`/
+    * `surv{x}` contract. */
+  private def refreshRoundFrom(x: String, batchSrc: String,
+      hist: String): String =
+    s"""bsh$x AS (SELECT doc_id, s FROM sh0
+       |  WHERE doc_id IN (SELECT doc_id FROM $batchSrc)
+       |  QUALIFY count(*) OVER (PARTITION BY s) <= 20),
+       |bmh$x AS (${mh6(s"bsh$x")}),
+       |bb$x AS (${bands6(s"bmh$x")}),
+       |cand$x AS (SELECT DISTINCT p.doc_id AS a, q.doc_id AS b
+       |  FROM bb$x p JOIN bb$x q
+       |  ON p.band = q.band AND p.bk = q.bk AND p.doc_id < q.doc_id),
+       |sz$x AS (SELECT doc_id, count(*) AS n FROM bsh$x GROUP BY 1),
+       |ix$x AS (SELECT c.a, c.b, count(*) AS i FROM cand$x c
+       |  JOIN bsh$x sa ON sa.doc_id = c.a
+       |  JOIN bsh$x sb ON sb.doc_id = c.b AND sb.s = sa.s
+       |  GROUP BY 1, 2),
+       |pairs$x AS (SELECT a, b FROM ix$x
+       |  JOIN sz$x sa ON sa.doc_id = a JOIN sz$x sb ON sb.doc_id = b
+       |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+       |edges$x AS (SELECT a AS src, b AS dst FROM pairs$x
+       |  UNION SELECT b AS src, a AS dst FROM pairs$x),
+       |reach$x(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM $batchSrc
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges$x e JOIN reach$x r ON r.node = e.dst),
+       |comp$x AS (SELECT node, min(lbl) AS cluster FROM reach$x GROUP BY node),
+       |canon$x AS (SELECT node AS doc_id FROM comp$x
+       |  QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY node) = 1),
+       |cmh$x AS (SELECT * FROM (${mh6("sh0")}) z
+       |  WHERE doc_id IN (SELECT doc_id FROM canon$x)),
+       |cb$x AS (${bands6(s"cmh$x")}),
+       |hb$x AS (${bands6(hist)}),
+       |cand2$x AS (SELECT DISTINCT p.doc_id AS id, q.doc_id AS dup_of
+       |  FROM cb$x p JOIN hb$x q
+       |  ON p.band = q.band AND p.bk = q.bk AND p.doc_id != q.doc_id),
+       |dup$x AS (SELECT DISTINCT c.id FROM cand2$x c
+       |  JOIN cmh$x n ON n.doc_id = c.id
+       |  JOIN $hist h ON h.doc_id = c.dup_of
+       |  WHERE ${(0 until 6).map(i =>
+            s"(CASE WHEN n.h$i = h.h$i THEN 1 ELSE 0 END)").mkString(" + ")}
+       |    >= 3),
+       |surv$x AS (SELECT doc_id FROM canon$x
+       |  WHERE doc_id NOT IN (SELECT id FROM dup$x))""".stripMargin
+
   // STREAMING refresh loop (Streaming.dedupRefreshStream): history =
   // even ids in the signature index; the odd ids arrive as TWO
   // micro-batches (%4=1, then %4=3). Each batch canonicalizes in-batch,
@@ -2207,6 +2255,133 @@ object PipelineQueries extends QueryModule {
         sampleRate = 0.6, salt = "ptf", packBudget = 256, packBuckets = 4)
       .select(col("doc_id"), col("n_tokens"), col("bucket"), col("pack"),
         col("pack_pos"))
+  }
+
+  /** The per-refresh TAIL of the incremental pretrain oracle —
+    * decontamination (5-gram semi-join vs the heldout CTE `sbh`) → hash
+    * sample at 0.6 → sequence packing (budget 256, 4 buckets) over the
+    * survivor CTE `$survSrc` (cols doc_id, text). Emits `out$r` rows
+    * (refresh=$r, doc_id, n_tokens, bucket, pack, pack_pos). */
+  private def packRound(r: String, survSrc: String): String =
+    s"""st$r AS (SELECT DISTINCT doc_id,
+       |  ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] || ' ' || ws[j+3] ||
+       |    ' ' || ws[j+4] AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $survSrc) zz,
+       |  UNNEST(range(1, len(ws) - 3)) AS t(j)),
+       |bad$r AS (SELECT DISTINCT doc_id FROM st$r JOIN sbh USING (s)),
+       |samp$r AS (SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM $survSrc
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM bad$r)
+       |  AND CAST('0x' || substr(md5('pti' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |    AS BIGINT) < 2576980377),
+       |d2$r AS (SELECT doc_id, n_tokens,
+       |  CAST('0x' || substr(md5('pti' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |    AS BIGINT) % 4 AS bucket,
+       |  md5('pti' || CAST(doc_id AS VARCHAR)) AS h FROM samp$r),
+       |p$r AS (SELECT doc_id, n_tokens, bucket, h,
+       |  coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+       |  FROM d2$r),
+       |k$r AS (SELECT doc_id, n_tokens, bucket,
+       |  CAST(floor(pfx / 256.0) AS BIGINT) AS pack, h FROM p$r),
+       |out$r AS (SELECT $r AS refresh, doc_id, n_tokens, bucket, pack,
+       |  row_number() OVER (PARTITION BY bucket, pack ORDER BY h, doc_id)
+       |    AS pack_pos FROM k$r)""".stripMargin
+
+  // THE INCREMENTAL PRETRAIN REFRESH (Pipelines.pretrainCorpusIncremental)
+  // — the day-over-day corpus build: TWO refreshes share persisted
+  // hash + signature dedup indexes, so day 2 dedups against day 1's
+  // survivors WITHOUT re-reading day 1's text. Each refresh: langid →
+  // quality → blocklist → exact gate (in-batch min-id canonicalization +
+  // history hash filter) → near gate (in-batch LSH+CC canonicalization +
+  // signature-agreement probe vs the index, ≥3-of-6 hashes) →
+  // decontamination → sample → pack. The oracle replays BOTH refreshes
+  // sequentially — day 1's exact-gate survivor hashes and near-gate
+  // survivor signatures threaded into day 2's history CTEs — recursive
+  // CC per round included.
+  q("q_pretrain_incremental",
+    s"""WITH RECURSIVE
+       |w0 AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+       |  FROM documents WHERE doc_id % 17 <> 0),
+       |lid AS (SELECT doc_id, text, ws,
+       |  CASE WHEN s_zh > greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+       |       WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+       |       WHEN s_es > greatest(s_de, s_en) THEN 'es'
+       |       WHEN s_en > s_de THEN 'en'
+       |       ELSE 'de' END AS lp
+       |  FROM (SELECT doc_id, text, ws,
+       |    len(list_filter(ws, w -> w IN ('window','group','sort'))) * 1.0 / len(ws) AS s_de,
+       |    len(list_filter(ws, w -> w IN ('the','a','fast','slow'))) * 1.0 / len(ws) AS s_en,
+       |    len(list_filter(ws, w -> w IN ('data','row','query'))) * 1.0 / len(ws) AS s_es,
+       |    len(list_filter(ws, w -> w IN ('table','batch','merge'))) * 1.0 / len(ws) AS s_fr,
+       |    len(list_filter(ws, w -> w IN ('spark','hash','scan'))) * 1.0 / len(ws) AS s_zh
+       |    FROM w0) x),
+       |qk AS (SELECT doc_id, text FROM lid WHERE lp = 'en' AND (
+       |  least(length(text) / 500.0, 1.0) +
+       |  least((len(list_filter(ws, w -> w IN ('the', 'a'))) * 1.0
+       |    / len(ws)) * 5.0, 1.0) +
+       |  len(list_distinct(ws)) * 1.0 / len(ws)) / 3.0 >= 0.5),
+       |blk AS (SELECT doc_id, text FROM qk
+       |  WHERE len(list_filter(['slow merge', 'zzqq'],
+       |    t -> contains(text, t))) = 0),
+       |f1 AS (SELECT doc_id, text FROM blk WHERE doc_id % 2 = 1),
+       |f2 AS (SELECT doc_id, text FROM blk WHERE doc_id % 2 = 0),
+       |ex1 AS (SELECT doc_id, text FROM f1
+       |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id, ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] AS s
+       |  FROM w, UNNEST(range(1, len(ws)-1)) AS t(j)),
+       |hist0 AS (SELECT * FROM (${mh6("sh0")}) z WHERE 1 = 0),
+       |${refreshRoundFrom("1", "ex1", "hist0")},
+       |s1 AS (SELECT e.doc_id, e.text FROM ex1 e
+       |  WHERE e.doc_id IN (SELECT doc_id FROM surv1)),
+       |cn2 AS (SELECT doc_id, text FROM f2
+       |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+       |ex2 AS (SELECT doc_id, text FROM cn2
+       |  WHERE md5(text) NOT IN (SELECT md5(text) FROM ex1)),
+       |hist2 AS (SELECT * FROM cmh1
+       |  WHERE doc_id IN (SELECT doc_id FROM surv1)),
+       |${refreshRoundFrom("2", "ex2", "hist2")},
+       |s2 AS (SELECT e.doc_id, e.text FROM ex2 e
+       |  WHERE e.doc_id IN (SELECT doc_id FROM surv2)),
+       |beh AS (SELECT string_split(text, ' ') AS ws FROM documents
+       |  WHERE doc_id % 17 = 0),
+       |sbh AS (SELECT DISTINCT
+       |  ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] || ' ' || ws[j+3] ||
+       |    ' ' || ws[j+4] AS s
+       |  FROM beh, UNNEST(range(1, len(ws) - 3)) AS t(j)),
+       |${packRound("1", "s1")},
+       |${packRound("2", "s2")}
+       |SELECT * FROM out1 UNION ALL SELECT * FROM out2"""
+    ) { (s, dir) =>
+    val docs = load(s, dir, "documents")
+    val markers = Map(
+      "de" -> Seq("window", "group", "sort"),
+      "en" -> Seq("the", "a", "fast", "slow"),
+      "es" -> Seq("data", "row", "query"),
+      "fr" -> Seq("table", "batch", "merge"),
+      "zh" -> Seq("spark", "hash", "scan"))
+    val root = java.nio.file.Files.createTempDirectory("graft_pti").toString
+    def refresh(pred: org.apache.spark.sql.Column) =
+      graft.operators.Pipelines.pretrainCorpusIncremental(
+        docs.filter(col("doc_id") % 17 =!= 0 && pred),
+        col("doc_id"), col("text"),
+        markers, keepLang = "en", stopwords = Seq("the", "a"),
+        minQuality = 0.5, blocklist = Seq("slow merge", "zzqq"),
+        hashIndex = s"$root/hash", sigIndex = s"$root/sig",
+        heldout = docs.filter(col("doc_id") % 17 === 0),
+        heldoutText = col("text"), ngram = 5,
+        sampleRate = 0.6, salt = "pti", packBudget = 256, packBuckets = 4,
+        nearDup = graft.operators.Pipelines.NearDupConfig(
+          n = 3, k = 6, bands = 3, threshold = 0.8, maxDf = 20))
+    // day 1 builds both indexes (the calls' index writes are eager;
+    // the returned packed frames stay lazy over the survivor caches)…
+    val r1 = refresh(col("doc_id") % 2 === 1).withColumn("refresh", lit(1))
+    // …so day 2's gates probe exactly day 1's committed state
+    val r2 = refresh(col("doc_id") % 2 === 0).withColumn("refresh", lit(2))
+    r1.unionByName(r2).select(col("refresh"), col("doc_id"),
+      col("n_tokens"), col("bucket"), col("pack"), col("pack_pos"))
   }
 
   // percentile normalization: n_chars → per-lang percent rank, doc_id

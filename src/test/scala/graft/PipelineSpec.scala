@@ -524,6 +524,60 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[String]("text") == good)
   }
 
+  test("pretrainCorpusIncremental: day 2 drops exact AND near dups of " +
+      "day 1 via the persisted indexes; a replayed refresh re-derives " +
+      "its survivors identically") {
+    import graft.operators.Pipelines
+    val markers = Map("en" -> Seq("foxtrot")) // single lexicon: always en
+    // the DocStoreSpec-engineered band-collision pair: candidacy needs
+    // BOTH hashes of one band equal (n=3, k=6, bands=3), not just any
+    // shared minhash — precondition-asserted below
+    val p1 = "foxtrot golf hotel india juliet kilo lima"
+    val p2 = "foxtrot golf hotel india juliet kilo november"
+    val sig = (txt: String) => spark.range(1)
+      .select(graft.plans.TextExprs.minhashSig(lit(txt), 3, 6).as("m"))
+      .as[Seq[String]].collect()(0)
+    val (s1, s2) = (sig(p1), sig(p2))
+    assert((s1(0) == s2(0) && s1(1) == s2(1)) ||
+      (s1(2) == s2(2) && s1(3) == s2(3)) ||
+      (s1(4) == s2(4) && s1(5) == s2(5)),
+      "precondition: p1/p2 must collide on a band pair")
+    val agree = s1.zip(s2).count { case (x, y) => x == y }
+    val root = java.nio.file.Files.createTempDirectory("pti_spec").toString
+    def refresh(rows: Seq[(Long, String)]) =
+      Pipelines.pretrainCorpusIncremental(
+        rows.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        markers, keepLang = "en", stopwords = Seq("the"),
+        minQuality = 0.0, blocklist = Nil,
+        hashIndex = s"$root/hash", sigIndex = s"$root/sig",
+        heldout = Seq((100L, "zz1 zz2 zz3 zz4 zz5")).toDF("h", "text"),
+        heldoutText = col("text"), ngram = 5,
+        sampleRate = 1.0, salt = "psi", packBudget = 100, packBuckets = 2,
+        estThreshold = agree.toDouble / 6 - 0.01)
+    // day 1: an exact in-batch dup canonicalizes to the min id
+    val d1 = refresh(Seq((1L, p1), (2L, p1)))
+    assert(d1.select("doc_id").as[Long].collect().toSet == Set(1L))
+    // day 2: 11 = exact dup of history (hash index), 12 = NEAR dup of
+    // history (signature index), 13 = novel (kept), 14 = survives both
+    // gates but shares a 5-gram with the heldout set (decontaminated)
+    val day2 = Seq((11L, p1), (12L, p2),
+      (13L, "completely novel words about engines and shuffles today"),
+      (14L, "filler one zz1 zz2 zz3 zz4 zz5 filler two three"))
+    val d2 = refresh(day2)
+    assert(d2.select("doc_id").as[Long].collect().toSet == Set(13L),
+      "exact dup, near dup and contaminated doc must all drop")
+    // REPLAY the same batch (a retried day-2 whose indexes already hold
+    // its hashes/signatures): both gates' own-id exclusions must make
+    // the survivor set identical — not empty, not different
+    val d2r = refresh(day2)
+    assert(d2r.select("doc_id").as[Long].collect().toSet == Set(13L),
+      "replayed refresh must re-derive the same survivors")
+    // packed output shape rides through
+    val r = d2r.collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 8L &&
+      r.getAs[Int]("pack_pos") == 1)
+  }
+
   test("matchTerms: Aho-Corasick ≡ naive contains, term order, dict links") {
     import graft.operators.TextOps
     // overlapping and suffix-nested terms exercise failure + dictionary
