@@ -31,12 +31,12 @@ object PretrainScale {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val markers = Map(
-      "de" -> Seq("window", "group", "sort"),
-      "en" -> Seq("the", "a", "fast", "slow"),
-      "es" -> Seq("data", "row", "query"),
-      "fr" -> Seq("table", "batch", "merge"),
-      "zh" -> Seq("spark", "hash", "scan"))
+    // single lexicon + zero floor: every doc passes the predicate
+    // stages, so the HISTORY-SIZE axis lands on the dedup machinery —
+    // GenScale replicas suffix every word (disjoint shingles), which a
+    // multi-lexicon langid would silently filter out, flattening
+    // exactly the variable this harness exists to grow
+    val markers = Map("en" -> Seq("the"))
     // FIXED day's ingest: the same ~2000 docs whatever the history —
     // ids offset out of every history's range; half keep their text
     // (re-crawled content the exact gate must drop against history),
@@ -63,7 +63,7 @@ object PretrainScale {
       def refresh(df: org.apache.spark.sql.DataFrame) =
         graft.operators.Pipelines.pretrainCorpusIncremental(
           df, col("doc_id"), col("text"), markers, keepLang = "en",
-          stopwords = Seq("the", "a"), minQuality = 0.5, blocklist = Nil,
+          stopwords = Seq("the", "a"), minQuality = 0.0, blocklist = Nil,
           hashIndex = s"$root/hash", sigIndex = s"$root/sig",
           heldout = heldout, heldoutText = col("text"), ngram = 5,
           sampleRate = 0.6, salt = "ps", packBudget = 256,
@@ -75,7 +75,7 @@ object PretrainScale {
       val (rebuildS, rebuilt) = timeIt(
         graft.operators.Pipelines.pretrainCorpusFull(
           docs.unionByName(batch), col("doc_id"), col("text"), markers,
-          keepLang = "en", stopwords = Seq("the", "a"), minQuality = 0.5,
+          keepLang = "en", stopwords = Seq("the", "a"), minQuality = 0.0,
           blocklist = Nil, boilerplate = None,
           nearDup = Some(graft.operators.Pipelines.NearDupConfig()),
           heldout = heldout, heldoutText = col("text"), ngram = 5,
