@@ -266,6 +266,24 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), s"no NLJ in the gate:\n$p")
   }
 
+  test("q_pretrain_incremental: the tail plans from the checkpointed " +
+      "gate output, not a re-derived gate lineage") {
+    // the two-gate composition's driver cost was re-ANALYSIS of the
+    // composed lineage (49-55 s wall vs 22 s stage time, data-size
+    // independent) until localCheckpoint(true) at the gate seams; if
+    // the truncation is ever removed, the gates' native expressions
+    // reappear in the returned frame's tree and every tail operation
+    // re-analyzes the whole chain again
+    val p = plan("q_pretrain_incremental")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"tail must scan the checkpointed gate output:\n$p")
+    assert(!p.contains("min_hex32") && !p.contains("minhash_sig"),
+      s"gate machinery must not leak into the tail plan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"decontamination/pack tail stays equi-join shaped:\n$p")
+  }
+
   test("q_louvain: rounds stay equi-join shaped, no cartesian fallback, " +
       "label update hash-aggregates") {
     val p = plan("q_louvain")
