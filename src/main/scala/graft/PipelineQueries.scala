@@ -2289,18 +2289,15 @@ object PipelineQueries extends QueryModule {
        |  row_number() OVER (PARTITION BY bucket, pack ORDER BY h, doc_id)
        |    AS pack_pos FROM k$r)""".stripMargin
 
-  // THE INCREMENTAL PRETRAIN REFRESH (Pipelines.pretrainCorpusIncremental)
-  // — the day-over-day corpus build: TWO refreshes share persisted
-  // hash + signature dedup indexes, so day 2 dedups against day 1's
-  // survivors WITHOUT re-reading day 1's text. Each refresh: langid →
-  // quality → blocklist → exact gate (in-batch min-id canonicalization +
-  // history hash filter) → near gate (in-batch LSH+CC canonicalization +
-  // signature-agreement probe vs the index, ≥3-of-6 hashes) →
-  // decontamination → sample → pack. The oracle replays BOTH refreshes
-  // sequentially — day 1's exact-gate survivor hashes and near-gate
-  // survivor signatures threaded into day 2's history CTEs — recursive
-  // CC per round included.
-  q("q_pretrain_incremental",
+  /** The shared two-refresh oracle for the INCREMENTAL pretrain chain
+    * (batch q_pretrain_incremental + its streaming twin): day 1 = odd
+    * ids, day 2 = even ids (heldout = %17), each refresh replayed as
+    * langid → quality → blocklist → exact gate (in-batch min-id
+    * canonicalization + history hash filter) → near gate (in-batch
+    * LSH+CC + ≥3-of-6 signature agreement vs history) → decontamination
+    * → sample → pack, with day 1's survivor hashes and signatures
+    * threaded into day 2's history CTEs. */
+  private val pretrainIncrementalSql: String =
     s"""WITH RECURSIVE
        |w0 AS (SELECT doc_id, text, string_split(text, ' ') AS ws
        |  FROM documents WHERE doc_id % 17 <> 0),
@@ -2354,20 +2351,27 @@ object PipelineQueries extends QueryModule {
        |${packRound("1", "s1")},
        |${packRound("2", "s2")}
        |SELECT * FROM out1 UNION ALL SELECT * FROM out2"""
-    ) { (s, dir) =>
+
+  private val ptiMarkers = Map(
+    "de" -> Seq("window", "group", "sort"),
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "row", "query"),
+    "fr" -> Seq("table", "batch", "merge"),
+    "zh" -> Seq("spark", "hash", "scan"))
+
+  // THE INCREMENTAL PRETRAIN REFRESH (Pipelines.pretrainCorpusIncremental)
+  // — the day-over-day corpus build: TWO refreshes share persisted
+  // hash + signature dedup indexes, so day 2 dedups against day 1's
+  // survivors WITHOUT re-reading day 1's text. The oracle replays BOTH
+  // refreshes sequentially, recursive-CTE CC per round included.
+  q("q_pretrain_incremental", pretrainIncrementalSql) { (s, dir) =>
     val docs = load(s, dir, "documents")
-    val markers = Map(
-      "de" -> Seq("window", "group", "sort"),
-      "en" -> Seq("the", "a", "fast", "slow"),
-      "es" -> Seq("data", "row", "query"),
-      "fr" -> Seq("table", "batch", "merge"),
-      "zh" -> Seq("spark", "hash", "scan"))
     val root = java.nio.file.Files.createTempDirectory("graft_pti").toString
     def refresh(pred: org.apache.spark.sql.Column) =
       graft.operators.Pipelines.pretrainCorpusIncremental(
         docs.filter(col("doc_id") % 17 =!= 0 && pred),
         col("doc_id"), col("text"),
-        markers, keepLang = "en", stopwords = Seq("the", "a"),
+        ptiMarkers, keepLang = "en", stopwords = Seq("the", "a"),
         minQuality = 0.5, blocklist = Seq("slow merge", "zzqq"),
         hashIndex = s"$root/hash", sigIndex = s"$root/sig",
         heldout = docs.filter(col("doc_id") % 17 === 0),
@@ -2381,6 +2385,42 @@ object PipelineQueries extends QueryModule {
     // …so day 2's gates probe exactly day 1's committed state
     val r2 = refresh(col("doc_id") % 2 === 0).withColumn("refresh", lit(2))
     r1.unionByName(r2).select(col("refresh"), col("doc_id"),
+      col("n_tokens"), col("bucket"), col("pack"), col("pack_pos"))
+  }
+
+  // The STREAMING twin: the same two days arrive as MICRO-BATCHES
+  // through Streaming.pretrainRefreshStream — each batch runs the
+  // whole incremental chain in foreachBatch and appends its packed
+  // survivors (tagged refresh = batchId + 1); the indexes carry state
+  // between batches, so the accumulated packed table must equal the
+  // batch path's two-refresh output EXACTLY (one shared oracle).
+  q("q_pretrain_incremental_stream", pretrainIncrementalSql) { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = load(s, dir, "documents")
+      .filter(col("doc_id") % 17 =!= 0).select(col("doc_id"), col("text"))
+    val rows = docs.as[(Long, String)].collect()
+    val (b1, b2) = rows.partition(_._1 % 2 == 1)
+    val root = java.nio.file.Files.createTempDirectory("graft_ptis").toString
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val out = s"$root/packed"
+    val sq = graft.streaming.Streaming.pretrainRefreshStream(
+      in.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"),
+      ptiMarkers, keepLang = "en", stopwords = Seq("the", "a"),
+      minQuality = 0.5, blocklist = Seq("slow merge", "zzqq"),
+      hashIndex = s"$root/hash", sigIndex = s"$root/sig",
+      heldout = load(s, dir, "documents").filter(col("doc_id") % 17 === 0),
+      heldoutText = col("text"), ngram = 5,
+      sampleRate = 0.6, salt = "pti", packBudget = 256, packBuckets = 4,
+      packedOut = out, checkpoint = s"$root/ckpt",
+      nearDup = graft.operators.Pipelines.NearDupConfig(
+        n = 3, k = 6, bands = 3, threshold = 0.8, maxDf = 20)).start()
+    try {
+      in.addData(b1.toSeq); sq.processAllAvailable()
+      in.addData(b2.toSeq); sq.processAllAvailable()
+    } finally sq.stop()
+    s.read.parquet(out).select(col("refresh"), col("doc_id"),
       col("n_tokens"), col("bucket"), col("pack"), col("pack_pos"))
   }
 

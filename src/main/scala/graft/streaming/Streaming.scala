@@ -309,6 +309,67 @@ object Streaming {
         }
       }
 
+  /** The streaming twin of [[graft.operators.Pipelines
+    * .pretrainCorpusIncremental]] — the pretrain-corpus refresh as a
+    * LIVE pipeline: each micro-batch (a day's ingest) runs the whole
+    * incremental chain (langid/quality/blocklist → exact gate vs the
+    * hash index → near gate vs the signature index → decontaminate →
+    * sample → pack) in foreachBatch and appends the packed survivors
+    * to `packedOut` (parquet), tagged `refresh = batchId + 1`. The
+    * persisted indexes carry state between batches, so sequential
+    * batches dedup against history AND every earlier batch's survivors
+    * — the day-over-day semantics, same as [[dedupRefreshStream]].
+    *
+    * Delivery: at-least-once on micro-batch retry, replay-safe by the
+    * chain's own-id exclusions on BOTH gates (a replayed batch
+    * re-derives its survivors identically and re-appends — the packed
+    * sink may hold duplicate rows; dedup by (refresh, doc_id) on read
+    * or land through the upsert sink). `compactEvery = N > 0` folds
+    * both gate indexes every N batches on this thread (single-writer
+    * holds; same cadence contract as the gated buildStream). */
+  def pretrainRefreshStream(stream: DataFrame, id: Column, text: Column,
+      markers: Map[String, Seq[String]], keepLang: String,
+      stopwords: Seq[String], minQuality: Double, blocklist: Seq[String],
+      hashIndex: String, sigIndex: String,
+      heldout: DataFrame, heldoutText: Column, ngram: Int,
+      sampleRate: Double, salt: String,
+      packBudget: Long, packBuckets: Int,
+      packedOut: String, checkpoint: String,
+      nearDup: graft.operators.Pipelines.NearDupConfig =
+        graft.operators.Pipelines.NearDupConfig(),
+      estThreshold: Double = 0.5,
+      compactEvery: Int = 0): DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          try {
+            val packed = graft.operators.Pipelines.pretrainCorpusIncremental(
+              batch.toDF(), id, text, markers, keepLang, stopwords,
+              minQuality, blocklist, hashIndex, sigIndex,
+              heldout, heldoutText, ngram, sampleRate, salt,
+              packBudget, packBuckets, nearDup, estThreshold)
+            // zero-row FIRST append guard, as everywhere
+            if (!packed.isEmpty)
+              packed
+                .withColumn("refresh", lit((batchId + 1).toInt))
+                .write.mode("append").parquet(packedOut)
+            if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+              if (graft.core.IndexGen.current(hashIndex).isDefined)
+                graft.operators.Dedup.hashCompact(batch.sparkSession, hashIndex)
+              if (graft.core.IndexGen.current(sigIndex).isDefined)
+                graft.operators.Dedup.signatureCompact(
+                  batch.sparkSession, sigIndex)
+              ()
+            }
+          } finally
+            // the chain eager-caches its gate frames on the
+            // stream-execution thread — drain per batch (all consumers
+            // done above); its localCheckpoint frames are GC-cleaned
+            graft.core.Caches.drain()
+        }
+      }
+
   /** As-of-now join (reference: _asof_now_join.py:176): each left
     * (stream) row joins the CURRENT right (static/slowly-changing) state
     * at arrival; later right updates do not retract. Spark's

@@ -450,6 +450,43 @@ class StreamingSpec extends SparkSpec {
     assert(probe == Set((91L, 11L), (92L, 1L)), s"probe through the fold: $probe")
   }
 
+  test("pretrainRefreshStream: batch 2's exact and near dups of batch 1 " +
+      "drop via the carried indexes; packed output tags the refresh") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the engineered band-collision pair (see PipelineSpec's
+    // pretrainCorpusIncremental test for the precondition assertions)
+    val p1 = "foxtrot golf hotel india juliet kilo lima"
+    val p2 = "foxtrot golf hotel india juliet kilo november"
+    val root = java.nio.file.Files.createTempDirectory("ptis_spec").toString
+    val in = MemoryStream[(Long, String)]
+    val sq = Streaming.pretrainRefreshStream(
+      in.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"),
+      markers = Map("en" -> Seq("foxtrot")), keepLang = "en",
+      stopwords = Seq("the"), minQuality = 0.0, blocklist = Nil,
+      hashIndex = s"$root/hash", sigIndex = s"$root/sig",
+      heldout = Seq((100L, "zz1 zz2 zz3 zz4 zz5")).toDF("h", "text"),
+      heldoutText = col("text"), ngram = 5,
+      sampleRate = 1.0, salt = "ptis", packBudget = 100, packBuckets = 2,
+      packedOut = s"$root/packed", checkpoint = s"$root/ckpt",
+      estThreshold = 0.3).start()
+    try {
+      in.addData((1L, p1), (2L, p1)) // exact in-batch dup → min id kept
+      sq.processAllAvailable()
+      // 11 = exact dup of batch 1 (hash index), 12 = near dup of batch 1
+      // (signature index), 13 = novel, 14 = heldout-contaminated
+      in.addData((11L, p1), (12L, p2),
+        (13L, "completely novel words about engines and shuffles today"),
+        (14L, "filler one zz1 zz2 zz3 zz4 zz5 filler two three"))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val packed = spark.read.parquet(s"$root/packed")
+      .select("refresh", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(packed == Set((1, 1L), (2, 13L)),
+      s"batch 1 keeps 1, batch 2 keeps only the novel doc: $packed")
+  }
+
   test("compactIndex zero-row guard: an empty committed generation is " +
       "left unchanged instead of committing an empty segment") {
     import spark.implicits._
