@@ -41,18 +41,32 @@ object GateScale {
           .createTempDirectory("gate_scale_idx").toString + "/idx")
         else None
       val t0 = System.nanoTime()
-      graft.operators.DocStore.build(raw.filter(col("doc_id") % 2 === 0),
+      val st1 = graft.operators.DocStore.build(
+        raw.filter(col("doc_id") % 2 === 0),
         col("doc_id"), col("data"), chunkSize = 8, overlap = 3,
         embedder = counting, dedupIndex = idx)
       val t1 = System.nanoTime()
       val rows1 = acc.value
-      graft.operators.DocStore.build(raw, col("doc_id"), col("data"),
+      val st2 = graft.operators.DocStore.build(raw, col("doc_id"),
+        col("data"),
         chunkSize = 8, overlap = 3, embedder = counting, dedupIndex = idx)
       val t2 = System.nanoTime()
+      // the accumulator tallies UDF EVALUATIONS, not logical embedder
+      // invocations — task retries, speculation, or a plan branch
+      // re-evaluating the embed column would inflate it. Cross-check
+      // against the materialized surviving-chunk counts (cache hits —
+      // no re-embeds): equal means the one-eval assumption held and the
+      // headline numbers really are per-surviving-chunk invocations.
+      val (chunks1, chunks2) = (st1.chunks.count(), st2.chunks.count())
+      val delta = acc.value - chunks1 - chunks2
       spark.catalog.clearCache(); graft.core.Caches.drain()
       println(f"$label%-9s ingest1=${(t1 - t0) / 1e9}%6.1f s " +
         f"embeds1=$rows1%9d   ingest2=${(t2 - t1) / 1e9}%6.1f s " +
         f"embeds2=${acc.value - rows1}%9d   total_embeds=${acc.value}%d")
+      println(f"$label%-9s surviving_chunks=${chunks1 + chunks2}%9d " +
+        f"eval_minus_chunks=$delta%d" +
+        (if (delta != 0) "  ** MISMATCH: retries/re-evaluation inflated the count **"
+         else "  (one eval per surviving chunk — counts are exact)"))
     }
     scenario("gates_off", gated = false)
     scenario("gates_on", gated = true)

@@ -437,8 +437,8 @@ object DocStore {
       spread.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          if (!batch.isEmpty) {
-            try {
+          try {
+            if (!batch.isEmpty) {
               val chunked = chunkStage(batch.toDF(), id, data, metadata,
                 parser, postProcess, chunkSize, overlap, splitBy)
               val exactFresh = dedupIndex match {
@@ -458,27 +458,31 @@ object DocStore {
                   .write.mode("append").parquet(s"$path/chunks")
               dedupIndex.foreach(p =>
                 indexChunkHashes(batch.sparkSession, p, exactFresh))
-              // maintenance cadence: fold each gate index's per-batch
-              // manifest segments back to one, on THIS thread (the
-              // single writer). Keyed to batchId so a retried batch
-              // compacts at most once more — compaction is idempotent
-              // (same rows, one segment, new atomic generation).
-              if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-                dedupIndex.filter(p =>
-                    graft.core.IndexGen.current(p).isDefined)
-                  .foreach(p => Dedup.hashCompact(batch.sparkSession, p))
-                nearDedupIndex.filter(p =>
-                    graft.core.IndexGen.current(p).isDefined)
-                  .foreach(p =>
-                    Dedup.signatureCompact(batch.sparkSession, p))
-              }
-            } finally
-              // the gates eager-cache their survivor/probe frames on the
-              // stream-execution thread; drain per batch or a
-              // long-running ingest accumulates them forever (all
-              // consumers completed above)
-              graft.core.Caches.drain()
-          }
+            }
+            // maintenance cadence: fold each gate index's per-batch
+            // manifest segments back to one, on THIS thread (the
+            // single writer). Keyed to batchId so a retried batch
+            // compacts at most once more — compaction is idempotent
+            // (same rows, one segment, new atomic generation). OUTSIDE
+            // the empty-batch guard: an empty micro-batch landing on a
+            // cadence slot must not defer the fold to the next multiple
+            // (sparse/bursty sources can skip many slots); the IndexGen
+            // guards keep a no-index-yet batch a no-op.
+            if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+              dedupIndex.filter(p =>
+                  graft.core.IndexGen.current(p).isDefined)
+                .foreach(p => Dedup.hashCompact(batch.sparkSession, p))
+              nearDedupIndex.filter(p =>
+                  graft.core.IndexGen.current(p).isDefined)
+                .foreach(p =>
+                  Dedup.signatureCompact(batch.sparkSession, p))
+            }
+          } finally
+            // the gates eager-cache their survivor/probe frames on the
+            // stream-execution thread; drain per batch or a
+            // long-running ingest accumulates them forever (all
+            // consumers completed above)
+            graft.core.Caches.drain()
         }
   }
 
@@ -917,18 +921,42 @@ object DocStore {
     * text/metadata. The embedder must be the one the store was built
     * with (the store persists data, not code — same contract as the
     * reference, whose embedder is re-supplied at server start). */
+  /** Read a store's persisted chunk table. `dedup = true` (the default)
+    * collapses the duplicate rows an at-least-once gated stream
+    * ([[buildStream]] with dedup gates) can append on retry: rows
+    * sharing a `chunk_key` are byte-identical by construction (the key
+    * is a deterministic function of (doc_id, chunk_id) and every other
+    * column is a deterministic function of the chunk text), so ONE
+    * representative per key is exact — `dropDuplicates(chunk_key)`, a
+    * hash-aggregable single shuffle, never a window sort. This is the
+    * code form of the delivery-semantics scaladoc's "dedup by chunk_key
+    * on read": the documented contract with one obvious entry point.
+    * Tables written by the exactly-once sink carry no duplicates and
+    * pass through unchanged (the dedup is then a no-op shuffle — pass
+    * `dedup = false` to skip it when the writer is known exact). */
+  def readChunks(spark: SparkSession, path: String,
+      dedup: Boolean = true): DataFrame = {
+    val raw = spark.read.parquet(s"$path/chunks")
+    if (dedup) raw.dropDuplicates("chunk_key") else raw
+  }
+
+  /** `dedupChunks = true` reads the chunk table through [[readChunks]]'
+    * at-least-once repair — use it when the store was built by a gated
+    * [[buildStream]] (whose delivery is at-least-once on retry); the
+    * default `false` keeps the straight scan for exactly-once tables. */
   def open(spark: SparkSession, path: String,
       embedder: Column => Column = hashEmbedder(),
-      nprobe: Int = 4): PersistedStore =
-    new PersistedStore(spark, path, embedder, nprobe)
+      nprobe: Int = 4, dedupChunks: Boolean = false): PersistedStore =
+    new PersistedStore(spark, path, embedder, nprobe, dedupChunks)
 
   final class PersistedStore private[DocStore] (spark: SparkSession,
-      path: String, embedder: Column => Column, nprobe: Int)
+      path: String, embedder: Column => Column, nprobe: Int,
+      dedupChunks: Boolean = false)
       extends Queryable {
 
     private[DocStore] def session: SparkSession = spark
 
-    val chunks: DataFrame = spark.read.parquet(s"$path/chunks")
+    val chunks: DataFrame = readChunks(spark, path, dedup = dedupChunks)
 
     /** Metadata columns = everything that isn't pipeline-owned. */
     val metadata: Seq[String] = chunks.columns.toSeq

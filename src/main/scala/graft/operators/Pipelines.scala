@@ -101,6 +101,23 @@ object Pipelines {
     val langKept = base.filter(TextOps.langId(col("text"), markers) === keepLang)
     val qualKept = langKept.filter(
       TextOps.qualityScore(col("text"), stopwords) >= minQuality)
+    corpusTail(qualKept, blocklist, boilerplate, nearDup,
+      heldout, heldoutText, ngram, sampleRate, salt,
+      packBudget, packBuckets)
+  }
+
+  /** Stages 3-9 of the chain (blocklist → boilerplate → exact dedup →
+    * near-dup canonicalization → decontamination → sample → pack) over
+    * an already language/quality-filtered (doc_id, text) frame — shared
+    * verbatim by the heuristic ([[pretrainCorpusFull]]) and
+    * model-driven ([[pretrainCorpusModel]]) chains, so the two differ
+    * ONLY in how stages 1-2 decide what to keep. */
+  private def corpusTail(qualKept: DataFrame,
+      blocklist: Seq[String], boilerplate: Option[(String, Long)],
+      nearDup: Option[NearDupConfig],
+      heldout: DataFrame, heldoutText: Column, ngram: Int,
+      sampleRate: Double, salt: String,
+      packBudget: Long, packBuckets: Int): DataFrame = {
     val blocked =
       if (blocklist.isEmpty) qualKept
       else TextOps.blocklistFilter(qualKept, col("text"), blocklist)
@@ -150,6 +167,78 @@ object Pipelines {
       col("doc_id"), col("n_tokens"), packBudget, packBuckets, salt)
   }
 
+  /** The MODEL-DRIVEN pre-training chain — [[pretrainCorpusFull]] with
+    * stages 1-2 decided by TRAINED models instead of the marker-lexicon
+    * and stopword-ratio heuristics: language keep by the char-n-gram
+    * Naive-Bayes classifier ([[LangId.predict]] argmax == `keepLang`)
+    * and the quality floor by the hashed-bag-of-words logistic
+    * regression score ([[Classify.logregPredict]] ≥ `minScore`). This
+    * is what CCNet/fastText-filter pipelines actually run: fit once on
+    * a labeled sample, then filter every corpus build with the frozen
+    * model (reference analog: the xpack embedder/classifier seams,
+    * xpacks/llm/document_store.py — a model call gating ingest).
+    *
+    * Scale shape: both predicts are model-BROADCAST scans — the langid
+    * model pivots to one bounded (vocab × L) gram table and the logreg
+    * weights are dim+1 rows, so the corpus is never shuffled against
+    * either model; the only corpus-sized exchanges the models add are
+    * the per-doc gram/feature aggregations (map-side combinable) and
+    * one semi-join back by doc_id each. Stages 3-9 are [[corpusTail]],
+    * shared verbatim with the heuristic chain.
+    *
+    * Both predicates are exact cross-engine (decimal-sum langid scores,
+    * integer-quantized logreg margins), so the FULL chain — fit,
+    * predict, filter, dedup, pack — replays bit-for-bit in DuckDB
+    * (q_pretrain_model's oracle). Docs shorter than the langid `n`
+    * carry no grams, classify as nothing, and are dropped — the same
+    * fate a sub-n doc meets at the quality floor of the heuristic
+    * chain. Returns (doc_id, text, n_tokens, bucket, pack, pack_pos). */
+  def pretrainCorpusModel(docs: DataFrame, id: Column, text: Column,
+      langModel: LangId.Model, keepLang: String, langN: Int,
+      qualityModel: DataFrame, qualityDim: Int, minScore: Double,
+      blocklist: Seq[String], boilerplate: Option[(String, Long)],
+      nearDup: Option[NearDupConfig],
+      heldout: DataFrame, heldoutText: Column, ngram: Int,
+      sampleRate: Double, salt: String,
+      packBudget: Long, packBuckets: Int): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("text"))
+    val langKeep = LangId.predict(base, col("doc_id"), col("text"),
+        langModel, langN)
+      .filter(col("lang") === keepLang).select(col("id").as("doc_id"))
+    val langKept = base.join(langKeep, Seq("doc_id"), "left_semi")
+    val qualKeep = Classify.logregPredict(langKept, col("doc_id"),
+        col("text"), qualityModel, qualityDim)
+      .filter(col("score") >= minScore).select(col("id").as("doc_id"))
+    val qualKept = langKept.join(qualKeep, Seq("doc_id"), "left_semi")
+    corpusTail(qualKept, blocklist, boilerplate, nearDup,
+      heldout, heldoutText, ngram, sampleRate, salt,
+      packBudget, packBuckets)
+  }
+
+  /** [[pretrainCorpusModel]] from PERSISTED models — the production
+    * split: models are fit (and [[LangId.save]]d / [[Classify
+    * .logregSave]]d) by a training job; every corpus build loads the
+    * frozen artifacts by path. Model hyper-parameters that shape the
+    * prediction plan (`langN`, `qualityDim`) ride in the saved models'
+    * own metadata, so a build job cannot probe a model with the wrong
+    * geometry. */
+  def pretrainCorpusModelFrom(spark: org.apache.spark.sql.SparkSession,
+      langModelPath: String, keepLang: String,
+      qualityModelPath: String, minScore: Double,
+      docs: DataFrame, id: Column, text: Column,
+      blocklist: Seq[String], boilerplate: Option[(String, Long)],
+      nearDup: Option[NearDupConfig],
+      heldout: DataFrame, heldoutText: Column, ngram: Int,
+      sampleRate: Double, salt: String,
+      packBudget: Long, packBuckets: Int): DataFrame = {
+    val (langModel, langN) = LangId.load(spark, langModelPath)
+    val (qualityModel, qualityDim) = Classify.logregLoad(spark, qualityModelPath)
+    pretrainCorpusModel(docs, id, text, langModel, keepLang, langN,
+      qualityModel, qualityDim, minScore, blocklist, boilerplate, nearDup,
+      heldout, heldoutText, ngram, sampleRate, salt,
+      packBudget, packBuckets)
+  }
+
   /** The INCREMENTAL pre-training corpus refresh — what a DAY-OVER-DAY
     * corpus build actually runs. [[pretrainCorpusFull]] dedups IN-BATCH
     * only, so refreshing a corpus with it re-pays full-corpus dedup
@@ -197,6 +286,17 @@ object Pipelines {
     * batch the exclusions remove nothing, by the
     * caller-feeds-only-new-ids contract every segment store shares).
     * Single writer per index, like every segment store.
+    *
+    * SIDE EFFECTS ARE CALL-TIME, NOT ACTION-TIME: the gate probes
+    * materialize and the hash/signature index appends COMMIT while this
+    * method runs — a caller that composes the chain and never acts on
+    * the returned frame has still advanced both indexes. That is the
+    * same eager-index contract every segment store here has
+    * ([[Dedup.hashAppend]]/[[Dedup.signatureSave]] are `Unit` writes),
+    * and replay safety makes it harmless — a re-run with the same batch
+    * re-derives its survivors identically via the own-id exclusions —
+    * but do not treat the returned DataFrame as a pure plan: only the
+    * decontaminate→sample→pack TAIL is lazy.
     *
     * Returns the packed survivor rows
     * (doc_id, text, n_tokens, bucket, pack, pack_pos).

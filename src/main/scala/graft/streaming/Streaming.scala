@@ -282,8 +282,8 @@ object Streaming {
     stream.writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        if (!batch.isEmpty) {
-          try {
+        try {
+          if (!batch.isEmpty) {
             val survivors = graft.operators.Dedup.dedupRefresh(
               batch.sparkSession, indexPath, batch.toDF(), id, text,
               threshold, estThreshold, maxDf)
@@ -291,22 +291,26 @@ object Streaming {
             // schema-less survivors dir (only _SUCCESS) that fails reads
             if (!survivors.isEmpty)
               survivors.write.mode("append").parquet(survivorsOut)
-            // cadence keyed to batchId: a retried batch re-compacts at
-            // most once more, and compaction is idempotent (same rows,
-            // one segment, new atomic generation)
-            if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-              graft.operators.Dedup.signatureCompact(
-                batch.sparkSession, indexPath)
-              ()
-            }
-          } finally
-            // dedupRefresh eager-caches its canonical/survivor frames on
-            // THIS (the stream-execution) thread; without a per-batch
-            // drain a long-running loop accumulates one cached frame
-            // set per micro-batch forever. All consumers (append +
-            // survivors write) completed above, so the drain is safe.
-            graft.core.Caches.drain()
-        }
+          }
+          // cadence keyed to batchId, OUTSIDE the empty-batch guard (an
+          // empty batch on a slot must not defer the fold to the next
+          // multiple — sparse sources can skip many); a retried batch
+          // re-compacts at most once more, and compaction is idempotent
+          // (same rows, one segment, new atomic generation). IndexGen
+          // guard: an all-empty prefix has no index to fold yet.
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+              graft.core.IndexGen.current(indexPath).isDefined) {
+            graft.operators.Dedup.signatureCompact(
+              batch.sparkSession, indexPath)
+            ()
+          }
+        } finally
+          // dedupRefresh eager-caches its canonical/survivor frames on
+          // THIS (the stream-execution) thread; without a per-batch
+          // drain a long-running loop accumulates one cached frame
+          // set per micro-batch forever. All consumers (append +
+          // survivors write) completed above, so the drain is safe.
+          graft.core.Caches.drain()
       }
 
   /** The streaming twin of [[graft.operators.Pipelines
@@ -342,32 +346,41 @@ object Streaming {
     stream.writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        if (!batch.isEmpty) {
-          try {
-            val packed = graft.operators.Pipelines.pretrainCorpusIncremental(
-              batch.toDF(), id, text, markers, keepLang, stopwords,
-              minQuality, blocklist, hashIndex, sigIndex,
-              heldout, heldoutText, ngram, sampleRate, salt,
-              packBudget, packBuckets, nearDup, estThreshold)
+        try {
+          if (!batch.isEmpty) {
+            // eager: the isEmpty probe and the write would otherwise
+            // each run the decontaminate→sample→pack tail (the gate
+            // frames upstream ARE checkpointed, but the window-heavy
+            // pack stage re-executed per consumer); drained below
+            val packed = graft.core.Caches.eager(
+              graft.operators.Pipelines.pretrainCorpusIncremental(
+                batch.toDF(), id, text, markers, keepLang, stopwords,
+                minQuality, blocklist, hashIndex, sigIndex,
+                heldout, heldoutText, ngram, sampleRate, salt,
+                packBudget, packBuckets, nearDup, estThreshold))
             // zero-row FIRST append guard, as everywhere
             if (!packed.isEmpty)
               packed
-                .withColumn("refresh", lit((batchId + 1).toInt))
+                .withColumn("refresh", lit(batchId + 1))
                 .write.mode("append").parquet(packedOut)
-            if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-              if (graft.core.IndexGen.current(hashIndex).isDefined)
-                graft.operators.Dedup.hashCompact(batch.sparkSession, hashIndex)
-              if (graft.core.IndexGen.current(sigIndex).isDefined)
-                graft.operators.Dedup.signatureCompact(
-                  batch.sparkSession, sigIndex)
-              ()
-            }
-          } finally
-            // the chain eager-caches its gate frames on the
-            // stream-execution thread — drain per batch (all consumers
-            // done above); its localCheckpoint frames are GC-cleaned
-            graft.core.Caches.drain()
-        }
+          }
+          // cadence OUTSIDE the empty-batch guard: an empty micro-batch
+          // landing on a slot must not defer compaction to the next
+          // multiple (sparse/bursty sources can skip many slots); the
+          // IndexGen guards keep a no-index-yet batch a no-op
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+            if (graft.core.IndexGen.current(hashIndex).isDefined)
+              graft.operators.Dedup.hashCompact(batch.sparkSession, hashIndex)
+            if (graft.core.IndexGen.current(sigIndex).isDefined)
+              graft.operators.Dedup.signatureCompact(
+                batch.sparkSession, sigIndex)
+            ()
+          }
+        } finally
+          // the chain eager-caches its gate frames on the
+          // stream-execution thread — drain per batch (all consumers
+          // done above); its localCheckpoint frames are GC-cleaned
+          graft.core.Caches.drain()
       }
 
   /** As-of-now join (reference: _asof_now_join.py:176): each left

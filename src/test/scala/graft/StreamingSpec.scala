@@ -482,8 +482,8 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
     val packed = spark.read.parquet(s"$root/packed")
       .select("refresh", "doc_id").collect()
-      .map(r => (r.getInt(0), r.getLong(1))).toSet
-    assert(packed == Set((1, 1L), (2, 13L)),
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(packed == Set((1L, 1L), (2L, 13L)),
       s"batch 1 keeps 1, batch 2 keeps only the novel doc: $packed")
   }
 
