@@ -2945,6 +2945,158 @@ object PipelineQueries extends QueryModule {
       .select(col("id").as("doc_id"), col("lang"), r4e(col("score")).as("score"))
   }
 
+  // THE MODEL-DRIVEN PIPELINE: both pretrain gate stages decided by
+  // TRAINED models — char-trigram NB language-ID (fit on the corpus's
+  // own labels) and a logreg quality classifier DISTILLED from the
+  // stopword heuristic (label = heuristic >= 0.5, the CCNet
+  // wiki-vs-crawl recipe), both fit on the full table, SAVED, and the
+  // chain run from the persisted artifacts
+  // (Pipelines.pretrainCorpusModelFrom): langid-keep 'en' → quality
+  // score >= 0.52 → exact dedup → 5-gram decontamination → hash sample
+  // → packing. The oracle replays EVERYTHING — both fits (2 unrolled
+  // gradient rounds), both predicts, and the chain tail — bit-for-bit
+  // (decimal-sum langid scores, integer-quantized logreg margins).
+  // lr = 0.1 is not an exact binary fraction, so the oracle casts it
+  // to DOUBLE (the CLAUDE.md decimal-literal rule); τ = 0.52 likewise.
+  q("q_pretrain_model",
+    """WITH lab AS (SELECT doc_id, text,
+      |  CASE WHEN (least(length(text) / 500.0, 1.0) +
+      |    least((len(list_filter(string_split(text,' '), w -> w IN ('the', 'a'))) * 1.0
+      |      / len(string_split(text,' '))) * 5.0, 1.0) +
+      |    len(list_distinct(string_split(text,' '))) * 1.0
+      |      / len(string_split(text,' '))) / 3.0 >= 0.5 THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |f AS (SELECT doc_id, y,
+      |  list_concat([CAST(1 AS BIGINT)],
+      |    list_transform(range(16), dd -> CAST(list_sum(list_transform(
+      |      string_split(text, ' '), t ->
+      |      CASE WHEN CAST('0x' || substr(md5(t), 1, 4) AS BIGINT) % 16 = dd
+      |      THEN CASE WHEN CAST('0x' || substr(md5(t), 5, 1) AS BIGINT) % 2 = 0
+      |           THEN 1 ELSE -1 END
+      |      ELSE 0 END)) AS BIGINT))) AS xa
+      |  FROM lab),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+      |w0 AS (SELECT i AS d, CAST(0 AS BIGINT) AS wq FROM unnest(range(17)) AS u(i)),
+      |z1 AS (SELECT f.doc_id, f.y, f.xa, sum(w.wq * f.xa[w.d + 1]) AS zq
+      |  FROM f CROSS JOIN w0 w GROUP BY 1, 2, 3),
+      |e1 AS (SELECT doc_id, y, xa,
+      |  CAST(floor((least(greatest(
+      |    0.5 + CAST(zq AS DOUBLE) / 1073741824.0 / 4.0, 0.0), 1.0) - y)
+      |    * 1073741824.0 + 0.5) AS BIGINT) AS eq FROM z1),
+      |g1 AS (SELECT t.i AS d, sum(e.eq * e.xa[t.i + 1]) AS gq
+      |  FROM e1 e, unnest(range(17)) AS t(i)
+      |  WHERE e.xa[t.i + 1] <> 0 GROUP BY 1),
+      |w1 AS (SELECT w.d,
+      |  w.wq - CAST(floor(CAST(coalesce(g.gq, 0) AS DOUBLE) * (0.1::DOUBLE)
+      |    / n.n + 0.5) AS BIGINT) AS wq
+      |  FROM w0 w CROSS JOIN n LEFT JOIN g1 g ON g.d = w.d),
+      |z2 AS (SELECT f.doc_id, f.y, f.xa, sum(w.wq * f.xa[w.d + 1]) AS zq
+      |  FROM f CROSS JOIN w1 w GROUP BY 1, 2, 3),
+      |e2 AS (SELECT doc_id, y, xa,
+      |  CAST(floor((least(greatest(
+      |    0.5 + CAST(zq AS DOUBLE) / 1073741824.0 / 4.0, 0.0), 1.0) - y)
+      |    * 1073741824.0 + 0.5) AS BIGINT) AS eq FROM z2),
+      |g2 AS (SELECT t.i AS d, sum(e.eq * e.xa[t.i + 1]) AS gq
+      |  FROM e2 e, unnest(range(17)) AS t(i)
+      |  WHERE e.xa[t.i + 1] <> 0 GROUP BY 1),
+      |w2 AS (SELECT w.d,
+      |  w.wq - CAST(floor(CAST(coalesce(g.gq, 0) AS DOUBLE) * (0.1::DOUBLE)
+      |    / n.n + 0.5) AS BIGINT) AS wq
+      |  FROM w1 w CROSS JOIN n LEFT JOIN g2 g ON g.d = w.d),
+      |zf AS (SELECT f.doc_id, sum(w.wq * f.xa[w.d + 1]) AS zq
+      |  FROM f CROSS JOIN w2 w GROUP BY 1),
+      |cg AS (SELECT doc_id, lang,
+      |  unnest(list_transform(range(1, length(text) - 1),
+      |    i -> text[i : i + 2])) AS g
+      |  FROM documents WHERE length(text) >= 3),
+      |cnt AS (SELECT lang, g, count(*) AS c FROM cg GROUP BY 1, 2),
+      |tot AS (SELECT lang, sum(c) AS tl FROM cnt GROUP BY 1),
+      |voc AS (SELECT DISTINCT g FROM cnt),
+      |v AS (SELECT count(*) AS v FROM voc),
+      |pri AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
+      |nall AS (SELECT count(*) AS ndall FROM documents),
+      |lmeta AS (SELECT p.lang, ln(CAST(p.nd AS DOUBLE) / nall.ndall) AS prior,
+      |  ln(0.5 / (tot.tl + 0.5 * v.v)) AS unseen
+      |  FROM pri p JOIN tot USING (lang) CROSS JOIN nall CROSS JOIN v),
+      |dense AS (SELECT t.lang, voc.g,
+      |  ln((coalesce(c.c, 0) + 0.5) / (t.tl + 0.5 * v.v)) AS lp
+      |  FROM voc CROSS JOIN tot t CROSS JOIN v
+      |  LEFT JOIN cnt c ON c.lang = t.lang AND c.g = voc.g),
+      |dg AS (SELECT doc_id, g, count(*) AS cnt FROM cg
+      |  WHERE doc_id % 17 <> 0 GROUP BY 1, 2),
+      |ngr AS (SELECT doc_id, sum(cnt) AS ng FROM dg GROUP BY 1),
+      |s1 AS (SELECT dg.doc_id, dense.lang,
+      |  CAST(sum(CAST(dg.cnt * dense.lp AS DECIMAL(24,6))) AS DOUBLE) AS s,
+      |  sum(dg.cnt) AS seen
+      |  FROM dg JOIN dense USING (g) GROUP BY 1, 2),
+      |scl AS (SELECT ngr.doc_id, lmeta.lang,
+      |  lmeta.prior + coalesce(s1.s, 0.0)
+      |    + (ngr.ng - coalesce(s1.seen, 0)) * lmeta.unseen AS score
+      |  FROM ngr CROSS JOIN lmeta
+      |  LEFT JOIN s1 ON s1.doc_id = ngr.doc_id AND s1.lang = lmeta.lang),
+      |pred AS (SELECT doc_id FROM scl QUALIFY row_number() OVER
+      |  (PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1
+      |  AND lang = 'en'),
+      |sc AS (SELECT z.doc_id, least(greatest(
+      |  0.5 + CAST(z.zq AS DOUBLE) / 1073741824.0 / 4.0, 0.0), 1.0) AS score
+      |  FROM zf z JOIN pred USING (doc_id)),
+      |qk AS (SELECT d.doc_id, d.text FROM documents d
+      |  JOIN sc ON sc.doc_id = d.doc_id
+      |  WHERE sc.score >= (0.52::DOUBLE)),
+      |ddp AS (SELECT doc_id, text FROM qk
+      |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+      |dw AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM ddp),
+      |st AS (SELECT DISTINCT doc_id,
+      |  ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] || ' ' || ws[j+3]
+      |    || ' ' || ws[j+4] AS s
+      |  FROM dw, UNNEST(range(1, len(ws) - 3)) AS t(j)),
+      |be AS (SELECT string_split(text, ' ') AS ws FROM documents
+      |  WHERE doc_id % 17 = 0),
+      |sb AS (SELECT DISTINCT
+      |  ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] || ' ' || ws[j+3]
+      |    || ' ' || ws[j+4] AS s
+      |  FROM be, UNNEST(range(1, len(ws) - 3)) AS t(j)),
+      |bad AS (SELECT DISTINCT doc_id FROM st JOIN sb USING (s)),
+      |samp AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM dw
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+      |  AND CAST('0x' || substr(md5('ptm' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |    AS BIGINT) < 2576980377),
+      |d2 AS (SELECT doc_id, n_tokens,
+      |  CAST('0x' || substr(md5('ptm' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |    AS BIGINT) % 4 AS bucket,
+      |  md5('ptm' || CAST(doc_id AS VARCHAR)) AS h FROM samp),
+      |p AS (SELECT doc_id, n_tokens, bucket, h,
+      |  coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+      |  FROM d2),
+      |k AS (SELECT doc_id, n_tokens, bucket,
+      |  CAST(floor(pfx / 256.0) AS BIGINT) AS pack, h FROM p)
+      |SELECT doc_id, n_tokens, bucket, pack,
+      |  row_number() OVER (PARTITION BY bucket, pack ORDER BY h, doc_id)
+      |    AS pack_pos
+      |FROM k""") { (s, dir) =>
+    val docs = load(s, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("pretrain_model")
+      .toString
+    val langModel = graft.operators.LangId.fit(docs, col("text"),
+      col("lang"), n = 3, k = 0.5)
+    graft.operators.LangId.save(langModel, 3, s"$tmp/langid")
+    val qModel = graft.operators.Classify.logregFit(docs, col("doc_id"),
+      col("text"),
+      (TextOps.qualityScore(col("text"), Seq("the", "a")) >= 0.5).cast("int"),
+      dim = 16, rounds = 2, lr = 0.1)
+    graft.operators.Classify.logregSave(qModel, s"$tmp/quality")
+    graft.operators.Pipelines.pretrainCorpusModelFrom(s,
+        s"$tmp/langid", keepLang = "en", s"$tmp/quality", minScore = 0.52,
+        docs.filter(col("doc_id") % 17 =!= 0), col("doc_id"), col("text"),
+        blocklist = Nil, boilerplate = None, nearDup = None,
+        heldout = docs.filter(col("doc_id") % 17 === 0),
+        heldoutText = col("text"), ngram = 5,
+        sampleRate = 0.6, salt = "ptm", packBudget = 256, packBuckets = 4)
+      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("pack"),
+        col("pack_pos"))
+  }
+
   // Deterministic BPE merge learning (Sennrich 2016) — 4 rounds over the
   // documents corpus. The oracle replays the ENTIRE training run: the
   // corpus collapses to a word-frequency vocab, then each round counts

@@ -128,6 +128,17 @@ object Classify {
     graft.core.IndexGen.commit(path, gen)
   }
 
+  /** Load a [[logregSave]]d model and its feature dimension (derived
+    * from the weight-row count — the artifact IS dim+1 rows, so the
+    * geometry travels with it; the read is one bounded model-sized
+    * count, the same contract as every meta read here). */
+  def logregLoad(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, Int) = {
+    val dir = graft.core.IndexGen.readDir(path)
+    val w = spark.read.parquet(s"$dir/weights")
+    (w, w.count().toInt - 1)
+  }
+
   /** Score a corpus against a [[logregSave]]d model without re-fitting. */
   def logregLoadPredict(spark: org.apache.spark.sql.SparkSession,
       path: String, df: DataFrame, id: Column, text: Column,

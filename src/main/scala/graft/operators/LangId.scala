@@ -76,6 +76,33 @@ object LangId {
     Model(grams, langs)
   }
 
+  /** Persist a fitted model — atomically versioned like every model
+    * store here ([[graft.core.IndexGen]]): grams + langs + a meta row
+    * pinning `n` (the gram width is a property of the FITTED model — a
+    * reader probing with a different n would score garbage, so it rides
+    * with the artifact, not the call site) land in one generation, one
+    * marker rename publishes all three together. */
+  def save(model: Model, n: Int, path: String): Unit = {
+    val spark = model.grams.sparkSession
+    val (dir, gen) = graft.core.IndexGen.stage(path)
+    model.grams.select("lang", "g", "lp")
+      .write.mode("overwrite").parquet(s"$dir/grams")
+    model.langs.select("lang", "prior", "unseen")
+      .write.mode("overwrite").parquet(s"$dir/langs")
+    spark.range(1).select(lit(n).cast("int").as("n"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    graft.core.IndexGen.commit(path, gen)
+  }
+
+  /** Load a [[save]]d model and its gram width `n`. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Model, Int) = {
+    val dir = graft.core.IndexGen.readDir(path)
+    val n = spark.read.parquet(s"$dir/meta").collect()(0).getAs[Int]("n")
+    (Model(spark.read.parquet(s"$dir/grams"),
+      spark.read.parquet(s"$dir/langs")), n)
+  }
+
   /** (id, lang, score) — the argmax language per document and its
     * log-posterior (rounded via the +1e-9 house nudge downstream if the
     * caller needs cross-engine hashes).

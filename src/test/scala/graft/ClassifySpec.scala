@@ -52,6 +52,12 @@ class ClassifySpec extends SparkSpec {
     val loaded = Classify.logregLoadPredict(spark, dir, corpus,
       col("id"), col("text"), 16)
     assert(rowsOf(direct) == rowsOf(loaded))
+    // logregLoad derives the dimension from the artifact itself (dim+1
+    // weight rows) — the geometry travels with the model
+    val (w, dim) = Classify.logregLoad(spark, dir)
+    assert(dim == 16)
+    assert(rowsOf(Classify.logregPredict(corpus, col("id"), col("text"),
+      w, dim)) == rowsOf(direct))
   }
 
   test("invalid hyperparameters raise") {

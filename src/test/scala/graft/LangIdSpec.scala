@@ -60,6 +60,26 @@ class LangIdSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("save/load round-trips the model and its gram width: loaded " +
+      "predictions are bit-identical; re-save publishes a new generation") {
+    val path = java.nio.file.Files.createTempDirectory("langid_model")
+      .toString + "/m"
+    val m = LangId.fit(corpus, col("text"), col("lang"))
+    LangId.save(m, 3, path)
+    val (loaded, n) = LangId.load(spark, path)
+    assert(n == 3)
+    val direct = LangId.predict(corpus, col("doc_id"), col("text"), m)
+      .orderBy("id").collect().toSeq
+    val fromDisk = LangId.predict(corpus, col("doc_id"), col("text"),
+      loaded, n).orderBy("id").collect().toSeq
+    assert(direct == fromDisk)
+    // re-save (e.g. a re-fit on fresh labels) lands atomically as a new
+    // generation — readers see old or new, never a mix
+    LangId.save(m, 3, path)
+    val (again, n2) = LangId.load(spark, path)
+    assert(n2 == 3 && again.grams.count() == loaded.grams.count())
+  }
+
   test("plan shape: lang metadata broadcasts; corpus never broadcast") {
     val m = LangId.fit(corpus, col("text"), col("lang"))
     val plan = LangId.predict(corpus, col("doc_id"), col("text"), m)

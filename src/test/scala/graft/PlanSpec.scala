@@ -464,6 +464,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian fallback:\n$p")
   }
 
+  test("q_pretrain_model: both models ride broadcasts into the chain; " +
+      "no cartesian, keep semi-joins stay equi-joins") {
+    // the model-driven chain's contract: predict = model broadcast +
+    // corpus scan. The langid gram table and the logreg weight array
+    // must arrive via BroadcastExchange; the corpus must never cross a
+    // cartesian/NLJ (an un-keyed model join would), and the two
+    // keep-filters must land as doc_id equi-semi-joins
+    val p = plan("q_pretrain_model")
+    assert(p.contains("BroadcastExchange"), s"expected broadcast models:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian fallback:\n$p")
+    assert(p.contains("LeftSemi"), s"expected keep semi-joins:\n$p")
+  }
+
   test("q_dedup_incremental: in-row signatures (minhash_sig, one node per " +
       "branch), no SortAggregate, no cartesian") {
     val p = plan("q_dedup_incremental")
