@@ -1758,6 +1758,50 @@ object PipelineQueries extends QueryModule {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  // INCREMENTAL HNSW (closing the segment-append matrix): save graphs
+  // over the first 300 vectors, hnswAppend the rest as a new SEGMENT
+  // (O(new rows) — the base graphs are never re-read), search across
+  // both segments ('appended' phase), then hnswCompact — the USearch
+  // add-to-index fold: later segments' vectors INSERTED into the
+  // restored base graphs — and search the folded index ('compacted'
+  // phase). Both phases run the provably-exact regime (m = ef = n), so
+  // each must equal the same brute-force top-3 — one oracle pins the
+  // multi-segment search path AND the insert-into-restored-graph fold.
+  q("q_knn_hnsw_incremental",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |d AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+      |sc AS (SELECT qid, nid,
+      |  list_dot_product(qv, dv)
+      |    / sqrt(list_dot_product(qv, qv) * list_dot_product(dv, dv)) AS c
+      |  FROM q JOIN d ON qid != nid),
+      |r AS (SELECT qid AS query_id, nid AS neighbor_id, c,
+      |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank FROM sc)
+      |SELECT ph.phase, query_id, rank, neighbor_id, round(c, 4) AS cosine
+      |FROM r CROSS JOIN (VALUES ('appended'), ('compacted')) AS ph(phase)
+      |WHERE rank <= 3""") { (s, dir) =>
+    val e = load(s, dir, "embeddings")
+    val n = e.count()
+    val (mm, ef) = if (n <= 4096) (n.toInt, n.toInt) else (16, 64)
+    val idx = java.nio.file.Files.createTempDirectory("graft_hnsw_inc").toString
+    operators.Hnsw.hnswSave(e.filter(col("vec_id") < 300),
+      col("vec_id"), col("embedding"), idx, m = mm, efConstruction = ef)
+    operators.Hnsw.hnswAppend(s, idx, e.filter(col("vec_id") >= 300),
+      col("vec_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    val appended = operators.Hnsw.hnswLoadTopK(s, idx, queries,
+      col("vec_id"), col("embedding"), k = 3, efSearch = ef,
+      exact = n <= 4096)
+    operators.Hnsw.hnswCompact(s, idx)
+    val compacted = operators.Hnsw.hnswLoadTopK(s, idx, queries,
+      col("vec_id"), col("embedding"), k = 3, efSearch = ef,
+      exact = n <= 4096)
+    appended.withColumn("phase", lit("appended"))
+      .unionByName(compacted.withColumn("phase", lit("compacted")))
+      .select(col("phase"), col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   // LSH pre-clustering: 2 independent bands, band width DERIVED from the
   // corpus (planesFor, target occupancy 8 — 6 planes/band at the sf0.01
   // oracle scale, log2 more per scale-up), CC-merged. The oracle derives

@@ -300,14 +300,17 @@ object Hnsw {
     * Same build-once/query-many motivation as [[Similarity.ivfSave]]:
     * at corpus scale the graph build (the expensive, insert-ordered
     * part) happens in one batch job; later jobs probe from disk. */
-  def hnswSave(data: DataFrame, did: Column, dvec: Column, path: String,
-      m: Int = 16, efConstruction: Int = 64): Unit = {
+  /** One graph per partition of `data`, dumped as parquet-ready rows
+    * (shard, node, id, vec, level, links, entry, max_level) — the
+    * build half shared by [[hnswSave]] and [[hnswAppend]]. */
+  private def buildGraphRows(data: DataFrame, did: Column, dvec: Column,
+      m: Int, efConstruction: Int): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
     val d = Similarity.spread(
       data.select(did.cast("long").as("id"), dvec.cast("array<double>").as("v")))
       .as[(Long, Array[Double])]
-    val rows = d.mapPartitions { it =>
+    d.mapPartitions { it =>
       val shard = org.apache.spark.TaskContext.getPartitionId()
       val idx = new PartIndex(m, efConstruction)
       it.toArray.sortBy(_._1).foreach { case (id, v) => idx.insert(id, v) }
@@ -319,15 +322,155 @@ object Hnsw {
         }
       }
     }.toDF("shard", "node", "id", "vec", "level", "links", "entry", "max_level")
+  }
+
+  def hnswSave(data: DataFrame, did: Column, dvec: Column, path: String,
+      m: Int = 16, efConstruction: Int = 64): Unit = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val rows = buildGraphRows(data, did, dvec, m, efConstruction)
     // atomic generation publish (graft.core.IndexGen, shared with
-    // ivfSave/pqSave): graphs + meta land in a fresh gen dir, one marker
-    // rename makes both visible together — a reader never pairs new
-    // graphs with old meta (or vice versa)
+    // ivfSave/pqSave): manifest + meta land in a fresh gen dir, one
+    // marker rename makes them visible together — a reader never pairs
+    // new graphs with old meta (or vice versa). Graphs live in the
+    // SEGMENT store ([[Similarity.newSegmentName]] manifest-first
+    // discipline) so [[hnswAppend]] can grow the index O(new rows)
     val (dir, gen) = graft.core.IndexGen.stage(path)
-    rows.write.mode("overwrite").partitionBy("shard").parquet(s"$dir/graphs")
+    val seg = Similarity.newSegmentName()
+    Similarity.writeManifest(dir, Seq(seg))
+    rows.write.mode("overwrite").partitionBy("shard").parquet(s"$path/$seg")
     Seq((m, efConstruction)).toDF("m", "ef_construction")
       .write.mode("overwrite").parquet(s"$dir/meta")
     graft.core.IndexGen.commit(path, gen)
+    Similarity.vacuumSegments(path)
+  }
+
+  /** Incremental index growth — the same SEGMENT model as
+    * [[Similarity.ivfAppend]]: build graphs over ONLY `newData` (one
+    * per partition, exactly as [[hnswSave]] would) and commit a
+    * generation whose manifest = previous segments + the new one. Cost
+    * is O(new rows) build + I/O; the graphs already on disk are never
+    * read or rewritten — the only way "index the day's ingest" stays
+    * affordable when the graphs hold a corpus (reference analog:
+    * USearch add-to-index, src/external_integration/
+    * usearch_integration.rs — the reference inserts into its live
+    * per-worker graph; the at-rest twin of that insert is a new
+    * segment now + a fold into the big graph on the compaction
+    * cadence, [[hnswCompact]]).
+    *
+    * Search cost across segments is additive (every graph is probed),
+    * so appends degrade query latency linearly in segment count —
+    * compact on the usual cadence, like every segmented index here.
+    * The caller feeds only NEW ids (the shared segment-store
+    * contract); m/efConstruction come from the saved meta, so every
+    * segment's graphs share the build geometry. A pre-segment
+    * generation (flat `graphs/` layout) is migrated by re-pointing its
+    * rows as segment 0 — one O(corpus) copy, after which appends are
+    * incremental. Returns the committed generation. */
+  def hnswAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+      newData: DataFrame, did: Column, dvec: Column): Long = {
+    val cur = graft.core.IndexGen.readDir(path)
+    val metaRow = spark.read.parquet(s"$cur/meta").collect()(0)
+    val (m, efc) = (metaRow.getAs[Int]("m"), metaRow.getAs[Int]("ef_construction"))
+    val rows = buildGraphRows(newData, did, dvec, m, efc)
+    val (dir, gen) = graft.core.IndexGen.stage(path)
+    val oldManifest = Similarity.readManifest(cur)
+    val legacySeg = if (oldManifest.isEmpty) Some(Similarity.newSegmentName()) else None
+    val seg = Similarity.newSegmentName()
+    Similarity.writeManifest(dir, oldManifest.getOrElse(legacySeg.toSeq) :+ seg)
+    legacySeg.foreach { n =>
+      spark.read.parquet(s"$cur/graphs")
+        .select("shard", "node", "id", "vec", "level", "links", "entry",
+          "max_level")
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$path/$n")
+    }
+    rows.write.mode("overwrite").partitionBy("shard").parquet(s"$path/$seg")
+    spark.read.parquet(s"$cur/meta")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    graft.core.IndexGen.commit(path, gen)
+    Similarity.vacuumSegments(path)
+    gen
+  }
+
+  /** Fold every appended segment into the base graphs — the USearch
+    * add-to-index semantics at the point in the cost model where
+    * O(index) work belongs: restore the FIRST segment's graphs
+    * verbatim, route each later segment's vectors to a base shard
+    * (id mod shard count — deterministic), INSERT them into the
+    * restored graph (the true Malkov insert, links re-selected), and
+    * commit a one-segment manifest. Search latency returns to
+    * one-graph-per-shard; the appended rows become first-class graph
+    * citizens (reachable through the full link structure, not just
+    * their own small segment's). Idempotent: a second compact of a
+    * one-segment index is a no-op. Returns the current generation. */
+  def hnswCompact(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    import spark.implicits._
+    val cur = graft.core.IndexGen.readDir(path)
+    val curGen = graft.core.IndexGen.current(path).getOrElse(0L)
+    val metaRow = spark.read.parquet(s"$cur/meta").collect()(0)
+    val (m, efc) = (metaRow.getAs[Int]("m"), metaRow.getAs[Int]("ef_construction"))
+    val segs = Similarity.readManifest(cur).getOrElse(Seq("graphs"))
+    if (segs.length <= 1 && Similarity.readManifest(cur).isDefined)
+      return curGen
+    val segDirs = segs.map(s0 =>
+      if (s0 == "graphs") s"$cur/graphs" else s"$path/$s0")
+    val cols = Seq("shard", "node", "id", "vec", "level", "links",
+      "entry", "max_level")
+    val base = spark.read.parquet(segDirs.head)
+      .select(cols.head, cols.tail: _*)
+    // routing table: the base segment's shard ids (bounded — one per
+    // build task), sorted for determinism
+    val baseShards = base.select("shard").distinct()
+      .collect().map(_.getAs[Int]("shard")).sorted
+    if (baseShards.isEmpty) return curGen // zero-row guard, as everywhere
+    val later = segDirs.tail.map(d0 => spark.read.parquet(d0)
+      .select(col("id"), col("vec"))).reduceOption(_ unionByName _)
+    val fresh = later match {
+      case None => spark.emptyDataset[(Int, Long, Seq[Double])].toDF(
+        "shard", "id", "vec")
+      case Some(l) => l.withColumn("shard",
+        element_at(
+          typedLit(baseShards.toSeq),
+          (pmod(col("id"), lit(baseShards.length.toLong)) + 1).cast("int")))
+    }
+    val all = base.withColumn("fresh", lit(false))
+      .unionByName(fresh
+        .select(col("shard"), lit(-1).as("node"), col("id"), col("vec"),
+          lit(-1).as("level"),
+          lit(null).cast("array<array<int>>").as("links"),
+          lit(-1).as("entry"), lit(-1).as("max_level"),
+          lit(true).as("fresh")))
+    val folded = all
+      .select(col("shard").cast("int"), col("node").cast("int"), col("id"),
+        col("vec").cast("array<double>"), col("level").cast("int"),
+        col("links"), col("entry").cast("int"), col("max_level").cast("int"),
+        col("fresh"))
+      .repartition(col("shard"))
+      .as[(Int, Int, Long, Seq[Double], Int, Seq[Seq[Int]], Int, Int, Boolean)]
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1).iterator.flatMap { case (shard, rows) =>
+          val (old, nw) = rows.partition(!_._9)
+          val idx = PartIndex.restore(m, efc,
+            old.map(r => (r._2, r._3, r._4.toArray, r._5, r._6)),
+            old.head._7, old.head._8)
+          nw.sortBy(_._3).foreach { r => idx.insert(r._3, r._4.toArray) }
+          val (entry, top) = (idx.entryNode, idx.topLevel)
+          idx.dumpNodes.map { case (n, id, vec, lvl, lk) =>
+            (shard, n, id, vec, lvl, lk, entry, top)
+          }
+        }
+      }.toDF("shard", "node", "id", "vec", "level", "links", "entry",
+        "max_level")
+    val (dir, gen) = graft.core.IndexGen.stage(path)
+    val seg = Similarity.newSegmentName()
+    Similarity.writeManifest(dir, Seq(seg))
+    folded.write.mode("overwrite").partitionBy("shard").parquet(s"$path/$seg")
+    spark.read.parquet(s"$cur/meta")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    graft.core.IndexGen.commit(path, gen)
+    Similarity.vacuumSegments(path)
+    gen
   }
 
   /** Top-k against a [[hnswSave]]d index without rebuilding the graphs.
@@ -353,13 +496,26 @@ object Hnsw {
       s"Hnsw.hnswLoadTopK: query side exceeds the broadcast smallness " +
         s"contract (> $maxQueries rows)")
     val qB = spark.sparkContext.broadcast(qRows)
-    val g = spark.read.parquet(s"$dir/graphs")
-      .select(col("shard").cast("int"), col("node"), col("id"), col("vec"),
-        col("level"), col("links"), col("entry"), col("max_level"))
-      .repartition(col("shard"))
-      .as[(Int, Int, Long, Seq[Double], Int, Seq[Seq[Int]], Int, Int)]
+    // manifest = the segment store ([[hnswAppend]]); a pre-segment save
+    // is the flat graphs/ dir. Graphs from different segments are
+    // INDEPENDENT (each was built whole), so the group key is
+    // (segment, shard) — encoded into one long for the shuffle
+    val segDirs = Similarity.readManifest(dir) match {
+      case Some(segs) => segs.map(s0 =>
+        if (s0 == "graphs") s"$dir/graphs" else s"$path/$s0")
+      case None => Seq(s"$dir/graphs")
+    }
+    val g = segDirs.zipWithIndex.map { case (d0, i) =>
+      spark.read.parquet(d0)
+        .select((lit(i.toLong) * lit(1000000L) +
+            col("shard").cast("long")).as("grp"),
+          col("node"), col("id"), col("vec"),
+          col("level"), col("links"), col("entry"), col("max_level"))
+    }.reduce(_ unionByName _)
+      .repartition(col("grp"))
+      .as[(Long, Int, Long, Seq[Double], Int, Seq[Seq[Int]], Int, Int)]
     val perShard = g.mapPartitions { it =>
-      // a task may receive several whole shards (hash co-location) —
+      // a task may receive several whole graphs (hash co-location) —
       // restore and search each independently
       it.toSeq.groupBy(_._1).iterator.flatMap { case (_, rows) =>
         val idx = PartIndex.restore(m, efc,

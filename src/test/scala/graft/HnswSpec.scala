@@ -134,6 +134,74 @@ class HnswSpec extends SparkSpec {
     assert(loaded == adHoc)
   }
 
+  test("hnswAppend grows the index as a segment; approximate-regime " +
+      "recall holds and reruns are deterministic") {
+    val e = embeddings.repartition(2, col("id"))
+    val q = e.filter(col("id") < 10)
+    val path = java.nio.file.Files.createTempDirectory("hnsw_spec_a").toString
+    def build(p: String): Unit = {
+      Hnsw.hnswSave(e.filter(col("id") < 40), col("id"), col("v"), p,
+        m = 4, efConstruction = 8)
+      Hnsw.hnswAppend(spark, p, e.filter(col("id") >= 40),
+        col("id"), col("v"))
+    }
+    build(path)
+    val got = rowsOf(Hnsw.hnswLoadTopK(spark, path, q, col("id"), col("v"),
+      k = 3, efSearch = 8))
+    // appended rows are searchable: neighbors from the new segment appear
+    assert(got.exists(r => r(2).asInstanceOf[Long] >= 40L),
+      s"expected appended ids among neighbors: $got")
+    val exact = rowsOf(Similarity.bruteForceTopK(q, e, col("id"), col("v"),
+        col("id"), col("v"), k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine")))
+    val overlap = got.map(r => (r(0), r(2))) intersect
+      exact.map(r => (r(0), r(2)))
+    assert(overlap.size >= (exact.size * 0.9).toInt,
+      s"recall ${overlap.size}/${exact.size} below 0.9")
+    // determinism: an identical save+append sequence reproduces exactly
+    val path2 = java.nio.file.Files.createTempDirectory("hnsw_spec_a2").toString
+    build(path2)
+    assert(rowsOf(Hnsw.hnswLoadTopK(spark, path2, q, col("id"), col("v"),
+      k = 3, efSearch = 8)) == got)
+  }
+
+  test("hnswCompact folds segments by inserting into the restored base " +
+      "graphs: one segment after, recall holds, idempotent") {
+    val e = embeddings.repartition(2, col("id"))
+    val q = e.filter(col("id") < 10)
+    val path = java.nio.file.Files.createTempDirectory("hnsw_spec_c").toString
+    Hnsw.hnswSave(e.filter(col("id") < 40), col("id"), col("v"), path,
+      m = 4, efConstruction = 8)
+    Hnsw.hnswAppend(spark, path, e.filter(col("id") >= 40),
+      col("id"), col("v"))
+    val gen1 = Hnsw.hnswCompact(spark, path)
+    val dir = graft.core.IndexGen.readDir(path)
+    val manifest = java.nio.file.Files.readString(
+        java.nio.file.Path.of(dir, "segments.txt"))
+      .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    assert(manifest.length == 1,
+      s"expected a one-segment manifest after compact: $manifest")
+    val folded = rowsOf(Hnsw.hnswLoadTopK(spark, path, q, col("id"),
+      col("v"), k = 3, efSearch = 8))
+    // every id (base + inserted) is reachable in the folded graphs
+    assert(folded.exists(r => r(2).asInstanceOf[Long] >= 40L))
+    val exact = rowsOf(Similarity.bruteForceTopK(q, e, col("id"), col("v"),
+        col("id"), col("v"), k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine")))
+    val overlap = folded.map(r => (r(0), r(2))) intersect
+      exact.map(r => (r(0), r(2)))
+    assert(overlap.size >= (exact.size * 0.9).toInt,
+      s"recall ${overlap.size}/${exact.size} below 0.9")
+    // idempotence: compacting a one-segment index is a no-op (same
+    // generation back, results unchanged)
+    val gen2 = Hnsw.hnswCompact(spark, path)
+    assert(gen2 == gen1, s"second compact must be a no-op: $gen1 -> $gen2")
+    assert(rowsOf(Hnsw.hnswLoadTopK(spark, path, q, col("id"), col("v"),
+      k = 3, efSearch = 8)) == folded)
+  }
+
   test("persisted exact=true guard still trips on undersized parameters") {
     val e = embeddings
     val path = java.nio.file.Files.createTempDirectory("hnsw_spec_g").toString
