@@ -209,6 +209,41 @@ class DocStoreSpec extends SparkSpec {
       Set((1L, "en"), (2L, "en")))
   }
 
+  test("readChunks(dedup): a replayed batch's duplicate chunk rows " +
+      "collapse — retrieval and stats match the exactly-once table") {
+    val path = java.nio.file.Files.createTempDirectory("docstore_alo").toString
+    store.save(path, nlist = 4)
+    // simulate the at-least-once retry: one batch's chunk rows land
+    // twice (byte-identical, same chunk_key — exactly what a gated
+    // buildStream appends when it crashes between write and checkpoint)
+    val replayed = spark.read.parquet(s"$path/chunks")
+      .filter(col("doc_id") === 1L)
+    replayed.write.mode("append").parquet(s"$path/chunks")
+    val raw = DocStore.readChunks(spark, path, dedup = false)
+    val clean = DocStore.readChunks(spark, path)
+    assert(raw.count() > clean.count(), "precondition: duplicates landed")
+    assert(clean.groupBy("chunk_key").count()
+      .filter(col("count") > 1).count() == 0)
+    // the deduped open answers exactly like the store before the replay
+    val ps = DocStore.open(spark, path, DocStore.hashEmbedder(8),
+      nprobe = 4, dedupChunks = true)
+    val queries = q("alpha beta gamma")
+    val want = rowsOf(store.retrieve(queries, col("qid"), col("qtext"), 3)
+      .select("qid", "rank", "doc_id", "chunk_id", "score"))
+    val got = rowsOf(ps.retrieve(queries, col("qid"), col("qtext"), 3)
+      .select("qid", "rank", "doc_id", "chunk_id", "score"))
+    assert(got == want, s"deduped store must answer like the " +
+      s"pre-replay store:\n$got\nvs\n$want")
+    assert(ps.stats().collect()(0).getAs[Long]("chunk_count") ==
+      store.stats().collect()(0).getAs[Long]("chunk_count"))
+    // without the repair the duplicates are visible (the documented
+    // at-least-once behavior this entry point exists to fix)
+    val psRaw = DocStore.open(spark, path, DocStore.hashEmbedder(8),
+      nprobe = 4)
+    assert(psRaw.stats().collect()(0).getAs[Long]("chunk_count") >
+      store.stats().collect()(0).getAs[Long]("chunk_count"))
+  }
+
   test("retrieveContext concatenates the top-k chunks in rank order") {
     val out = store.retrieveContext(q("uno dos tres"), col("qid"), col("qtext"),
       k = 2, sep = " || ").collect()(0)
