@@ -202,14 +202,24 @@ object Pipelines {
       sampleRate: Double, salt: String,
       packBudget: Long, packBuckets: Int): DataFrame = {
     val base = docs.select(id.as("doc_id"), text.as("text"))
+    // eager caches at BOTH keep seams — unlike the heuristic chain's
+    // stages 1-2 (pure predicates, free to recompute), a model keep is
+    // a corpus-sized aggregation + semi-join: un-cached, the
+    // qualKeep/join-back pair references langKept twice and the tail's
+    // shingle/anti-join pair references qualKept twice, so the langid
+    // predict executed FOUR times per run and the featurize twice
+    // (found by Explain audit — 4 copies of the perG pivot in the
+    // physical plan). Cached, each model scores the corpus once.
     val langKeep = LangId.predict(base, col("doc_id"), col("text"),
         langModel, langN)
       .filter(col("lang") === keepLang).select(col("id").as("doc_id"))
-    val langKept = base.join(langKeep, Seq("doc_id"), "left_semi")
+    val langKept = graft.core.Caches.eager(
+      base.join(langKeep, Seq("doc_id"), "left_semi"))
     val qualKeep = Classify.logregPredict(langKept, col("doc_id"),
         col("text"), qualityModel, qualityDim)
       .filter(col("score") >= minScore).select(col("id").as("doc_id"))
-    val qualKept = langKept.join(qualKeep, Seq("doc_id"), "left_semi")
+    val qualKept = graft.core.Caches.eager(
+      langKept.join(qualKeep, Seq("doc_id"), "left_semi"))
     corpusTail(qualKept, blocklist, boilerplate, nearDup,
       heldout, heldoutText, ngram, sampleRate, salt,
       packBudget, packBuckets)
