@@ -39,7 +39,7 @@ object Bench {
     "q_retract_reduce", "q_text_stats", "q_sql", "q_doc_store",
     "q_knn_pq", "q_knn_ivf_pq", "q_kmeans", "q_dedup_semantic",
     "q_triangles", "q_join_bloom", "q_knn_binary", "q_hll_merge",
-    "q_knn_mmr", "q_pretrain_pipeline")
+    "q_knn_mmr", "q_pretrain_pipeline", "q_pretrain_model")
 
   /** Queries whose wall-clock is dominated by a streaming-replay or
     * external-service HARNESS (multi-micro-batch MemoryStream feeds,
@@ -60,7 +60,7 @@ object Bench {
     "q_doc_store_stream_ivf_pq", "q_dedup_refresh_stream",
     "q_inactivity", "q_interval_stream", "q_io_filestream", "q_io_http",
     "q_io_jdbc", "q_io_subject", "q_io_subject_replay", "q_neardup_stream",
-    "q_recovery",
+    "q_pretrain_incremental_stream", "q_recovery",
     "q_subscribe", "q_upsert_compacted", "q_upsert_diff",
     "q_upsert_partitioned", "q_upsert_snapshot",
     "q_upsert_timetravel")
