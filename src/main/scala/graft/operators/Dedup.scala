@@ -177,8 +177,25 @@ object Dedup {
   def signatureAppend(spark: org.apache.spark.sql.SparkSession, path: String,
       newDf: DataFrame, id: Column, text: Column): Long = {
     val cur = graft.core.IndexGen.readDir(path)
+    val (n, k, _) = readSigMeta(cur)
+    signatureAppendSigs(spark, path, minhashInRow(newDf, id, text, n, k))
+  }
+
+  /** [[signatureAppend]] over an ALREADY-COMPUTED signature table
+    * (id, h0..h{k-1}) — the seam that lets [[dedupRefresh]] append the
+    * probe signatures it computed for the history join instead of
+    * re-running the whole shingle+minhash kernel over the survivors
+    * (a signature is a pure per-row function, so probe rows filtered to
+    * the survivor ids ARE minhashInRow(survivors)). Callers must supply
+    * signatures computed at the index's own (n, k) geometry. */
+  private[operators] def signatureAppendSigs(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      sigs: DataFrame): Long = {
+    val cur = graft.core.IndexGen.readDir(path)
     val (n, k, bands) = readSigMeta(cur)
-    val sigs = minhashInRow(newDf, id, text, n, k)
+    require(sigs.columns.toSeq == ("id" +: (0 until k).map(i => s"h$i")),
+      s"signatureAppendSigs: signature columns ${sigs.columns.mkString(",")} " +
+        s"do not match the index geometry k=$k")
     // nothing to add (an all-dup or all-sub-n batch — dedupRefresh hits
     // this legitimately): keep the current generation. A zero-row
     // parquet write can land with no part files, and a later manifest
@@ -218,10 +235,23 @@ object Dedup {
       newDf: DataFrame, id: Column, text: Column,
       threshold: Double = 0.5): DataFrame = {
     val cur = graft.core.IndexGen.readDir(path)
-    val (n, k, bands) = readSigMeta(cur)
+    val (n, k, _) = readSigMeta(cur)
+    dedupAgainstSigs(spark, path, cur,
+      Caches.eager(minhashInRow(newDf, id, text, n, k)), threshold)
+  }
+
+  /** [[dedupAgainst]] over an ALREADY-COMPUTED (and cached) probe
+    * signature table (id, h0..h{k-1}) at the index's geometry — shared
+    * by the public entry point and [[dedupRefresh]], whose probe also
+    * serves the survivor append (one signature pass per refresh, not
+    * two). `cur` is the committed generation dir the caller resolved —
+    * one readDir per refresh, so probe and append see one generation. */
+  private def dedupAgainstSigs(spark: org.apache.spark.sql.SparkSession,
+      path: String, cur: String, probe: DataFrame,
+      threshold: Double): DataFrame = {
+    val (_, k, bands) = readSigMeta(cur)
     val r = k / bands
     val hist = Similarity.codesParts(spark, path, cur)
-    val probe = Caches.eager(minhashInRow(newDf, id, text, n, k))
     val cand = bandRows(probe, bands, r).as("x")
       .join(bandRows(hist, bands, r).as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
@@ -270,6 +300,13 @@ object Dedup {
     val canon = Caches.eager(
       canonicalize(batch, id, text, lit(0), n, k, bands, threshold, maxDf)
         .drop("_cluster"))
+    // ONE signature pass per refresh: the probe signatures computed for
+    // the history join below are REUSED for the survivor append (a
+    // MinHash signature is a pure per-row function at the index's own
+    // (n, k), so probe rows semi-joined to the survivor ids ARE
+    // minhashInRow(survivors) — the append previously re-ran the whole
+    // shingle+minhash kernel over the same texts a second time).
+    val probe = Caches.eager(minhashInRow(canon, col("_id"), text, n, k))
     // Replay safety: on a RETRIED batch (append committed, downstream
     // write lost) the index already holds this batch's own signatures,
     // and two in-batch survivors in the est ≥ estThreshold /
@@ -280,12 +317,12 @@ object Dedup {
     // in the index (the caller-feeds-only-new-ids contract shared by
     // every segment store), so off the replay path this anti-join
     // removes nothing.
-    val dupIds = dedupAgainst(spark, path, canon, col("_id"), text,
-      estThreshold)
+    val dupIds = dedupAgainstSigs(spark, path, cur, probe, estThreshold)
       .join(canon.select(col("_id").as("dup_of")), Seq("dup_of"), "left_anti")
       .select(col("id").as("_id")).distinct()
     val survivors = Caches.eager(canon.join(dupIds, Seq("_id"), "left_anti"))
-    signatureAppend(spark, path, survivors, col("_id"), text)
+    signatureAppendSigs(spark, path,
+      probe.join(survivors.select(col("_id").as("id")), Seq("id"), "left_semi"))
     survivors.select(batch.columns.map(col).toSeq: _*)
   }
 
@@ -308,9 +345,15 @@ object Dedup {
     * manifest ([[hashAppend]] grows it O(new rows)). NULL-text docs have
     * no hash and are absent (they can never be exact dups). */
   def hashSave(df: DataFrame, id: Column, text: Column,
+      path: String): Unit =
+    hashSaveHashes(graft.core.Par.spread(df)
+      .select(id.as("id"), md5(text).as("h")), path)
+
+  /** [[hashSave]] over an ALREADY-COMPUTED (id, h = md5(text)) table —
+    * first-ingest twin of [[hashAppendHashes]]. */
+  private[operators] def hashSaveHashes(newHashes: DataFrame,
       path: String): Unit = {
-    val hashes = graft.core.Par.spread(df)
-      .select(id.as("id"), md5(text).as("h")).filter(col("h").isNotNull)
+    val hashes = newHashes.toDF("id", "h").filter(col("h").isNotNull)
     val (dir, gen) = graft.core.IndexGen.stage(path)
     writeHashMeta(dir)
     val seg = Similarity.newSegmentName()
@@ -326,11 +369,21 @@ object Dedup {
     * single-writer / caller-feeds-only-new-ids contract as every
     * segment store. Returns the committed generation. */
   def hashAppend(spark: org.apache.spark.sql.SparkSession, path: String,
-      newDf: DataFrame, id: Column, text: Column): Long = {
+      newDf: DataFrame, id: Column, text: Column): Long =
+    hashAppendHashes(spark, path, graft.core.Par.spread(newDf)
+      .select(id.as("id"), md5(text).as("h")))
+
+  /** [[hashAppend]] over an ALREADY-COMPUTED (id, h = md5(text)) table —
+    * the seam for callers whose gate already carries the batch's content
+    * hashes (the incremental pretrain chain threads `_h` from its
+    * in-batch canonicalization through the gate checkpoint), so the md5
+    * kernel is not re-run over the batch text a third time. */
+  private[operators] def hashAppendHashes(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newHashes: DataFrame): Long = {
     val cur = graft.core.IndexGen.readDir(path)
     requireHashMeta(cur)
-    val hashes = graft.core.Par.spread(newDf)
-      .select(id.as("id"), md5(text).as("h")).filter(col("h").isNotNull)
+    val hashes = newHashes.toDF("id", "h").filter(col("h").isNotNull)
     // empty/all-NULL batch: keep the current generation (zero-row
     // parquet segments can land without part files — see signatureAppend)
     if (hashes.isEmpty) return graft.core.IndexGen.current(path).getOrElse(
@@ -365,12 +418,24 @@ object Dedup {
     * through a concurrent append. */
   def exactAgainst(spark: org.apache.spark.sql.SparkSession, path: String,
       newDf: DataFrame, id: Column, text: Column,
+      broadcastLimitBytes: Long = 512L << 20): DataFrame =
+    exactAgainstHashes(spark, path,
+      newDf.select(id.as("id"), md5(text).as("h")), broadcastLimitBytes)
+
+  /** [[exactAgainst]] over an ALREADY-COMPUTED (id, h = md5(text)) probe
+    * — the seam for callers that carry the batch's content hashes from
+    * their own in-batch exact gate (the incremental pretrain chain, the
+    * DocStore exact gate), so the md5 kernel runs once per batch instead
+    * of once per gate stage. Same broadcast gating and caching. */
+  private[operators] def exactAgainstHashes(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newHashes: DataFrame,
       broadcastLimitBytes: Long = 512L << 20): DataFrame = {
     val cur = graft.core.IndexGen.readDir(path)
     requireHashMeta(cur)
     val hist = Similarity.codesParts(spark, path, cur)
-    val probe = Caches.cache(newDf.select(id.as("id"), md5(text).as("h"))
-      .filter(col("h").isNotNull))
+    val probe = Caches.cache(
+      newHashes.toDF("id", "h").filter(col("h").isNotNull))
     probe.count() // ONE job: the count IS the cache materialization
     // gate the hint on MEASURED cached bytes (the in-memory relation's
     // own stats) — a row-count proxy is defeated by wide id columns

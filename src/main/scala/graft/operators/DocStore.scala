@@ -178,6 +178,14 @@ object DocStore {
           metadata, embedder)
       else {
         val spark = docs.sparkSession
+        // cache the parse+chunk stage ONCE before the gates: the exact
+        // gate references it from several plan branches and actions
+        // (canonicalization agg side, semi-join side, history probe,
+        // survivor materialization), so uncached the parse+chunk
+        // pipeline re-ran ~4× per ingest — at 100 TB with a real parser
+        // that is 4× the dominant stage. Released right after the gate
+        // survivor caches are built.
+        val chunkedC = graft.core.Caches.eager(chunked)
         // gate ORDER matters: the exact gate first — md5 equality is the
         // cheap path and removes every re-ingested/byte-identical chunk
         // before the near gate pays shingling, which ALSO keeps the near
@@ -185,10 +193,17 @@ object DocStore {
         // carries its original deterministic chunk_key, which the near
         // gate would treat as a replayed batch id and let through — the
         // exact gate drops it first; see nearFreshChunks)
-        val exactFresh = dedupIndex match {
-          case Some(p) => dedupFreshChunks(spark, chunked, p)
-          case None => chunked
+        val exactFreshH = dedupIndex match {
+          case Some(p) => dedupFreshChunks(spark, chunkedC, p)
+          case None => chunkedC
         }
+        // the gate survivors are checkpointed with their `_h` content
+        // hashes (indexChunkHashes reuses them — no md5 re-run);
+        // downstream consumers see the hash-free projection. The
+        // parse+chunk cache has no consumers past the gate checkpoint.
+        val exactFresh =
+          if (exactFreshH ne chunkedC) exactFreshH.drop("_h") else chunkedC
+        if (exactFreshH ne chunkedC) chunkedC.unpersist(blocking = false)
         val fresh = nearDedupIndex match {
           case Some(np) => nearFreshChunks(spark, exactFresh, np,
             nearThreshold, nearEstThreshold, nearGeometry)
@@ -207,12 +222,10 @@ object DocStore {
         val store = new Store(graft.core.Caches.eager(
           fresh.withColumn("embedding", embedder(col("text")))),
           metadata, embedder)
-        dedupIndex.foreach(p => indexChunkHashes(spark, p, exactFresh))
-        // the inner pre-embed caches have no consumers left — release
-        // them now rather than holding multiples of the chunk text
-        // until the harness drains the thread scope
-        if (exactFresh ne chunked) exactFresh.unpersist(blocking = false)
-        if (fresh ne exactFresh) fresh.unpersist(blocking = false)
+        dedupIndex.foreach(p => indexChunkHashes(spark, p, exactFreshH))
+        // gate checkpoints release with their RDDs (ContextCleaner); the
+        // only explicit release left is the no-gate chunk cache alias
+        if (exactFreshH eq chunkedC) chunkedC.unpersist(blocking = false)
         store
       }
     }
@@ -258,20 +271,23 @@ object DocStore {
   private def nearFreshChunks(spark: SparkSession, chunked: DataFrame,
       path: String, threshold: Double, estThreshold: Double,
       geometry: (Int, Int, Int)): DataFrame =
-    graft.core.Caches.eager(
-      if (graft.core.IndexGen.current(path).isDefined)
-        Dedup.dedupRefresh(spark, path, chunked, col("chunk_key"),
-          col("text"), threshold, estThreshold)
-      else {
-        val (n, k, bands) = geometry
-        val canon = graft.core.Caches.eager(
-          Dedup.canonicalize(chunked, col("chunk_key"), col("text"),
-              lit(0), n, k, bands, threshold)
-            .drop("_cluster", "_id"))
-        Dedup.signatureSave(canon, col("chunk_key"), col("text"), path,
-          n, k, bands)
-        canon
-      })
+    // localCheckpoint at the gate exit (not a cache — see
+    // dedupFreshChunks): truncates the LSH+CC lineage so the embed
+    // stage and every Store operation plan from a scan, not from the
+    // whole gate tree
+    (if (graft.core.IndexGen.current(path).isDefined)
+      Dedup.dedupRefresh(spark, path, chunked, col("chunk_key"),
+        col("text"), threshold, estThreshold)
+    else {
+      val (n, k, bands) = geometry
+      val canon = graft.core.Caches.eager(
+        Dedup.canonicalize(chunked, col("chunk_key"), col("text"),
+            lit(0), n, k, bands, threshold)
+          .drop("_cluster", "_id"))
+      Dedup.signatureSave(canon, col("chunk_key"), col("text"), path,
+        n, k, bands)
+      canon
+    }).localCheckpoint(true)
 
   /** The exact-dedup gate of the ingest pipeline (`dedupIndex` on
     * [[build]]/[[buildStream]]): at 100 TB the EMBEDDER is the expensive
@@ -301,12 +317,23 @@ object DocStore {
     val canon = withH.join(keep, Seq("chunk_key"), "left_semi")
     val fresh =
       if (graft.core.IndexGen.current(indexPath).isDefined) {
-        val dup = Dedup.exactAgainst(spark, indexPath, canon,
-            col("chunk_key"), col("text"))
+        // probe with the hashes the canonicalization already computed —
+        // exactAgainst would re-run the md5 kernel over the batch text
+        val dup = Dedup.exactAgainstHashes(spark, indexPath,
+            canon.select(col("chunk_key").as("id"), col("_h").as("h")))
           .select(col("id").as("chunk_key")).distinct()
         canon.join(dup, Seq("chunk_key"), "left_anti")
       } else canon
-    graft.core.Caches.eager(fresh.drop("_h"))
+    // `_h` STAYS on the materialized survivors: indexChunkHashes appends
+    // the stored hashes instead of re-hashing the stored text.
+    // localCheckpoint, not cache (the pretrainCorpusIncremental gate-seam
+    // discipline): the near gate's LSH machinery and the embed stage
+    // reference this frame from MANY plan branches, and a cache does not
+    // truncate the ANALYZED tree — the stacked two-gate + embed lineage
+    // made the store's cached-plan tree ~22k formatted-plan lines, every
+    // downstream analysis re-walking it (measured driver-side, the r15
+    // loopState lesson applied to the ingest gates).
+    fresh.localCheckpoint(true)
   }
 
   /** Record an ingest's surviving chunk hashes in the dedup index —
@@ -314,13 +341,16 @@ object DocStore {
     * ([[Dedup.hashCompact]] is the long-run maintenance cadence).
     * Single writer, like every segment store. */
   private def indexChunkHashes(spark: SparkSession, indexPath: String,
-      fresh: DataFrame): Unit =
+      freshH: DataFrame): Unit = {
+    // the gate survivors arrive with their `_h` content hashes cached
+    // (dedupFreshChunks) — append those, never re-hash the chunk text
+    val hashes = freshH.select(col("chunk_key").as("id"), col("_h").as("h"))
     if (graft.core.IndexGen.current(indexPath).isDefined) {
-      Dedup.hashAppend(spark, indexPath, fresh, col("chunk_key"),
-        col("text"))
+      Dedup.hashAppendHashes(spark, indexPath, hashes)
       ()
-    } else if (!fresh.isEmpty)
-      Dedup.hashSave(fresh, col("chunk_key"), col("text"), indexPath)
+    } else if (!freshH.isEmpty)
+      Dedup.hashSaveHashes(hashes, indexPath)
+  }
 
   /** The parse → post-process → chunk → embed column pipeline. Every
     * stage is a stateless projection or generator, so the SAME plan runs
@@ -439,12 +469,20 @@ object DocStore {
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           try {
             if (!batch.isEmpty) {
-              val chunked = chunkStage(batch.toDF(), id, data, metadata,
-                parser, postProcess, chunkSize, overlap, splitBy)
-              val exactFresh = dedupIndex match {
-                case Some(p) => dedupFreshChunks(batch.sparkSession, chunked, p)
-                case None => chunked
+              // cache parse+chunk once per micro-batch (the batch path's
+              // chunkedC rationale); drained in the finally below
+              val chunkedC = graft.core.Caches.eager(
+                chunkStage(batch.toDF(), id, data, metadata,
+                  parser, postProcess, chunkSize, overlap, splitBy))
+              val exactFreshH = dedupIndex match {
+                case Some(p) => dedupFreshChunks(batch.sparkSession, chunkedC, p)
+                case None => chunkedC
               }
+              // survivors carry `_h` for the hash append; the chunk
+              // table and the near gate see the hash-free projection
+              val exactFresh =
+                if (exactFreshH ne chunkedC) exactFreshH.drop("_h")
+                else chunkedC
               val fresh = nearDedupIndex match {
                 case Some(np) => nearFreshChunks(batch.sparkSession,
                   exactFresh, np, nearThreshold, nearEstThreshold,
@@ -457,7 +495,7 @@ object DocStore {
                 fresh.withColumn("embedding", embedder(col("text")))
                   .write.mode("append").parquet(s"$path/chunks")
               dedupIndex.foreach(p =>
-                indexChunkHashes(batch.sparkSession, p, exactFresh))
+                indexChunkHashes(batch.sparkSession, p, exactFreshH))
             }
             // maintenance cadence: fold each gate index's per-batch
             // manifest segments back to one, on THIS thread (the

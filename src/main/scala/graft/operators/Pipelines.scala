@@ -336,11 +336,14 @@ object Pipelines {
       if (blocklist.isEmpty) qualKept
       else TextOps.blocklistFilter(qualKept, col("text"), blocklist)
     // EXACT gate — in-batch canonicalization first (one survivor per
-    // distinct text, smallest id: hash-aggregable min + semi-join)…
+    // distinct text, smallest id: hash-aggregable min + semi-join).
+    // `_h` is KEPT on the frame through the gate checkpoint: the history
+    // probe and the index append below reuse it, so the md5 kernel runs
+    // over the batch text once instead of once per gate stage.
     val withH = blocked.withColumn("_h", md5(col("text")))
     val keep = withH.groupBy(col("_h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val canon = withH.join(keep, Seq("doc_id"), "left_semi").drop("_h")
+    val canon = withH.join(keep, Seq("doc_id"), "left_semi")
     // …then the history filter. Matches against the batch's OWN ids are
     // excluded (dedupRefresh's replay rule): on a RETRIED refresh the
     // index already holds this batch's hashes, and since in-batch
@@ -356,8 +359,8 @@ object Pipelines {
     // lesson applied to a one-shot composition)
     val exactFresh = (
       if (graft.core.IndexGen.current(hashIndex).isDefined) {
-        val dup = Dedup.exactAgainst(spark, hashIndex, canon,
-            col("doc_id"), col("text"))
+        val dup = Dedup.exactAgainstHashes(spark, hashIndex,
+            canon.select(col("doc_id").as("id"), col("_h").as("h")))
           .join(canon.select(col("doc_id").as("dup_of")),
             Seq("dup_of"), "left_anti")
           .select(col("id").as("doc_id")).distinct()
@@ -369,14 +372,15 @@ object Pipelines {
     // localCheckpoint again at the gate exit: the tail (decontaminate →
     // sample → pack) and the caller's downstream both re-analyze this
     // frame's tree per operation — truncated, they start from a scan
+    val gateOut = exactFresh.drop("_h")
     val canonical = (
       if (graft.core.IndexGen.current(sigIndex).isDefined)
-        Dedup.dedupRefresh(spark, sigIndex, exactFresh,
+        Dedup.dedupRefresh(spark, sigIndex, gateOut,
           col("doc_id"), col("text"),
           nearDup.threshold, estThreshold, nearDup.maxDf)
       else {
         val c = graft.core.Caches.eager(
-          Dedup.canonicalize(exactFresh, col("doc_id"), col("text"),
+          Dedup.canonicalize(gateOut, col("doc_id"), col("text"),
               lit(0), nearDup.n, nearDup.k, nearDup.bands,
               nearDup.threshold, nearDup.maxDf)
             .drop("_cluster", "_id"))
@@ -388,11 +392,13 @@ object Pipelines {
     // dropped ones included) — last, so a crash mid-refresh re-derives
     // rather than drops (the exclusions above make either order safe;
     // hashes-last additionally keeps a crashed FIRST refresh creating
-    // no exact index at all)
+    // no exact index at all). The hashes ride the gate checkpoint's own
+    // `_h` column — no md5 re-run over the batch text.
+    val freshHashes = exactFresh.select(col("doc_id").as("id"),
+      col("_h").as("h"))
     if (graft.core.IndexGen.current(hashIndex).isDefined)
-      Dedup.hashAppend(spark, hashIndex, exactFresh,
-        col("doc_id"), col("text"))
-    else Dedup.hashSave(exactFresh, col("doc_id"), col("text"), hashIndex)
+      Dedup.hashAppendHashes(spark, hashIndex, freshHashes)
+    else Dedup.hashSaveHashes(freshHashes, hashIndex)
     // per-batch tail of the chain: decontaminate → sample → pack
     val trainShingles =
       Dedup.shingles(canonical, col("doc_id"), col("text"), ngram)

@@ -250,20 +250,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q_doc_store_dedup: the ingest gate stays hash-aggregated and " +
-      "equi-join shaped") {
-    // in-batch canonicalization is min(LONG chunk_key) + semi-join (hash
-    // aggregable), the history filter an equi-join — a window or struct
-    // formulation would sort the batch's chunk table per ingest
+  test("q_doc_store_dedup: the store plans from the checkpointed gate " +
+      "output, not a re-derived gate lineage") {
+    // r16: the gates now end in localCheckpoint(true) (the
+    // pretrainCorpusIncremental seam discipline) — the store's cached
+    // tree must scan the checkpointed survivors, not re-carry the
+    // canonicalization agg + history-filter lineage (which made the
+    // neardedup store's tree ~22k formatted-plan lines and every
+    // downstream analysis re-walk it). The gate's own internals
+    // (hash-aggregated min + semi-join) are pinned by DocStoreSpec's
+    // behavior cases; here we pin the truncation.
     val p = plan("q_doc_store_dedup")
-    // positive anchors FIRST: the gate's plan lives inside the store's
-    // cached-relation tree — if a Spark change stopped rendering nested
-    // cached plans, the negative assertions below would pass vacuously
-    assert(p.contains("HashAggregate") && p.contains("LeftSemi"),
-      s"gate plan (canonicalization agg + semi-join) must be visible:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"store must scan the checkpointed gate output:\n$p")
+    assert(!p.contains("min_hex32") && !p.contains("minhash_sig"),
+      s"gate machinery must not leak into the store tree:\n$p")
     assert(!p.contains("SortAggregate"), s"no sort-based aggregation:\n$p")
     assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), s"no NLJ in the gate:\n$p")
+      !p.contains("BroadcastNestedLoopJoin"), s"no NLJ in the store tree:\n$p")
   }
 
   test("q_pretrain_incremental: the tail plans from the checkpointed " +
