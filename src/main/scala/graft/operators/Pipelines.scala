@@ -146,7 +146,13 @@ object Pipelines {
         // cluster, the same keep rule as the exact-dedup window.
         // eager: the survivor set feeds TWO branches (its own shingle
         // table + the decontamination anti-join), and un-cached each
-        // would re-run the whole boilerplate+dedup+LSH+CC upstream
+        // would re-run the whole boilerplate+dedup+LSH+CC upstream.
+        // Deliberately a CACHE, not a gate-seam checkpoint (r16 audit):
+        // the full rebuild is a one-shot composition whose tail
+        // references this frame exactly twice — linear analysis, not
+        // the loop/stacked-gate blowup — and the checkpoint would
+        // truncate the fused predicate filter out of the final plan
+        // that PlanSpec pins on the scan.
         graft.core.Caches.eager(
           Dedup.canonicalize(dedupedOnce, col("doc_id"), col("text"), lit(0),
               c.n, c.k, c.bands, c.threshold, c.maxDf)
@@ -202,24 +208,30 @@ object Pipelines {
       sampleRate: Double, salt: String,
       packBudget: Long, packBuckets: Int): DataFrame = {
     val base = docs.select(id.as("doc_id"), text.as("text"))
-    // eager caches at BOTH keep seams — unlike the heuristic chain's
-    // stages 1-2 (pure predicates, free to recompute), a model keep is
-    // a corpus-sized aggregation + semi-join: un-cached, the
-    // qualKeep/join-back pair references langKept twice and the tail's
-    // shingle/anti-join pair references qualKept twice, so the langid
-    // predict executed FOUR times per run and the featurize twice
-    // (found by Explain audit — 4 copies of the perG pivot in the
-    // physical plan). Cached, each model scores the corpus once.
+    // localCheckpoint(true) at BOTH keep seams — unlike the heuristic
+    // chain's stages 1-2 (pure predicates, free to recompute), a model
+    // keep is a corpus-sized aggregation + semi-join: un-materialized,
+    // the qualKeep/join-back pair references langKept twice and the
+    // tail's shingle/anti-join pair references qualKept twice, so the
+    // langid predict executed FOUR times per run and the featurize
+    // twice (found by Explain audit — 4 copies of the perG pivot in the
+    // physical plan). Materialized, each model scores the corpus once —
+    // and the CHECKPOINT (r16; previously an eager cache) additionally
+    // truncates the analyzed tree, so the tail plans from a scan instead
+    // of re-walking the predict lineage per operation (the
+    // pretrainCorpusIncremental gate-seam discipline; a cache does not
+    // truncate the logical plan).
     val langKeep = LangId.predict(base, col("doc_id"), col("text"),
         langModel, langN)
       .filter(col("lang") === keepLang).select(col("id").as("doc_id"))
-    val langKept = graft.core.Caches.eager(
-      base.join(langKeep, Seq("doc_id"), "left_semi"))
+    val langKept =
+      base.join(langKeep, Seq("doc_id"), "left_semi").localCheckpoint(true)
     val qualKeep = Classify.logregPredict(langKept, col("doc_id"),
         col("text"), qualityModel, qualityDim)
       .filter(col("score") >= minScore).select(col("id").as("doc_id"))
-    val qualKept = graft.core.Caches.eager(
-      langKept.join(qualKeep, Seq("doc_id"), "left_semi"))
+    val qualKept =
+      langKept.join(qualKeep, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
     corpusTail(qualKept, blocklist, boilerplate, nearDup,
       heldout, heldoutText, ngram, sampleRate, salt,
       packBudget, packBuckets)
