@@ -854,10 +854,21 @@ object Similarity {
 
   /** One code segment (binary sign codes or PQ codes) — plain parquet
     * (no cid to partition by; code serving scans every code anyway).
-    * Same manifest-first discipline as [[writeSegmentTo]]. */
+    * Same manifest-first discipline as [[writeSegmentTo]].
+    *
+    * Output-file sizing (optimization guide §6): segment appends are
+    * survivor-sized but arrive at the fan-out parallelism (dozens of
+    * near-empty part files per append), and every probe unions every
+    * segment's files — a long refresh loop multiplied file count twice
+    * over. When the plan-stat estimate says the segment is under one
+    * target file (128 MB), coalesce the write to a single part file;
+    * frames without credible stats (LogicalRDD sentinel) and
+    * warehouse-scale appends keep their parallel write. */
   private[operators] def writeBinarySegmentTo(codes: DataFrame, path: String,
       name: String): Unit = {
-    codes.write.mode("overwrite").parquet(s"$path/$name")
+    val bytes = codes.queryExecution.optimizedPlan.stats.sizeInBytes
+    val out = if (bytes <= BigInt(128L << 20)) codes.coalesce(1) else codes
+    out.write.mode("overwrite").parquet(s"$path/$name")
   }
 
   /** The committed generation's code table — manifest segments unioned,
