@@ -856,19 +856,20 @@ object Similarity {
     * (no cid to partition by; code serving scans every code anyway).
     * Same manifest-first discipline as [[writeSegmentTo]].
     *
-    * Output-file sizing (optimization guide §6): segment appends are
-    * survivor-sized but arrive at the fan-out parallelism (dozens of
-    * near-empty part files per append), and every probe unions every
-    * segment's files — a long refresh loop multiplied file count twice
-    * over. When the plan-stat estimate says the segment is under one
-    * target file (128 MB), coalesce the write to a single part file;
-    * frames without credible stats (LogicalRDD sentinel) and
-    * warehouse-scale appends keep their parallel write. */
+    * The write keeps its input parallelism ON PURPOSE — do NOT add
+    * guide-§6 single-file sizing here (attempted and reverted, r16):
+    * for a code table, part-file count at rest IS the read-side
+    * parallelism of every downstream kernel (maxPartitionBytes makes a
+    * small file one scan split), and a single-file PQ code segment ran
+    * the whole |q|·|chunks| decode-dot retrieval single-threaded
+    * (q_doc_store_pq 5 s → 41 s at sf0.1, caught by the bench diff;
+    * coalesce(1) additionally serialized the encode kernel itself).
+    * Per-append file-count growth is the compaction cadence's job
+    * ([[graft.operators.Dedup.signatureCompact]]/hashCompact,
+    * ivfSave-after-ivfAppend), not the write's. */
   private[operators] def writeBinarySegmentTo(codes: DataFrame, path: String,
       name: String): Unit = {
-    val bytes = codes.queryExecution.optimizedPlan.stats.sizeInBytes
-    val out = if (bytes <= BigInt(128L << 20)) codes.coalesce(1) else codes
-    out.write.mode("overwrite").parquet(s"$path/$name")
+    codes.write.mode("overwrite").parquet(s"$path/$name")
   }
 
   /** The committed generation's code table — manifest segments unioned,
